@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Core relational/OLAP queries (SURVEY.md §2, q01–q10).
+  *
+  * Scale notes (100 TB): every query keeps filters/projections as
+  * plain Column expressions so Catalyst pushes them into the parquet
+  * scan; dimension tables (region/nation/customer/supplier) are
+  * explicitly `broadcast()`; top-k uses orderBy+limit which Spark
+  * executes as TakeOrderedAndProject (no full sort/single-partition
+  * collapse); window functions partition by high-cardinality keys so
+  * no single-partition window appears.
+  */
+object CoreQueries {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1-style pricing summary. Map-side partial aggregation +
+    * one shuffle on a tiny (flag,status) key space. */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Multi-way star join; all dims broadcast — lineitem never shuffles
+    * for the join, only for the final small-key aggregation. */
+  def q02RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = orders(spark, dir).select("o_orderkey", "o_custkey")
+    val cust = customer(spark, dir).select("c_custkey", "c_nationkey")
+    val nat = nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val reg = region(spark, dir).select("r_regionkey", "r_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Join + agg + top-k: executed as TakeOrderedAndProject, so only k
+    * rows cross the final exchange regardless of data size. */
+  def q03TopOrders(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Window rank over orders per customer; partition key o_custkey is
+    * high-cardinality so the window parallelizes across executors. */
+  def q04WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= 3)
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** LEFT SEMI join: orders having at least one high-value item.
+    * Semi-join short-circuits — no fact-side duplication. */
+  def q05SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val big = lineitem(spark, dir)
+      .filter(col("l_extendedprice") > 90000)
+      .select("l_orderkey")
+    orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 4).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Selective filter + global agg; predicate and 3-column projection
+    * both reach the parquet scan (PushedFilters/ReadSchema). */
+  def q06SelectiveFilter(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** ROLLUP over (region, nation): Spark expands grouping sets with
+    * a single shuffle; dims broadcast. */
+  def q07Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir).select("c_custkey", "c_nationkey", "c_acctbal")
+    val nat = nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val reg = region(spark, dir).select("r_regionkey", "r_name")
+    cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 4).as("acct_total"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** Tumbling 1-hour windows via date_trunc — batch mirror of the
+    * Structured Streaming st01 query (same expression works under
+    * readStream + watermark). */
+  def q08EventsTumbling(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+      .orderBy("hour", "event_type")
+
+  /** Sessionization: 30-min-gap sessions via lag window; partitioned
+    * by user_id (high-cardinality at scale). Batch mirror of st02
+    * (flatMapGroupsWithState). */
+  def q09EventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        lag("ts", 1).over(byUser).as("prev_ts"))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTE"), 1).otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        date_trunc("second", min("ts")).as("session_start"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Semi-structured extraction: JSON prop pulled with the codegen'd
+    * get_json_object — no UDF in the hot path. */
+  def q10EventsJson(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(round(avg("k"), 4).as("avg_k"), max("k").as("max_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_region_revenue" -> (q02RegionRevenue _),
+    "q03_top_orders" -> (q03TopOrders _),
+    "q04_window_rank" -> (q04WindowRank _),
+    "q05_semi_join" -> (q05SemiJoin _),
+    "q06_selective_filter" -> (q06SelectiveFilter _),
+    "q07_rollup" -> (q07Rollup _),
+    "q08_events_tumbling" -> (q08EventsTumbling _),
+    "q09_events_sessionize" -> (q09EventsSessionize _),
+    "q10_events_json" -> (q10EventsJson _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q03_top_orders" ->
+      """SELECT o_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q04_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
+    "q05_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS total
+        |FROM orders
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem WHERE l_extendedprice > 90000)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q06_selective_filter" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q07_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  round(sum(c_acctbal), 4) AS acct_total
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q08_events_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin,
+    "q09_events_sessionize" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |      OR ts > prev_ts + INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM lagged),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events,
+        |  date_trunc('second', min(ts)) AS session_start
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q10_events_json" ->
+      """SELECT event_type,
+        |  round(avg(CAST(props->>'$.k' AS INT)), 4) AS avg_k,
+        |  max(CAST(props->>'$.k' AS INT)) AS max_k,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
+}

@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle correctness check.
+
+Usage: check_oracle.py <sf_dir> <verify_out_dir>
+Loads each <name> parquet result written by graft.Verify, runs the
+matching oracle SQL from oracle_sql.json in DuckDB over views of the
+sf tables, and compares (schema-insensitively: columns sorted by name,
+rows sorted by all values).
+"""
+import json, sys, duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = [tuple(str(v) for v in r) for r in df.itertuples(index=False)]
+    return cols, sorted(rows)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_df = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            duck_df = con.sql(sql).df()
+            sc, sr = canon(spark_df)
+            dc, dr = canon(duck_df)
+            if sc != dc:
+                print(f"FAIL {name}: columns {sc} vs {dc}")
+            elif sr != dr:
+                diffs = [(a, b) for a, b in zip(sr, dr) if a != b]
+                print(f"FAIL {name}: {len(sr)} vs {len(dr)} rows, {len(diffs)} differing; first: {diffs[:2] if diffs else (sr[:1], dr[:1])}")
+            else:
+                n_ok += 1
+                print(f"OK   {name} ({len(sr)} rows)")
+        except Exception as e:
+            print(f"ERR  {name}: {e}")
+    print(f"{n_ok}/{len(oracle)} matched")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
