@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.plans.HippoGraph
+
+/** Graph-store queries (SURVEY.md §2 h01–h07) — the EntityStore graph
+  * surface of the reference re-expressed as declarative DataFrame ops.
+  *
+  * Scale notes: `edges` is the big table; every query below either
+  * aggregates it with map-side partial aggregation or joins it against
+  * a BROADCAST side (an entity probe set, or the tiny entity dim).
+  * Nothing collects to the driver; neighbour expansion is a self-join
+  * on fact_id (co-partitioned on the shuffle key, single exchange).
+  */
+object GraphQueries {
+  import HippoGraph._
+
+  /** Probe entities used by the parameterized lookups (reference calls
+    * take runtime args; the oracle needs them baked in). */
+  val ProbeEntity = "window"
+  val ProbeUnion: Seq[String] = Seq("window", "spark")
+
+  /** h01: the fact→entity adjacency itself (storage.py:227 add_fact's
+    * entity linking, done corpus-wide in one pass). */
+  def h01Edges(spark: SparkSession, dir: String): DataFrame =
+    edges(spark, dir).orderBy("fact_id", "entity")
+
+  /** h02: neighbours of an entity = entities co-occurring in a shared
+    * fact (storage.py:213 get_neighbours), with shared-fact counts.
+    * The probe side is a filtered broadcast → no big-big shuffle. */
+  def h02EntityNeighbours(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val probe = e.filter(col("entity") === ProbeEntity).select(col("fact_id").as("pf"))
+    e.join(broadcast(probe), col("fact_id") === col("pf"))
+      .filter(col("entity") =!= ProbeEntity)
+      .groupBy("entity")
+      .agg(countDistinct("fact_id").as("n_shared_facts"))
+      .orderBy("entity")
+  }
+
+  /** h03: facts involving ANY probe entity (storage.py:286). */
+  def h03FactsUnion(spark: SparkSession, dir: String): DataFrame = {
+    val matching = edges(spark, dir)
+      .filter(col("entity").isin(ProbeUnion: _*))
+      .select("fact_id").distinct()
+    facts(spark, dir)
+      .join(matching, Seq("fact_id"), "left_semi")
+      .select("fact_id", "doc_id", "fact_text")
+      .orderBy("fact_id")
+  }
+
+  /** h04: facts involving ALL probe entities (storage.py:299) —
+    * count-distinct-match instead of iterated set intersection. */
+  def h04FactsIntersection(spark: SparkSession, dir: String): DataFrame = {
+    val all = edges(spark, dir)
+      .filter(col("entity").isin(ProbeUnion: _*))
+      .groupBy("fact_id")
+      .agg(countDistinct("entity").as("n"))
+      .filter(col("n") === ProbeUnion.size)
+      .select("fact_id")
+    facts(spark, dir)
+      .join(all, Seq("fact_id"), "left_semi")
+      .select("fact_id", "doc_id", "fact_text")
+      .orderBy("fact_id")
+  }
+
+  /** h05: degree distribution — facts and docs per entity. */
+  def h05EntityDegree(spark: SparkSession, dir: String): DataFrame =
+    edges(spark, dir)
+      .groupBy("entity")
+      .agg(countDistinct("fact_id").as("n_facts"),
+        countDistinct((col("fact_id") / 100).cast("long")).as("n_docs"))
+      .orderBy("entity")
+
+  /** h06: prune lone entities (storage.py:171) — dim entities that
+    * survive = have at least one fact; anti-join side reported too. */
+  def h06PruneLoneEntities(spark: SparkSession, dir: String): DataFrame = {
+    val linked = edges(spark, dir).select("entity").distinct()
+    entityDim(spark, dir)
+      .join(linked, Seq("entity"), "left_anti")
+      .orderBy("entity")
+  }
+
+  /** h07: integrity check (storage.py:136) — graph-side facts missing
+    * from a (simulated) vector store; mirrors _restore_integrity's
+    * reconciliation as one anti-join + count. */
+  def h07IntegrityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val f = facts(spark, dir)
+    val vectorSide = f.filter(col("fact_id") % 10 =!= 7).select("fact_id")
+    val missing = f.join(vectorSide, Seq("fact_id"), "left_anti")
+    missing.agg(
+      count(lit(1)).as("n_missing"),
+      min("fact_id").as("first_missing"),
+      max("fact_id").as("last_missing"))
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "h01_fact_entity_edges" -> (h01Edges _),
+    "h02_entity_neighbours" -> (h02EntityNeighbours _),
+    "h03_facts_union" -> (h03FactsUnion _),
+    "h04_facts_intersection" -> (h04FactsIntersection _),
+    "h05_entity_degree" -> (h05EntityDegree _),
+    "h06_prune_lone_entities" -> (h06PruneLoneEntities _),
+    "h07_integrity_check" -> (h07IntegrityCheck _))
+
+  private val probeList = ProbeUnion.map(e => s"'$e'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "h01_fact_entity_edges" ->
+      s"""SELECT fact_id, entity FROM ($edgesSql)
+         |ORDER BY fact_id, entity""".stripMargin,
+    "h02_entity_neighbours" ->
+      s"""WITH e AS ($edgesSql)
+         |SELECT e2.entity AS entity, count(DISTINCT e2.fact_id) AS n_shared_facts
+         |FROM e e1 JOIN e e2 ON e1.fact_id = e2.fact_id
+         |WHERE e1.entity = '$ProbeEntity' AND e2.entity <> '$ProbeEntity'
+         |GROUP BY e2.entity
+         |ORDER BY entity""".stripMargin,
+    "h03_facts_union" ->
+      s"""WITH e AS ($edgesSql), f AS ($factsSql)
+         |SELECT fact_id, doc_id, fact_text FROM f
+         |WHERE fact_id IN (SELECT fact_id FROM e WHERE entity IN ($probeList))
+         |ORDER BY fact_id""".stripMargin,
+    "h04_facts_intersection" ->
+      s"""WITH e AS ($edgesSql), f AS ($factsSql)
+         |SELECT fact_id, doc_id, fact_text FROM f
+         |WHERE fact_id IN (
+         |  SELECT fact_id FROM e WHERE entity IN ($probeList)
+         |  GROUP BY fact_id HAVING count(DISTINCT entity) = ${ProbeUnion.size})
+         |ORDER BY fact_id""".stripMargin,
+    "h05_entity_degree" ->
+      s"""SELECT entity, count(DISTINCT fact_id) AS n_facts,
+         |  count(DISTINCT fact_id // 100) AS n_docs
+         |FROM ($edgesSql)
+         |GROUP BY entity
+         |ORDER BY entity""".stripMargin,
+    "h06_prune_lone_entities" ->
+      s"""SELECT entity FROM ($entityDimSql)
+         |WHERE entity NOT IN (SELECT DISTINCT entity FROM ($edgesSql))
+         |ORDER BY entity""".stripMargin,
+    "h07_integrity_check" ->
+      s"""WITH f AS ($factsSql),
+         |  missing AS (SELECT fact_id FROM f WHERE fact_id % 10 = 7)
+         |SELECT count(*) AS n_missing, min(fact_id) AS first_missing,
+         |  max(fact_id) AS last_missing
+         |FROM missing""".stripMargin)
+}
