@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<double>` columns, built from Spark's
+  * codegen'd higher-order functions (no UDFs — `zip_with` and
+  * `aggregate` stay inside whole-stage codegen; reference vector side
+  * is ChromaDB cosine search, storage.py:255-276).
+  *
+  * All math is double-precision sequential fold, matching DuckDB's
+  * `list_cosine_similarity` over `DOUBLE[]` closely enough that
+  * round(x, 6) is engine-stable.
+  */
+object VectorFunctions {
+
+  /** Elementwise cast to double (parquet stores float32 embeddings). */
+  def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Cosine rounded for cross-engine comparison stability. */
+  def cosine6(a: Column, b: Column): Column = round(cosine(a, b), 6)
+}

@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.plans.HippoGraph
+import graft.sources.Tables
+
+/** Vector-store / similarity-search queries (SURVEY.md §2 v01–v05) —
+  * the ChromaDB surface of the reference (storage.py:255-337)
+  * re-expressed as Spark relational plans over an embeddings table.
+  *
+  * Scale notes: the QUERY side of every k-NN is tiny and broadcast;
+  * the corpus side streams map-side — brute-force top-k is a narrow
+  * scan + TakeOrderedAndProject (no full sort, no corpus shuffle).
+  * Batch k-NN (v02) windows over query_id, whose cardinality bounds
+  * the shuffle. v05 is the 100 TB path: random-hyperplane LSH
+  * buckets both sides so candidate generation is an equi-join on
+  * (bucket) instead of a cross product.
+  */
+object VectorQueries {
+
+  /** Embeddings with double-precision vectors. */
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+
+  private val embSql =
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings"
+
+  /** v01: top-10 nearest facts to one query vector (storage.py:266
+    * get_closest_facts). Query row broadcast; corpus never shuffled. */
+  def v01KnnFacts(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine6(col("v"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** v02: batch k-NN — every label-0 vector gets its top-3 neighbours.
+    * Queries broadcast (bounded set); rank window partitioned by
+    * query_id so it parallelizes by query. */
+  def v02KnnBatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("label") === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosine6(col("v"), col("qv")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy("query_id", "rk")
+  }
+
+  /** Facts joined to their embedding (deterministic fact_id→vec_id
+    * assignment so graph and vector sides are linked, as the reference
+    * links fact ids to chroma ids — storage.py:240). */
+  private def factEmb(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val nVec = e.count() // scalar metadata action; corpus never collected
+    HippoGraph.facts(spark, dir)
+      .withColumn("vec_id", col("fact_id") % nVec)
+      .join(e.select("vec_id", "v"), "vec_id")
+  }
+
+  private def factEmbSql = // nVec inlined as subquery on the oracle side
+    s"""SELECT f.fact_id, f.doc_id, f.fact_text, e.v
+       |FROM (${HippoGraph.factsSql}) f
+       |JOIN ($embSql) e
+       |  ON e.vec_id = f.fact_id % (SELECT count(*) FROM embeddings)""".stripMargin
+
+  /** v03: hybrid retrieval — top-5 facts by cosine among facts having
+    * ANY probe entity (storage.py:325). Graph filter is a semi-join
+    * against a broadcast fact-id set, THEN vector scoring — the
+    * vector side only scores the filtered subset. */
+  def v03HybridUnion(spark: SparkSession, dir: String): DataFrame =
+    hybrid(spark, dir, intersect = false)
+
+  /** v04: hybrid with ALL probe entities (storage.py:332). */
+  def v04HybridIntersection(spark: SparkSession, dir: String): DataFrame =
+    hybrid(spark, dir, intersect = true)
+
+  private def hybrid(spark: SparkSession, dir: String, intersect: Boolean): DataFrame = {
+    val matching = {
+      val m = HippoGraph.edges(spark, dir)
+        .filter(col("entity").isin(GraphQueries.ProbeUnion: _*))
+      if (intersect)
+        m.groupBy("fact_id").agg(countDistinct("entity").as("n"))
+          .filter(col("n") === GraphQueries.ProbeUnion.size).select("fact_id")
+      else m.select("fact_id").distinct()
+    }
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    factEmb(spark, dir)
+      .join(matching, Seq("fact_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("fact_id"), cosine6(col("v"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("fact_id"))
+      .limit(5)
+  }
+
+  /** v05: ANN via multi-table random-hyperplane LSH (the scale path —
+    * *rows-only*, recall vs brute force asserted in LshSpec).
+    *
+    * L=8 tables of b=4 bits: each vector lands in 8 (table, bucket)
+    * cells; candidates = vectors sharing ANY cell with the query, so
+    * candidate generation is an equi-join on (table, bucket) — at
+    * 100 TB only same-bucket pairs shuffle, never the cross product.
+    * Collision probability per table (1 - θ/π)^b rises steeply with
+    * similarity, so true near-neighbours survive with high recall. */
+  val LshTables = 8
+  val LshBits = 4
+
+  def v05AnnLsh(spark: SparkSession, dir: String): DataFrame =
+    annLsh(emb(spark, dir), queryVecId = 0, k = 10)
+
+  /** Reusable ANN operator over (vec_id, v) rows. */
+  def annLsh(e: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val planes = lshPlanes(LshTables * LshBits, 64, seed = 42L)
+    val tables = (0 until LshTables).map { t =>
+      struct(lit(t).as("table"),
+        signature(planes.slice(t * LshBits, (t + 1) * LshBits))(col("v")).as("bucket"))
+    }
+    val cells = e.select(col("vec_id"), col("v"),
+      explode(array(tables: _*)).as("cell"))
+    val qCells = cells.filter(col("vec_id") === queryVecId)
+      .select(col("cell").as("qcell"), col("v").as("qv"))
+    cells.join(broadcast(qCells), col("cell") === col("qcell"))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("v"), col("qv"))
+      .dropDuplicates("vec_id")
+      .select(col("vec_id"), cosine6(col("v"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic hyperplanes (seeded), broadcast as literals. */
+  def lshPlanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Column fn: 16-bit LSH signature of a double-array column. The
+    * planes are compile-time literals, so the whole signature is one
+    * codegen'd expression tree — no UDF. */
+  def signature(planes: Array[Array[Double]])(v: Column): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(v, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "v01_knn_facts" -> (v01KnnFacts _),
+    "v02_knn_batch" -> (v02KnnBatch _),
+    "v03_hybrid_union" -> (v03HybridUnion _),
+    "v04_hybrid_intersection" -> (v04HybridIntersection _),
+    "v05_ann_lsh" -> (v05AnnLsh _))
+
+  private val probeList = GraphQueries.ProbeUnion.map(e => s"'$e'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "v01_knn_facts" ->
+      s"""WITH e AS ($embSql),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cos
+         |FROM e, q WHERE vec_id <> 0
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "v02_knn_batch" ->
+      s"""WITH e AS ($embSql),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE label = 0),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id,
+         |    round(list_cosine_similarity(e.v, q.qv), 6) AS cos
+         |  FROM e, q WHERE e.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, vec_id, cos, rk FROM ranked WHERE rk <= 3
+         |ORDER BY query_id, rk""".stripMargin,
+    "v03_hybrid_union" ->
+      s"""WITH fe AS ($factEmbSql),
+         |e2 AS (${HippoGraph.edgesSql}),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT fact_id, round(list_cosine_similarity(fe.v, q.qv), 6) AS cos
+         |FROM fe, q
+         |WHERE fact_id IN (SELECT fact_id FROM e2 WHERE entity IN ($probeList))
+         |ORDER BY cos DESC, fact_id LIMIT 5""".stripMargin,
+    "v04_hybrid_intersection" ->
+      s"""WITH fe AS ($factEmbSql),
+         |e2 AS (${HippoGraph.edgesSql}),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT fact_id, round(list_cosine_similarity(fe.v, q.qv), 6) AS cos
+         |FROM fe, q
+         |WHERE fact_id IN (
+         |  SELECT fact_id FROM e2 WHERE entity IN ($probeList)
+         |  GROUP BY fact_id HAVING count(DISTINCT entity) = ${GraphQueries.ProbeUnion.size})
+         |ORDER BY cos DESC, fact_id LIMIT 5""".stripMargin)
+}

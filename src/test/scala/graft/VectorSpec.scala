@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.operators.VectorQueries
+import graft.sources.Tables
+
+class VectorSpec extends SparkSpec {
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = spark.range(1).select(
+      cosine(array(lit(1.0), lit(2.0)), array(lit(1.0), lit(2.0))).as("same"),
+      cosine(array(lit(1.0), lit(0.0)), array(lit(0.0), lit(3.0))).as("orth"))
+    val r = df.head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("v01 brute-force knn returns k rows ordered by cosine desc") {
+    val rows = VectorQueries.v01KnnFacts(spark, sf0001).collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getAs[Double]("cos"))
+    assert(scores.sameElements(scores.sorted.reverse))
+  }
+
+  test("LSH ANN recall@10 >= 0.5 vs brute force") {
+    val brute = VectorQueries.v01KnnFacts(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val ann = VectorQueries.v05AnnLsh(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(ann.nonEmpty, "LSH returned no candidates")
+    val recall = brute.intersect(ann).size.toDouble / brute.size
+    info(s"LSH recall@10 = $recall (candidates: ${ann.size})")
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("LSH buckets are deterministic across invocations") {
+    val a = VectorQueries.v05AnnLsh(spark, sf0001).collect().toSeq
+    val b = VectorQueries.v05AnnLsh(spark, sf0001).collect().toSeq
+    assert(a == b)
+  }
+}
