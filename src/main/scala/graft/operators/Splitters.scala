@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text splitters with character positions — Spark re-expression of
+  * the reference's splitters.py (Chunk = text + (start, end)).
+  *
+  * naive/paragraph are pure column expressions (narrow, codegen'd,
+  * no shuffle — except paragraph's per-doc cumulative position which
+  * windows by doc_id, a high-cardinality key). recursive carries the
+  * reference's genuinely recursive separator-priority semantics
+  * (splitters.py:64 RecursiveTextSplitter) and runs as a typed
+  * flatMap — still a narrow per-row transform, just not expressible
+  * as a Column tree.
+  */
+object Splitters {
+
+  /** Fixed-size chunks (splitters.py:46 NaiveTextSplitter). */
+  def naive(docs: DataFrame, chunkSize: Int): DataFrame =
+    docs.select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0), (ceil(col("len") / chunkSize.toDouble) - 1).cast("int"))))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"substring(text, chunk_idx * $chunkSize + 1, $chunkSize)").as("chunk"),
+        (col("chunk_idx") * chunkSize).as("start"),
+        least(col("chunk_idx") * chunkSize + chunkSize, col("len")).as("end"))
+
+  /** Delimiter split with positions (splitters.py:80
+    * ParagraphTextSplitter generalized to any literal delimiter).
+    * Positions derive from cumulative chunk lengths via a window
+    * partitioned by doc_id. */
+  def paragraph(docs: DataFrame, delim: String): DataFrame = {
+    val dl = delim.length
+    val w = Window.partitionBy("doc_id").orderBy("chunk_idx")
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), java.util.regex.Pattern.quote(delim), -1))
+          .as(Seq("chunk_idx", "chunk")))
+      .withColumn("start",
+        coalesce(sum(length(col("chunk")) + dl).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0)).cast("long"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"), col("start"),
+        (col("start") + length(col("chunk"))).as("end"))
+  }
+
+  /** Separator-priority recursive chunking (splitters.py:64): try the
+    * highest-priority separator; greedily pack pieces into chunks of
+    * at most chunkSize; recurse into any piece still too large with
+    * the next separator; character-split as the last resort. Pure
+    * function — used per-row from recursiveDf. */
+  def recursiveSplit(text: String, chunkSize: Int,
+      separators: List[String] = List("\n\n", "\n", ". ", "? ", "! ", "; ", ", ", " ")): List[(String, Int, Int)] = {
+
+    // Work on (start, end) spans of the ORIGINAL text so positions stay
+    // exact; chunk text is always text.substring(start, end).
+    def splitRec(start: Int, end: Int, seps: List[String]): List[(Int, Int)] =
+      if (end - start <= chunkSize) List((start, end))
+      else seps match {
+        case Nil => // last resort: hard character split
+          (start until end by chunkSize).map(i => (i, math.min(i + chunkSize, end))).toList
+        case sep :: rest =>
+          val pieces = pieceSpans(start, end, sep)
+          if (pieces.length == 1) splitRec(start, end, rest)
+          else mergeGreedy(pieces).flatMap { case (s, e) =>
+            if (e - s <= chunkSize) List((s, e)) else splitRec(s, e, rest)
+          }
+      }
+
+    // Spans between occurrences of sep inside [start, end).
+    def pieceSpans(start: Int, end: Int, sep: String): List[(Int, Int)] = {
+      val out = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+      var i = start
+      var idx = text.indexOf(sep, i)
+      while (idx >= 0 && idx < end) {
+        out += ((i, idx)); i = idx + sep.length
+        idx = text.indexOf(sep, i)
+      }
+      out += ((i, end))
+      out.toList
+    }
+
+    // Greedily extend the current span over following pieces (separator
+    // text included) while it stays within chunkSize.
+    def mergeGreedy(pieces: List[(Int, Int)]): List[(Int, Int)] =
+      pieces.tail.foldLeft(List(pieces.head)) { case (acc, (s, e)) =>
+        val (cs, _) = acc.head
+        if (e - cs <= chunkSize) (cs, e) :: acc.tail else (s, e) :: acc
+      }.reverse
+
+    splitRec(0, text.length, separators)
+      .collect { case (s, e) if e > s => (text.substring(s, e), s, e) }
+  }
+
+  /** DataFrame wrapper for the recursive splitter. */
+  def recursiveDf(spark: SparkSession, docs: DataFrame, chunkSize: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        recursiveSplit(text, chunkSize).zipWithIndex.map {
+          case ((chunk, s, e), i) => (id, i, chunk, s.toLong, e.toLong)
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "chunk", "start", "end")
+  }
+}

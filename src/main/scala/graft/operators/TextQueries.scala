@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators for the LLM-data pipeline (SURVEY.md §2
+  * t01–t05): language id, quality scoring, token counting, document
+  * fingerprinting, bullet parsing (helpers.py:18 parse_bullet_points).
+  *
+  * Everything is a narrow per-row column expression (whole-stage
+  * codegen, zero shuffle except final presentation ordering) — at
+  * 100 TB these run at scan speed.
+  */
+object TextQueries {
+
+  private val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "de" -> Seq("data", "batch", "hash"),
+    "es" -> Seq("part", "sort", "merge"),
+    "zh" -> Seq("row", "join", "scan"))
+
+  private val stopwords = Seq("the", "a", "of", "to", "and")
+
+  private def countIn(words: Seq[String]) = {
+    val set = typedLit(words)
+    (c: org.apache.spark.sql.Column) =>
+      size(filter(split(c, " "), w => array_contains(set, w)))
+  }
+
+  /** t01: stopword-profile language scorer. Deterministic argmax with
+    * fixed precedence (en > de > es > zh on ties). */
+  def t01LangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val scored = d.select(col("doc_id"), col("lang").as("tagged_lang"),
+      countIn(langProfiles("en"))(col("text")).as("s_en"),
+      countIn(langProfiles("de"))(col("text")).as("s_de"),
+      countIn(langProfiles("es"))(col("text")).as("s_es"),
+      countIn(langProfiles("zh"))(col("text")).as("s_zh"))
+    scored.withColumn("pred_lang",
+        when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_zh")), "en")
+          .when(col("s_de") >= greatest(col("s_es"), col("s_zh")), "de")
+          .when(col("s_es") >= col("s_zh"), "es")
+          .otherwise("zh"))
+      .orderBy("doc_id")
+  }
+
+  /** t02: quality score from length/token/stopword ratios. */
+  def t02QualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        countIn(stopwords)(col("text")).as("n_stop"))
+      .withColumn("stop_ratio", round(col("n_stop") / col("n_tokens"), 4))
+      .withColumn("quality",
+        round(least(col("n_tokens") / lit(100.0), lit(1.0)) *
+          (lit(1.0) - col("n_stop") / col("n_tokens")), 4))
+      .orderBy("doc_id")
+
+  /** t03: whitespace + BPE-ish token counts (integer arithmetic only,
+    * so both engines agree exactly: a word of length L yields
+    * ceil(L/4) sub-tokens). */
+  def t03TokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        expr("CAST(aggregate(transform(split(text, ' '), w -> (length(w) + 3) DIV 4), 0L, (acc, x) -> acc + x) AS BIGINT)")
+          .as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** t04: document fingerprinting — polynomial rolling hash
+    * (base 131 mod 1e9+7) of the full text plus 8-gram shingle hash
+    * stats (distinct count / min / max), the building block of
+    * winnowing-style near-dup detection. */
+  def t04Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        // full-document rolling hash
+        "aggregate(transform(split(text, ''), c -> ascii(c)), 0L, (acc, c) -> (acc * 131 + c) % 1000000007) AS fp",
+        // 8-gram shingle hashes
+        """aggregate(
+          |  transform(sequence(0, greatest(length(text) - 8, 0)),
+          |    i -> aggregate(transform(split(substring(text, i + 1, 8), ''), c -> ascii(c)),
+          |                   0L, (acc, c) -> (acc * 131 + c) % 1000000007)),
+          |  named_struct('n', cast(0 as long), 'mn', cast(9999999999 as long), 'mx', cast(-1 as long)),
+          |  (s, h) -> named_struct('n', s.n + 1, 'mn', least(s.mn, h), 'mx', greatest(s.mx, h)),
+          |  s -> s) AS g""".stripMargin)
+      .selectExpr("doc_id", "fp", "g.n AS n_grams", "g.mn AS min_gram", "g.mx AS max_gram")
+      .orderBy("doc_id")
+
+  /** t05: parse_bullet_points as a Spark op — documents rendered as
+    * bullet lists, then parsed back (helpers.py:18). */
+  def t05ParseBullets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bullet_text",
+        concat(lit("Here are facts:\n- "),
+          regexp_replace(col("text"), " ", "\n- ")))
+      .select(col("doc_id"),
+        expr("regexp_extract_all(bullet_text, '- ([a-z]+)', 1)").as("items"))
+      .select(col("doc_id"), size(col("items")).as("n_items"),
+        element_at(col("items"), 1).as("first_item"),
+        element_at(col("items"), -1).as("last_item"))
+      .orderBy("doc_id")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "t01_lang_id" -> (t01LangId _),
+    "t02_quality_score" -> (t02QualityScore _),
+    "t03_token_count" -> (t03TokenCount _),
+    "t04_fingerprint" -> (t04Fingerprint _),
+    "t05_parse_bullets" -> (t05ParseBullets _))
+
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+  private def sqlCount(wsList: String) =
+    s"len(list_filter(string_split(text, ' '), w -> w IN ($wsList)))"
+
+  val oracles: Map[String, String] = Map(
+    "t01_lang_id" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang AS tagged_lang,
+         |    ${sqlCount(inList(langProfiles("en")))} AS s_en,
+         |    ${sqlCount(inList(langProfiles("de")))} AS s_de,
+         |    ${sqlCount(inList(langProfiles("es")))} AS s_es,
+         |    ${sqlCount(inList(langProfiles("zh")))} AS s_zh
+         |  FROM documents)
+         |SELECT doc_id, tagged_lang, s_en, s_de, s_es, s_zh,
+         |  CASE WHEN s_en >= greatest(s_de, s_es, s_zh) THEN 'en'
+         |       WHEN s_de >= greatest(s_es, s_zh) THEN 'de'
+         |       WHEN s_es >= s_zh THEN 'es'
+         |       ELSE 'zh' END AS pred_lang
+         |FROM scored ORDER BY doc_id""".stripMargin,
+    "t02_quality_score" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, n_chars,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    ${sqlCount(inList(stopwords))} AS n_stop
+         |  FROM documents)
+         |SELECT doc_id, n_chars, n_tokens, n_stop,
+         |  round(n_stop / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
+         |  round(least(n_tokens / 100.0, 1.0) *
+         |    (1.0 - n_stop / CAST(n_tokens AS DOUBLE)), 4) AS quality
+         |FROM base ORDER BY doc_id""".stripMargin,
+    "t03_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |    w -> (length(w) + 3) // 4)) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t04_fingerprint" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |      (acc, c) -> (acc * 131 + c) % 1000000007) AS fp,
+        |    list_transform(range(0, greatest(length(text) - 8, 0) + 1),
+        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(substr(text, CAST(i AS INT) + 1, 8), ''),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |        (acc, c) -> (acc * 131 + c) % 1000000007)) AS grams
+        |  FROM documents)
+        |SELECT doc_id, fp, CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CAST(list_min(grams) AS BIGINT) AS min_gram,
+        |  CAST(list_max(grams) AS BIGINT) AS max_gram
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "t05_parse_bullets" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all('Here are facts:' || chr(10) || '- ' ||
+        |      replace(text, ' ', chr(10) || '- '), '- ([a-z]+)', 1) AS items
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(items) AS INT) AS n_items,
+        |  items[1] AS first_item, items[-1] AS last_item
+        |FROM b ORDER BY doc_id""".stripMargin)
+}
