@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.plans.HippoGraph
+import graft.sources.Tables
+
+/** Deduplication suite for the LLM-data pipeline (SURVEY.md §2
+  * d01–d05).
+  *
+  * Scale design:
+  *  - d01 exact: hash-groupBy — one shuffle on the text hash, fully
+  *    map-side-combinable.
+  *  - d02 MinHash+LSH: signatures are map-side; only (band, sig)
+  *    buckets shuffle; candidate pairs (a tiny fraction of n²) are
+  *    verified with exact Jaccard. This is THE 100 TB near-dup path.
+  *  - d04 char-n-gram Jaccard: shared-shingle blocking join — exact
+  *    (a pair above any positive threshold shares a shingle) but
+  *    quadratic in the worst case; kept as the exact reference.
+  *  - d05 embedding cosine: brute all-pairs (exact); the approximate
+  *    scale path is VectorQueries.annLsh cell-blocking.
+  *  - d03 SimHash: map-side 64-bit signatures; near-dup = low Hamming
+  *    distance (rows-only; DedupSpec asserts planted pairs separate).
+  */
+object DedupQueries {
+
+  val MinhashPrime = 1000000007L
+  val NumHashes = 64 // 16 bands x 4 rows
+  val Bands = 16
+  val RowsPerBand = 4
+  val WordJaccardThreshold = 0.8
+  val CharJaccardThreshold = 0.6
+  val CosineThreshold = 0.45
+
+  /** Deterministic (a, b) pairs for the universal hash family
+    * h_j(x) = (a_j * x + b_j) mod p. */
+  def hashParams(n: Int, seed: Long): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(n)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Word 3-gram shingles, distinct, as a SQL expression string
+    * (shared verbatim between Spark selectExpr and scaladoc'd DuckDB
+    * oracle equivalents). */
+  private val wordShinglesExpr =
+    """array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
+      |  i -> concat_ws('_', element_at(split(text, ' '), i + 1),
+      |                      element_at(split(text, ' '), i + 2),
+      |                      element_at(split(text, ' '), i + 3))))""".stripMargin
+
+  private val wordShinglesSql =
+    """list_distinct(list_transform(range(0, len(string_split(text, ' ')) - 2),
+      |  i -> string_split(text, ' ')[CAST(i AS INT) + 1] || '_' ||
+      |       string_split(text, ' ')[CAST(i AS INT) + 2] || '_' ||
+      |       string_split(text, ' ')[CAST(i AS INT) + 3]))""".stripMargin
+
+  private val charShinglesExpr =
+    "array_distinct(transform(sequence(0, length(text) - 5), i -> substring(text, i + 1, 5)))"
+
+  private val charShinglesSql =
+    """list_distinct(list_transform(range(0, length(text) - 4),
+      |  i -> substr(text, CAST(i AS INT) + 1, 5)))""".stripMargin
+
+  /** Polynomial string hash (base 131 mod 1e9+7) as a nested HOF. */
+  private def polyHash(inner: String) =
+    s"aggregate(transform(split($inner, ''), c -> ascii(c)), 0L, (acc, c) -> (acc * 131 + c) % $MinhashPrime)"
+
+  /** d01: exact duplicate chunks — hash-groupBy on fact text;
+    * groups with >1 member are the duplicates. */
+  def d01ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    HippoGraph.facts(spark, dir)
+      .groupBy(col("fact_text"))
+      .agg(count(lit(1)).as("n"), min("fact_id").as("canonical_id"))
+      .filter(col("n") > 1)
+      .orderBy("canonical_id")
+
+  /** Shingle sets per doc (word 3-grams). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .selectExpr("doc_id", s"$wordShinglesExpr AS shingles")
+
+  /** d02: MinHash + banded LSH near-dup pairs, verified by exact
+    * Jaccard >= 0.8. Candidate generation is an equi-join on
+    * (band, band_signature) — never the n² cross product. */
+  def d02MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val params = hashParams(NumHashes, seed = 7L)
+    // minhash_j = min over shingles of (a_j * H(s) + b_j) mod p
+    val sigExprs = params.zipWithIndex.map { case ((a, b), j) =>
+      s"aggregate(shingles, cast(${MinhashPrime} as long), (m, s) -> least(m, (${a}L * ${polyHash("s")} + ${b}L) % $MinhashPrime)) AS mh$j"
+    }
+    val sigs = shingled(spark, dir).selectExpr(Seq("doc_id", "shingles") ++ sigExprs: _*)
+    val bandCols = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
+      struct(lit(b).as("band"), concat_ws(":", rows.map(col): _*).as("sig"))
+    }
+    val cells = sigs.select(col("doc_id"), col("shingles"),
+      explode(array(bandCols: _*)).as("cell"))
+    val candidates = cells.as("l").join(cells.as("r"),
+        col("l.cell") === col("r.cell") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.shingles").as("sa"), col("r.shingles").as("sb"))
+      .dropDuplicates("doc_a", "doc_b")
+    candidates
+      .withColumn("j", round(
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))), 4))
+      .filter(col("j") >= WordJaccardThreshold)
+      .select("doc_a", "doc_b", "j")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d03: 64-bit SimHash per doc (*rows-only*; DedupSpec asserts
+    * planted near-dups land at low Hamming distance). Bit i of the
+    * signature is the sign of sum over words of ±1 weighted by bit i
+    * of the word's i-th universal hash. */
+  def d03Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val params = hashParams(64, seed = 11L)
+    val bitExprs = params.zipWithIndex.map { case ((a, b), i) =>
+      // +1 when hash bit set, -1 otherwise; bit set iff h >= p/2
+      s"aggregate(transform(split(text, ' '), w -> CASE WHEN (${a}L * ${polyHash("w")} + ${b}L) % $MinhashPrime >= ${MinhashPrime / 2} THEN 1 ELSE -1 END), 0, (acc, x) -> acc + x) AS bit$i"
+    }
+    val bits = Tables.documents(spark, dir).selectExpr(Seq("doc_id") ++ bitExprs: _*)
+    val sig = (0 until 62) // 62 bits keeps the signature positive in a long
+      .map(i => expr(s"CASE WHEN bit$i > 0 THEN ${1L << i}L ELSE 0L END"))
+      .reduce(_ + _)
+    bits.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
+  }
+
+  /** d04: exact char-5-gram Jaccard pairs >= 0.6 via shared-shingle
+    * blocking (complete for any positive threshold). */
+  def d04NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .selectExpr("doc_id", s"$charShinglesExpr AS grams")
+    val inverted = g.select(col("doc_id"), col("grams"), explode(col("grams")).as("gram"))
+    val pairs = inverted.as("l").join(inverted.as("r"),
+        col("l.gram") === col("r.gram") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.grams").as("ga"), col("r.grams").as("gb"))
+      .dropDuplicates("doc_a", "doc_b")
+    pairs
+      .withColumn("j", round(
+        size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))), 4))
+      .filter(col("j") >= CharJaccardThreshold)
+      .select("doc_a", "doc_b", "j")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d05: embedding-cosine near-dup pairs (exact all-pairs; the
+    * approximate path at scale is LSH cell-blocking, v05). */
+  def d05EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    e.as("l").join(e.as("r"), col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+        cosine6(col("l.v"), col("r.v")).as("cos"))
+      .filter(col("cos") >= CosineThreshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "d01_exact_dedup" -> (d01ExactDedup _),
+    "d02_minhash_lsh" -> (d02MinhashLsh _),
+    "d03_simhash" -> (d03Simhash _),
+    "d04_ngram_jaccard" -> (d04NgramJaccard _),
+    "d05_embed_neardup" -> (d05EmbedNeardup _))
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      s"""SELECT fact_text, count(*) AS n, min(fact_id) AS canonical_id
+         |FROM (${HippoGraph.factsSql})
+         |GROUP BY fact_text HAVING count(*) > 1
+         |ORDER BY canonical_id""".stripMargin,
+    "d02_minhash_lsh" -> // oracle = EXACT all-pairs Jaccard (LSH must not lose pairs >= 0.8)
+      s"""WITH g AS (SELECT doc_id, $wordShinglesSql AS grams FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+         |        len(list_distinct(a.grams || b.grams)), 4) AS j
+         |FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+         |      len(list_distinct(a.grams || b.grams)), 4) >= $WordJaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d04_ngram_jaccard" ->
+      s"""WITH g AS (SELECT doc_id, $charShinglesSql AS grams FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+         |        len(list_distinct(a.grams || b.grams)), 4) AS j
+         |FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+         |      len(list_distinct(a.grams || b.grams)), 4) >= $CharJaccardThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d05_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= $CosineThreshold
+         |ORDER BY vec_a, vec_b""".stripMargin)
+}
