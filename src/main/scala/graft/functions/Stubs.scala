@@ -1,0 +1,91 @@
+package graft.functions
+
+/** Deterministic stand-ins for the model runtimes the reference calls
+  * out to (none are installed in this container — STUBS, clearly
+  * marked). The interfaces are what a production deployment would
+  * implement with real models; everything downstream of them in the
+  * Spark plans is real.
+  *
+  *  - Embedder       ~ SentenceTransformerEmbeddings (annotator.py:74)
+  *  - NliModel       ~ cross-encoder NLI (nlp_additional.py:4)
+  *  - LlmBackend     ~ llm_backend.py load_llm backends
+  *  - MediaDecoder   ~ image/audio codecs for multimodal columns
+  */
+object Stubs
+
+/** Text → fixed-dim embedding. */
+trait Embedder extends Serializable {
+  def dim: Int
+  def embed(text: String): Array[Float]
+}
+
+/** Deterministic hash-based embedder (mirrors the reference tests'
+  * FakeEmbeddings, test_storage.py:25): token hashes scatter into a
+  * seeded pseudo-random projection, L2-normalized. */
+final class HashEmbedder(val dim: Int = 64, seed: Long = 42L) extends Embedder {
+  def embed(text: String): Array[Float] = {
+    val v = new Array[Double](dim)
+    text.split(" ").foreach { w =>
+      var h = seed
+      w.foreach(c => h = h * 131 + c)
+      var i = 0
+      while (i < dim) {
+        h = h * 6364136223846793005L + 1442695040888963407L // LCG step
+        v(i) += (h >>> 33).toDouble / (1L << 31).toDouble - 0.5
+        i += 1
+      }
+    }
+    val n = math.sqrt(v.map(x => x * x).sum) max 1e-12
+    v.map(x => (x / n).toFloat)
+  }
+}
+
+/** Premise/hypothesis entailment. */
+trait NliModel extends Serializable {
+  def entails(premise: String, hypothesis: String): Boolean
+}
+
+/** Token-containment heuristic NLI stub: premise entails hypothesis
+  * when it covers >= 80% of the hypothesis' content tokens. */
+final class HeuristicNli extends NliModel {
+  def entails(premise: String, hypothesis: String): Boolean = {
+    val p = premise.toLowerCase.split("\\W+").toSet
+    val h = hypothesis.toLowerCase.split("\\W+").filter(_.length > 2).toSet
+    h.nonEmpty && h.count(p.contains).toDouble / h.size >= 0.8
+  }
+}
+
+/** Prompt → completion. */
+trait LlmBackend extends Serializable {
+  def invoke(prompt: String, maxTokens: Int = 256): String
+}
+
+/** Echo-style deterministic LLM stub: "extracts" facts by returning
+  * the prompt's payload lines as bullets (keeps the annotation
+  * pipeline's plumbing testable without a model). */
+final class TemplateLlm extends LlmBackend {
+  def invoke(prompt: String, maxTokens: Int = 256): String = {
+    val payload = prompt.linesIterator.toList.lastOption.getOrElse("")
+    payload.split("(?<=\\.) ").filter(_.nonEmpty).map("- " + _).mkString("\n")
+  }
+}
+
+/** Opaque media bytes → typed metadata. */
+trait MediaDecoder extends Serializable {
+  def decode(bytes: Array[Byte]): MediaDecoder.Meta
+}
+
+object MediaDecoder {
+  final case class Meta(nBytes: Long, width: Int, height: Int, channels: Int)
+
+  /** STUB decoder: deterministic fake metadata from byte stats (no
+    * codecs in this container). A real deployment would decode the
+    * actual image/audio/video header here. */
+  val stub: MediaDecoder = new MediaDecoder {
+    def decode(bytes: Array[Byte]): Meta = Meta(
+      nBytes = bytes.length.toLong,
+      width = bytes.length % 640,
+      height = (java.lang.Byte.toUnsignedInt(bytes.headOption.getOrElse(0: Byte)) * 7) % 480,
+      channels = 3)
+  }
+}

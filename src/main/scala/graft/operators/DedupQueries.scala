@@ -83,19 +83,40 @@ object DedupQueries {
   /** d02: MinHash + banded LSH near-dup pairs, verified by exact
     * Jaccard >= 0.8. Candidate generation is an equi-join on
     * (band, band_signature) — never the n² cross product. */
-  def d02MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val params = hashParams(NumHashes, seed = 7L)
-    // minhash_j = min over shingles of (a_j * H(s) + b_j) mod p
-    val sigExprs = params.zipWithIndex.map { case ((a, b), j) =>
-      s"aggregate(shingles, cast(${MinhashPrime} as long), (m, s) -> least(m, (${a}L * ${polyHash("s")} + ${b}L) % $MinhashPrime)) AS mh$j"
+  /** Same polynomial hash as the `polyHash` SQL expression — the
+    * minhash kernel is tight numeric looping, so it runs as a typed
+    * map (plain JVM code, still a narrow map-side transform) while
+    * candidate generation and verification stay relational. */
+  def polyHashJvm(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 131 + s.charAt(i)) % MinhashPrime; i += 1 }
+    h
+  }
+
+  def minhashSig(shingles: Seq[String], params: Array[(Long, Long)]): Array[Long] = {
+    val hs = shingles.map(polyHashJvm)
+    params.map { case (a, b) =>
+      var m = MinhashPrime
+      hs.foreach { h => val v = (a * h + b) % MinhashPrime; if (v < m) m = v }
+      m
     }
-    val sigs = shingled(spark, dir).selectExpr(Seq("doc_id", "shingles") ++ sigExprs: _*)
+  }
+
+  def d02MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val params = hashParams(NumHashes, seed = 7L)
+    val sigs = shingled(spark, dir)
+      .as[(Long, Seq[String])]
+      .map { case (id, sh) => (id, sh, minhashSig(sh, params)) }
+      .toDF("doc_id", "shingles", "mh")
     val bandCols = (0 until Bands).map { b =>
-      val rows = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
-      struct(lit(b).as("band"), concat_ws(":", rows.map(col): _*).as("sig"))
+      val rows = (0 until RowsPerBand).map(r => expr(s"mh[${b * RowsPerBand + r}]"))
+      struct(lit(b).as("band"), concat_ws(":", rows: _*).as("sig"))
     }
     val cells = sigs.select(col("doc_id"), col("shingles"),
       explode(array(bandCols: _*)).as("cell"))
+      .cache() // both sides of the self-join; avoids recomputing signatures
     val candidates = cells.as("l").join(cells.as("r"),
         col("l.cell") === col("r.cell") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
@@ -114,35 +135,66 @@ object DedupQueries {
     * planted near-dups land at low Hamming distance). Bit i of the
     * signature is the sign of sum over words of ±1 weighted by bit i
     * of the word's i-th universal hash. */
-  def d03Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val params = hashParams(64, seed = 11L)
-    val bitExprs = params.zipWithIndex.map { case ((a, b), i) =>
-      // +1 when hash bit set, -1 otherwise; bit set iff h >= p/2
-      s"aggregate(transform(split(text, ' '), w -> CASE WHEN (${a}L * ${polyHash("w")} + ${b}L) % $MinhashPrime >= ${MinhashPrime / 2} THEN 1 ELSE -1 END), 0, (acc, x) -> acc + x) AS bit$i"
+  /** SimHash kernel (typed map, same rationale as minhashSig): bit i
+    * of the signature is the sign of the sum over words of ±1 votes,
+    * the vote being bit-set-ness of the i-th universal hash. */
+  def simhashSig(words: Seq[String], params: Array[(Long, Long)]): Long = {
+    val hs = words.map(polyHashJvm)
+    var sig = 0L
+    var i = 0
+    while (i < params.length) {
+      val (a, b) = params(i)
+      var vote = 0
+      hs.foreach { h => vote += (if ((a * h + b) % MinhashPrime >= MinhashPrime / 2) 1 else -1) }
+      if (vote > 0) sig |= (1L << i)
+      i += 1
     }
-    val bits = Tables.documents(spark, dir).selectExpr(Seq("doc_id") ++ bitExprs: _*)
-    val sig = (0 until 62) // 62 bits keeps the signature positive in a long
-      .map(i => expr(s"CASE WHEN bit$i > 0 THEN ${1L << i}L ELSE 0L END"))
-      .reduce(_ + _)
-    bits.select(col("doc_id"), sig.as("simhash")).orderBy("doc_id")
+    sig
   }
 
-  /** d04: exact char-5-gram Jaccard pairs >= 0.6 via shared-shingle
-    * blocking (complete for any positive threshold). */
+  def d03Simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val params = hashParams(62, seed = 11L) // 62 bits keeps the long positive
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .as[(Long, Seq[String])]
+      .map { case (id, ws) => (id, simhashSig(ws, params)) }
+      .toDF("doc_id", "simhash")
+      .orderBy("doc_id")
+  }
+
+  /** d04: exact char-5-gram Jaccard pairs >= 0.6 via PPJoin-style
+    * PREFIX FILTERING: under a global gram order (by document
+    * frequency, rarest first), any pair with J >= t must share a gram
+    * within each doc's first floor((1-t)*|g|)+1 grams. Joining only
+    * on those rare prefix grams keeps candidate generation near-linear
+    * at 100 TB (common grams never join), while staying EXACT — the
+    * verification step computes true Jaccard on full gram sets. */
   def d04NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = CharJaccardThreshold
     val g = Tables.documents(spark, dir)
       .selectExpr("doc_id", s"$charShinglesExpr AS grams")
-    val inverted = g.select(col("doc_id"), col("grams"), explode(col("grams")).as("gram"))
-    val pairs = inverted.as("l").join(inverted.as("r"),
+      .cache()
+    val inv = g.select(col("doc_id"), size(col("grams")).as("sz"),
+      explode(col("grams")).as("gram"))
+    val df = inv.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+    val prefix = inv.join(df, "gram")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy("gram_df", "gram")))
+      .filter(col("rk") <= floor(col("sz") * (1 - t)) + 1)
+      .select("doc_id", "gram")
+    val candidates = prefix.as("l").join(prefix.as("r"),
         col("l.gram") === col("r.gram") && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        col("l.grams").as("ga"), col("r.grams").as("gb"))
-      .dropDuplicates("doc_a", "doc_b")
-    pairs
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    candidates
+      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
       .withColumn("j", round(
         size(array_intersect(col("ga"), col("gb"))).cast("double") /
           size(array_union(col("ga"), col("gb"))), 4))
-      .filter(col("j") >= CharJaccardThreshold)
+      .filter(col("j") >= t)
       .select("doc_a", "doc_b", "j")
       .orderBy("doc_a", "doc_b")
   }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (SURVEY.md §2 m01–m02): media as opaque
+  * `binary` columns with typed metadata.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic stub (graft.functions.MediaDecoder);
+  * everything Spark-side is real: binary column handling, partition-
+  * wise batch processing via mapPartitions (the JVM analog of a
+  * Pandas-UDF/mapInPandas batch), schema, and the frame-sampling
+  * arithmetic. At 100 TB both ops are narrow map transforms.
+  */
+object MultimodalQueries {
+
+  /** m01: synthesize a binary media column, run the stub decoder
+    * partition-wise, emit typed metadata. */
+  def m01MediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.MediaDecoder
+    Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text").cast("binary").as("media_bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it => // batch-style: one decoder per partition
+        val decoder = MediaDecoder.stub
+        it.map { case (id, bytes) =>
+          val m = decoder.decode(bytes)
+          (id, m.nBytes, m.width, m.height, m.channels)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "width", "height", "channels")
+      .orderBy("doc_id")
+  }
+
+  val FrameStride = 256
+  val FrameSize = 64
+
+  /** m02: deterministic frame sampling — a FrameSize-byte "frame"
+    * every FrameStride bytes of the binary blob, fingerprinted. */
+  def m02FrameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("media_bytes"),
+        length(col("text")).as("len"))
+      .filter(col("len") >= FrameSize)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), ((col("len") - FrameSize) / FrameStride).cast("int"))))
+      .withColumn("offset", col("frame_idx") * FrameStride)
+      .withColumn("frame",
+        decode(expr(s"substring(media_bytes, offset + 1, $FrameSize)"), "UTF-8"))
+      .selectExpr("doc_id", "frame_idx", "offset",
+        "aggregate(transform(split(frame, ''), c -> ascii(c)), 0L, (acc, c) -> (acc * 131 + c) % 1000000007) AS frame_fp")
+      .orderBy("doc_id", "frame_idx")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "m01_media_meta" -> (m01MediaMeta _),
+    "m02_frame_sample" -> (m02FrameSample _))
+
+  val oracles: Map[String, String] = Map(
+    // The stub decoder's metadata formulas, restated over the utf-8
+    // source text (bytes == ascii chars for this corpus).
+    "m01_media_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        |  CAST((unicode(substr(text, 1, 1)) * 7) % 480 AS INT) AS height,
+        |  CAST(3 AS INT) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m02_frame_sample" ->
+      s"""SELECT doc_id, CAST(i AS INT) AS frame_idx,
+         |  CAST(i AS INT) * $FrameStride AS offset,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(string_split(substr(text, CAST(i AS INT) * $FrameStride + 1, $FrameSize), ''),
+         |      c -> CAST(unicode(c) AS BIGINT))),
+         |    (acc, c) -> (acc * 131 + c) % 1000000007) AS frame_fp
+         |FROM documents
+         |CROSS JOIN unnest(range(0, (length(text) - $FrameSize) // $FrameStride + 1)) AS t(i)
+         |WHERE length(text) >= $FrameSize
+         |ORDER BY doc_id, frame_idx""".stripMargin)
+}

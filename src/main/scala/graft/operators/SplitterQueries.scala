@@ -36,8 +36,8 @@ object SplitterQueries {
     "s01_split_naive" ->
       s"""SELECT doc_id, CAST(i AS INT) AS chunk_idx,
          |  substr(text, CAST(i AS INT) * $NaiveSize + 1, $NaiveSize) AS chunk,
-         |  i * $NaiveSize AS start,
-         |  least(i * $NaiveSize + $NaiveSize, length(text)) AS "end"
+         |  CAST(i * $NaiveSize AS INT) AS start,
+         |  CAST(least(i * $NaiveSize + $NaiveSize, length(text)) AS INT) AS "end"
          |FROM documents
          |CROSS JOIN unnest(range(0, CAST(ceil(length(text) / $NaiveSize.0) AS BIGINT))) AS t(i)
          |ORDER BY doc_id, chunk_idx""".stripMargin,

@@ -114,7 +114,7 @@ object TextQueries {
 
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
   private def sqlCount(wsList: String) =
-    s"len(list_filter(string_split(text, ' '), w -> w IN ($wsList)))"
+    s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($wsList))) AS INT)"
 
   val oracles: Map[String, String] = Map(
     "t01_lang_id" ->
@@ -134,7 +134,7 @@ object TextQueries {
     "t02_quality_score" ->
       s"""WITH base AS (
          |  SELECT doc_id, n_chars,
-         |    len(string_split(text, ' ')) AS n_tokens,
+         |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
          |    ${sqlCount(inList(stopwords))} AS n_stop
          |  FROM documents)
          |SELECT doc_id, n_chars, n_tokens, n_stop,
@@ -144,7 +144,7 @@ object TextQueries {
          |FROM base ORDER BY doc_id""".stripMargin,
     "t03_token_count" ->
       """SELECT doc_id,
-        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
         |  CAST(list_sum(list_transform(string_split(text, ' '),
         |    w -> (length(w) + 3) // 4)) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,

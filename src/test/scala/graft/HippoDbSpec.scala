@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashEmbedder, HeuristicNli}
+import graft.store.HippoDb
+
+/** EntityStore-equivalent behaviors: build, save/load round-trip,
+  * integrity (mirrors reference test_storage.py). */
+class HippoDbSpec extends SparkSpec {
+
+  test("build + save + load round-trips all four components") {
+    val tmp = Files.createTempDirectory("hippodb").toString
+    val db = HippoDb.build(spark, sf0001, new HashEmbedder(16))
+    db.save(tmp, Map("embedding_model" -> "hash-16"))
+    val back = HippoDb.load(spark, tmp)
+    assert(back.facts.count() == db.facts.count())
+    assert(back.edges.count() == db.edges.count())
+    assert(back.entities.count() == db.entities.count())
+    assert(back.factEmb.count() == db.facts.count())
+    assert(Files.readString(java.nio.file.Paths.get(s"$tmp/parameters.json"))
+      .contains("hash-16"))
+    val (nF, nE, missing) = back.integrity
+    assert(nF == nE && missing == 0L)
+  }
+
+  test("embedder is deterministic and normalized") {
+    val e = new HashEmbedder(32)
+    val a = e.embed("spark join window")
+    val b = e.embed("spark join window")
+    assert(a.toSeq == b.toSeq)
+    val norm = math.sqrt(a.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    assert(e.embed("totally different text").toSeq != a.toSeq)
+  }
+
+  test("heuristic NLI stub entails supersets, rejects disjoint") {
+    val nli = new HeuristicNli
+    assert(nli.entails("Paris is the capital of France", "Paris capital France"))
+    assert(!nli.entails("Paris is the capital of France", "London rules Denmark"))
+  }
+
+  test("csv and json round-trip a query result (sinks)") {
+    val tmp = Files.createTempDirectory("sinks").toString
+    val df = graft.operators.CoreQueries.q01PricingSummary(spark, sf0001)
+    df.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    df.write.mode("overwrite").json(s"$tmp/json")
+    val csv = spark.read.option("header", "true").option("inferSchema", "true").csv(s"$tmp/csv")
+    val json = spark.read.json(s"$tmp/json")
+    assert(csv.count() == df.count() && json.count() == df.count())
+    assert(json.select(sum("count_order")).head().getLong(0) ==
+      df.select(sum("count_order")).head().getLong(0))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.CoreQueries
+import graft.sources.Tables
+import graft.streaming.StreamOps
+
+/** st01/st02: streaming forms must agree with their batch mirrors
+  * (q08/q09) on the same data. */
+class StreamingSpec extends SparkSpec {
+
+  private def eventsBatch = Tables.events(spark, sf0001).limit(400).cache()
+
+  test("st01 streaming windowed counts == batch q08 on same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventsBatch
+      .select(col("ts").cast("timestamp"), col("event_type"), col("value"))
+      .as[(Timestamp, String, Double)].collect().toSeq
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(rows)
+    val sdf = stream.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.windowedCounts(sdf)
+      .writeStream.format("memory").queryName("st01_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("st01_out")
+      .select("hour", "event_type", "n", "total_value")
+    val batch = StreamOps.windowedCounts(eventsBatch)
+      .select("hour", "event_type", "n", "total_value")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streaming and batch windowed counts differ")
+    assert(streamed.count() > 0)
+  }
+
+  test("st02 stateful sessionization == batch lag-window q09 on same users") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = eventsBatch
+      .select(col("user_id"), col("ts").cast("timestamp"), col("value"))
+      .as[StreamOps.Ev].collect().toSeq.sortBy(_.ts.getTime)
+
+    val stream = MemoryStream[StreamOps.Ev]
+    stream.addData(evs)
+    val q = StreamOps.sessionize(spark, stream.toDS())
+      .writeStream.format("memory").queryName("st02_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // Streaming emits only CLOSED sessions; batch computes all, so
+    // compare on closed ones (all but each user's last session).
+    val streamed = spark.table("st02_out")
+      .select("user_id", "session_id", "n_events", "session_start")
+    val all = StreamOps.openSessions(spark,
+      eventsBatch.select(col("user_id"), col("ts").cast("timestamp"), col("value")).as[StreamOps.Ev])
+    val lastPerUser = all.groupBy("user_id").agg(max("session_id").as("last_sid"))
+    val closedBatch = all.join(lastPerUser, "user_id")
+      .filter(col("session_id") =!= col("last_sid"))
+      .select("user_id", "session_id", "n_events", "session_start")
+    assert(streamed.exceptAll(closedBatch).isEmpty && closedBatch.exceptAll(streamed).isEmpty,
+      "streaming sessions differ from batch sessions")
+  }
+}

@@ -15,7 +15,7 @@ def canon(df):
     cols = sorted(df.columns)
     df = df[cols]
     rows = [tuple(str(v) for v in r) for r in df.itertuples(index=False)]
-    return cols, sorted(rows)
+    return [(c, str(df[c].dtype)) for c in cols], sorted(rows)
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
