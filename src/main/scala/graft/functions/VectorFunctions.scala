@@ -27,4 +27,14 @@ object VectorFunctions {
 
   /** Cosine rounded for cross-engine comparison stability. */
   def cosine6(a: Column, b: Column): Column = round(cosine(a, b), 6)
+
+  /** Codegen'd native dot product (graft.plans.DotProduct) — the fast
+    * path for all-pairs scoring. */
+  def dotNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.DotProduct.dot(a, b)
+
+  /** Cosine via native dot: dot / (|a| |b|), all in one codegen span. */
+  def cosineNative6(a: Column, b: Column): Column =
+    round(dotNative(a, b) /
+      (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b))), 6)
 }

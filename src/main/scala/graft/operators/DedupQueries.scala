@@ -30,7 +30,7 @@ object DedupQueries {
   val Bands = 16
   val RowsPerBand = 4
   val WordJaccardThreshold = 0.8
-  val CharJaccardThreshold = 0.6
+  val CharJaccardThreshold = 0.8
   val CosineThreshold = 0.45
 
   /** Deterministic (a, b) pairs for the universal hash family
@@ -114,15 +114,19 @@ object DedupQueries {
       val rows = (0 until RowsPerBand).map(r => expr(s"mh[${b * RowsPerBand + r}]"))
       struct(lit(b).as("band"), concat_ws(":", rows: _*).as("sig"))
     }
-    val cells = sigs.select(col("doc_id"), col("shingles"),
+    val docShingles = sigs.select(col("doc_id"), col("shingles")).cache()
+    // Narrow (doc_id, cell) rows shuffle for the self-join; shingle
+    // payloads re-attach afterwards via broadcast of the per-doc table.
+    val cells = sigs.select(col("doc_id"),
       explode(array(bandCols: _*)).as("cell"))
-      .cache() // both sides of the self-join; avoids recomputing signatures
+      .cache()
     val candidates = cells.as("l").join(cells.as("r"),
         col("l.cell") === col("r.cell") && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        col("l.shingles").as("sa"), col("r.shingles").as("sb"))
-      .dropDuplicates("doc_a", "doc_b")
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
     candidates
+      .join(broadcast(docShingles.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))), "doc_a")
+      .join(broadcast(docShingles.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))), "doc_b")
       .withColumn("j", round(
         size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb"))), 4))
@@ -163,39 +167,83 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  /** d04: exact char-5-gram Jaccard pairs >= 0.6 via PPJoin-style
-    * PREFIX FILTERING: under a global gram order (by document
-    * frequency, rarest first), any pair with J >= t must share a gram
-    * within each doc's first floor((1-t)*|g|)+1 grams. Joining only
-    * on those rare prefix grams keeps candidate generation near-linear
-    * at 100 TB (common grams never join), while staying EXACT — the
-    * verification step computes true Jaccard on full gram sets. */
+  /** 64-bit gram hash (wraparound polynomial — collision probability
+    * ~n²/2^64, negligible even at 100 TB universes). */
+  def gramHash64(s: String): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < s.length) { h = h * 31 + s.charAt(i); i += 1 }
+    h
+  }
+
+  /** Sorted distinct 5-gram hashes + two-pointer intersection — the
+    * verification kernel (tight JVM loops, map-side). */
+  def charGramHashes(text: String): Array[Long] = {
+    val n = math.max(text.length - 4, 0)
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = gramHash64(text.substring(i, i + 5)); i += 1 }
+    hs.distinct.sorted
+  }
+
+  def sortedIntersectionSize(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      val c = java.lang.Long.compare(a(i), b(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1 else j += 1
+    }
+    n
+  }
+
+  /** d04: exact char-5-gram Jaccard pairs >= 0.8 via PPJoin-style
+    * prefix + size + positional filtering:
+    *  - prefix: under a global gram order (rarest first), a pair with
+    *    J >= t shares a gram within each doc's first
+    *    floor((1-t)*|g|)+1 grams — join only on those;
+    *  - size: J >= t needs t*|B| <= |A| <= |B|/t — inline predicate;
+    *  - positional: a match at ordered positions (pa, pb) bounds the
+    *    intersection by 1 + min(|A|-pa, |B|-pb), which must reach
+    *    ceil(t/(1+t) * (|A|+|B|)) — prunes late-prefix collisions.
+    * Verification is an exact two-pointer merge over sorted 64-bit
+    * gram hashes (primitive arrays, no boxing); the per-doc gram
+    * table is small and BROADCAST so candidate pairs never shuffle. */
   def d04NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val t = CharJaccardThreshold
     val g = Tables.documents(spark, dir)
-      .selectExpr("doc_id", s"$charShinglesExpr AS grams")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, tx) => (id, charGramHashes(tx)) }
+      .toDF("doc_id", "grams")
+      .select(col("doc_id"), size(col("grams")).as("sz"), col("grams"))
       .cache()
-    val inv = g.select(col("doc_id"), size(col("grams")).as("sz"),
-      explode(col("grams")).as("gram"))
+    val inv = g.select(col("doc_id"), col("sz"), explode(col("grams")).as("gram"))
     val df = inv.groupBy("gram").agg(count(lit(1)).as("gram_df"))
     val prefix = inv.join(df, "gram")
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy("gram_df", "gram")))
       .filter(col("rk") <= floor(col("sz") * (1 - t)) + 1)
-      .select("doc_id", "gram")
+      .select("doc_id", "sz", "gram", "rk")
     val candidates = prefix.as("l").join(prefix.as("r"),
-        col("l.gram") === col("r.gram") && col("l.doc_id") < col("r.doc_id"))
+        col("l.gram") === col("r.gram") && col("l.doc_id") < col("r.doc_id") &&
+          col("l.sz") >= col("r.sz") * t && col("r.sz") >= col("l.sz") * t &&
+          (least(col("l.sz") - col("l.rk"), col("r.sz") - col("r.rk")) + 1) >=
+            ceil((col("l.sz") + col("r.sz")) * (t / (1 + t))))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
     candidates
-      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
-      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
-      .withColumn("j", round(
-        size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          size(array_union(col("ga"), col("gb"))), 4))
-      .filter(col("j") >= t)
-      .select("doc_a", "doc_b", "j")
+      .join(broadcast(g.select(col("doc_id").as("doc_a"), col("grams").as("ga"), col("sz").as("sza"))), "doc_a")
+      .join(broadcast(g.select(col("doc_id").as("doc_b"), col("grams").as("gb"), col("sz").as("szb"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("ga"), col("sza"), col("gb"), col("szb"))
+      .as[(Long, Long, Array[Long], Int, Array[Long], Int)]
+      .map { case (a, b, ga, sza, gb, szb) =>
+        val inter = sortedIntersectionSize(ga, gb)
+        (a, b, inter.toDouble / (sza + szb - inter))
+      }
+      .toDF("doc_a", "doc_b", "jraw")
+      .select(col("doc_a"), col("doc_b"), round(col("jraw"), 4).as("j"))
+      .filter(col("j") >= t) // Spark round == DuckDB round (half-up)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -207,7 +255,7 @@ object DedupQueries {
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
     e.as("l").join(e.as("r"), col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
-        cosine6(col("l.v"), col("r.v")).as("cos"))
+        cosineNative6(col("l.v"), col("r.v")).as("cos"))
       .filter(col("cos") >= CosineThreshold)
       .orderBy("vec_a", "vec_b")
   }

@@ -37,7 +37,7 @@ object VectorQueries {
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), cosine6(col("v"), col("qv")).as("cos"))
+      .select(col("vec_id"), cosineNative6(col("v"), col("qv")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
   }
@@ -52,7 +52,7 @@ object VectorQueries {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), cosine6(col("v"), col("qv")).as("cos"))
+      .select(col("query_id"), col("vec_id"), cosineNative6(col("v"), col("qv")).as("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .orderBy("query_id", "rk")
@@ -100,7 +100,7 @@ object VectorQueries {
     factEmb(spark, dir)
       .join(matching, Seq("fact_id"), "left_semi")
       .crossJoin(broadcast(q))
-      .select(col("fact_id"), cosine6(col("v"), col("qv")).as("cos"))
+      .select(col("fact_id"), cosineNative6(col("v"), col("qv")).as("cos"))
       .orderBy(col("cos").desc, col("fact_id"))
       .limit(5)
   }
@@ -135,7 +135,7 @@ object VectorQueries {
       .filter(col("vec_id") =!= queryVecId)
       .select(col("vec_id"), col("v"), col("qv"))
       .dropDuplicates("vec_id")
-      .select(col("vec_id"), cosine6(col("v"), col("qv")).as("cos"))
+      .select(col("vec_id"), cosineNative6(col("v"), col("qv")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.api.Graft
+import graft.sources.Tables
+
+/** End-to-end facade behaviors mirroring reference test_storage.py's
+  * retrieval assertions. */
+class GraftApiSpec extends SparkSpec {
+
+  private lazy val api = new Graft(spark)
+  private lazy val db = {
+    val d = api.annotate(Tables.documents(spark, sf0001))
+    d.facts.cache(); d.edges.cache(); d.factEmb.cache()
+    d
+  }
+
+  test("annotate builds a consistent graph+vector store") {
+    val (nF, nE, missing) = db.integrity
+    assert(nF > 0 && nF == nE && missing == 0)
+    assert(db.entities.count() > 0)
+  }
+
+  test("closestFacts returns k facts ordered by similarity") {
+    val rows = api.closestFacts(db, "spark window join", k = 5).collect()
+    assert(rows.length == 5)
+    val scores = rows.map(_.getAs[Double]("cos"))
+    assert(scores.sameElements(scores.sorted.reverse))
+  }
+
+  test("hybrid retrieval only returns facts with the probe entity") {
+    val rows = api.closestFactsWithEntities(db, "query", Seq("window"), union = true, k = 5)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[String]("fact_text").contains("window")))
+  }
+
+  test("intersection retrieval is a subset of union retrieval") {
+    val u = api.factsByEntities(db, Seq("window", "stream"), union = true).count()
+    val i = api.factsByEntities(db, Seq("window", "stream"), union = false).count()
+    assert(i <= u && u > 0)
+  }
+
+  test("neighbours finds co-occurring entities") {
+    val n = api.neighbours(db, "window").collect()
+    assert(n.nonEmpty)
+    assert(!n.map(_.getString(0)).contains("window"))
+  }
+
+  test("retrieve returns a bounded RAG context") {
+    val (top, prompt) = api.retrieve(db, "stream processing", k = 3)
+    assert(top.count() == 3)
+    assert(prompt.contains("Question: stream processing"))
+    assert(prompt.linesIterator.count(_.startsWith("- ")) == 3)
+  }
+}
