@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan audit: dumps formatted physical plans for the headline
+  * queries and asserts the scale-critical plan properties
+  * (filter/column pushdown, broadcast joins, TakeOrdered top-k).
+  *
+  * Usage: runMain graft.Explain [sfDir] [outFile]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val out = args.lift(1).getOrElse("/tmp/explain.md")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val audits: Seq[(String, Seq[String])] = Seq(
+      // query -> plan substrings that MUST appear
+      "q01_pricing_summary" -> Seq("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate", "HashAggregate"),
+      "q02_region_revenue" -> Seq("BroadcastHashJoin", "ReadSchema"),
+      "q03_top_orders" -> Seq("TakeOrderedAndProject"),
+      "q06_selective_filter" -> Seq("PushedFilters", "l_discount"),
+      "v01_knn_facts" -> Seq("BroadcastNestedLoopJoin", "TakeOrderedAndProject"),
+      "h02_entity_neighbours" -> Seq("BroadcastHashJoin"),
+      "d02_minhash_lsh" -> Seq("BroadcastHashJoin"),
+      "q05_semi_join" -> Seq("LeftSemi"))
+
+    val sb = new StringBuilder
+    sb.append(s"# Plan audit @ $dir\n\n")
+    var failures = 0
+    audits.foreach { case (name, needles) =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val missing = needles.filterNot(plan.contains)
+      val status = if (missing.isEmpty) "OK" else { failures += 1; s"MISSING ${missing.mkString("; ")}" }
+      println(s"[explain] $name: $status")
+      sb.append(s"## $name — $status\n\n```\n$plan\n```\n\n")
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
+    println(s"[explain] wrote $out; $failures failures")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}

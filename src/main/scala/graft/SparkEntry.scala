@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CoreQueries, DedupQueries, GraphQueries, MultimodalQueries, SplitterQueries, TextQueries, VectorQueries}
+import graft.operators.{CoreQueries, DedupQueries, ExtendedQueries, GraphQueries, MultimodalQueries, SplitterQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,12 +15,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ GraphQueries.queries ++ VectorQueries.queries ++
       SplitterQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++ ExtendedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ GraphQueries.oracles ++ VectorQueries.oracles ++
       SplitterQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
-      MultimodalQueries.oracles
+      MultimodalQueries.oracles ++ ExtendedQueries.oracles
 }

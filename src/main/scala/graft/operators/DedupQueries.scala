@@ -40,15 +40,8 @@ object DedupQueries {
     Array.fill(n)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** Word 3-gram shingles, distinct, as a SQL expression string
-    * (shared verbatim between Spark selectExpr and scaladoc'd DuckDB
-    * oracle equivalents). */
-  private val wordShinglesExpr =
-    """array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
-      |  i -> concat_ws('_', element_at(split(text, ' '), i + 1),
-      |                      element_at(split(text, ' '), i + 2),
-      |                      element_at(split(text, ' '), i + 3))))""".stripMargin
-
+  /** Word 3-gram shingles as DuckDB SQL (the oracle's formulation of
+    * the same set wordShingles() builds in the JVM kernel). */
   private val wordShinglesSql =
     """list_distinct(list_transform(range(0, len(string_split(text, ' ')) - 2),
       |  i -> string_split(text, ' ')[CAST(i AS INT) + 1] || '_' ||
@@ -75,11 +68,6 @@ object DedupQueries {
       .filter(col("n") > 1)
       .orderBy("canonical_id")
 
-  /** Shingle sets per doc (word 3-grams). */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .selectExpr("doc_id", s"$wordShinglesExpr AS shingles")
-
   /** d02: MinHash + banded LSH near-dup pairs, verified by exact
     * Jaccard >= 0.8. Candidate generation is an equi-join on
     * (band, band_signature) — never the n² cross product. */
@@ -103,12 +91,26 @@ object DedupQueries {
     }
   }
 
+  /** Word 3-gram shingles in the JVM kernel (distinct, order of first
+    * appearance — same set as wordShinglesExpr/wordShinglesSql). */
+  def wordShingles(words: Array[String]): Seq[String] = {
+    val n = math.max(words.length - 2, 0)
+    val out = new scala.collection.mutable.LinkedHashSet[String]
+    var i = 0
+    while (i < n) { out += s"${words(i)}_${words(i + 1)}_${words(i + 2)}"; i += 1 }
+    out.toSeq
+  }
+
   def d02MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val params = hashParams(NumHashes, seed = 7L)
-    val sigs = shingled(spark, dir)
-      .as[(Long, Seq[String])]
-      .map { case (id, sh) => (id, sh, minhashSig(sh, params)) }
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .as[(Long, Array[String])]
+      .map { case (id, ws) =>
+        val sh = wordShingles(ws)
+        (id, sh, minhashSig(sh, params))
+      }
       .toDF("doc_id", "shingles", "mh")
     val bandCols = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand).map(r => expr(s"mh[${b * RowsPerBand + r}]"))

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+
+/** Extended operators (SURVEY.md §2 q11–q12, e01): the ops Spark has
+  * no single built-in for, composed from windows/joins — plus a
+  * pipeline-grade k-NN classifier over the embedding table.
+  */
+object ExtendedQueries {
+
+  /** q11: AS-OF join — each purchase event matched to the same
+    * user's most recent view at-or-before it. Composed as a ranged
+    * join + per-purchase rank window (Spark lacks a native as-of
+    * operator; the window partitions on the high-cardinality event
+    * id so it parallelizes). DuckDB oracle uses its native ASOF. */
+  def q11AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_event_id"),
+        col("ts").as("view_ts"))
+    val w = Window.partitionBy("event_id").orderBy(col("view_ts").desc, col("view_event_id").desc)
+    p.join(v, col("user_id") === col("v_user") && col("view_ts") <= col("ts"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("event_id", "user_id", "ts", "view_event_id", "view_ts")
+      .orderBy("event_id")
+  }
+
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q12: pivot — per-user event-type count matrix + total value.
+    * Explicit pivot values keep the plan single-pass (no distinct
+    * scan) and the output schema static. */
+  def q12Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    val totals = Tables.events(spark, dir)
+      .groupBy("user_id").agg(round(sum("value"), 4).as("total_value"))
+    counts.na.fill(0L, EventTypes)
+      .join(totals, "user_id")
+      .orderBy("user_id")
+  }
+
+  /** e01: k-NN classification — every vector's label predicted by
+    * majority vote of its top-5 cosine neighbours; emitted with the
+    * true label so downstream can compute accuracy. All-pairs scoring
+    * uses the native dot-product expression; at 100 TB the candidate
+    * set would come from v05's LSH cells instead of the cross join. */
+  def e01KnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+    val q = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("label").as("true_label"))
+    val byCos = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val neighbours = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("true_label"), col("vec_id"), col("label"),
+        cosineNative6(col("v"), col("qv")).as("cos"))
+      .withColumn("rk", row_number().over(byCos))
+      .filter(col("rk") <= 5)
+    val byVotes = Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))
+    neighbours
+      .groupBy("qid", "true_label", "label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vrk", row_number().over(byVotes))
+      .filter(col("vrk") === 1)
+      .select(col("qid").as("vec_id"), col("true_label"),
+        col("label").as("pred_label"), col("votes"))
+      .orderBy("vec_id")
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q11_asof_join" -> (q11AsofJoin _),
+    "q12_pivot" -> (q12Pivot _),
+    "e01_knn_classify" -> (e01KnnClassify _))
+
+  val oracles: Map[String, String] = Map(
+    "q11_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts,
+        |  v.event_id AS view_event_id, v.ts AS view_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q12_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view,
+        |  round(sum(value), 4) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "e01_knn_classify" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, q.label AS true_label, e.vec_id, e.label,
+        |    round(list_cosine_similarity(e.v, q.v), 6) AS cos
+        |  FROM e, e q WHERE e.vec_id <> q.vec_id),
+        |top5 AS (
+        |  SELECT * FROM (
+        |    SELECT qid, true_label, vec_id, label, cos,
+        |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+        |    FROM scored) WHERE rk <= 5),
+        |votes AS (
+        |  SELECT qid, true_label, label, count(*) AS votes
+        |  FROM top5 GROUP BY qid, true_label, label)
+        |SELECT qid AS vec_id, true_label, label AS pred_label, votes
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS vrk
+        |  FROM votes) WHERE vrk = 1
+        |ORDER BY vec_id""".stripMargin)
+}
