@@ -32,6 +32,19 @@ object Demo {
     val (_, prompt) = api.retrieve(db, "stream processing", 2)
     println(s"[demo] RAG prompt:\n${prompt.linesIterator.take(4).mkString("\n")}")
 
+    val tmp = java.nio.file.Files.createTempDirectory("demo_corpus")
+    java.nio.file.Files.writeString(tmp.resolve("c.jsonl"),
+      """{"text": "loaded via jsonl", "lang": "en"}
+        |{"text": "second jsonl row"}""".stripMargin)
+    val loaded = graft.sources.Loaders.loadJsonl(spark, s"$tmp/*.jsonl")
+    println(s"[demo] loadJsonl: ${loaded.count()} docs, schema ${loaded.columns.mkString(",")}")
+
+    val (_, centroids, inertias) = graft.operators.KMeans.fit(spark,
+      graft.sources.Tables.embeddings(spark, dir)
+        .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v"),
+      k = 4, iters = 3)
+    println(s"[demo] kmeans: ${centroids.length} centroids, inertia ${inertias.map(i => f"$i%.1f").mkString(" -> ")}")
+
     val plan = graft.operators.DedupQueries
       .d05EmbedNeardup(spark, dir).queryExecution.executedPlan.toString
     println(s"[demo] d05 WholeStageCodegen spans: ${"WholeStageCodegen".r.findAllIn(plan).length}")

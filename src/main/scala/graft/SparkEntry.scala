@@ -15,7 +15,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ GraphQueries.queries ++ VectorQueries.queries ++
       SplitterQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
-      MultimodalQueries.queries ++ ExtendedQueries.queries
+      MultimodalQueries.queries ++ ExtendedQueries.queries ++
+      Map[String, (SparkSession, String) => DataFrame](
+        "e02_kmeans" -> (graft.operators.KMeans.e02Kmeans _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Distributed Lloyd's k-means over an embedding column (SURVEY.md §2
+  * e02) — the clustering step of a training-data curation pipeline
+  * (stratified sampling, dedup-by-cluster, diversity balancing).
+  *
+  * Scale design: the MODEL (k×dim centroids) lives on the driver and
+  * is broadcast into the assignment expression as literals — the
+  * data-side work per iteration is one narrow map (argmin over k
+  * codegen'd dot products; |v|² drops out of the argmin) plus one
+  * aggregation keyed by (cluster, dim) with map-side partial
+  * aggregation. The corpus is never collected; per-iteration driver
+  * traffic is k×dim doubles.
+  */
+object KMeans {
+
+  /** Returns (assignments (vec_id, cluster), centroids, inertia per
+    * iteration). Deterministic: init = first k vectors by vec_id. */
+  def fit(spark: SparkSession, emb: DataFrame, k: Int, iters: Int)
+      : (DataFrame, Array[Array[Double]], Seq[Double]) = {
+    val e = emb.select(col("vec_id"), col("v")).cache()
+    var centroids: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
+      .collect().map(_.getSeq[Double](1).toArray) // k rows only
+    val inertias = scala.collection.mutable.ListBuffer.empty[Double]
+
+    def assignExpr(cs: Array[Array[Double]]) = {
+      // argmin_i |v - c_i|² == argmin_i (|c_i|² - 2 v·c_i)
+      val scored = cs.zipWithIndex.map { case (c, i) =>
+        val cCol = array(c.map(lit): _*)
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - dotNative(col("v"), cCol) * 2).as("d"), lit(i).as("i"))
+      }
+      array_min(array(scored: _*)).getField("i")
+    }
+
+    for (_ <- 0 until iters) {
+      val assigned = e.withColumn("cluster", assignExpr(centroids))
+      // new centroid = elementwise mean; (cluster, dim) keyed agg
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .collect() // k × dim rows only
+      val byCluster = sums.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { i =>
+        byCluster.get(i) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toArray
+          case None => centroids(i) // empty cluster keeps its centroid
+        }
+      }.toArray
+      val distToOwn = centroids.indices.foldLeft(lit(0.0)) { (acc, i) =>
+        val cCol = array(centroids(i).map(lit): _*)
+        val c2 = centroids(i).map(x => x * x).sum
+        when(col("cluster") === i,
+          dotNative(col("v"), col("v")) - dotNative(col("v"), cCol) * 2 + c2)
+          .otherwise(acc)
+      }
+      val inertia = assigned.select(sum(distToOwn)).head().getDouble(0)
+      inertias += inertia
+    }
+    val finalAssign = e.withColumn("cluster", assignExpr(centroids))
+      .select("vec_id", "cluster")
+    (finalAssign, centroids, inertias.toSeq)
+  }
+
+  /** e02 query entry (*rows-only*; KMeansSpec asserts convergence). */
+  def e02Kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val (assign, _, _) = fit(spark, e, k = 8, iters = 5)
+    assign.orderBy("vec_id")
+  }
+}
