@@ -58,13 +58,15 @@ object ExtendedQueries {
   def e01KnnClassify(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
-    val q = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("label").as("true_label"))
-    val byCos = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-    val neighbours = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("true_label"), col("vec_id"), col("label"),
-        cosineNative6(col("v"), col("qv")).as("cos"))
-      .withColumn("rk", row_number().over(byCos))
-      .filter(col("rk") <= 5)
+      .cache()
+    // The "query set" here is every vector (bounded: k×dim doubles per
+    // query; at 100 TB this collect becomes per-batch). Labels rejoin
+    // from the corpus side below.
+    val queries = e.select(col("vec_id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val trueLabels = e.select(col("vec_id").as("qid"), col("label").as("true_label"))
+    val neighbours = VectorQueries.bruteTopK(spark, e, queries, k = 5)
+      .join(broadcast(trueLabels), "qid")
     val byVotes = Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))
     neighbours
       .groupBy("qid", "true_label", "label")

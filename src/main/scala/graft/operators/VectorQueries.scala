@@ -140,6 +140,65 @@ object VectorQueries {
       .limit(k)
   }
 
+  /** Scalable brute-force batch k-NN kernel: the CORPUS streams
+    * (never collected, never shuffled wide) while the bounded QUERY
+    * set is broadcast; each partition keeps a per-query top-k buffer
+    * and emits at most queries×k rows, re-ranked once at the end over
+    * partitions×queries×k rows (tiny). This is the 100 TB shape of
+    * get_closest_facts for a batch of queries — no cross join, no
+    * corpus-sized window sort.
+    *
+    * Returns (qid, vec_id, label, cos) for the k nearest per query
+    * (self-matches excluded). Cosine = dot of pre-normalized vectors
+    * computed in one sequential loop (bit-identical to the HOF and
+    * DuckDB formulations after round(6)).
+    */
+  def bruteTopK(
+      spark: SparkSession,
+      corpus: DataFrame, // (vec_id, label, v: array<double>)
+      queries: Array[(Long, Array[Double])],
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(queries)
+    val partial = corpus.select(col("vec_id"), col("label"), col("v"))
+      .as[(Long, Int, Array[Double])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        // per-query bounded buffers of (negCos, vecId, label)
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long, Int)](
+            Ordering.by[(Double, Long, Int), (Double, Long)](t => (t._1, t._2))))
+        it.foreach { case (id, label, v) =>
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qv) = qs(qi)
+            if (qid != id) {
+              var s = 0.0; var na = 0.0; var nb = 0.0
+              var d = 0
+              while (d < v.length) {
+                s += v(d) * qv(d); na += v(d) * v(d); nb += qv(d) * qv(d); d += 1
+              }
+              val cos = s / (math.sqrt(na) * math.sqrt(nb))
+              // max-heap on (-cos, id): root = worst kept. Keep a few
+              // extra so round(6) boundary ties re-rank exactly.
+              heaps(qi).enqueue((-cos, id, label))
+              if (heaps(qi).size > k + 8) heaps(qi).dequeue()
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (negCos, id, label) => (qs(qi)._1, id, label, -negCos) }
+        }
+      }
+      .toDF("qid", "vec_id", "label", "rawcos")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    partial
+      .select(col("qid"), col("vec_id"), col("label"), round(col("rawcos"), 6).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   /** Deterministic hyperplanes (seeded), broadcast as literals. */
   def lshPlanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
