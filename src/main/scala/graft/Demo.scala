@@ -14,6 +14,7 @@ object Demo {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -44,6 +45,12 @@ object Demo {
         .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v"),
       k = 4, iters = 3)
     println(s"[demo] kmeans: ${centroids.length} centroids, inertia ${inertias.map(i => f"$i%.1f").mkString(" -> ")}")
+
+    val d = spark.sql("SELECT graft_dot(array(1.0d,2.0d), array(3.0d,4.0d)) AS d").head().getDouble(0)
+    println(s"[demo] SQL graft_dot(1,2 · 3,4) = $d")
+    val arityErr = try { spark.sql("SELECT graft_dot(array(1.0d))"); "NO ERROR" }
+      catch { case e: Exception => e.getMessage.linesIterator.next().take(80) }
+    println(s"[demo] graft_dot wrong arity -> $arityErr")
 
     val plan = graft.operators.DedupQueries
       .d05EmbedNeardup(spark, dir).queryExecution.executedPlan.toString

@@ -199,6 +199,31 @@ object VectorQueries {
       .filter(col("rk") <= k)
   }
 
+  /** v06: batch k-NN through the TYPED AGGREGATION path — scoring as
+    * in v02, but ranking via TopKAggregator, which partial-aggregates
+    * map-side so only k entries per query cross the shuffle (the
+    * window form sorts every scored row). Same oracle shape as v02:
+    * identical results through a different physical plan. */
+  def v06KnnAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val q = e.filter(col("label") === 1)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), cosineNative6(col("v"), col("qv")).as("cos"), col("vec_id"))
+    val top = new graft.functions.TopKAggregator(5).toColumn
+    scored.as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(top.name("top"))
+      .flatMap { case (qid, tops) =>
+        tops.zipWithIndex.map { case ((cos, vid), i) => (qid, vid, cos, i + 1) }
+      }
+      .toDF("query_id", "vec_id", "cos", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   /** Deterministic hyperplanes (seeded), broadcast as literals. */
   def lshPlanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
@@ -221,7 +246,8 @@ object VectorQueries {
     "v02_knn_batch" -> (v02KnnBatch _),
     "v03_hybrid_union" -> (v03HybridUnion _),
     "v04_hybrid_intersection" -> (v04HybridIntersection _),
-    "v05_ann_lsh" -> (v05AnnLsh _))
+    "v05_ann_lsh" -> (v05AnnLsh _),
+    "v06_knn_agg" -> (v06KnnAgg _))
 
   private val probeList = GraphQueries.ProbeUnion.map(e => s"'$e'").mkString(", ")
 
@@ -245,6 +271,20 @@ object VectorQueries {
          |      ORDER BY cos DESC, vec_id) AS INT) AS rk
          |  FROM scored)
          |SELECT query_id, vec_id, cos, rk FROM ranked WHERE rk <= 3
+         |ORDER BY query_id, rk""".stripMargin,
+    "v06_knn_agg" ->
+      s"""WITH e AS ($embSql),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE label = 1),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id,
+         |    round(list_cosine_similarity(e.v, q.qv), 6) AS cos
+         |  FROM e, q WHERE e.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, vec_id) AS INT) AS rk
+         |  FROM scored)
+         |SELECT query_id, vec_id, cos, rk FROM ranked WHERE rk <= 5
          |ORDER BY query_id, rk""".stripMargin,
     "v03_hybrid_union" ->
       s"""WITH fe AS ($factEmbSql),

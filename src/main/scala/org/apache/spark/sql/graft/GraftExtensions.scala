@@ -1,0 +1,27 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook (extension preference (c) of the build
+  * plan): registers the native expressions as SQL functions so plain
+  * `spark.sql` users get them too —
+  *
+  *   spark.sql("SELECT graft_dot(a, b) FROM t")
+  *
+  * Activate with
+  *   .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
+  * or `.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot(arrayA, arrayB)")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.HllSketch
+import graft.operators.VectorQueries
+import graft.sources.Tables
+
+class AggregatorSpec extends SparkSpec {
+
+  test("v06 typed top-k aggregation equals the window formulation") {
+    import spark.implicits._
+    val agg = VectorQueries.v06KnnAgg(spark, sf0001)
+      .select("query_id", "vec_id", "cos", "rk")
+    // independent window-based reference
+    val e = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v", "label")
+    val q = e.filter(col("label") === 1)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    val win = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.VectorFunctions.cosineNative6(col("v"), col("qv")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("query_id", "vec_id", "cos", "rk")
+    assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty)
+    assert(agg.count() > 0)
+  }
+
+  test("HLL sketch estimates distinct counts within expected error") {
+    import spark.implicits._
+    val users = Tables.events(spark, sf001).select(col("user_id")).as[Long]
+    val exact = users.distinct().count()
+    val est = users.select(new HllSketch(12).toColumn.name("est")).head()
+    val err = math.abs(est - exact).toDouble / exact
+    info(s"HLL: est=$est exact=$exact err=${(err * 100).round}%")
+    assert(err < 0.05, s"HLL error $err too high (est=$est, exact=$exact)")
+  }
+
+  test("graft_dot is callable from plain SQL via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .head().getDouble(0)
+    assert(r == 32.0)
+  }
+}
