@@ -33,6 +33,9 @@ object Demo {
     val (_, prompt) = api.retrieve(db, "stream processing", 2)
     println(s"[demo] RAG prompt:\n${prompt.linesIterator.take(4).mkString("\n")}")
 
+    val deduped = api.annotateDeduped(graft.sources.Tables.documents(spark, dir))
+    println(s"[demo] annotateDeduped: ${deduped.facts.count()} facts kept of ${db.facts.count()}")
+
     val tmp = java.nio.file.Files.createTempDirectory("demo_corpus")
     java.nio.file.Files.writeString(tmp.resolve("c.jsonl"),
       """{"text": "loaded via jsonl", "lang": "en"}

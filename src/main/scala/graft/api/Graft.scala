@@ -56,6 +56,38 @@ final class Graft(
     HippoDb(facts, edges, entities, factEmb)
   }
 
+  /** annotate + NLI dedup-on-ingest (batch analog of annotator.py:126
+    * _compare_fact): facts are blocked by a text prefix, and within a
+    * block a fact entailed by an earlier-id fact is dropped (its
+    * sources would merge onto the survivor in the reference). The NLI
+    * call runs inside flatMapGroups — distributed, per-block. */
+  def annotateDeduped(docs: DataFrame, chunkSize: Int = 100): HippoDb = {
+    import spark.implicits._
+    val full = annotate(docs, chunkSize)
+    val nliLocal = nli
+    val kept = full.facts
+      .select(col("fact_id"), col("fact_text"),
+        substring(col("fact_text"), 1, 40).as("blk"))
+      .as[(Long, String, String)]
+      .groupByKey(_._3)
+      .flatMapGroups { (_, it) =>
+        val sorted = it.toSeq.sortBy(_._1)
+        val survivors = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+        sorted.foreach { case (id, text, _) =>
+          if (!survivors.exists { case (_, s) => nliLocal.entails(s, text) })
+            survivors += ((id, text))
+        }
+        survivors.iterator.map(_._1)
+      }
+      .toDF("fact_id")
+    HippoDb(
+      facts = full.facts.join(kept, Seq("fact_id"), "left_semi"),
+      edges = full.edges.join(kept, Seq("fact_id"), "left_semi"),
+      entities = full.edges.join(kept, Seq("fact_id"), "left_semi")
+        .select("entity").distinct(),
+      factEmb = full.factEmb.join(kept, Seq("fact_id"), "left_semi"))
+  }
+
   private def queryVec(text: String) =
     array(embedder.embed(text).map(x => lit(x.toDouble)): _*)
 

@@ -46,6 +46,16 @@ class GraftApiSpec extends SparkSpec {
     assert(!n.map(_.getString(0)).contains("window"))
   }
 
+  test("annotateDeduped drops NLI-entailed duplicate facts, keeps integrity") {
+    val deduped = api.annotateDeduped(Tables.documents(spark, sf0001))
+    val full = db.facts.count()
+    val kept = deduped.facts.count()
+    assert(kept < full, s"expected dedup to drop facts ($kept vs $full)")
+    val (nF, nE, missing) = deduped.integrity
+    assert(nF == kept && nE == kept && missing == 0)
+    assert(deduped.edges.select("fact_id").distinct().count() <= kept)
+  }
+
   test("retrieve returns a bounded RAG context") {
     val (top, prompt) = api.retrieve(db, "stream processing", k = 3)
     assert(top.count() == 3)
