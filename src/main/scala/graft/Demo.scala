@@ -49,6 +49,21 @@ object Demo {
       k = 4, iters = 3)
     println(s"[demo] kmeans: ${centroids.length} centroids, inertia ${inertias.map(i => f"$i%.1f").mkString(" -> ")}")
 
+    // Streaming ingest: documents arriving as files -> incremental store
+    val inDir = java.nio.file.Files.createTempDirectory("stream_in")
+    val storeDir = java.nio.file.Files.createTempDirectory("stream_store").toString
+    val docsStream = spark.readStream
+      .option("wholetext", "true").text(inDir.toString)
+      .selectExpr("abs(xxhash64(input_file_name())) AS doc_id", "value AS text")
+    val sq = graft.streaming.StreamOps.annotateStream(spark, docsStream, api, storeDir)
+    java.nio.file.Files.writeString(inDir.resolve("d1.txt"), "stream one arrives with window and spark words")
+    sq.processAllAvailable()
+    java.nio.file.Files.writeString(inDir.resolve("d2.txt"), "stream two arrives later with stream batch words")
+    sq.processAllAvailable()
+    sq.stop()
+    val streamed = graft.store.HippoDb.load(spark, storeDir)
+    println(s"[demo] streaming ingest: ${streamed.facts.count()} facts from 2 file arrivals, integrity=${streamed.integrity}")
+
     val d = spark.sql("SELECT graft_dot(array(1.0d,2.0d), array(3.0d,4.0d)) AS d").head().getDouble(0)
     println(s"[demo] SQL graft_dot(1,2 · 3,4) = $d")
     val arityErr = try { spark.sql("SELECT graft_dot(array(1.0d))"); "NO ERROR" }

@@ -41,7 +41,9 @@ final class Graft(
     val emb = embedder
     val facts = Splitters.recursiveDf(spark, docs, chunkSize)
       .select(
-        (col("doc_id") * 1000 + col("chunk_idx")).as("fact_id"),
+        // hash-derived: stable, collision-safe for ARBITRARY doc ids
+        // (a doc_id*k+i scheme overflows for hash-derived doc ids)
+        xxhash64(col("doc_id"), col("chunk_idx")).as("fact_id"),
         col("doc_id"), col("chunk_idx"),
         col("chunk").as("fact_text"), col("start"), col("end"))
     val edges = facts

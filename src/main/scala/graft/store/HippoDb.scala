@@ -62,6 +62,18 @@ object HippoDb {
     HippoDb(facts, edges, entities, factEmb)
   }
 
+  /** Append a delta (e.g. one micro-batch of annotated documents) to
+    * an existing store directory — the incremental-ingest half of the
+    * reference's per-document annotate loop. Parquet append keeps
+    * each component splittable; fact ids must be globally unique
+    * (they derive from doc ids, so unique doc ids suffice). */
+  def append(db: HippoDb, dir: String): Unit = {
+    db.facts.write.mode(SaveMode.Append).parquet(s"$dir/facts")
+    db.edges.write.mode(SaveMode.Append).parquet(s"$dir/edges")
+    db.entities.write.mode(SaveMode.Append).parquet(s"$dir/entities")
+    db.factEmb.write.mode(SaveMode.Append).parquet(s"$dir/fact_emb")
+  }
+
   def load(spark: SparkSession, dir: String): HippoDb = HippoDb(
     facts = spark.read.parquet(s"$dir/facts"),
     edges = spark.read.parquet(s"$dir/edges"),

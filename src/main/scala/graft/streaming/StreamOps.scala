@@ -63,6 +63,25 @@ object StreamOps {
       }
   }
 
+  /** st03: incremental annotation — a STREAM of documents appended to
+    * a parquet-backed HippoDb one micro-batch at a time (foreachBatch
+    * runs the same batch annotate plan per trigger; the streaming
+    * form of annotator.py:221's per-document loop). Entities
+    * accumulate with duplicates across batches; readers distinct()
+    * them (or compact periodically) — same trade the reference makes
+    * by re-saving entities.json. */
+  def annotateStream(
+      spark: SparkSession,
+      docsStream: DataFrame,
+      api: graft.api.Graft,
+      dir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) graft.store.HippoDb.append(api.annotate(batch), dir)
+      }
+      .start()
+
   /** Flush helper for specs/batch use: the still-open sessions. */
   def openSessions(spark: SparkSession, events: Dataset[Ev]): DataFrame = {
     import spark.implicits._

@@ -39,6 +39,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("st03 incremental annotation appends micro-batches into the store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("hippostream").toString
+    val docs = Tables.documents(spark, sf0001).limit(40)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val (b1, b2) = docs.splitAt(20)
+
+    val stream = MemoryStream[(Long, String)]
+    val api = new graft.api.Graft(spark)
+    val q = StreamOps.annotateStream(spark,
+      stream.toDF().toDF("doc_id", "text"), api, tmp)
+    try {
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      val after1 = graft.store.HippoDb.load(spark, tmp).facts.count()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+      val db = graft.store.HippoDb.load(spark, tmp)
+      assert(db.facts.count() > after1, "second batch appended nothing")
+      // matches a one-shot batch annotate over the same 40 docs
+      val batchDb = api.annotate(
+        Tables.documents(spark, sf0001).limit(40))
+      assert(db.facts.count() == batchDb.facts.count())
+      assert(db.factEmb.count() == db.facts.count())
+      assert(db.facts.select("fact_id").distinct().count() == db.facts.count())
+    } finally q.stop()
+  }
+
   test("st02 stateful sessionization == batch lag-window q09 on same users") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
