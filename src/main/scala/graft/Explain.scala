@@ -28,6 +28,9 @@ object Explain {
       "v01_knn_facts" -> Seq("BroadcastNestedLoopJoin", "TakeOrderedAndProject"),
       "h02_entity_neighbours" -> Seq("BroadcastHashJoin"),
       "d02_minhash_lsh" -> Seq("BroadcastHashJoin"),
+      "d04_ngram_jaccard" -> Seq("BroadcastHashJoin", "HashAggregate"),
+      "v06_knn_agg" -> Seq("ObjectHashAggregate"),
+      "q11_asof_join" -> Seq("Window"),
       "q05_semi_join" -> Seq("LeftSemi"))
 
     val sb = new StringBuilder
