@@ -63,11 +63,23 @@ final class Graft(
     * block a fact entailed by an earlier-id fact is dropped (its
     * sources would merge onto the survivor in the reference). The NLI
     * call runs inside flatMapGroups — distributed, per-block. */
-  def annotateDeduped(docs: DataFrame, chunkSize: Int = 100): HippoDb = {
+  def annotateDeduped(docs: DataFrame, chunkSize: Int = 100): HippoDb =
+    annotateDedupedWithSources(docs, chunkSize)._1
+
+  /** Like annotateDeduped, but also returns the SOURCES table
+    * (fact_id, doc_id, start, end): every original fact — including
+    * the dropped duplicates — contributes one source span, attached
+    * to its surviving fact. This is storage.py:250 add_fact_source:
+    * when the reference finds a fact already known, it appends the
+    * new source to the existing fact instead of inserting. */
+  def annotateDedupedWithSources(
+      docs: DataFrame, chunkSize: Int = 100): (HippoDb, DataFrame) = {
     import spark.implicits._
     val full = annotate(docs, chunkSize)
     val nliLocal = nli
-    val kept = full.facts
+    // (survivor_id, original_id): identity rows for survivors, and a
+    // redirect row for every dropped duplicate.
+    val mapping = full.facts
       .select(col("fact_id"), col("fact_text"),
         substring(col("fact_text"), 1, 40).as("blk"))
       .as[(Long, String, String)]
@@ -75,19 +87,29 @@ final class Graft(
       .flatMapGroups { (_, it) =>
         val sorted = it.toSeq.sortBy(_._1)
         val survivors = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+        val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
         sorted.foreach { case (id, text, _) =>
-          if (!survivors.exists { case (_, s) => nliLocal.entails(s, text) })
-            survivors += ((id, text))
+          survivors.find { case (_, s) => nliLocal.entails(s, text) } match {
+            case Some((sid, _)) => out += ((sid, id))
+            case None => survivors += ((id, text)); out += ((id, id))
+          }
         }
-        survivors.iterator.map(_._1)
+        out.iterator
       }
-      .toDF("fact_id")
-    HippoDb(
+      .toDF("survivor_id", "original_id")
+    val kept = mapping.filter(col("survivor_id") === col("original_id"))
+      .select(col("survivor_id").as("fact_id"))
+    val sources = mapping
+      .join(full.facts.select(col("fact_id").as("original_id"),
+        col("doc_id"), col("start"), col("end")), "original_id")
+      .select(col("survivor_id").as("fact_id"), col("doc_id"), col("start"), col("end"))
+    val db = HippoDb(
       facts = full.facts.join(kept, Seq("fact_id"), "left_semi"),
       edges = full.edges.join(kept, Seq("fact_id"), "left_semi"),
       entities = full.edges.join(kept, Seq("fact_id"), "left_semi")
         .select("entity").distinct(),
       factEmb = full.factEmb.join(kept, Seq("fact_id"), "left_semi"))
+    (db, sources)
   }
 
   private def queryVec(text: String) =

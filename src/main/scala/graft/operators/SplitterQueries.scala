@@ -25,12 +25,20 @@ object SplitterQueries {
     Splitters.recursiveDf(spark, Tables.documents(spark, dir), RecSize)
       .orderBy("doc_id", "chunk_idx")
 
+  /** rows-only: semantic boundaries depend on the injected embedder;
+    * SplitterSpec asserts the position invariants. */
+  def s04Semantic(spark: SparkSession, dir: String): DataFrame =
+    Splitters.semanticDf(spark, Tables.documents(spark, dir),
+      new graft.functions.HashEmbedder(32))
+      .orderBy("doc_id", "chunk_idx")
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "s01_split_naive" -> (s01Naive _),
     "s02_split_paragraph" -> (s02Paragraph _),
-    "s03_split_recursive" -> (s03Recursive _))
+    "s03_split_recursive" -> (s03Recursive _),
+    "s04_split_semantic" -> (s04Semantic _))
 
   val oracles: Map[String, String] = Map(
     "s01_split_naive" ->

@@ -92,6 +92,60 @@ object Splitters {
       .collect { case (s, e) if e > s => (text.substring(s, e), s, e) }
   }
 
+  /** Semantic splitting (splitters.py:99 SemanticTextSplitter): break
+    * where the embedding similarity of adjacent pieces drops below a
+    * threshold. The reference uses SentenceTransformers via
+    * SemanticChunker; here the embedder is injected (deterministic
+    * stub by default) and "sentences" are fixed word windows since
+    * the corpus has no punctuation. Pure function per doc. */
+  def semanticSplit(
+      text: String,
+      embedder: graft.functions.Embedder,
+      windowWords: Int = 10,
+      threshold: Double = 0.3): List[(String, Int, Int)] = {
+    // word spans (start, end) over the original text
+    val words = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+    var i = 0
+    while (i < text.length) {
+      val e = text.indexOf(' ', i) match { case -1 => text.length; case j => j }
+      if (e > i) words += ((i, e))
+      i = e + 1
+    }
+    if (words.isEmpty) return Nil
+    val pieces = words.grouped(windowWords).map(g => (g.head._1, g.last._2)).toList
+    if (pieces.length == 1) return pieces.map { case (s, e) => (text.substring(s, e), s, e) }
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0; var d = 0
+      while (d < a.length) { s += a(d) * b(d); na += a(d) * a(d); nb += b(d) * b(d); d += 1 }
+      s / (math.sqrt(na) * math.sqrt(nb) max 1e-12)
+    }
+    val embs = pieces.map { case (s, e) => embedder.embed(text.substring(s, e)) }
+    // merge adjacent pieces while similarity stays above threshold
+    val out = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+    var (cs, ce) = pieces.head
+    for (k <- 1 until pieces.length) {
+      if (cos(embs(k - 1), embs(k)) >= threshold) ce = pieces(k)._2
+      else { out += ((cs, ce)); cs = pieces(k)._1; ce = pieces(k)._2 }
+    }
+    out += ((cs, ce))
+    out.toList.map { case (s, e) => (text.substring(s, e), s, e) }
+  }
+
+  /** DataFrame wrapper for the semantic splitter. */
+  def semanticDf(spark: SparkSession, docs: DataFrame,
+      embedder: graft.functions.Embedder): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        semanticSplit(text, embedder).zipWithIndex.map {
+          case ((chunk, s, e), i) => (id, i, chunk, s.toLong, e.toLong)
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "chunk", "start", "end")
+  }
+
   /** DataFrame wrapper for the recursive splitter. */
   def recursiveDf(spark: SparkSession, docs: DataFrame, chunkSize: Int): DataFrame = {
     import spark.implicits._

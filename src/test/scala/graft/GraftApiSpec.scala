@@ -56,6 +56,19 @@ class GraftApiSpec extends SparkSpec {
     assert(deduped.edges.select("fact_id").distinct().count() <= kept)
   }
 
+  test("dedup accumulates dropped facts' sources onto survivors") {
+    val (deduped, sources) = api.annotateDedupedWithSources(
+      Tables.documents(spark, sf0001))
+    import org.apache.spark.sql.functions._
+    // every original fact contributes exactly one source span
+    assert(sources.count() == db.facts.count())
+    // all source rows point at surviving facts
+    assert(sources.join(deduped.facts.select("fact_id"), Seq("fact_id"), "left_anti")
+      .count() == 0)
+    // at least one survivor carries more than one source (a dup was merged)
+    assert(sources.groupBy("fact_id").count().filter(col("count") > 1).count() > 0)
+  }
+
   test("retrieve returns a bounded RAG context") {
     val (top, prompt) = api.retrieve(db, "stream processing", k = 3)
     assert(top.count() == 3)

@@ -30,6 +30,17 @@ class SplitterSpec extends SparkSpec {
     assert(chunks.last._3 == 95)
   }
 
+  test("semanticSplit covers the text with in-order chunks") {
+    val emb = new graft.functions.HashEmbedder(32)
+    val text = ("alpha beta gamma delta " * 12).trim
+    val chunks = Splitters.semanticSplit(text, emb, windowWords = 8)
+    assert(chunks.nonEmpty)
+    assert(chunks.head._2 == 0 && chunks.last._3 == text.length)
+    chunks.foreach { case (c, s, e) => assert(text.substring(s, e) == c) }
+    // deterministic
+    assert(chunks == Splitters.semanticSplit(text, emb, windowWords = 8))
+  }
+
   test("recursiveDf covers every document end-to-end") {
     val docs = Tables.documents(spark, sf0001)
     val out = Splitters.recursiveDf(spark, docs, 120).cache()
