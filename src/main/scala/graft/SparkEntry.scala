@@ -7,9 +7,12 @@ import graft.operators.{CoreQueries, DedupQueries, ExtendedQueries, GraphQueries
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. Hybrid retrieval is THE signature hippollm operation:
+    * graph filter (facts containing probe entities) + vector ranking
+    * (cosine top-k to the query embedding) in one declarative plan. */
   def entry(spark: SparkSession): DataFrame =
-    CoreQueries.q01PricingSummary(spark, "/root/testdata/sf0.001")
+    VectorQueries.v03HybridUnion(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -39,6 +39,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("st01 watermark drops events later than 1 hour behind the max ts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:10:00")
+    val t5h = java.sql.Timestamp.valueOf("2024-01-01 05:00:00")
+    val late = java.sql.Timestamp.valueOf("2024-01-01 00:20:00") // 4h40m late
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamOps.windowedCounts(stream.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("st01_late")
+      .outputMode("append").start() // append emits only FINALIZED windows
+    try {
+      stream.addData(Seq((t0, "click", 1.0)))
+      q.processAllAvailable()
+      stream.addData(Seq((t5h, "click", 1.0))) // advances watermark to 04:00
+      q.processAllAvailable()
+      stream.addData(Seq((late, "click", 99.0))) // behind watermark -> dropped
+      q.processAllAvailable()
+      stream.addData(Seq((java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), "click", 1.0)))
+      q.processAllAvailable() // finalize the 05:00 window too
+      val rows = spark.table("st01_late").collect()
+      val hour0 = rows.filter(_.getAs[java.sql.Timestamp]("hour").toString.startsWith("2024-01-01 00:"))
+      assert(hour0.length == 1 && hour0.head.getAs[Long]("n") == 1,
+        s"late event leaked into finalized window: ${hour0.mkString(";")}")
+    } finally q.stop()
+  }
+
   test("st03 incremental annotation appends micro-batches into the store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
