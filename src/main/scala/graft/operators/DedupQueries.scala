@@ -15,9 +15,9 @@ import graft.sources.Tables
   *  - d02 MinHash+LSH: signatures are map-side; only (band, sig)
   *    buckets shuffle; candidate pairs (a tiny fraction of n²) are
   *    verified with exact Jaccard. This is THE 100 TB near-dup path.
-  *  - d04 char-n-gram Jaccard: shared-shingle blocking join — exact
-  *    (a pair above any positive threshold shares a shingle) but
-  *    quadratic in the worst case; kept as the exact reference.
+  *  - d04 char-n-gram Jaccard: PPJoin-style prefix + size +
+  *    positional filtering — exact, with candidate generation joining
+  *    only rare prefix grams (never the n² cross product).
   *  - d05 embedding cosine: brute all-pairs (exact); the approximate
   *    scale path is VectorQueries.annLsh cell-blocking.
   *  - d03 SimHash: map-side 64-bit signatures; near-dup = low Hamming
@@ -48,16 +48,9 @@ object DedupQueries {
       |       string_split(text, ' ')[CAST(i AS INT) + 2] || '_' ||
       |       string_split(text, ' ')[CAST(i AS INT) + 3]))""".stripMargin
 
-  private val charShinglesExpr =
-    "array_distinct(transform(sequence(0, length(text) - 5), i -> substring(text, i + 1, 5)))"
-
   private val charShinglesSql =
     """list_distinct(list_transform(range(0, length(text) - 4),
       |  i -> substr(text, CAST(i AS INT) + 1, 5)))""".stripMargin
-
-  /** Polynomial string hash (base 131 mod 1e9+7) as a nested HOF. */
-  private def polyHash(inner: String) =
-    s"aggregate(transform(split($inner, ''), c -> ascii(c)), 0L, (acc, c) -> (acc * 131 + c) % $MinhashPrime)"
 
   /** d01: exact duplicate chunks — hash-groupBy on fact text;
     * groups with >1 member are the duplicates. */
@@ -68,13 +61,10 @@ object DedupQueries {
       .filter(col("n") > 1)
       .orderBy("canonical_id")
 
-  /** d02: MinHash + banded LSH near-dup pairs, verified by exact
-    * Jaccard >= 0.8. Candidate generation is an equi-join on
-    * (band, band_signature) — never the n² cross product. */
-  /** Same polynomial hash as the `polyHash` SQL expression — the
-    * minhash kernel is tight numeric looping, so it runs as a typed
-    * map (plain JVM code, still a narrow map-side transform) while
-    * candidate generation and verification stay relational. */
+  /** Polynomial string hash, base 131 mod 1e9+7 — the minhash kernel
+    * is tight numeric looping, so it runs as a typed map (plain JVM
+    * code, still a narrow map-side transform) while candidate
+    * generation and verification stay relational. */
   def polyHashJvm(s: String): Long = {
     var h = 0L
     var i = 0
