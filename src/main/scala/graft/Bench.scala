@@ -24,7 +24,13 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // isolate queries: drop per-query caches
+      // Isolate queries: clearCache() drops per-query cached plans, but
+      // broadcast blocks (BroadcastExchange results) are only released
+      // by the ContextCleaner once the referencing plan is GC'd — an
+      // explicit GC lets the cleaner reclaim them between queries, so
+      // later queries aren't taxed by accumulated broadcast/GC pressure.
+      spark.catalog.clearCache()
+      System.gc()
       name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

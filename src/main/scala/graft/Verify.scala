@@ -24,7 +24,12 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      spark.catalog.clearCache() // isolate queries: drop per-query caches
+      // Isolate queries: drop per-query caches, and nudge GC so the
+      // ContextCleaner releases broadcast blocks of the finished plan
+      // (clearCache alone leaves them pinned — accumulated broadcast/GC
+      // pressure taxed later queries by up to ~10x).
+      spark.catalog.clearCache()
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -29,7 +29,14 @@ class HllSketch(p: Int = 12) extends Aggregator[Long, HllBuf, Long] {
   def reduce(buf: HllBuf, x: Long): HllBuf = {
     val h = hash64(x)
     val bucket = (h & (m - 1)).toInt
-    val rank = java.lang.Long.numberOfLeadingZeros((h >>> p) | 1L << (63 - p)) + 1
+    // Rank = position of the first 1-bit in the (64-p)-bit payload,
+    // counted within the payload's own window: the payload occupies
+    // bits 0..63-p of (h >>> p), so its leading-zero count starts at p
+    // for a full payload. All-zero payload takes the max rank 65-p.
+    val w = h >>> p
+    val rank =
+      if (w == 0L) 65 - p
+      else java.lang.Long.numberOfLeadingZeros(w) - p + 1
     if (rank > buf.registers(bucket)) buf.registers(bucket) = rank
     buf
   }

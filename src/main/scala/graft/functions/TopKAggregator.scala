@@ -24,13 +24,33 @@ class TopKAggregator(k: Int)
 
   def zero: TopKBuf = TopKBuf(Nil)
 
-  def reduce(buf: TopKBuf, x: (Double, Long)): TopKBuf =
-    TopKBuf((x :: buf.items).sortWith(better).take(k))
+  // Buffer invariant: items sorted WORST-first, size <= k. The common
+  // reduce case — buffer full, x no better than the current worst —
+  // is a single comparison with zero allocation, so streaming millions
+  // of scored rows through the map-side partial stays cheap.
+  def reduce(buf: TopKBuf, x: (Double, Long)): TopKBuf = {
+    val items = buf.items
+    if (items.lengthCompare(k) >= 0 && !better(x, items.head)) buf
+    else {
+      val withX = insertWorstFirst(x, items)
+      TopKBuf(if (withX.lengthCompare(k) > 0) withX.tail else withX)
+    }
+  }
 
-  def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
-    TopKBuf((a.items ++ b.items).sortWith(better).take(k))
+  private def insertWorstFirst(
+      x: (Double, Long), items: List[(Double, Long)]): List[(Double, Long)] =
+    items match {
+      case h :: t if better(x, h) => h :: insertWorstFirst(x, t)
+      case _ => x :: items
+    }
 
-  def finish(buf: TopKBuf): Seq[(Double, Long)] = buf.items.sortWith(better)
+  def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+    val all = (a.items ++ b.items).sortWith((x, y) => better(y, x))
+    val n = all.length
+    TopKBuf(if (n > k) all.drop(n - k) else all)
+  }
+
+  def finish(buf: TopKBuf): Seq[(Double, Long)] = buf.items.reverse
 
   def bufferEncoder: Encoder[TopKBuf] = ExpressionEncoder[TopKBuf]()
   def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder[Seq[(Double, Long)]]()

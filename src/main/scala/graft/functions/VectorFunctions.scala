@@ -37,4 +37,20 @@ object VectorFunctions {
   def cosineNative6(a: Column, b: Column): Column =
     round(dotNative(a, b) /
       (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b))), 6)
+
+  /** L2 norm via the native dot (for precomputing per-vector norms). */
+  def normNative(a: Column): Column = sqrt(dotNative(a, a))
+
+  /** round-6 cosine from one native dot + PRECOMPUTED per-side norms.
+    * Bit-identical to cosineNative6 — sqrt(dot(x,x)) is deterministic,
+    * so hoisting it out of the pair loop changes nothing — but an
+    * all-pairs scoring pass does ONE dot per pair instead of three. */
+  def cosinePre6(a: Column, b: Column, na: Column, nb: Column): Column =
+    round(cosinePreRaw(a, b, na, nb), 6)
+
+  /** UNROUNDED prenorm cosine — for hot loops that defer round(6) to
+    * the few surviving rows (Spark's round allocates a BigDecimal per
+    * value, which dominates an all-pairs pass if applied per pair). */
+  def cosinePreRaw(a: Column, b: Column, na: Column, nb: Column): Column =
+    dotNative(a, b) / (na * nb)
 }

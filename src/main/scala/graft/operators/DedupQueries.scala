@@ -108,7 +108,7 @@ object DedupQueries {
     }
     val docShingles = sigs.select(col("doc_id"), col("shingles")).cache()
     // Narrow (doc_id, cell) rows shuffle for the self-join; shingle
-    // payloads re-attach afterwards via broadcast of the per-doc table.
+    // payloads re-attach afterwards, filtered to candidate docs only.
     val cells = sigs.select(col("doc_id"),
       explode(array(bandCols: _*)).as("cell"))
       .cache()
@@ -116,9 +116,19 @@ object DedupQueries {
         col("l.cell") === col("r.cell") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
+      .cache() // tiny (LSH-surviving pairs); reused for the payload semi-join
+    // Shingle payloads re-attach via broadcast of the CANDIDATE-FILTERED
+    // per-doc table only — the full table is first semi-joined down to
+    // docs that appear in some candidate pair (a broadcast semi-join
+    // against the tiny pair set, so the payload table never shuffles
+    // and only O(|candidates|) array payloads are ever broadcast).
+    val candDocs = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val payload = docShingles.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     candidates
-      .join(broadcast(docShingles.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))), "doc_a")
-      .join(broadcast(docShingles.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))), "doc_b")
+      .join(broadcast(payload.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))), "doc_a")
+      .join(broadcast(payload.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))), "doc_b")
       .withColumn("j", round(
         size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb"))), 4))
@@ -198,8 +208,9 @@ object DedupQueries {
     *    intersection by 1 + min(|A|-pa, |B|-pb), which must reach
     *    ceil(t/(1+t) * (|A|+|B|)) — prunes late-prefix collisions.
     * Verification is an exact two-pointer merge over sorted 64-bit
-    * gram hashes (primitive arrays, no boxing); the per-doc gram
-    * table is small and BROADCAST so candidate pairs never shuffle. */
+    * gram hashes (primitive arrays, no boxing); gram payloads
+    * re-attach via broadcast of the candidate-filtered per-doc table
+    * (never the full corpus). */
   def d04NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
@@ -216,6 +227,10 @@ object DedupQueries {
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy("gram_df", "gram")))
       .filter(col("rk") <= floor(col("sz") * (1 - t)) + 1)
+      // gram_df == 1 rows still occupy prefix POSITIONS (rk above) but
+      // can never match another doc — drop them before the self-join,
+      // which shrinks its input to the genuinely shareable grams.
+      .filter(col("gram_df") > 1)
       .select("doc_id", "sz", "gram", "rk")
     val candidates = prefix.as("l").join(prefix.as("r"),
         col("l.gram") === col("r.gram") && col("l.doc_id") < col("r.doc_id") &&
@@ -224,9 +239,17 @@ object DedupQueries {
             ceil((col("l.sz") + col("r.sz")) * (t / (1 + t))))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
+      .cache() // tiny (prefix-filter survivors); reused for the payload semi-join
+    // As in d02: broadcast only the candidate-filtered gram table, never
+    // the full per-doc payload (semi-join against the tiny pair set is a
+    // broadcast semi-join — the gram table itself never shuffles).
+    val candDocs = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val payload = g.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     candidates
-      .join(broadcast(g.select(col("doc_id").as("doc_a"), col("grams").as("ga"), col("sz").as("sza"))), "doc_a")
-      .join(broadcast(g.select(col("doc_id").as("doc_b"), col("grams").as("gb"), col("sz").as("szb"))), "doc_b")
+      .join(broadcast(payload.select(col("doc_id").as("doc_a"), col("grams").as("ga"), col("sz").as("sza"))), "doc_a")
+      .join(broadcast(payload.select(col("doc_id").as("doc_b"), col("grams").as("gb"), col("sz").as("szb"))), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("ga"), col("sza"), col("gb"), col("szb"))
       .as[(Long, Long, Array[Long], Int, Array[Long], Int)]
       .map { case (a, b, ga, sza, gb, szb) =>
@@ -245,9 +268,19 @@ object DedupQueries {
     import graft.functions.VectorFunctions._
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nv", normNative(col("v"))) // norm hoisted out of the pair loop
+      // one parquet split at test SF would serialize the pair loop on
+      // one core; repartition keeps the streamed side parallel
+      .repartition(spark.sparkContext.defaultParallelism)
+    // Prefilter on the RAW score with a 1e-6 slack margin (any pair
+    // whose ROUNDED cos passes the threshold certainly passes raw
+    // >= t - 1e-6), then round(6) only the tiny survivor set —
+    // round()'s per-value BigDecimal is deadly at all-pairs scale.
     e.as("l").join(e.as("r"), col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
-        cosineNative6(col("l.v"), col("r.v")).as("cos"))
+        cosinePreRaw(col("l.v"), col("r.v"), col("l.nv"), col("r.nv")).as("rawcos"))
+      .filter(col("rawcos") >= CosineThreshold - 1e-6)
+      .select(col("vec_a"), col("vec_b"), round(col("rawcos"), 6).as("cos"))
       .filter(col("cos") >= CosineThreshold)
       .orderBy("vec_a", "vec_b")
   }

@@ -52,23 +52,51 @@ object ExtendedQueries {
 
   /** e01: k-NN classification — every vector's label predicted by
     * majority vote of its top-5 cosine neighbours; emitted with the
-    * true label so downstream can compute accuracy. All-pairs scoring
-    * uses the native dot-product expression; at 100 TB the candidate
-    * set would come from v05's LSH cells instead of the cross join. */
+    * true label so downstream can compute accuracy.
+    *
+    * Fully distributed: the all-pairs scoring is a non-equi SELF-JOIN
+    * (Catalyst plans BNLJ or cartesian by size — NOTHING is collected
+    * to the driver), and ranking partial-aggregates map-side via the
+    * native TopKAgg (TypedImperativeAggregate: updates read the
+    * scored row directly, the buffer is two primitive arrays) so only
+    * k entries per query cross the shuffle. Neighbour/true labels
+    * re-attach by plain equi-joins on the narrow (vec_id, label)
+    * projection — AQE picks the join strategy. At 100 TB the exact
+    * all-pairs compute itself is the cost to replace (ANN
+    * cell-blocking à la d06); the plan shape here has no driver-side
+    * or broadcast O(corpus) transfer. */
   def e01KnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    // repartition: the corpus arrives as ONE parquet split at test SF
+    // (a few MB), which would serialize the whole all-pairs pass on a
+    // single core; at 100 TB the scan has natural parallelism and this
+    // is a no-op-cheap narrow redistribution.
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+      .withColumn("nv", normNative(col("v")))
+      .repartition(spark.sparkContext.defaultParallelism)
       .cache()
-    // The "query set" here is every vector (bounded: k×dim doubles per
-    // query; at 100 TB this collect becomes per-batch). Labels rejoin
-    // from the corpus side below.
-    val queries = e.select(col("vec_id"), col("v"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val q = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("nq"))
+    // Rank on the RAW cosine (round(6) allocates a BigDecimal per value
+    // — deadly at 25M pairs); keep k+8 so round-6 boundary ties re-rank
+    // exactly on the rounded value over the tiny survivor set (same tie
+    // buffer the bruteTopK kernel uses).
+    val scored = e.join(q, col("vec_id") =!= col("qid"))
+      .select(col("qid"),
+        cosinePreRaw(col("v"), col("qv"), col("nv"), col("nq")).as("rawcos"), col("vec_id"))
+    val byCos = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val neighbours = scored.groupBy("qid")
+      .agg(org.apache.spark.sql.graft.TopKAgg.topK(col("rawcos"), col("vec_id"), 5 + 8).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), round(col("t.cos"), 6).as("cos"), col("t.vec_id").as("vec_id"))
+      .withColumn("rk", row_number().over(byCos))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("vec_id"))
+    val labels = e.select(col("vec_id"), col("label"))
     val trueLabels = e.select(col("vec_id").as("qid"), col("label").as("true_label"))
-    val neighbours = VectorQueries.bruteTopK(spark, e, queries, k = 5)
-      .join(broadcast(trueLabels), "qid")
     val byVotes = Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))
     neighbours
+      .join(labels, "vec_id")
+      .join(trueLabels, "qid")
       .groupBy("qid", "true_label", "label")
       .agg(count(lit(1)).as("votes"))
       .withColumn("vrk", row_number().over(byVotes))

@@ -46,13 +46,14 @@ object VectorQueries {
     * Queries broadcast (bounded set); rank window partitioned by
     * query_id so it parallelizes by query. */
   def v02KnnBatch(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
+    val e = emb(spark, dir).withColumn("nv", normNative(col("v")))
     val q = e.filter(col("label") === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nq"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), cosineNative6(col("v"), col("qv")).as("cos"))
+      .select(col("query_id"), col("vec_id"),
+        cosinePre6(col("v"), col("qv"), col("nv"), col("nq")).as("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .orderBy("query_id", "rk")
@@ -63,9 +64,14 @@ object VectorQueries {
     * links fact ids to chroma ids — storage.py:240). */
   private def factEmb(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val nVec = e.count() // scalar metadata action; corpus never collected
+    // |embeddings| as a LAZY 1-row broadcast (no eager count() action:
+    // plan construction stays free and the scalar is computed inside
+    // the same job as the query itself).
+    val nVec = e.groupBy().agg(count(lit(1)).as("n_vec"))
     HippoGraph.facts(spark, dir)
-      .withColumn("vec_id", col("fact_id") % nVec)
+      .crossJoin(broadcast(nVec))
+      .withColumn("vec_id", col("fact_id") % col("n_vec"))
+      .drop("n_vec")
       .join(e.select("vec_id", "v"), "vec_id")
   }
 
@@ -206,12 +212,13 @@ object VectorQueries {
     * identical results through a different physical plan. */
   def v06KnnAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = emb(spark, dir)
+    val e = emb(spark, dir).withColumn("nv", normNative(col("v")))
     val q = e.filter(col("label") === 1)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("nq"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), cosineNative6(col("v"), col("qv")).as("cos"), col("vec_id"))
+      .select(col("qid"),
+        cosinePre6(col("v"), col("qv"), col("nv"), col("nq")).as("cos"), col("vec_id"))
     val top = new graft.functions.TopKAggregator(5).toColumn
     scored.as[(Long, Double, Long)]
       .groupByKey(_._1)

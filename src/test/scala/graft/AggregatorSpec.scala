@@ -40,6 +40,19 @@ class AggregatorSpec extends SparkSpec {
     assert(err < 0.05, s"HLL error $err too high (est=$est, exact=$exact)")
   }
 
+  test("HLL sketch stays accurate far above the small-range regime") {
+    import spark.implicits._
+    // 200k distinct longs >> m*ln(m) ~ 34k at p=12: this cardinality is
+    // served by the raw harmonic-mean estimate, not the linear-counting
+    // small-range branch — a degenerate rank computation (constant rank)
+    // collapses here even when small inputs look fine.
+    val n = 200000L
+    val est = spark.range(n).as[Long].select(new HllSketch(12).toColumn.name("est")).head()
+    val err = math.abs(est - n).toDouble / n
+    info(s"HLL large: est=$est exact=$n err=${(err * 100).round}%")
+    assert(err < 0.05, s"HLL error $err too high at large cardinality (est=$est)")
+  }
+
   test("graft_dot is callable from plain SQL via GraftExtensions") {
     val r = spark.sql(
       "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
