@@ -108,7 +108,7 @@ object DedupQueries {
     }
     val docShingles = sigs.select(col("doc_id"), col("shingles")).cache()
     // Narrow (doc_id, cell) rows shuffle for the self-join; shingle
-    // payloads re-attach afterwards, filtered to candidate docs only.
+    // payloads re-attach afterwards via the tiny candidate-pair join.
     val cells = sigs.select(col("doc_id"),
       explode(array(bandCols: _*)).as("cell"))
       .cache()
@@ -116,19 +116,16 @@ object DedupQueries {
         col("l.cell") === col("r.cell") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-      .cache() // tiny (LSH-surviving pairs); reused for the payload semi-join
-    // Shingle payloads re-attach via broadcast of the CANDIDATE-FILTERED
-    // per-doc table only — the full table is first semi-joined down to
-    // docs that appear in some candidate pair (a broadcast semi-join
-    // against the tiny pair set, so the payload table never shuffles
-    // and only O(|candidates|) array payloads are ever broadcast).
-    val candDocs = candidates.select(col("doc_a").as("doc_id"))
-      .union(candidates.select(col("doc_b").as("doc_id")))
-      .distinct()
-    val payload = docShingles.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    // Shingle payloads re-attach by joining the TINY pair set against
+    // the cached per-doc table — no hints: at runtime AQE broadcasts
+    // the genuinely small side (the pairs), so the payload table is
+    // never broadcast and never shuffled, and the expensive candidate
+    // subtree appears exactly once in the DAG (a nest of eager
+    // broadcast builds over a shared uncached subtree recomputes it
+    // concurrently — measured 5x wall-clock at sf0.1).
     candidates
-      .join(broadcast(payload.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))), "doc_a")
-      .join(broadcast(payload.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))), "doc_b")
+      .join(docShingles.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(docShingles.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
       .withColumn("j", round(
         size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb"))), 4))
@@ -209,8 +206,9 @@ object DedupQueries {
     *    ceil(t/(1+t) * (|A|+|B|)) — prunes late-prefix collisions.
     * Verification is an exact two-pointer merge over sorted 64-bit
     * gram hashes (primitive arrays, no boxing); gram payloads
-    * re-attach via broadcast of the candidate-filtered per-doc table
-    * (never the full corpus). */
+    * re-attach by joining the tiny candidate-pair set against the
+    * per-doc gram table (AQE broadcasts the pair side — the payload
+    * table is never broadcast). */
   def d04NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
@@ -239,17 +237,13 @@ object DedupQueries {
             ceil((col("l.sz") + col("r.sz")) * (t / (1 + t))))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-      .cache() // tiny (prefix-filter survivors); reused for the payload semi-join
-    // As in d02: broadcast only the candidate-filtered gram table, never
-    // the full per-doc payload (semi-join against the tiny pair set is a
-    // broadcast semi-join — the gram table itself never shuffles).
-    val candDocs = candidates.select(col("doc_a").as("doc_id"))
-      .union(candidates.select(col("doc_b").as("doc_id")))
-      .distinct()
-    val payload = g.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    // As in d02: join the tiny pair set against the cached gram table
+    // with NO broadcast hints — AQE broadcasts the small pair side at
+    // runtime, the gram payloads never shuffle or broadcast, and the
+    // candidate subtree is evaluated exactly once.
     candidates
-      .join(broadcast(payload.select(col("doc_id").as("doc_a"), col("grams").as("ga"), col("sz").as("sza"))), "doc_a")
-      .join(broadcast(payload.select(col("doc_id").as("doc_b"), col("grams").as("gb"), col("sz").as("szb"))), "doc_b")
+      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga"), col("sz").as("sza")), "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb"), col("sz").as("szb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("ga"), col("sza"), col("gb"), col("szb"))
       .as[(Long, Long, Array[Long], Int, Array[Long], Int)]
       .map { case (a, b, ga, sza, gb, szb) =>
