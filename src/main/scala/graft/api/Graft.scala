@@ -3,14 +3,15 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Embedder, HashEmbedder, NliModel, HeuristicNli, VectorFunctions}
-import graft.operators.Splitters
+import graft.functions.{Embedder, HashEmbedder, LlmBackend, NliModel, HeuristicNli, Prompts, TemplateLlm, TextHelpers, VectorFunctions}
+import graft.operators.{Splitters, VectorQueries}
 import graft.store.HippoDb
 
 /** User-facing facade — the complete hippollm surface, Spark-first.
   *
   * Reference mapping:
   *   annotate           ~ annotator.py:221 annotate() (batch, corpus-wide)
+  *   annotateResolved   ~ + annotator.py:156 _find_equivalent_entity
   *   closestFacts       ~ storage.py:266 get_closest_facts
   *   closestEntities    ~ storage.py:255 get_closest_entities
   *   neighbours         ~ storage.py:213 get_neighbours
@@ -18,15 +19,16 @@ import graft.store.HippoDb
   *   closestFactsWith   ~ storage.py:325/332 hybrid retrieval
   *   retrieve           ~ retrieval.py query loop (top-k + context)
   *
-  * The embedding/NLI models are injected traits (deterministic stubs
-  * by default — no model runtimes in this container); every query is
-  * a declarative Spark plan: query vectors broadcast, corpus never
-  * collected, top-k via TakeOrderedAndProject.
+  * The embedding/NLI/LLM models are injected traits (deterministic
+  * stubs by default — no model runtimes in this container); every
+  * query is a declarative Spark plan: query vectors broadcast, corpus
+  * never collected, top-k via TakeOrderedAndProject.
   */
 final class Graft(
     spark: SparkSession,
     embedder: Embedder = new HashEmbedder(64),
-    nli: NliModel = new HeuristicNli) extends Serializable {
+    nli: NliModel = new HeuristicNli,
+    llm: LlmBackend = new TemplateLlm) extends Serializable {
 
   import VectorFunctions._
 
@@ -35,10 +37,30 @@ final class Graft(
     * loop); entities from the long-word heuristic (LLM stub);
     * near-identical facts are deduplicated by NLI entailment against
     * their exact-duplicate group (the batch analog of
-    * annotator.py:126 _compare_fact). */
+    * annotator.py:126 _compare_fact).
+    *
+    * Reference parity carried on the schemas:
+    *  - every doc gets a CONTEXT (annotator.py:228 contextualization
+    *    prompt → first_sentence), computed partition-wise and joined
+    *    onto its facts as a `context` column;
+    *  - facts carry `confidence` (storage.py:237 sets 1.0 at
+    *    add_fact);
+    *  - entities carry `description` (storage.py:183 add_entity —
+    *    the annotator inserts with an empty description). */
   def annotate(docs: DataFrame, chunkSize: Int = 100): HippoDb = {
     import spark.implicits._
     val emb = embedder
+    val llmLocal = llm
+    // Per-doc contextualization (annotator.py:228): prompt the LLM
+    // with the head of the doc, keep the first sentence. Narrow
+    // map-side pass; re-attached to facts by a doc_id equi-join
+    // (co-partitioned with the splitter output at scale).
+    val ctx = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val ans = llmLocal.invoke(Prompts.contextualization(t.take(200)))
+        (id, TextHelpers.firstSentence(ans))
+      })
+      .toDF("doc_id", "context")
     val facts = Splitters.recursiveDf(spark, docs, chunkSize)
       .select(
         // hash-derived: stable, collision-safe for ARBITRARY doc ids
@@ -46,11 +68,14 @@ final class Graft(
         xxhash64(col("doc_id"), col("chunk_idx")).as("fact_id"),
         col("doc_id"), col("chunk_idx"),
         col("chunk").as("fact_text"), col("start"), col("end"))
+      .join(ctx, "doc_id")
+      .withColumn("confidence", lit(1.0))
     val edges = facts
       .select(col("fact_id"), explode(split(col("fact_text"), " ")).as("entity"))
       .filter(length(col("entity")) >= 5)
       .distinct()
     val entities = edges.select("entity").distinct()
+      .withColumn("description", lit(""))
     val factEmb = facts.select(col("fact_id"), col("fact_text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, emb.embed(t)) })
@@ -66,12 +91,15 @@ final class Graft(
   def annotateDeduped(docs: DataFrame, chunkSize: Int = 100): HippoDb =
     annotateDedupedWithSources(docs, chunkSize)._1
 
-  /** Like annotateDeduped, but also returns the SOURCES table
-    * (fact_id, doc_id, start, end): every original fact — including
-    * the dropped duplicates — contributes one source span, attached
-    * to its surviving fact. This is storage.py:250 add_fact_source:
-    * when the reference finds a fact already known, it appends the
-    * new source to the existing fact instead of inserting. */
+  /** Like annotateDeduped, but also returns the SOURCES table with
+    * the FULL storage.py:32-59 Source fields —
+    * (fact_id, name, description, url, date, start, end):
+    * every original fact — including the dropped duplicates —
+    * contributes one source span, attached to its surviving fact
+    * (storage.py:250 add_fact_source). Source fields mirror
+    * Source.from_document (storage.py:46): name/url from the doc's
+    * `source` column when present, description = the doc context,
+    * date = null (the reference also sets None). */
   def annotateDedupedWithSources(
       docs: DataFrame, chunkSize: Int = 100): (HippoDb, DataFrame) = {
     import spark.implicits._
@@ -99,17 +127,120 @@ final class Graft(
       .toDF("survivor_id", "original_id")
     val kept = mapping.filter(col("survivor_id") === col("original_id"))
       .select(col("survivor_id").as("fact_id"))
+    val docMeta =
+      if (docs.columns.contains("source"))
+        docs.select(col("doc_id"), col("source").as("name"),
+          col("source").as("url"))
+      else docs.select(col("doc_id"), lit(null).cast("string").as("name"),
+        lit(null).cast("string").as("url"))
     val sources = mapping
-      .join(full.facts.select(col("fact_id").as("original_id"),
-        col("doc_id"), col("start"), col("end")), "original_id")
-      .select(col("survivor_id").as("fact_id"), col("doc_id"), col("start"), col("end"))
+      .join(full.facts.select(col("fact_id").as("original_id"), col("doc_id"),
+        col("context").as("description"), col("start"), col("end")), "original_id")
+      .join(docMeta, "doc_id")
+      .select(col("survivor_id").as("fact_id"), col("name"), col("description"),
+        col("url"), lit(null).cast("timestamp").as("date"),
+        col("start"), col("end"))
     val db = HippoDb(
       facts = full.facts.join(kept, Seq("fact_id"), "left_semi"),
       edges = full.edges.join(kept, Seq("fact_id"), "left_semi"),
       entities = full.edges.join(kept, Seq("fact_id"), "left_semi")
-        .select("entity").distinct(),
-      factEmb = full.factEmb.join(kept, Seq("fact_id"), "left_semi"))
+        .select("entity").distinct().withColumn("description", lit("")),
+      factEmb = full.factEmb.join(kept, Seq("fact_id"), "left_semi"),
+      sources = Some(sources))
     (db, sources)
+  }
+
+  /** Distributed entity resolution — annotator.py:156-182
+    * _find_equivalent_entity re-expressed as one batch pass instead
+    * of a per-fact loop:
+    *
+    *  1. embed each distinct entity (its repr, "name (description)"
+    *     when a description exists — storage.py:191 — lowercased so
+    *     the stub hash-embedder sees case variants as identical
+    *     tokens, the role the real sentence embedder plays);
+    *  2. candidate pairs via multi-table LSH cell-blocking over those
+    *     embeddings (equi-join on (table, bucket) — NEVER the n²
+    *     cross product; the get_closest_entities(k=10) analog);
+    *  3. confirm candidates with the NLI entailment stub in either
+    *     direction (entailment_classify + the yes/no equivalence
+    *     prompt of the reference, collapsed into the injected stub);
+    *  4. canonicalize: iterated min-label propagation over the
+    *     equivalence graph (each round a join+groupBy; variant
+    *     clusters have tiny diameter so a fixed 4 rounds converges);
+    *  5. rewrite edges onto canonical entities.
+    *
+    * Returns (entity, canonical) — identity rows included. */
+  def resolveEntities(entities: DataFrame): DataFrame = {
+    import spark.implicits._
+    val emb = embedder
+    val nliLocal = nli
+    val hasDesc = entities.columns.contains("description")
+    val named = (
+      if (hasDesc) entities.select(col("entity"), col("description"))
+      else entities.select(col("entity"), lit("").as("description"))
+    ).as[(String, String)]
+    val entEmb = named
+      .mapPartitions(_.map { case (e, d) =>
+        val repr = if (d == null || d.isEmpty) e else s"$e ($d)"
+        (e, emb.embed(repr.toLowerCase).map(_.toDouble))
+      })
+      .toDF("entity", "v")
+      .cache()
+    val planes = VectorQueries.lshPlanes(
+      VectorQueries.LshTables * VectorQueries.LshBits, embedder.dim, seed = 42L)
+    val tables = (0 until VectorQueries.LshTables).map { t =>
+      struct(lit(t).as("table"),
+        VectorQueries.signature(
+          planes.slice(t * VectorQueries.LshBits, (t + 1) * VectorQueries.LshBits))(
+          col("v")).as("bucket"))
+    }
+    val cells = entEmb.select(col("entity"), col("v"),
+      explode(array(tables: _*)).as("cell"))
+    val cand = cells.as("l").join(cells.as("r"),
+        col("l.cell") === col("r.cell") && col("l.entity") < col("r.entity"))
+      .select(col("l.entity").as("a"), col("r.entity").as("b"),
+        cosineNative6(col("l.v"), col("r.v")).as("cos"))
+      .filter(col("cos") >= 0.5)
+      .select("a", "b")
+      .distinct()
+    // NLI confirmation (the stub stands in for NLI classify + LLM
+    // equivalence): either direction suffices, as the reference takes
+    // the first yes among top matches.
+    val confirmed = cand.as[(String, String)]
+      .filter { case (a, b) =>
+        nliLocal.entails(a.toLowerCase, b.toLowerCase) ||
+          nliLocal.entails(b.toLowerCase, a.toLowerCase)
+      }
+      .toDF("a", "b")
+    // Min-label propagation: canonical = lexicographic min reachable
+    // over the equivalence graph.
+    val sym = confirmed
+      .union(confirmed.select(col("b").as("a"), col("a").as("b")))
+    var lab = entEmb.select(col("entity"), col("entity").as("canon"))
+    (1 to 4).foreach { _ =>
+      val viaNeighbour = sym
+        .join(lab.withColumnsRenamed(Map("entity" -> "b", "canon" -> "ncanon")), "b")
+        .groupBy(col("a").as("entity"))
+        .agg(min("ncanon").as("ncanon"))
+      lab = lab.join(viaNeighbour, Seq("entity"), "left")
+        .select(col("entity"),
+          least(col("canon"), coalesce(col("ncanon"), col("canon"))).as("canon"))
+    }
+    lab.select(col("entity"), col("canon").as("canonical"))
+  }
+
+  /** annotate + entity resolution applied: edges rewritten onto
+    * canonical entities, the entity dim collapsed to canonicals. */
+  def annotateResolved(docs: DataFrame, chunkSize: Int = 100): HippoDb = {
+    val full = annotate(docs, chunkSize)
+    val mapping = resolveEntities(full.entities)
+    val edges = full.edges
+      .join(mapping, "entity")
+      .select(col("fact_id"), col("canonical").as("entity"))
+      .distinct()
+    val entities = edges.select("entity").distinct()
+      .withColumn("description", lit(""))
+    full.copy(edges = edges, entities = entities)
   }
 
   private def queryVec(text: String) =
@@ -125,12 +256,21 @@ final class Graft(
       .select("fact_id", "fact_text", "cos")
       .orderBy(col("cos").desc, col("fact_id"))
 
-  /** Top-k entities by cosine of their name embedding. */
+  /** Top-k entities by cosine of their repr embedding ("name
+    * (description)" when a description exists — storage.py:191). */
   def closestEntities(db: HippoDb, query: String, k: Int = 5): DataFrame = {
     import spark.implicits._
     val emb = embedder
-    val entEmb = db.entities.select(col("entity")).as[String]
-      .mapPartitions(_.map(e => (e, emb.embed(e))))
+    val hasDesc = db.entities.columns.contains("description")
+    val named = (
+      if (hasDesc) db.entities.select(col("entity"), col("description"))
+      else db.entities.select(col("entity"), lit("").as("description"))
+    ).as[(String, String)]
+    val entEmb = named
+      .mapPartitions(_.map { case (e, d) =>
+        val repr = if (d == null || d.isEmpty) e else s"$e ($d)"
+        (e, emb.embed(repr))
+      })
       .toDF("entity", "embedding")
     entEmb.select(col("entity"), cosine6(toDouble(col("embedding")), queryVec(query)).as("cos"))
       .orderBy(col("cos").desc, col("entity"))
@@ -145,6 +285,18 @@ final class Graft(
       .groupBy("entity").agg(countDistinct("fact_id").as("n_shared_facts"))
   }
 
+  /** get_neighbours(return_facts=True) (storage.py:213-224): each
+    * neighbour with the SORTED LIST of shared fact ids, not just the
+    * count. collect_list stays bounded by the neighbour's true fact
+    * fan-in (the same payload the reference materializes). */
+  def neighboursWithFacts(db: HippoDb, entity: String): DataFrame = {
+    val probe = db.edges.filter(col("entity") === entity).select(col("fact_id").as("pf"))
+    db.edges.join(broadcast(probe), col("fact_id") === col("pf"))
+      .filter(col("entity") =!= entity)
+      .groupBy("entity")
+      .agg(sort_array(collect_set("fact_id")).as("fact_ids"))
+  }
+
   /** Facts involving ANY (union=true) or ALL of the given entities. */
   def factsByEntities(db: HippoDb, entities: Seq[String], union: Boolean = true): DataFrame = {
     val m = db.edges.filter(col("entity").isin(entities: _*))
@@ -156,18 +308,31 @@ final class Graft(
   }
 
   /** Hybrid retrieval: top-k by cosine among facts passing the
-    * entity filter (graph semi-join first, then vector scoring). */
+    * entity filter (graph semi-join first, then vector scoring).
+    *
+    * Edge semantics mirrored from storage.py:308-309: when k exceeds
+    * the candidate count, ALL candidate facts return UNRANKED (cos
+    * null, ordered by fact_id) — the reference skips the vector
+    * lookup entirely in that case. The candidate count is one scalar
+    * action over the semi-joined id set (bounded, never the corpus). */
   def closestFactsWithEntities(
       db: HippoDb, query: String, entities: Seq[String],
       union: Boolean = true, k: Int = 5): DataFrame = {
     val filtered = factsByEntities(db, entities, union).select("fact_id")
-    db.factEmb.join(filtered, Seq("fact_id"), "left_semi")
-      .select(col("fact_id"), cosine6(toDouble(col("embedding")), queryVec(query)).as("cos"))
-      .orderBy(col("cos").desc, col("fact_id"))
-      .limit(k)
-      .join(db.facts, "fact_id")
-      .select("fact_id", "fact_text", "cos")
-      .orderBy(col("cos").desc, col("fact_id"))
+    if (k > filtered.count()) {
+      db.facts.join(filtered, Seq("fact_id"), "left_semi")
+        .select(col("fact_id"), col("fact_text"),
+          lit(null).cast("double").as("cos"))
+        .orderBy("fact_id")
+    } else {
+      db.factEmb.join(filtered, Seq("fact_id"), "left_semi")
+        .select(col("fact_id"), cosine6(toDouble(col("embedding")), queryVec(query)).as("cos"))
+        .orderBy(col("cos").desc, col("fact_id"))
+        .limit(k)
+        .join(db.facts, "fact_id")
+        .select("fact_id", "fact_text", "cos")
+        .orderBy(col("cos").desc, col("fact_id"))
+    }
   }
 
   /** retrieval.py's loop body: top-k facts + an answer-context blob

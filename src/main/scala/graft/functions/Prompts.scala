@@ -51,6 +51,35 @@ object Prompts {
     s"""Using only these facts:
        |$facts
        |Answer the question: $query""".stripMargin
+
+  /** prompts.py:51 entity_selection_prompt: is this entity explicitly
+    * involved in the fact? (yes/no filter after extraction). */
+  def entitySelection(fact: String, entity: String): String =
+    s"""Fact: $fact
+       |Is the entity "$entity" explicitly named in this fact?
+       |Answer yes or no.""".stripMargin
+
+  /** prompts.py:66 new_entities_prompt (via get_new_entities_prompt):
+    * propose entities for a fact, seeded with any already-known ones
+    * itemized as bullets ("-" when none are known). */
+  def newEntities(fact: String, context: String, entities: Seq[String]): String = {
+    val seed =
+      if (entities.nonEmpty) TextHelpers.itemizeList(entities) else "-"
+    s"""Context: $context
+       |List the standalone concepts involved in this fact, one name
+       |per line (answer None if there are none):
+       |Fact: $fact
+       |Entities:
+       |$seed""".stripMargin
+  }
+
+  /** prompts.py:86 question_prompt: answer a question from numbered
+    * facts, citing the number of any fact used. */
+  def question(question: String, facts: String): String =
+    s"""$question
+       |Answer using the numbered facts below, citing the number of
+       |any fact your answer relies on:
+       |$facts""".stripMargin
 }
 
 /** Text helpers — the reference's helpers.py surface. */

@@ -279,6 +279,58 @@ object DedupQueries {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** d06: ANN-BLOCKED embedding near-dup — the 100 TB path for d05's
+    * semantics. Multi-table random-hyperplane LSH cells block the
+    * corpus (candidate generation is an equi-join on (table, bucket),
+    * never the n² cross product); candidates verify with the exact
+    * cosine and the same threshold as d05. More tables than v05's ANN
+    * top-k (16×4 bits) because pair RECALL at cos≈0.45 needs the
+    * union of more independent blockings (per-table collision
+    * p=(1-θ/π)^4 ≈ 0.18 at the threshold → 16 tables ≈ 0.96 recall).
+    * *rows-only*; DedupSpec asserts recall ≥ 0.9 of d05's exact pairs
+    * at sf0.01.
+    *
+    * Tuning note: this corpus' 0.45 threshold sits close to the
+    * random-pair cosine (synthetic embeddings — a stress case for
+    * LSH selectivity), so 4-bit tables admit a large candidate
+    * fraction. A production near-dup threshold (cos ≥ 0.8, θ ≤ 37°,
+    * per-bit p ≥ 0.8) uses MORE bits per table (8–16) and fewer
+    * tables: candidates then shrink by 10²–10³× while recall holds —
+    * the bits/tables trade is the operator's scale dial. */
+  val AnnTables = 16
+  val AnnBits = 4
+
+  def d06EmbedNeardupAnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val planes = VectorQueries.lshPlanes(AnnTables * AnnBits, 64, seed = 77L)
+    val tables = (0 until AnnTables).map { t =>
+      struct(lit(t).as("table"),
+        VectorQueries.signature(
+          planes.slice(t * AnnBits, (t + 1) * AnnBits))(col("v")).as("bucket"))
+    }
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nv", normNative(col("v")))
+      .cache()
+    // Narrow (vec_id, cell) rows for blocking; vector payloads
+    // re-attach afterwards via the tiny candidate-pair join (same
+    // shape as d04 — nothing O(corpus) broadcasts).
+    val cells = e.select(col("vec_id"), explode(array(tables: _*)).as("cell"))
+    val cand = cells.as("l").join(cells.as("r"),
+        col("l.cell") === col("r.cell") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nv").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nv").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        cosinePreRaw(col("va"), col("vb"), col("na"), col("nb")).as("rawcos"))
+      .filter(col("rawcos") >= CosineThreshold - 1e-6)
+      .select(col("vec_a"), col("vec_b"), round(col("rawcos"), 6).as("cos"))
+      .filter(col("cos") >= CosineThreshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -286,7 +338,8 @@ object DedupQueries {
     "d02_minhash_lsh" -> (d02MinhashLsh _),
     "d03_simhash" -> (d03Simhash _),
     "d04_ngram_jaccard" -> (d04NgramJaccard _),
-    "d05_embed_neardup" -> (d05EmbedNeardup _))
+    "d05_embed_neardup" -> (d05EmbedNeardup _),
+    "d06_embed_neardup_ann" -> (d06EmbedNeardupAnn _))
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup" ->

@@ -96,6 +96,22 @@ object GraphQueries {
       max("fact_id").as("last_missing"))
   }
 
+  /** h08: get_neighbours(return_facts=True) (storage.py:213-224) —
+    * each neighbour of the probe entity with the SORTED shared-fact
+    * id list, not just the count. collect_set stays bounded by the
+    * true fan-in (the reference materializes the same per-neighbour
+    * list); emitted as a csv string so the cross-engine compare is
+    * representation-stable. */
+  def h08NeighbourFacts(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val probe = e.filter(col("entity") === ProbeEntity).select(col("fact_id").as("pf"))
+    e.join(broadcast(probe), col("fact_id") === col("pf"))
+      .filter(col("entity") =!= ProbeEntity)
+      .groupBy("entity")
+      .agg(array_join(sort_array(collect_set("fact_id")), ",").as("fact_ids"))
+      .orderBy("entity")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -105,7 +121,8 @@ object GraphQueries {
     "h04_facts_intersection" -> (h04FactsIntersection _),
     "h05_entity_degree" -> (h05EntityDegree _),
     "h06_prune_lone_entities" -> (h06PruneLoneEntities _),
-    "h07_integrity_check" -> (h07IntegrityCheck _))
+    "h07_integrity_check" -> (h07IntegrityCheck _),
+    "h08_neighbour_facts" -> (h08NeighbourFacts _))
 
   private val probeList = ProbeUnion.map(e => s"'$e'").mkString(", ")
 
@@ -147,5 +164,13 @@ object GraphQueries {
          |  missing AS (SELECT fact_id FROM f WHERE fact_id % 10 = 7)
          |SELECT count(*) AS n_missing, min(fact_id) AS first_missing,
          |  max(fact_id) AS last_missing
-         |FROM missing""".stripMargin)
+         |FROM missing""".stripMargin,
+    "h08_neighbour_facts" ->
+      s"""WITH e AS ($edgesSql)
+         |SELECT e2.entity AS entity,
+         |  string_agg(DISTINCT e2.fact_id, ',' ORDER BY e2.fact_id) AS fact_ids
+         |FROM e e1 JOIN e e2 ON e1.fact_id = e2.fact_id
+         |WHERE e1.entity = '$ProbeEntity' AND e2.entity <> '$ProbeEntity'
+         |GROUP BY e2.entity
+         |ORDER BY entity""".stripMargin)
 }

@@ -43,8 +43,15 @@ object VectorQueries {
   }
 
   /** v02: batch k-NN — every label-0 vector gets its top-3 neighbours.
-    * Queries broadcast (bounded set); rank window partitioned by
-    * query_id so it parallelizes by query. */
+    *
+    * CONTRACT: the query side must be a BOUNDED batch (it is
+    * broadcast — executor memory bounds it at ~10⁵–10⁶ vectors; the
+    * driver orchestrating an unbounded query stream submits it in
+    * batches of that size). For a query set that grows with the
+    * corpus, broadcasting is the wrong shape regardless of batching —
+    * use the LSH cell equi-join (annLsh / d06 pair blocking), which
+    * shuffles narrow (vec_id, cell) keys instead. Rank window
+    * partitioned by query_id so it parallelizes by query. */
   def v02KnnBatch(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).withColumn("nv", normNative(col("v")))
     val q = e.filter(col("label") === 0)
@@ -209,7 +216,8 @@ object VectorQueries {
     * in v02, but ranking via TopKAggregator, which partial-aggregates
     * map-side so only k entries per query cross the shuffle (the
     * window form sorts every scored row). Same oracle shape as v02:
-    * identical results through a different physical plan. */
+    * identical results through a different physical plan. Same
+    * bounded-query-batch CONTRACT as v02 (see there). */
   def v06KnnAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = emb(spark, dir).withColumn("nv", normNative(col("v")))

@@ -22,17 +22,26 @@ import graft.sources.Tables
   * splitters.py:46) and an "entity" is a word of length >= minEntityLen
   * appearing in the fact. Both are pure column expressions, so at
   * 100 TB this is a narrow map-side transform — no shuffle at all;
-  * fact_id = doc_id*100 + chunk_idx is collision-free (docs < 10k
-  * chars) and avoids any zipWithIndex/global-ordering dependency.
+  * fact_id = doc_id*100 + chunk_idx avoids any zipWithIndex/global-
+  * ordering dependency and keeps the id ARITHMETIC (h05 derives
+  * doc counts from it, and the DuckDB oracle can reproduce it). The
+  * scheme is collision-free only for docs < MaxDocChars chars, so
+  * oversized docs are EXCLUDED by contract (enforced below, same
+  * predicate on the oracle side). Production ingest with unbounded
+  * docs is graft.api.Graft.annotate, which uses
+  * xxhash64(doc_id, chunk_idx) ids instead.
   */
 object HippoGraph {
   val ChunkSize = 100
   val MinEntityLen = 5
+  /** Above this, fact_id = doc_id*100 + chunk_idx would collide. */
+  val MaxDocChars = 10000
 
   /** Sentence-grained "facts": fixed 100-char chunks with positions. */
   def facts(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("n_chars"))
+      .filter(col("n_chars") < MaxDocChars)
       .withColumn("chunk_idx",
         explode(sequence(lit(0), (ceil(col("n_chars") / ChunkSize.toDouble) - 1).cast("int"))))
       .select(
@@ -64,7 +73,8 @@ object HippoGraph {
        |  i * $ChunkSize AS start,
        |  least(i * $ChunkSize + $ChunkSize, n_chars) AS "end"
        |FROM documents
-       |CROSS JOIN unnest(range(0, CAST(ceil(n_chars / $ChunkSize.0) AS BIGINT))) AS t(i)""".stripMargin
+       |CROSS JOIN unnest(range(0, CAST(ceil(n_chars / $ChunkSize.0) AS BIGINT))) AS t(i)
+       |WHERE n_chars < $MaxDocChars""".stripMargin
 
   val edgesSql: String =
     s"""SELECT DISTINCT fact_id, entity FROM (

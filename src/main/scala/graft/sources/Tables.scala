@@ -21,7 +21,16 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
     * reader rejects; read nanos as long and floor-divide to micros
-    * (same truncation DuckDB applies), yielding TIMESTAMP_NTZ. */
+    * (same truncation DuckDB applies), yielding TIMESTAMP_NTZ.
+    *
+    * nanosAsLong is a SESSION-level flag (Spark has no per-read
+    * option for it) consulted at execution, not just schema
+    * resolution, so it cannot be restored after the read. Setting it
+    * here is one-way but behavior-neutral for every other table: the
+    * flag only changes how TIMESTAMP(NANOS) parquet columns read, and
+    * events is the sole nanos table in this layout. Documented rather
+    * than scoped — a save/restore would break this read's own
+    * execution. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events").withColumn("ts",

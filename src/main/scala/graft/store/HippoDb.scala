@@ -11,10 +11,13 @@ import graft.plans.HippoGraph
   * _load/save, which use entities.json/facts.json + two Chroma dirs).
   *
   * Layout under `dir/`:
-  *   facts/      facts(fact_id, doc_id, chunk_idx, fact_text, start, end)
+  *   facts/      facts(fact_id, doc_id, chunk_idx, fact_text, start, end
+  *               [, context, confidence])
   *   edges/      (fact_id, entity)            — partitioned-by-entity ready
-  *   entities/   (entity)
+  *   entities/   (entity[, description])
   *   fact_emb/   (fact_id, embedding array<float>)  — the vector side
+  *   sources/    (fact_id, name, description, url, date, start, end)
+  *               — full storage.py:32-59 Source fields (optional)
   *   parameters.json                              — config echo
   *
   * At 100 TB: every component is parquet (splittable, column-pruned);
@@ -22,15 +25,18 @@ import graft.plans.HippoGraph
   * a flat array<float> column (vectorized read, no UDT).
   */
 final case class HippoDb(
-    facts: DataFrame, edges: DataFrame, entities: DataFrame, factEmb: DataFrame) {
+    facts: DataFrame, edges: DataFrame, entities: DataFrame, factEmb: DataFrame,
+    sources: Option[DataFrame] = None) {
 
   def save(dir: String, params: Map[String, String] = Map.empty): Unit = {
     facts.write.mode(SaveMode.Overwrite).parquet(s"$dir/facts")
     edges.sortWithinPartitions("entity").write.mode(SaveMode.Overwrite).parquet(s"$dir/edges")
     entities.write.mode(SaveMode.Overwrite).parquet(s"$dir/entities")
     factEmb.write.mode(SaveMode.Overwrite).parquet(s"$dir/fact_emb")
+    sources.foreach(_.write.mode(SaveMode.Overwrite).parquet(s"$dir/sources"))
     val json = (params + ("format" -> "graft-hippo-v1"))
-      .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+      .map { case (k, v) => s"${HippoDb.jsonQuote(k)}: ${HippoDb.jsonQuote(v)}" }
+      .mkString("{", ", ", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/parameters.json"), json)
   }
 
@@ -42,9 +48,30 @@ final case class HippoDb(
     val missing = facts.join(factEmb, Seq("fact_id"), "left_anti").count()
     (nF, nE, missing)
   }
+
+  /** The RECONCILING action of storage.py:152-169 _restore_integrity:
+    * drop vector-side rows whose fact is gone from the graph side (the
+    * reference deletes Chroma ids absent from the entities/facts
+    * lists). A semi-join, so at scale the big embedding table streams
+    * against the fact-id set — no driver collection. */
+  def restoreIntegrity: HippoDb =
+    copy(factEmb = factEmb.join(facts.select("fact_id"), Seq("fact_id"), "left_semi"))
 }
 
 object HippoDb {
+
+  /** JSON string escape (backslash, quote, all control chars < 0x20)
+    * — shared with Verify's oracle dump; raw interpolation would emit
+    * invalid JSON for quotes/newlines in params. */
+  def jsonQuote(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 
   /** Batch annotation build: corpus → graph + vector sides in one
     * declarative pass (the distributed analog of annotator.py:221
@@ -72,11 +99,16 @@ object HippoDb {
     db.edges.write.mode(SaveMode.Append).parquet(s"$dir/edges")
     db.entities.write.mode(SaveMode.Append).parquet(s"$dir/entities")
     db.factEmb.write.mode(SaveMode.Append).parquet(s"$dir/fact_emb")
+    db.sources.foreach(_.write.mode(SaveMode.Append).parquet(s"$dir/sources"))
   }
 
   def load(spark: SparkSession, dir: String): HippoDb = HippoDb(
     facts = spark.read.parquet(s"$dir/facts"),
     edges = spark.read.parquet(s"$dir/edges"),
     entities = spark.read.parquet(s"$dir/entities"),
-    factEmb = spark.read.parquet(s"$dir/fact_emb"))
+    factEmb = spark.read.parquet(s"$dir/fact_emb"),
+    sources =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/sources")))
+        Some(spark.read.parquet(s"$dir/sources"))
+      else None)
 }

@@ -36,30 +36,45 @@ object StreamOps {
 
   /** st02: stateful sessionization with flatMapGroupsWithState —
     * emits a session row whenever a 30-min gap closes it (the
-    * streaming form of q09's lag-window sessionizer). */
+    * streaming form of q09's lag-window sessionizer). Per-user state
+    * is EVICTED via ProcessingTimeTimeout after the session gap: an
+    * inactive user's open session is emitted and its state removed
+    * when the timeout fires, so long-running streams hold state only
+    * for currently-live users. */
   def sessionize(spark: SparkSession, events: Dataset[Ev]): Dataset[SessionOut] = {
     import spark.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          // Events within a micro-batch may be unordered; order here.
-          val sorted = evs.toSeq.sortBy(_.ts.getTime)
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
-          val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            if (st.nEvents == 0L) {
-              st = SessionState(st.sessionId + 1, t, 1L, t)
-            } else if (t - st.lastTs > GapMs) {
-              closed += SessionOut(user, st.sessionId, st.nEvents, new Timestamp(st.startTs))
-              st = SessionState(st.sessionId + 1, t, 1L, t)
-            } else {
-              st = st.copy(lastTs = t, nEvents = st.nEvents + 1)
+          if (state.hasTimedOut) {
+            // Inactive past the gap: close + emit the open session,
+            // drop the state (bounds state by live users).
+            val st = state.get
+            state.remove()
+            if (st.nEvents > 0L)
+              Iterator.single(SessionOut(user, st.sessionId, st.nEvents, new Timestamp(st.startTs)))
+            else Iterator.empty
+          } else {
+            // Events within a micro-batch may be unordered; order here.
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+            val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (st.nEvents == 0L) {
+                st = SessionState(st.sessionId + 1, t, 1L, t)
+              } else if (t - st.lastTs > GapMs) {
+                closed += SessionOut(user, st.sessionId, st.nEvents, new Timestamp(st.startTs))
+                st = SessionState(st.sessionId + 1, t, 1L, t)
+              } else {
+                st = st.copy(lastTs = t, nEvents = st.nEvents + 1)
+              }
             }
+            state.update(st)
+            state.setTimeoutDuration(GapMs)
+            closed.iterator
           }
-          state.update(st)
-          closed.iterator
       }
   }
 

@@ -28,4 +28,17 @@ class DedupSpec extends SparkSpec {
     assert(avgDup < avgRand / 2,
       s"simhash does not separate: $avgDup vs $avgRand")
   }
+
+  test("d06 ANN-blocked near-dup recalls >= 0.9 of d05's exact pairs") {
+    val exact = DedupQueries.d05EmbedNeardup(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "no exact near-dup pairs at sf0.01")
+    val ann = DedupQueries.d06EmbedNeardupAnn(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH candidates verify with the exact cosine → no false positives
+    assert(ann.subsetOf(exact), s"ANN produced non-exact pairs: ${ann -- exact}")
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    info(s"d06 recall vs exact: $recall (${ann.size}/${exact.size} pairs)")
+    assert(recall >= 0.9, s"recall $recall below 0.9")
+  }
 }

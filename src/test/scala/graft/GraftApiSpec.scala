@@ -69,6 +69,54 @@ class GraftApiSpec extends SparkSpec {
     assert(sources.groupBy("fact_id").count().filter(col("count") > 1).count() > 0)
   }
 
+  test("facts carry context and confidence; entities carry description") {
+    import org.apache.spark.sql.functions._
+    assert(db.facts.columns.contains("context"))
+    assert(db.facts.columns.contains("confidence"))
+    // every fact has its doc's context and the reference's 1.0 confidence
+    assert(db.facts.filter(col("context").isNull || col("confidence") =!= 1.0).count() == 0)
+    assert(db.entities.columns.toSet == Set("entity", "description"))
+  }
+
+  test("entity resolution merges case/containment variants onto a canonical") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Einstein developed general relativity theory principles"),
+      (2L, "einstein published papers about photon physics"),
+      (3L, "Quantum mechanics matured through decades of experiments"))
+      .toDF("doc_id", "text")
+    val resolved = api.annotateResolved(docs)
+    val mapping = api.resolveEntities(api.annotate(docs).entities)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // the case variants collapse to one canonical form...
+    assert(mapping("einstein") == mapping("Einstein"))
+    // ...and unrelated entities stay themselves
+    assert(mapping("Quantum") == "Quantum")
+    val ents = resolved.entities.select("entity").as[String].collect().toSet
+    assert(ents.count(_.toLowerCase == "einstein") == 1)
+    // every edge points at a canonical entity
+    assert(resolved.edges.select("entity").distinct().count() == ents.size)
+  }
+
+  test("hybrid retrieval with k > candidates returns ALL candidates unranked") {
+    val candidates = api.factsByEntities(db, Seq("window"), union = true).count()
+    val all = api.closestFactsWithEntities(db, "query", Seq("window"),
+      union = true, k = candidates.toInt + 100).collect()
+    assert(all.length == candidates)
+    // the reference skips the vector lookup entirely: no ranking
+    assert(all.forall(_.isNullAt(2)))
+  }
+
+  test("neighboursWithFacts returns the shared-fact id lists") {
+    import org.apache.spark.sql.functions._
+    val withFacts = api.neighboursWithFacts(db, "window")
+      .select(col("entity"), size(col("fact_ids")).as("n"))
+    val counts = api.neighbours(db, "window")
+    val joined = withFacts.join(counts, "entity")
+    assert(joined.count() > 0)
+    assert(joined.filter(col("n") =!= col("n_shared_facts")).count() == 0)
+  }
+
   test("retrieve returns a bounded RAG context") {
     val (top, prompt) = api.retrieve(db, "stream processing", k = 3)
     assert(top.count() == 3)

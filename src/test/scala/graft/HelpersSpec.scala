@@ -40,4 +40,15 @@ class HelpersSpec extends AnyFunSuite {
     assert(Prompts.confrontation("A", "C", "B").contains("yes or no"))
     assert(Prompts.retrieval("Q", "- f1").contains("Q"))
   }
+
+  test("entity selection / new entities / question prompts (prompts.py:51,66,86)") {
+    val sel = Prompts.entitySelection("F", "E")
+    assert(sel.contains("F") && sel.contains("\"E\"") && sel.contains("yes or no"))
+    // seeded with known entities → itemized; none known → the reference's "-"
+    val seeded = Prompts.newEntities("F", "C", Seq("a", "b"))
+    assert(seeded.contains("- a\n- b"))
+    assert(Prompts.newEntities("F", "C", Nil).trim.endsWith("-"))
+    val q = Prompts.question("WHY", "1. f1\n2. f2")
+    assert(q.contains("WHY") && q.contains("2. f2"))
+  }
 }

@@ -26,6 +26,37 @@ class HippoDbSpec extends SparkSpec {
     assert(nF == nE && missing == 0L)
   }
 
+  test("restoreIntegrity drops vector-side orphans (storage.py _restore_integrity)") {
+    import spark.implicits._
+    val db = HippoDb.build(spark, sf0001, new HashEmbedder(16))
+    // corrupt: vector side has rows whose facts are gone from the graph
+    val orphans = Seq((-1L, Array(1f, 0f)), (-2L, Array(0f, 1f)))
+      .toDF("fact_id", "embedding")
+    val corrupted = db.copy(factEmb = db.factEmb.union(orphans))
+    val (nF0, nE0, _) = corrupted.integrity
+    assert(nE0 == nF0 + 2)
+    val restored = corrupted.restoreIntegrity
+    val (nF, nE, missing) = restored.integrity
+    assert(nF == nE && missing == 0L)
+  }
+
+  test("sources component + escaped params round-trip through save/load") {
+    val tmp = Files.createTempDirectory("hipposrc").toString
+    val api = new graft.api.Graft(spark)
+    val (db, sources) = api.annotateDedupedWithSources(
+      graft.sources.Tables.documents(spark, sf0001))
+    assert(sources.columns.toSeq ==
+      Seq("fact_id", "name", "description", "url", "date", "start", "end"))
+    // params with JSON-hostile chars must survive (escaping, not raw interpolation)
+    db.save(tmp, Map("note" -> "line1\nline\"2\"\\end"))
+    val back = HippoDb.load(spark, tmp)
+    assert(back.sources.isDefined)
+    assert(back.sources.get.count() == sources.count())
+    // the written parameters.json is valid JSON
+    val parsed = spark.read.json(s"$tmp/parameters.json").collect()
+    assert(parsed.length == 1)
+  }
+
   test("embedder is deterministic and normalized") {
     val e = new HashEmbedder(32)
     val a = e.embed("spark join window")

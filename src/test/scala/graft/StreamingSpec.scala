@@ -102,10 +102,16 @@ class StreamingSpec extends SparkSpec {
 
     val stream = MemoryStream[StreamOps.Ev]
     stream.addData(evs)
+    // AvailableNow (not processAllAvailable): with ProcessingTimeTimeout
+    // the engine always schedules another batch to service timeouts, so
+    // processAllAvailable never latches; AvailableNow consumes what's
+    // there and terminates.
     val q = StreamOps.sessionize(spark, stream.toDS())
       .writeStream.format("memory").queryName("st02_out")
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
 
     // Streaming emits only CLOSED sessions; batch computes all, so
     // compare on closed ones (all but each user's last session).
