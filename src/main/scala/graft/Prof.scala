@@ -15,11 +15,9 @@ object Prof {
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.DedupQueries._
     t("warmup q01")(SparkEntry.queries("q01_pricing_summary")(spark, dir).count())
-    t("d04 cold")(d04NgramJaccard(spark, dir).count())
+    t("d06 cold")(d06EmbedNeardupAnn(spark, dir).count())
     spark.catalog.clearCache(); System.gc()
-    t("d02 cold")(d02MinhashLsh(spark, dir).count())
-    spark.catalog.clearCache(); System.gc()
-    t("d04 cold2")(d04NgramJaccard(spark, dir).count())
+    t("d06 cold2")(d06EmbedNeardupAnn(spark, dir).count())
     spark.stop()
   }
 }

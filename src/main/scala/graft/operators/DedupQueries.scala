@@ -316,10 +316,15 @@ object DedupQueries {
     // re-attach afterwards via the tiny candidate-pair join (same
     // shape as d04 — nothing O(corpus) broadcasts).
     val cells = e.select(col("vec_id"), explode(array(tables: _*)).as("cell"))
+    // NO pre-distinct on the candidate stream: deduplicating multi-
+    // table collisions up front is a full extra shuffle of the
+    // candidate set, while the duplicate cosines it would save are
+    // map-side-cheap (mean multiplicity ≈ 1 + L·p per colliding
+    // pair). Score everything, filter, THEN distinct the tiny
+    // survivor set.
     val cand = cells.as("l").join(cells.as("r"),
         col("l.cell") === col("r.cell") && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
-      .distinct()
     cand
       .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nv").as("na")), "vec_a")
       .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nv").as("nb")), "vec_b")
@@ -328,6 +333,7 @@ object DedupQueries {
       .filter(col("rawcos") >= CosineThreshold - 1e-6)
       .select(col("vec_a"), col("vec_b"), round(col("rawcos"), 6).as("cos"))
       .filter(col("cos") >= CosineThreshold)
+      .distinct()
       .orderBy("vec_a", "vec_b")
   }
 
