@@ -153,6 +153,53 @@ object VectorQueries {
       .limit(k)
   }
 
+  /** v07: ANN via IVF (inverted-file) coarse quantization — the
+    * second classic ANN scale path next to LSH (v05), completing the
+    * brute/LSH/IVF strategy triple (*rows-only*; VectorSpec asserts
+    * all-cells probing reproduces brute force exactly and partial
+    * probing keeps recall).
+    *
+    *  1. TRAIN: distributed Lloyd's k-means (e02's kernel) learns
+    *     nCells coarse centroids — the model is k×dim on the driver,
+    *     the corpus never collected;
+    *  2. ASSIGN: every vector to its nearest centroid via the
+    *     codegen'd argmin expression — a narrow map; the inverted
+    *     lists ARE a partitioning of the corpus (at 100 TB: write
+    *     partitioned by cell so probes prune at the FILE level);
+    *  3. PROBE: score only vectors in the query's nProbe nearest
+    *     cells — the scan reads |corpus|·nProbe/nCells instead of
+    *     everything, and the top-k is TakeOrderedAndProject over that
+    *     slice. */
+  val IvfCells = 16
+  val IvfProbe = 4
+
+  def v07AnnIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvf(spark, emb(spark, dir), queryVecId = 0, k = 10,
+      nCells = IvfCells, nProbe = IvfProbe)
+
+  /** Reusable IVF operator over (vec_id, v) rows. */
+  def annIvf(
+      spark: SparkSession, e: DataFrame, queryVecId: Long, k: Int,
+      nCells: Int, nProbe: Int, trainIters: Int = 2): DataFrame = {
+    val cached = e.select(col("vec_id"), col("v")).cache()
+    val (assigned, centroids, _) =
+      KMeans.fit(spark, cached, nCells, trainIters)
+    val qv = cached.filter(col("vec_id") === queryVecId)
+      .select("v").head().getSeq[Double](0).toArray // one row, dim doubles
+    val probeCells = centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0; var j = 0
+      while (j < c.length) { val t = qv(j) - c(j); d += t * t; j += 1 }
+      (d, i)
+    }.sortBy(_._1).take(nProbe).map(_._2)
+    val qCol = array(qv.toIndexedSeq.map(lit): _*)
+    cached.join(assigned, "vec_id")
+      .filter(col("cluster").isin(probeCells.toIndexedSeq: _*))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), cosineNative6(col("v"), qCol).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Scalable brute-force batch k-NN kernel: the CORPUS streams
     * (never collected, never shuffled wide) while the bounded QUERY
     * set is broadcast; each partition keeps a per-query top-k buffer
@@ -262,7 +309,8 @@ object VectorQueries {
     "v03_hybrid_union" -> (v03HybridUnion _),
     "v04_hybrid_intersection" -> (v04HybridIntersection _),
     "v05_ann_lsh" -> (v05AnnLsh _),
-    "v06_knn_agg" -> (v06KnnAgg _))
+    "v06_knn_agg" -> (v06KnnAgg _),
+    "v07_ann_ivf" -> (v07AnnIvf _))
 
   private val probeList = GraphQueries.ProbeUnion.map(e => s"'$e'").mkString(", ")
 

@@ -39,4 +39,23 @@ class VectorSpec extends SparkSpec {
     val b = VectorQueries.v05AnnLsh(spark, sf0001).collect().toSeq
     assert(a == b)
   }
+
+  test("IVF ANN: probing all cells == brute force; partial probe keeps recall") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val brute = VectorQueries.v01KnnFacts(spark, sf0001)
+      .collect().map(_.getLong(0))
+    // probing every cell degenerates to exact brute force — the
+    // machinery (train/assign/probe) must lose nothing
+    val allCells = VectorQueries.annIvf(spark, e, queryVecId = 0, k = 10,
+      nCells = VectorQueries.IvfCells, nProbe = VectorQueries.IvfCells)
+      .collect().map(_.getLong(0))
+    assert(allCells.sameElements(brute), "all-cells IVF differs from brute force")
+    val partial = VectorQueries.annIvf(spark, e, queryVecId = 0, k = 10,
+      nCells = VectorQueries.IvfCells, nProbe = VectorQueries.IvfProbe)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.toSet.intersect(partial).size.toDouble / brute.length
+    info(s"IVF recall@10 (probe ${VectorQueries.IvfProbe}/${VectorQueries.IvfCells}) = $recall")
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
 }
