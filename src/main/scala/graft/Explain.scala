@@ -31,7 +31,14 @@ object Explain {
       "d04_ngram_jaccard" -> Seq("BroadcastHashJoin", "HashAggregate"),
       "v06_knn_agg" -> Seq("ObjectHashAggregate"),
       "q11_asof_join" -> Seq("Window"),
-      "q05_semi_join" -> Seq("LeftSemi"))
+      "q05_semi_join" -> Seq("LeftSemi"),
+      // e01 must rank through the map-side-combining native TopKAgg
+      // (no window sort of the full scored stream, no driver collect)
+      "e01_knn_classify" -> Seq("ObjectHashAggregate"),
+      // d06/h08: candidate/probe joins, never a corpus-side broadcast
+      "d06_embed_neardup_ann" -> Seq("HashAggregate"),
+      "h08_neighbour_facts" -> Seq("BroadcastHashJoin", "sort_array"),
+      "v07_ann_ivf" -> Seq("TakeOrderedAndProject"))
 
     val sb = new StringBuilder
     sb.append(s"# Plan audit @ $dir\n\n")

@@ -105,8 +105,14 @@ final class Graft(
     import spark.implicits._
     val full = annotate(docs, chunkSize)
     val nliLocal = nli
+    val maxSurvivors = Graft.MaxBlockSurvivors
     // (survivor_id, original_id): identity rows for survivors, and a
-    // redirect row for every dropped duplicate.
+    // redirect row for every dropped duplicate. Survivor candidates
+    // per block are CAPPED: a block whose prefix is common boilerplate
+    // would otherwise do |block|² NLI calls on one task (the skew the
+    // reference avoids implicitly by comparing only its top-5 vector
+    // hits); past the cap, facts survive uncompared — bounded work,
+    // conservative (never merges wrongly, may miss tail dups).
     val mapping = full.facts
       .select(col("fact_id"), col("fact_text"),
         substring(col("fact_text"), 1, 40).as("blk"))
@@ -119,7 +125,9 @@ final class Graft(
         sorted.foreach { case (id, text, _) =>
           survivors.find { case (_, s) => nliLocal.entails(s, text) } match {
             case Some((sid, _)) => out += ((sid, id))
-            case None => survivors += ((id, text)); out += ((id, id))
+            case None =>
+              if (survivors.size < maxSurvivors) survivors += ((id, text))
+              out += ((id, id))
           }
         }
         out.iterator
@@ -348,4 +356,10 @@ final class Graft(
     * fact entail the candidate? Used for dedup-on-ingest. */
   def entails(existing: String, candidate: String): Boolean =
     nli.entails(existing, candidate)
+}
+
+object Graft {
+  /** Per-block survivor cap for dedup-on-ingest (bounds a prefix
+    * block's NLI comparisons at |block| × this). */
+  val MaxBlockSurvivors = 1024
 }

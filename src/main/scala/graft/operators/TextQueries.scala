@@ -103,6 +103,32 @@ object TextQueries {
         element_at(col("items"), -1).as("last_item"))
       .orderBy("doc_id")
 
+  /** t06: the end-to-end corpus FILTER a training-data pipeline runs
+    * before tokenization — length window + stopword-ratio band +
+    * quality floor in ONE narrow pass (filters compose into a single
+    * codegen'd predicate; at 100 TB this is a scan-speed pre-filter
+    * whose predicate pushes into the reader where possible). Emits
+    * the surviving docs with their scores. */
+  val MinTokens = 20
+  val MaxTokens = 10000
+  val MaxStopRatio = 0.4
+  val MinQuality = 0.5
+
+  def t06QualityFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        countIn(stopwords)(col("text")).as("n_stop"))
+      .withColumn("stop_ratio", round(col("n_stop") / col("n_tokens"), 4))
+      .withColumn("quality",
+        round(least(col("n_tokens") / lit(100.0), lit(1.0)) *
+          (lit(1.0) - col("n_stop") / col("n_tokens")), 4))
+      .filter(col("n_tokens").between(MinTokens, MaxTokens) &&
+        col("stop_ratio") <= MaxStopRatio &&
+        col("quality") >= MinQuality)
+      .select("doc_id", "n_tokens", "stop_ratio", "quality")
+      .orderBy("doc_id")
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -110,7 +136,8 @@ object TextQueries {
     "t02_quality_score" -> (t02QualityScore _),
     "t03_token_count" -> (t03TokenCount _),
     "t04_fingerprint" -> (t04Fingerprint _),
-    "t05_parse_bullets" -> (t05ParseBullets _))
+    "t05_parse_bullets" -> (t05ParseBullets _),
+    "t06_quality_filter" -> (t06QualityFilter _))
 
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
   private def sqlCount(wsList: String) =
@@ -164,6 +191,22 @@ object TextQueries {
         |  CAST(list_min(grams) AS BIGINT) AS min_gram,
         |  CAST(list_max(grams) AS BIGINT) AS max_gram
         |FROM g ORDER BY doc_id""".stripMargin,
+    "t06_quality_filter" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         |    ${sqlCount(inList(stopwords))} AS n_stop
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, n_tokens,
+         |    round(n_stop / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
+         |    round(least(n_tokens / 100.0, 1.0) *
+         |      (1.0 - n_stop / CAST(n_tokens AS DOUBLE)), 4) AS quality
+         |  FROM base)
+         |SELECT doc_id, n_tokens, stop_ratio, quality FROM scored
+         |WHERE n_tokens BETWEEN $MinTokens AND $MaxTokens
+         |  AND stop_ratio <= $MaxStopRatio AND quality >= $MinQuality
+         |ORDER BY doc_id""".stripMargin,
     "t05_parse_bullets" ->
       """WITH b AS (
         |  SELECT doc_id,

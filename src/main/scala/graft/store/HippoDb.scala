@@ -49,6 +49,18 @@ final case class HippoDb(
     (nF, nE, missing)
   }
 
+  /** Bucketed edges: writes the adjacency as a BUCKETED table
+    * (bucketBy entity, sorted within buckets), so every downstream
+    * aggregation or join KEYED ON entity — neighbour expansion,
+    * degree counts, entity-probe semi-joins — reads pre-shuffled
+    * data and plans with NO Exchange. This is the 100 TB layout for
+    * the graph side: the one big shuffle happens once at write time
+    * instead of once per query. */
+  def saveEdgesBucketed(table: String, nBuckets: Int = 8): Unit =
+    edges.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, "entity").sortBy("entity")
+      .saveAsTable(table)
+
   /** The RECONCILING action of storage.py:152-169 _restore_integrity:
     * drop vector-side rows whose fact is gone from the graph side (the
     * reference deletes Chroma ids absent from the entities/facts

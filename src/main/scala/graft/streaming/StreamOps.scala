@@ -97,6 +97,20 @@ object StreamOps {
       }
       .start()
 
+  /** st04: STREAMING exact dedup — the streaming form of d01 for an
+    * always-on ingest pipeline: only the first occurrence of a text
+    * (by content hash) within the watermark horizon passes.
+    * dropDuplicatesWithinWatermark keys state on the narrow 64-bit
+    * hash and EVICTS entries once they age past the watermark, so
+    * dedup state is bounded by the horizon's arrival rate, not the
+    * stream's lifetime. */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("text_hash", xxhash64(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Flush helper for specs/batch use: the still-open sessions. */
   def openSessions(spark: SparkSession, events: Dataset[Ev]): DataFrame = {
     import spark.implicits._

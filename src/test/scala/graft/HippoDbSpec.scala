@@ -57,6 +57,21 @@ class HippoDbSpec extends SparkSpec {
     assert(parsed.length == 1)
   }
 
+  test("bucketed edges: entity-keyed aggregation plans with no shuffle") {
+    val db = HippoDb.build(spark, sf0001, new HashEmbedder(16))
+    db.saveEdgesBucketed("edges_bucketed", nBuckets = 4)
+    try {
+      val agg = spark.table("edges_bucketed")
+        .groupBy("entity").agg(count(lit(1)).as("n"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed read still shuffles:\n$plan")
+      // and the answer matches the unbucketed source
+      val expected = db.edges.groupBy("entity").count().count()
+      assert(agg.count() == expected)
+    } finally spark.sql("DROP TABLE IF EXISTS edges_bucketed")
+  }
+
   test("embedder is deterministic and normalized") {
     val e = new HashEmbedder(32)
     val a = e.embed("spark join window")

@@ -93,6 +93,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st04 streaming dedup keeps first occurrence per content hash") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val stream = MemoryStream[(Timestamp, String)]
+    stream.addData(Seq(
+      (t, "alpha text"), (t, "beta text"), (t, "alpha text"),
+      (new Timestamp(t.getTime + 60000), "alpha text"),
+      (new Timestamp(t.getTime + 60000), "gamma text")))
+    val q = StreamOps.dedupStream(stream.toDF().toDF("ts", "text"))
+      .writeStream.format("memory").queryName("st04_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val texts = spark.table("st04_out").select("text").collect().map(_.getString(0))
+    assert(texts.length == 3, s"expected 3 unique texts, got ${texts.toSeq}")
+    assert(texts.toSet == Set("alpha text", "beta text", "gamma text"))
+  }
+
   test("st02 stateful sessionization == batch lag-window q09 on same users") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
