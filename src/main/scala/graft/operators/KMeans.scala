@@ -20,8 +20,12 @@ import graft.functions.VectorFunctions._
 object KMeans {
 
   /** Returns (assignments (vec_id, cluster), centroids, inertia per
-    * iteration). Deterministic: init = first k vectors by vec_id. */
-  def fit(spark: SparkSession, emb: DataFrame, k: Int, iters: Int)
+    * iteration). Deterministic: init = first k vectors by vec_id.
+    * trackInertia=false skips the per-iteration inertia action
+    * (halves the Spark jobs — assignment+centroid-update only); the
+    * convergence trace is a diagnostics concern, not a fit one. */
+  def fit(spark: SparkSession, emb: DataFrame, k: Int, iters: Int,
+      trackInertia: Boolean = true)
       : (DataFrame, Array[Array[Double]], Seq[Double]) = {
     val e = emb.select(col("vec_id"), col("v")).cache()
     var centroids: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
@@ -54,15 +58,16 @@ object KMeans {
           case None => centroids(i) // empty cluster keeps its centroid
         }
       }.toArray
-      val distToOwn = centroids.indices.foldLeft(lit(0.0)) { (acc, i) =>
-        val cCol = array(centroids(i).map(lit): _*)
-        val c2 = centroids(i).map(x => x * x).sum
-        when(col("cluster") === i,
-          dotNative(col("v"), col("v")) - dotNative(col("v"), cCol) * 2 + c2)
-          .otherwise(acc)
+      if (trackInertia) {
+        val distToOwn = centroids.indices.foldLeft(lit(0.0)) { (acc, i) =>
+          val cCol = array(centroids(i).map(lit): _*)
+          val c2 = centroids(i).map(x => x * x).sum
+          when(col("cluster") === i,
+            dotNative(col("v"), col("v")) - dotNative(col("v"), cCol) * 2 + c2)
+            .otherwise(acc)
+        }
+        inertias += assigned.select(sum(distToOwn)).head().getDouble(0)
       }
-      val inertia = assigned.select(sum(distToOwn)).head().getDouble(0)
-      inertias += inertia
     }
     val finalAssign = e.withColumn("cluster", assignExpr(centroids))
       .select("vec_id", "cluster")
@@ -73,7 +78,7 @@ object KMeans {
   def e02Kmeans(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val (assign, _, _) = fit(spark, e, k = 8, iters = 5)
+    val (assign, _, _) = fit(spark, e, k = 8, iters = 5, trackInertia = false)
     assign.orderBy("vec_id")
   }
 }

@@ -183,7 +183,7 @@ object VectorQueries {
       nCells: Int, nProbe: Int, trainIters: Int = 2): DataFrame = {
     val cached = e.select(col("vec_id"), col("v")).cache()
     val (assigned, centroids, _) =
-      KMeans.fit(spark, cached, nCells, trainIters)
+      KMeans.fit(spark, cached, nCells, trainIters, trackInertia = false)
     val qv = cached.filter(col("vec_id") === queryVecId)
       .select("v").head().getSeq[Double](0).toArray // one row, dim doubles
     val probeCells = centroids.zipWithIndex.map { case (c, i) =>
