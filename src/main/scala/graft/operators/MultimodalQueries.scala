@@ -55,11 +55,40 @@ object MultimodalQueries {
         "aggregate(transform(split(frame, ''), c -> ascii(c)), 0L, (acc, c) -> (acc * 131 + c) % 1000000007) AS frame_fp")
       .orderBy("doc_id", "frame_idx")
 
+  /** m03: "resize" — the downsampling transform of an image pipeline
+    * with the codec stubbed: stride-2 byte sampling stands in for
+    * pixel decimation (deterministic, so the oracle can restate it),
+    * while everything Spark-side is the real shape — binary in,
+    * binary-derived digest + halved dimensions out, partition-wise
+    * batches, narrow map. */
+  def m03Resize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.MediaDecoder
+    Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text").cast("binary").as("media_bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val decoder = MediaDecoder.stub
+        it.map { case (id, bytes) =>
+          val m = decoder.decode(bytes)
+          // stride-2 sample + rolling digest of the "resized" payload
+          var h = 0L; var n = 0L; var i = 0
+          while (i < bytes.length) {
+            h = (h * 131 + bytes(i)) % 1000000007L; n += 1; i += 2
+          }
+          (id, m.width, m.height, m.width / 2, m.height / 2, n, h)
+        }
+      }
+      .toDF("doc_id", "in_w", "in_h", "out_w", "out_h", "out_bytes", "out_fp")
+      .orderBy("doc_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "m01_media_meta" -> (m01MediaMeta _),
-    "m02_frame_sample" -> (m02FrameSample _))
+    "m02_frame_sample" -> (m02FrameSample _),
+    "m03_resize" -> (m03Resize _))
 
   val oracles: Map[String, String] = Map(
     // The stub decoder's metadata formulas, restated over the utf-8
@@ -80,5 +109,17 @@ object MultimodalQueries {
          |FROM documents
          |CROSS JOIN unnest(range(0, (length(text) - $FrameSize) // $FrameStride + 1)) AS t(i)
          |WHERE length(text) >= $FrameSize
-         |ORDER BY doc_id, frame_idx""".stripMargin)
+         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "m03_resize" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) % 640 AS INT) AS in_w,
+        |  CAST((unicode(substr(text, 1, 1)) * 7) % 480 AS INT) AS in_h,
+        |  CAST((octet_length(encode(text)) % 640) // 2 AS INT) AS out_w,
+        |  CAST(((unicode(substr(text, 1, 1)) * 7) % 480) // 2 AS INT) AS out_h,
+        |  CAST((length(text) + 1) // 2 AS BIGINT) AS out_bytes,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0, CAST(length(text) AS BIGINT), 2),
+        |      i -> CAST(unicode(substr(text, CAST(i AS INT) + 1, 1)) AS BIGINT))),
+        |    (acc, c) -> (acc * 131 + c) % 1000000007) AS out_fp
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }
