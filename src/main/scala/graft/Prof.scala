@@ -15,9 +15,10 @@ object Prof {
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.DedupQueries._
     t("warmup q01")(SparkEntry.queries("q01_pricing_summary")(spark, dir).count())
-    t("d06 cold")(d06EmbedNeardupAnn(spark, dir).count())
+    val n = t("d04 cold")(d04NgramJaccard(spark, dir).count())
+    System.err.println(s"[prof] d04 rows: $n")
     spark.catalog.clearCache(); System.gc()
-    t("d06 cold2")(d06EmbedNeardupAnn(spark, dir).count())
+    t("d04 cold2")(d04NgramJaccard(spark, dir).count())
     spark.stop()
   }
 }

@@ -221,14 +221,19 @@ object DedupQueries {
       .cache()
     val inv = g.select(col("doc_id"), col("sz"), explode(col("grams")).as("gram"))
     val df = inv.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+    // Singleton grams (df == 1) can never match another doc, so they
+    // are dropped BEFORE ranking: the filtered rank is <= the true
+    // global-order rank, hence the first p positions of the filtered
+    // list contain every matchable gram of the true first-p prefix —
+    // candidate generation stays COMPLETE (the filtered rank in the
+    // positional bound only under-counts positions, loosening the
+    // prune, never tightening it) and the window sorts only the
+    // multi-doc grams.
     val prefix = inv.join(df, "gram")
+      .filter(col("gram_df") > 1)
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy("gram_df", "gram")))
       .filter(col("rk") <= floor(col("sz") * (1 - t)) + 1)
-      // gram_df == 1 rows still occupy prefix POSITIONS (rk above) but
-      // can never match another doc — drop them before the self-join,
-      // which shrinks its input to the genuinely shareable grams.
-      .filter(col("gram_df") > 1)
       .select("doc_id", "sz", "gram", "rk")
     val candidates = prefix.as("l").join(prefix.as("r"),
         col("l.gram") === col("r.gram") && col("l.doc_id") < col("r.doc_id") &&
