@@ -202,12 +202,18 @@ final class Graft(
           planes.slice(t * VectorQueries.LshBits, (t + 1) * VectorQueries.LshBits))(
           col("v")).as("bucket"))
     }
-    val cells = entEmb.select(col("entity"), col("v"),
+    // Narrow (entity, cell) rows block the self-join; vector payloads
+    // re-attach afterwards via the candidate-pair join (same shape as
+    // d06 — nothing O(|entities|) broadcasts, AQE picks the build
+    // side).
+    val cells = entEmb.select(col("entity"),
       explode(array(tables: _*)).as("cell"))
     val cand = cells.as("l").join(cells.as("r"),
         col("l.cell") === col("r.cell") && col("l.entity") < col("r.entity"))
-      .select(col("l.entity").as("a"), col("r.entity").as("b"),
-        cosineNative6(col("l.v"), col("r.v")).as("cos"))
+      .select(col("l.entity").as("a"), col("r.entity").as("b"))
+      .join(entEmb.select(col("entity").as("a"), col("v").as("va")), "a")
+      .join(entEmb.select(col("entity").as("b"), col("v").as("vb")), "b")
+      .select(col("a"), col("b"), cosineNative6(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= 0.5)
       .select("a", "b")
       .distinct()
