@@ -362,6 +362,20 @@ final class Graft(
     * fact entail the candidate? Used for dedup-on-ingest. */
   def entails(existing: String, candidate: String): Boolean =
     nli.entails(existing, candidate)
+
+  /** The question-answering loop over NUMBERED facts (prompts.py:86
+    * question_prompt, the hippoview QA path): top-k retrieval, facts
+    * enumerated so the model can cite them, then one LLM call.
+    * Returns (facts, prompt, model answer). */
+  def answer(db: HippoDb, question: String, k: Int = 10): (DataFrame, String, String) = {
+    val top = closestFacts(db, question, k)
+    val numbered = top.collect() // k rows only — bounded by k, not corpus
+      .zipWithIndex
+      .map { case (r, i) => s"${i + 1}. ${r.getAs[String]("fact_text")}" }
+      .mkString("\n")
+    val prompt = Prompts.question(question, numbered)
+    (top, prompt, llm.invoke(prompt))
+  }
 }
 
 object Graft {

@@ -53,6 +53,13 @@ class AggregatorSpec extends SparkSpec {
     assert(err < 0.05, s"HLL error $err too high at large cardinality (est=$est)")
   }
 
+  test("graft_hll is callable from plain SQL after SqlFunctions.register") {
+    graft.functions.SqlFunctions.register(spark)
+    val est = spark.sql("SELECT graft_hll(id) AS e FROM range(10000)")
+      .head().getLong(0)
+    assert(math.abs(est - 10000).toDouble / 10000 < 0.05, s"est=$est")
+  }
+
   test("graft_dot is callable from plain SQL via GraftExtensions") {
     val r = spark.sql(
       "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")

@@ -123,4 +123,12 @@ class GraftApiSpec extends SparkSpec {
     assert(prompt.contains("Question: stream processing"))
     assert(prompt.linesIterator.count(_.startsWith("- ")) == 3)
   }
+
+  test("answer numbers the retrieved facts and invokes the LLM (question_prompt)") {
+    val (top, prompt, response) = api.answer(db, "what is a window", k = 4)
+    assert(top.count() == 4)
+    assert(prompt.contains("what is a window"))
+    (1 to 4).foreach(i => assert(prompt.contains(s"$i. "), s"fact $i not numbered"))
+    assert(response.nonEmpty)
+  }
 }
