@@ -15,11 +15,20 @@ object Bench {
     val selected = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // Untimed JVM/codegen warmup so the first timed query isn't
-    // charged for JIT + whole-stage-codegen compilation.
-    try {
-      SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
-      spark.catalog.clearCache()
-    } catch { case _: Throwable => () }
+    // charged for JIT + whole-stage-codegen compilation. The heavy
+    // typed-map kernels (gram hashing, minhash, pair verification,
+    // top-k aggregation) warm against the TINY sf0.001 dir — JIT of
+    // the same code paths, none of the measured data precomputed.
+    val warmDir = "/root/testdata/sf0.001"
+    Seq(sfDir -> "q01_pricing_summary", warmDir -> "d04_ngram_jaccard",
+      warmDir -> "d02_minhash_lsh", warmDir -> "d06_embed_neardup_ann",
+      warmDir -> "e01_knn_classify").foreach { case (d, q) =>
+      try {
+        SparkEntry.queries(q)(spark, d).count()
+        spark.catalog.clearCache()
+      } catch { case _: Throwable => () }
+    }
+    System.gc()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
