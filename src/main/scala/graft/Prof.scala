@@ -1,6 +1,7 @@
 package graft
-// Temporary profiling harness (not part of the library surface).
+// Temporary profiling / cross-validation harness (not library surface).
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 object Prof {
   def t[A](name: String)(f: => A): A = {
@@ -13,12 +14,33 @@ object Prof {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
     import graft.operators.DedupQueries._
-    t("warmup q01")(SparkEntry.queries("q01_pricing_summary")(spark, dir).count())
-    val n = t("d04 cold")(d04NgramJaccard(spark, dir).count())
-    System.err.println(s"[prof] d04 rows: $n")
-    spark.catalog.clearCache(); System.gc()
-    t("d04 cold2")(d04NgramJaccard(spark, dir).count())
+    import graft.sources.Tables
+
+    // Cross-validation at sf0.1 (all-pairs DuckDB oracle intractable):
+    // 1) every d04-reported pair recomputes to the exact claimed J
+    //    via an INDEPENDENT per-pair kernel evaluation;
+    // 2) word-MinHash (d02) and char-PPJoin (d04) independently agree
+    //    on the near-dup pair set.
+    val texts = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().toMap // one-off validation harness only
+    val d04Pairs = d04NgramJaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    var bad = 0
+    d04Pairs.foreach { case (a, b, j) =>
+      val ga = charGramHashes(texts(a)); val gb = charGramHashes(texts(b))
+      val inter = sortedIntersectionSize(ga, gb)
+      val exact = inter.toDouble / (ga.length + gb.length - inter)
+      if (math.abs(BigDecimal(exact).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble - j) > 1e-9) bad += 1
+    }
+    println(s"[xval] d04 pairs=${d04Pairs.length} mismatched=$bad")
+    val d02Pairs = d02MinhashLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d04Set = d04Pairs.map(p => (p._1, p._2)).toSet
+    println(s"[xval] d02=${d02Pairs.size} d04=${d04Set.size} " +
+      s"symmetric_diff=${(d02Pairs diff d04Set).size + (d04Set diff d02Pairs).size}")
     spark.stop()
   }
 }

@@ -22,6 +22,14 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # CHECK_SKIP: comma-separated query names whose oracle is
+    # intractable at the chosen sf (e.g. exact all-pairs Jaccard at
+    # sf0.1) -- dropped from the denominator, reported as SKIP.
+    import os
+    skip = set(filter(None, os.environ.get("CHECK_SKIP", "").split(",")))
+    for s in sorted(skip & set(oracle)):
+        print(f"SKIP {s} (CHECK_SKIP)")
+        del oracle[s]
     n_ok = 0
     for name, sql in sorted(oracle.items()):
         try:
