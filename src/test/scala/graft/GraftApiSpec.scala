@@ -124,6 +124,39 @@ class GraftApiSpec extends SparkSpec {
     assert(prompt.linesIterator.count(_.startsWith("- ")) == 3)
   }
 
+  test("reference test_storage.py hybrid scenario on a hand-built store") {
+    import spark.implicits._
+    import graft.functions.HashEmbedder
+    val emb = new HashEmbedder(16)
+    val facts = Seq(
+      (1L, 0L, 0, "Paris is the capital of France", 0, 30),
+      (2L, 1L, 0, "London is the capital of the UK", 0, 31))
+      .toDF("fact_id", "doc_id", "chunk_idx", "fact_text", "start", "end")
+    val edges = Seq((1L, "Paris"), (1L, "France"), (2L, "London"), (2L, "UK"))
+      .toDF("fact_id", "entity")
+    val entities = Seq(
+      ("Paris", "Capital of France"), ("London", "Capital of the UK"),
+      ("France", "Country in Europe"), ("UK", "Country in Europe"))
+      .toDF("entity", "description")
+    val factEmb = Seq(
+      (1L, emb.embed("Paris is the capital of France")),
+      (2L, emb.embed("London is the capital of the UK")))
+      .toDF("fact_id", "embedding")
+    val store = graft.store.HippoDb(facts, edges, entities, factEmb)
+    // mirrors test_storage.py test_hybrid_retrieval_facts exactly:
+    assert(api.closestFactsWithEntities(store, "Capital", Seq("Paris"), union = true, k = 2)
+      .collect().map(_.getString(1)).toSeq == Seq("Paris is the capital of France"))
+    assert(api.closestFactsWithEntities(store, "Capital", Seq("Paris", "London"), union = true, k = 2)
+      .count() == 2)
+    assert(api.closestFactsWithEntities(store, "Capital", Seq("Paris", "London"), union = false, k = 2)
+      .count() == 0)
+    assert(api.closestFactsWithEntities(store, "Capital", Seq("Paris", "France"), union = false, k = 2)
+      .collect().map(_.getString(1)).toSeq == Seq("Paris is the capital of France"))
+    // test_add_retrieve_entities: the closest entity to a related query
+    assert(api.closestEntities(store, "Paris Capital of France", k = 1)
+      .head().getString(0) == "Paris")
+  }
+
   test("answer numbers the retrieved facts and invokes the LLM (question_prompt)") {
     val (top, prompt, response) = api.answer(db, "what is a window", k = 4)
     assert(top.count() == 4)
