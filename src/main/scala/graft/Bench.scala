@@ -19,14 +19,19 @@ object Bench {
     // typed-map kernels (gram hashing, minhash, pair verification,
     // top-k aggregation) warm against the TINY sf0.001 dir — JIT of
     // the same code paths, none of the measured data precomputed.
-    val warmDir = "/root/testdata/sf0.001"
+    val sf0001 = "/root/testdata/sf0.001"
+    // fall back to the measured dir if the tiny sf is absent on this
+    // host (still valid JIT warmup; caches cleared before timing)
+    val warmDir = if (new java.io.File(sf0001).isDirectory) sf0001 else sfDir
     Seq(sfDir -> "q01_pricing_summary", warmDir -> "d04_ngram_jaccard",
       warmDir -> "d02_minhash_lsh", warmDir -> "d06_embed_neardup_ann",
       warmDir -> "e01_knn_classify").foreach { case (d, q) =>
       try {
         SparkEntry.queries(q)(spark, d).count()
         spark.catalog.clearCache()
-      } catch { case _: Throwable => () }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $q failed: ${e.getMessage}")
+      }
     }
     System.gc()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>

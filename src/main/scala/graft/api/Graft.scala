@@ -55,7 +55,7 @@ final class Graft(
     // with the head of the doc, keep the first sentence. Narrow
     // map-side pass; re-attached to facts by a doc_id equi-join
     // (co-partitioned with the splitter output at scale).
-    val ctx = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    val ctx = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, t) =>
         val ans = llmLocal.invoke(Prompts.contextualization(t.take(200)))
         (id, TextHelpers.firstSentence(ans))
@@ -187,27 +187,25 @@ final class Graft(
       if (hasDesc) entities.select(col("entity"), col("description"))
       else entities.select(col("entity"), lit("").as("description"))
     ).as[(String, String)]
+    // Lowercased repr: the stub hash-embedder only sees exact token
+    // matches, so case variants must normalize BEFORE embedding — the
+    // role a real sentence embedder's robustness plays. (closestEntities
+    // embeds the raw repr, mirroring what the reference STORES.)
     val entEmb = named
       .mapPartitions(_.map { case (e, d) =>
-        val repr = if (d == null || d.isEmpty) e else s"$e ($d)"
-        (e, emb.embed(repr.toLowerCase).map(_.toDouble))
+        (e, emb.embed(Graft.entityRepr(e, d).toLowerCase).map(_.toDouble))
       })
       .toDF("entity", "v")
       .cache()
     val planes = VectorQueries.lshPlanes(
       VectorQueries.LshTables * VectorQueries.LshBits, embedder.dim, seed = 42L)
-    val tables = (0 until VectorQueries.LshTables).map { t =>
-      struct(lit(t).as("table"),
-        VectorQueries.signature(
-          planes.slice(t * VectorQueries.LshBits, (t + 1) * VectorQueries.LshBits))(
-          col("v")).as("bucket"))
-    }
     // Narrow (entity, cell) rows block the self-join; vector payloads
     // re-attach afterwards via the candidate-pair join (same shape as
     // d06 — nothing O(|entities|) broadcasts, AQE picks the build
     // side).
     val cells = entEmb.select(col("entity"),
-      explode(array(tables: _*)).as("cell"))
+      explode(VectorQueries.cellStructs(
+        planes, VectorQueries.LshTables, VectorQueries.LshBits)(col("v"))).as("cell"))
     val cand = cells.as("l").join(cells.as("r"),
         col("l.cell") === col("r.cell") && col("l.entity") < col("r.entity"))
       .select(col("l.entity").as("a"), col("r.entity").as("b"))
@@ -226,21 +224,38 @@ final class Graft(
           nliLocal.entails(b.toLowerCase, a.toLowerCase)
       }
       .toDF("a", "b")
-    // Min-label propagation: canonical = lexicographic min reachable
-    // over the equivalence graph.
+    // Min-label propagation TO FIXPOINT: canonical = the component's
+    // lexicographic min. A fixed round count would leave chains of
+    // diameter beyond it mapped to non-canonical intermediates (a
+    // non-idempotent mapping); instead iterate until no label moves
+    // (log-diameter rounds; each round one join + one keyed agg, the
+    // moved-label count is the convergence action). Bounded at 32
+    // rounds as a runaway guard.
     val sym = confirmed
       .union(confirmed.select(col("b").as("a"), col("a").as("b")))
-    var lab = entEmb.select(col("entity"), col("entity").as("canon"))
-    (1 to 4).foreach { _ =>
+      .cache()
+    var lab = entEmb.select(col("entity"), col("entity").as("canon")).cache()
+    var moved = 1L
+    var round = 0
+    while (moved > 0 && round < 32) {
       val viaNeighbour = sym
         .join(lab.withColumnsRenamed(Map("entity" -> "b", "canon" -> "ncanon")), "b")
         .groupBy(col("a").as("entity"))
         .agg(min("ncanon").as("ncanon"))
-      lab = lab.join(viaNeighbour, Seq("entity"), "left")
+      val next = lab.join(viaNeighbour, Seq("entity"), "left")
         .select(col("entity"),
           least(col("canon"), coalesce(col("ncanon"), col("canon"))).as("canon"))
+        .cache()
+      moved = next.join(lab.withColumnRenamed("canon", "prev"), "entity")
+        .filter(col("canon") =!= col("prev")).count()
+      lab.unpersist()
+      lab = next
+      round += 1
     }
-    lab.select(col("entity"), col("canon").as("canonical"))
+    val out = lab.select(col("entity"), col("canon").as("canonical")).cache()
+    out.count() // materialize before releasing the intermediates
+    sym.unpersist(); entEmb.unpersist(); lab.unpersist()
+    out
   }
 
   /** annotate + entity resolution applied: edges rewritten onto
@@ -281,10 +296,7 @@ final class Graft(
       else db.entities.select(col("entity"), lit("").as("description"))
     ).as[(String, String)]
     val entEmb = named
-      .mapPartitions(_.map { case (e, d) =>
-        val repr = if (d == null || d.isEmpty) e else s"$e ($d)"
-        (e, emb.embed(repr))
-      })
+      .mapPartitions(_.map { case (e, d) => (e, emb.embed(Graft.entityRepr(e, d))) })
       .toDF("entity", "embedding")
     entEmb.select(col("entity"), cosine6(toDouble(col("embedding")), queryVec(query)).as("cos"))
       .orderBy(col("cos").desc, col("entity"))
@@ -332,7 +344,10 @@ final class Graft(
   def closestFactsWithEntities(
       db: HippoDb, query: String, entities: Seq[String],
       union: Boolean = true, k: Int = 5): DataFrame = {
-    val filtered = factsByEntities(db, entities, union).select("fact_id")
+    // cache: the id set feeds both the count() branch decision and
+    // the chosen branch's semi-join — without it the entity-filter
+    // subtree executes twice per call.
+    val filtered = factsByEntities(db, entities, union).select("fact_id").cache()
     if (k > filtered.count()) {
       db.facts.join(filtered, Seq("fact_id"), "left_semi")
         .select(col("fact_id"), col("fact_text"),
@@ -382,4 +397,11 @@ object Graft {
   /** Per-block survivor cap for dedup-on-ingest (bounds a prefix
     * block's NLI comparisons at |block| × this). */
   val MaxBlockSurvivors = 1024
+
+  /** The entity repr the reference embeds and displays —
+    * "name (description)" when a description exists, bare name
+    * otherwise (storage.py:191 / Entity.__repr__). */
+  def entityRepr(name: String, description: String): String =
+    if (description == null || description.isEmpty) name
+    else s"$name ($description)"
 }

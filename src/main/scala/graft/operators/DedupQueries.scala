@@ -308,11 +308,6 @@ object DedupQueries {
   def d06EmbedNeardupAnn(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions._
     val planes = VectorQueries.lshPlanes(AnnTables * AnnBits, 64, seed = 77L)
-    val tables = (0 until AnnTables).map { t =>
-      struct(lit(t).as("table"),
-        VectorQueries.signature(
-          planes.slice(t * AnnBits, (t + 1) * AnnBits))(col("v")).as("bucket"))
-    }
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nv", normNative(col("v")))
@@ -320,7 +315,8 @@ object DedupQueries {
     // Narrow (vec_id, cell) rows for blocking; vector payloads
     // re-attach afterwards via the tiny candidate-pair join (same
     // shape as d04 — nothing O(corpus) broadcasts).
-    val cells = e.select(col("vec_id"), explode(array(tables: _*)).as("cell"))
+    val cells = e.select(col("vec_id"),
+      explode(VectorQueries.cellStructs(planes, AnnTables, AnnBits)(col("v"))).as("cell"))
     // NO pre-distinct on the candidate stream: deduplicating multi-
     // table collisions up front is a full extra shuffle of the
     // candidate set, while the duplicate cosines it would save are

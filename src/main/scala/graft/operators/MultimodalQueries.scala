@@ -65,16 +65,20 @@ object MultimodalQueries {
     import spark.implicits._
     import graft.functions.MediaDecoder
     Tables.documents(spark, dir)
-      .select(col("doc_id").cast("long"), col("text").cast("binary").as("media_bytes"))
-      .as[(Long, Array[Byte])]
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
       .mapPartitions { it =>
         val decoder = MediaDecoder.stub
-        it.map { case (id, bytes) =>
-          val m = decoder.decode(bytes)
-          // stride-2 sample + rolling digest of the "resized" payload
+        it.map { case (id, text) =>
+          val m = decoder.decode(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // Stride-2 sample + rolling digest of the "resized" payload.
+          // Digest runs over CODE POINTS (like m02's frame_fp) so both
+          // engines agree for any unicode content — signed UTF-8 bytes
+          // would diverge from the oracle's unicode() on non-ASCII and
+          // drive the Java % negative.
           var h = 0L; var n = 0L; var i = 0
-          while (i < bytes.length) {
-            h = (h * 131 + bytes(i)) % 1000000007L; n += 1; i += 2
+          while (i < text.length) {
+            h = (h * 131 + text.charAt(i)) % 1000000007L; n += 1; i += 2
           }
           (id, m.width, m.height, m.width / 2, m.height / 2, n, h)
         }

@@ -136,12 +136,8 @@ object VectorQueries {
   /** Reusable ANN operator over (vec_id, v) rows. */
   def annLsh(e: DataFrame, queryVecId: Long, k: Int): DataFrame = {
     val planes = lshPlanes(LshTables * LshBits, 64, seed = 42L)
-    val tables = (0 until LshTables).map { t =>
-      struct(lit(t).as("table"),
-        signature(planes.slice(t * LshBits, (t + 1) * LshBits))(col("v")).as("bucket"))
-    }
     val cells = e.select(col("vec_id"), col("v"),
-      explode(array(tables: _*)).as("cell"))
+      explode(cellStructs(planes, LshTables, LshBits)(col("v"))).as("cell"))
     val qCells = cells.filter(col("vec_id") === queryVecId)
       .select(col("cell").as("qcell"), col("v").as("qv"))
     cells.join(broadcast(qCells), col("cell") === col("qcell"))
@@ -291,6 +287,15 @@ object VectorQueries {
     val rnd = new scala.util.Random(seed)
     Array.fill(nPlanes, dim)(rnd.nextGaussian())
   }
+
+  /** The L per-table (table, bucket) cells of a vector column as one
+    * array column — the shared blocking primitive of v05/d06/entity
+    * resolution (explode it for the narrow (id, cell) rows). */
+  def cellStructs(planes: Array[Array[Double]], nTables: Int, bits: Int)(v: Column): Column =
+    array((0 until nTables).map { t =>
+      struct(lit(t).as("table"),
+        signature(planes.slice(t * bits, (t + 1) * bits))(v).as("bucket"))
+    }: _*)
 
   /** Column fn: 16-bit LSH signature of a double-array column. The
     * planes are compile-time literals, so the whole signature is one

@@ -114,13 +114,19 @@ object HippoDb {
     db.sources.foreach(_.write.mode(SaveMode.Append).parquet(s"$dir/sources"))
   }
 
-  def load(spark: SparkSession, dir: String): HippoDb = HippoDb(
-    facts = spark.read.parquet(s"$dir/facts"),
-    edges = spark.read.parquet(s"$dir/edges"),
-    entities = spark.read.parquet(s"$dir/entities"),
-    factEmb = spark.read.parquet(s"$dir/fact_emb"),
-    sources =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/sources")))
-        Some(spark.read.parquet(s"$dir/sources"))
-      else None)
+  def load(spark: SparkSession, dir: String): HippoDb = {
+    // Hadoop FS, not java.nio: the store dir may live on any
+    // Spark-reachable filesystem (hdfs://, s3a://, ...) where a local
+    // Files.exists is always false and would silently drop sources.
+    val srcPath = new org.apache.hadoop.fs.Path(s"$dir/sources")
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    HippoDb(
+      facts = spark.read.parquet(s"$dir/facts"),
+      edges = spark.read.parquet(s"$dir/edges"),
+      entities = spark.read.parquet(s"$dir/entities"),
+      factEmb = spark.read.parquet(s"$dir/fact_emb"),
+      sources =
+        if (fs.exists(srcPath)) Some(spark.read.parquet(s"$dir/sources"))
+        else None)
+  }
 }

@@ -15,7 +15,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Scale notes: windowed counts shuffle once on (window, event_type)
   * with watermark-bounded state; sessionization state is per user_id
   * (high cardinality → spreads across executors) and is dropped via
-  * ProcessingTimeTimeout, so state size is bounded by live users.
+  * event-time timeout once the watermark passes the session gap, so
+  * state size is bounded by users active inside the horizon.
   */
 object StreamOps {
 
@@ -29,50 +30,61 @@ object StreamOps {
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
-  final case class SessionState(sessionId: Long, lastTs: Long, nEvents: Long, startTs: Long)
+  final case class SessionState(lastTs: Long, nEvents: Long, startTs: Long)
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long, session_start: Timestamp)
 
   val GapMs: Long = 30 * 60 * 1000
 
   /** st02: stateful sessionization with flatMapGroupsWithState —
     * emits a session row whenever a 30-min gap closes it (the
-    * streaming form of q09's lag-window sessionizer). Per-user state
-    * is EVICTED via ProcessingTimeTimeout after the session gap: an
-    * inactive user's open session is emitted and its state removed
-    * when the timeout fires, so long-running streams hold state only
-    * for currently-live users. */
+    * streaming form of q09's lag-window sessionizer).
+    *
+    * Per-user state is EVICTED via EVENT-time timeout: once the
+    * WATERMARK passes lastTs + gap, the open session is emitted and
+    * the state removed — so the gap that closes a session is the
+    * same event-time gap the batch mirror uses (a processing-time
+    * timeout would spuriously split sessions on lagging or replayed
+    * sources), and long-running streams hold state only for users
+    * inside the watermark horizon.
+    *
+    * session_id is derived from the session's START TIME (epoch ms),
+    * not a per-user counter: state eviction must not recycle ids, and
+    * (user_id, start-derived id) stays unique and monotonic across
+    * evict/return cycles. */
   def sessionize(spark: SparkSession, events: Dataset[Ev]): Dataset[SessionOut] = {
     import spark.implicits._
-    events.groupByKey(_.user_id)
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            // Inactive past the gap: close + emit the open session,
-            // drop the state (bounds state by live users).
+            // Watermark passed lastTs + gap: close + emit the open
+            // session, drop the state (bounds state by live users).
             val st = state.get
             state.remove()
             if (st.nEvents > 0L)
-              Iterator.single(SessionOut(user, st.sessionId, st.nEvents, new Timestamp(st.startTs)))
+              Iterator.single(SessionOut(user, st.startTs, st.nEvents, new Timestamp(st.startTs)))
             else Iterator.empty
           } else {
             // Events within a micro-batch may be unordered; order here.
             val sorted = evs.toSeq.sortBy(_.ts.getTime)
-            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+            var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
             val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
             sorted.foreach { e =>
               val t = e.ts.getTime
               if (st.nEvents == 0L) {
-                st = SessionState(st.sessionId + 1, t, 1L, t)
+                st = SessionState(t, 1L, t)
               } else if (t - st.lastTs > GapMs) {
-                closed += SessionOut(user, st.sessionId, st.nEvents, new Timestamp(st.startTs))
-                st = SessionState(st.sessionId + 1, t, 1L, t)
+                closed += SessionOut(user, st.startTs, st.nEvents, new Timestamp(st.startTs))
+                st = SessionState(t, 1L, t)
               } else {
                 st = st.copy(lastTs = t, nEvents = st.nEvents + 1)
               }
             }
             state.update(st)
-            state.setTimeoutDuration(GapMs)
+            state.setTimeoutTimestamp(st.lastTs + GapMs)
             closed.iterator
           }
       }
@@ -111,23 +123,25 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
-  /** Flush helper for specs/batch use: the still-open sessions. */
+  /** Flush helper for specs/batch use: ALL sessions (incl. the
+    * still-open last one per user), with the same start-time-derived
+    * session ids the streaming form emits. */
   def openSessions(spark: SparkSession, events: Dataset[Ev]): DataFrame = {
     import spark.implicits._
     events.groupByKey(_.user_id).flatMapGroups { (user, evs) =>
       val sorted = evs.toSeq.sortBy(_.ts.getTime)
-      var sessionId = 0L; var lastTs = Long.MinValue
+      var lastTs = Long.MinValue
       var n = 0L; var startTs = 0L
       val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
       sorted.foreach { e =>
         val t = e.ts.getTime
         if (n == 0L || t - lastTs > GapMs) {
-          if (n > 0L) out += SessionOut(user, sessionId, n, new Timestamp(startTs))
-          sessionId += 1; n = 1L; startTs = t
+          if (n > 0L) out += SessionOut(user, startTs, n, new Timestamp(startTs))
+          n = 1L; startTs = t
         } else n += 1
         lastTs = t
       }
-      if (n > 0L) out += SessionOut(user, sessionId, n, new Timestamp(startTs))
+      if (n > 0L) out += SessionOut(user, startTs, n, new Timestamp(startTs))
       out.iterator
     }.toDF()
   }
