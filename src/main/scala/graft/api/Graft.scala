@@ -172,9 +172,9 @@ final class Graft(
     *  3. confirm candidates with the NLI entailment stub in either
     *     direction (entailment_classify + the yes/no equivalence
     *     prompt of the reference, collapsed into the injected stub);
-    *  4. canonicalize: iterated min-label propagation over the
-    *     equivalence graph (each round a join+groupBy; variant
-    *     clusters have tiny diameter so a fixed 4 rounds converges);
+    *  4. canonicalize: min-label propagation over the equivalence
+    *     graph ITERATED TO FIXPOINT (each round one join + one keyed
+    *     agg; O(component diameter) rounds, 32-round runaway guard);
     *  5. rewrite edges onto canonical entities.
     *
     * Returns (entity, canonical) — identity rows included. */
@@ -227,10 +227,12 @@ final class Graft(
     // Min-label propagation TO FIXPOINT: canonical = the component's
     // lexicographic min. A fixed round count would leave chains of
     // diameter beyond it mapped to non-canonical intermediates (a
-    // non-idempotent mapping); instead iterate until no label moves
-    // (log-diameter rounds; each round one join + one keyed agg, the
-    // moved-label count is the convergence action). Bounded at 32
-    // rounds as a runaway guard.
+    // non-idempotent mapping); instead iterate until no label moves —
+    // one hop per round, so O(component diameter) rounds, each one
+    // join + one keyed agg with the moved-label count as the
+    // convergence action. Bounded at 32 rounds as a runaway guard
+    // (warned loudly below if hit — name-variant chains deeper than
+    // 32 indicate a degenerate NLI confirm, not a real entity).
     val sym = confirmed
       .union(confirmed.select(col("b").as("a"), col("a").as("b")))
       .cache()
@@ -252,6 +254,10 @@ final class Graft(
       lab = next
       round += 1
     }
+    if (moved > 0)
+      System.err.println(s"[graft] resolveEntities: min-label propagation NOT " +
+        s"converged after $round rounds ($moved labels still moving) — " +
+        "mapping may contain non-canonical intermediates")
     val out = lab.select(col("entity"), col("canon").as("canonical")).cache()
     out.count() // materialize before releasing the intermediates
     sym.unpersist(); entEmb.unpersist(); lab.unpersist()
@@ -344,10 +350,13 @@ final class Graft(
   def closestFactsWithEntities(
       db: HippoDb, query: String, entities: Seq[String],
       union: Boolean = true, k: Int = 5): DataFrame = {
-    // cache: the id set feeds both the count() branch decision and
-    // the chosen branch's semi-join — without it the entity-filter
-    // subtree executes twice per call.
-    val filtered = factsByEntities(db, entities, union).select("fact_id").cache()
+    // The id set feeds both the count() branch decision and the
+    // chosen branch's semi-join, so the entity-filter subtree runs
+    // twice per call — DELIBERATE: it is a cheap probe-filtered edges
+    // aggregation, and caching it here would leak one pinned
+    // DataFrame per call with no unpersist path the caller could
+    // reach.
+    val filtered = factsByEntities(db, entities, union).select("fact_id")
     if (k > filtered.count()) {
       db.facts.join(filtered, Seq("fact_id"), "left_semi")
         .select(col("fact_id"), col("fact_text"),

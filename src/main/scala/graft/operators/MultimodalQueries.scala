@@ -72,13 +72,16 @@ object MultimodalQueries {
         it.map { case (id, text) =>
           val m = decoder.decode(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           // Stride-2 sample + rolling digest of the "resized" payload.
-          // Digest runs over CODE POINTS (like m02's frame_fp) so both
-          // engines agree for any unicode content — signed UTF-8 bytes
-          // would diverge from the oracle's unicode() on non-ASCII and
-          // drive the Java % negative.
-          var h = 0L; var n = 0L; var i = 0
+          // Digest runs over CODE POINTS — codePointAt, not charAt:
+          // DuckDB's length()/substr()/unicode() count code points, so
+          // UTF-16 surrogate pairs (astral chars) must advance as ONE
+          // position with their real code point folded in, or the two
+          // engines disagree on stride alignment and values.
+          var h = 0L; var n = 0L; var i = 0; var cpIdx = 0L
           while (i < text.length) {
-            h = (h * 131 + text.charAt(i)) % 1000000007L; n += 1; i += 2
+            val cp = text.codePointAt(i)
+            if (cpIdx % 2 == 0) { h = (h * 131 + cp) % 1000000007L; n += 1 }
+            cpIdx += 1; i += Character.charCount(cp)
           }
           (id, m.width, m.height, m.width / 2, m.height / 2, n, h)
         }

@@ -47,6 +47,13 @@ object StreamOps {
     * sources), and long-running streams hold state only for users
     * inside the watermark horizon.
     *
+    * Late-data contract: under an event-time timeout Spark DROPS
+    * rows older than the watermark before this operator, so the
+    * tolerated event-time disorder equals the watermark delay (set
+    * to the session gap here). Replays lagging further than that
+    * belong on the batch mirror (q09/openSessions), which has no
+    * horizon.
+    *
     * session_id is derived from the session's START TIME (epoch ms),
     * not a per-user counter: state eviction must not recycle ids, and
     * (user_id, start-derived id) stays unique and monotonic across
@@ -80,7 +87,13 @@ object StreamOps {
                 closed += SessionOut(user, st.startTs, st.nEvents, new Timestamp(st.startTs))
                 st = SessionState(t, 1L, t)
               } else {
-                st = st.copy(lastTs = t, nEvents = st.nEvents + 1)
+                // An in-watermark event from a LATER micro-batch can be
+                // older than the carried state — lastTs/startTs must
+                // stay monotone (a regressed lastTs would fake a gap
+                // against the next event; a late head event moves the
+                // session START back, matching the batch mirror).
+                st = SessionState(math.max(st.lastTs, t), st.nEvents + 1,
+                  math.min(st.startTs, t))
               }
             }
             state.update(st)

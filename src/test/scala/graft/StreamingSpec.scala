@@ -120,10 +120,10 @@ class StreamingSpec extends SparkSpec {
 
     val stream = MemoryStream[StreamOps.Ev]
     stream.addData(evs)
-    // AvailableNow (not processAllAvailable): with ProcessingTimeTimeout
-    // the engine always schedules another batch to service timeouts, so
-    // processAllAvailable never latches; AvailableNow consumes what's
-    // there and terminates.
+    // AvailableNow: consumes what's there and terminates, which also
+    // bounds the run if a timeout config ever regresses to
+    // ProcessingTimeTimeout (under which the engine always schedules
+    // another batch and processAllAvailable never latches).
     val q = StreamOps.sessionize(spark, stream.toDS())
       .writeStream.format("memory").queryName("st02_out")
       .outputMode("append")
