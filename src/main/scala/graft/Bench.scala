@@ -24,13 +24,22 @@ object Bench {
     // parquet footer caches that clearCache() cannot drop and skew
     // the cold methodology. Hosts without sf0.001 get JIT warmup from
     // q01 alone (logged).
-    val sf0001 = "/root/testdata/sf0.001"
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    def canon(p: String): String =
+      try new java.io.File(p).getCanonicalPath catch { case _: Throwable => p }
     val heavy =
-      if (new java.io.File(sf0001).isDirectory)
-        Seq(sf0001 -> "d04_ngram_jaccard", sf0001 -> "d02_minhash_lsh",
-          sf0001 -> "d06_embed_neardup_ann", sf0001 -> "e01_knn_classify")
+      if (canon(warmDir) == canon(sfDir)) {
+        // Warming the MEASURED dir would pre-load OS page / parquet
+        // footer caches for the exact measured queries — precisely the
+        // skew the cold methodology is meant to avoid. JIT warmup then
+        // comes from q01 alone.
+        System.err.println(s"[bench] warmup dir == measured dir ($sfDir) — skipping typed-kernel warmup")
+        Seq.empty
+      } else if (new java.io.File(warmDir).isDirectory)
+        Seq(warmDir -> "d04_ngram_jaccard", warmDir -> "d02_minhash_lsh",
+          warmDir -> "d06_embed_neardup_ann", warmDir -> "e01_knn_classify")
       else {
-        System.err.println(s"[bench] $sf0001 absent — skipping typed-kernel warmup")
+        System.err.println(s"[bench] $warmDir absent — skipping typed-kernel warmup")
         Seq.empty
       }
     (Seq(sfDir -> "q01_pricing_summary") ++ heavy).foreach { case (d, q) =>

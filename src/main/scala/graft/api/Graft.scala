@@ -162,10 +162,11 @@ final class Graft(
     * _find_equivalent_entity re-expressed as one batch pass instead
     * of a per-fact loop:
     *
-    *  1. embed each distinct entity (its repr, "name (description)"
-    *     when a description exists — storage.py:191 — lowercased so
-    *     the stub hash-embedder sees case variants as identical
-    *     tokens, the role the real sentence embedder plays);
+    *  1. embed each distinct entity (its STORED repr, the
+    *     unconditional "name (description)" text — storage.py:191 —
+    *     lowercased so the stub hash-embedder sees case variants as
+    *     identical tokens, the role the real sentence embedder
+    *     plays);
     *  2. candidate pairs via multi-table LSH cell-blocking over those
     *     embeddings (equi-join on (table, bucket) — NEVER the n²
     *     cross product; the get_closest_entities(k=10) analog);
@@ -187,13 +188,15 @@ final class Graft(
       if (hasDesc) entities.select(col("entity"), col("description"))
       else entities.select(col("entity"), lit("").as("description"))
     ).as[(String, String)]
-    // Lowercased repr: the stub hash-embedder only sees exact token
-    // matches, so case variants must normalize BEFORE embedding — the
-    // role a real sentence embedder's robustness plays. (closestEntities
-    // embeds the raw repr, mirroring what the reference STORES.)
+    // Lowercased STORED repr (the unconditional "name (description)"
+    // text add_entity embeds — storage.py:191): the stub
+    // hash-embedder only sees exact token matches, so case variants
+    // must normalize BEFORE embedding — the role a real sentence
+    // embedder's robustness plays. (closestEntities embeds the raw
+    // stored repr, un-lowercased, exactly as the reference stores it.)
     val entEmb = named
       .mapPartitions(_.map { case (e, d) =>
-        (e, emb.embed(Graft.entityRepr(e, d).toLowerCase).map(_.toDouble))
+        (e, emb.embed(Graft.entityStoredRepr(e, d).toLowerCase).map(_.toDouble))
       })
       .toDF("entity", "v")
       .cache()
@@ -291,8 +294,10 @@ final class Graft(
       .select("fact_id", "fact_text", "cos")
       .orderBy(col("cos").desc, col("fact_id"))
 
-  /** Top-k entities by cosine of their repr embedding ("name
-    * (description)" when a description exists — storage.py:191). */
+  /** Top-k entities by cosine of their STORED-repr embedding — the
+    * unconditional "name (description)" text add_entity writes to
+    * the vector collection (storage.py:191), "name ()" when the
+    * description is empty. */
   def closestEntities(db: HippoDb, query: String, k: Int = 5): DataFrame = {
     import spark.implicits._
     val emb = embedder
@@ -302,7 +307,7 @@ final class Graft(
       else db.entities.select(col("entity"), lit("").as("description"))
     ).as[(String, String)]
     val entEmb = named
-      .mapPartitions(_.map { case (e, d) => (e, emb.embed(Graft.entityRepr(e, d))) })
+      .mapPartitions(_.map { case (e, d) => (e, emb.embed(Graft.entityStoredRepr(e, d))) })
       .toDF("entity", "embedding")
     entEmb.select(col("entity"), cosine6(toDouble(col("embedding")), queryVec(query)).as("cos"))
       .orderBy(col("cos").desc, col("entity"))
@@ -407,10 +412,19 @@ object Graft {
     * block's NLI comparisons at |block| × this). */
   val MaxBlockSurvivors = 1024
 
-  /** The entity repr the reference embeds and displays —
-    * "name (description)" when a description exists, bare name
-    * otherwise (storage.py:191 / Entity.__repr__). */
+  /** The entity repr the reference DISPLAYS — "name (description)"
+    * when a description exists, bare name otherwise
+    * (Entity.__repr__, storage.py:24). */
   def entityRepr(name: String, description: String): String =
     if (description == null || description.isEmpty) name
     else s"$name ($description)"
+
+  /** The text the reference actually STORES in the entity vector
+    * collection: `name + " (" + description + ")"` UNCONDITIONALLY
+    * (storage.py:191 add_entity) — i.e. "name ()" for the empty
+    * description every annotator-added entity has. Embedding paths
+    * use this form so similarity scores match the reference's stored
+    * vectors even for empty-description entities. */
+  def entityStoredRepr(name: String, description: String): String =
+    s"$name (${Option(description).getOrElse("")})"
 }

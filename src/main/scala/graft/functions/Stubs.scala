@@ -80,12 +80,29 @@ object MediaDecoder {
 
   /** STUB decoder: deterministic fake metadata from byte stats (no
     * codecs in this container). A real deployment would decode the
-    * actual image/audio/video header here. */
+    * actual image/audio/video header here.
+    *
+    * The height formula hashes the first CODE POINT of the payload
+    * decoded as UTF-8 (not the first raw byte): the cross-engine
+    * oracles restate it as DuckDB `unicode(substr(text, 1, 1))`,
+    * which is a code point — first-byte hashing diverges on any
+    * non-ASCII leading char (e.g. 'é': byte 195 vs cp 233). Empty
+    * payloads hash as 0 (the oracles CASE-guard the same). */
   val stub: MediaDecoder = new MediaDecoder {
-    def decode(bytes: Array[Byte]): Meta = Meta(
-      nBytes = bytes.length.toLong,
-      width = bytes.length % 640,
-      height = (java.lang.Byte.toUnsignedInt(bytes.headOption.getOrElse(0: Byte)) * 7) % 480,
-      channels = 3)
+    def decode(bytes: Array[Byte]): Meta = {
+      val cp =
+        if (bytes.isEmpty) 0
+        else {
+          // A UTF-8 code point spans ≤4 bytes — decode only the head.
+          val head = new String(bytes, 0, math.min(4, bytes.length),
+            java.nio.charset.StandardCharsets.UTF_8)
+          if (head.isEmpty) 0 else head.codePointAt(0)
+        }
+      Meta(
+        nBytes = bytes.length.toLong,
+        width = bytes.length % 640,
+        height = (cp * 7) % 480,
+        channels = 3)
+    }
   }
 }

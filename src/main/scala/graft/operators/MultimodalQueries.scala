@@ -100,10 +100,13 @@ object MultimodalQueries {
   val oracles: Map[String, String] = Map(
     // The stub decoder's metadata formulas, restated over the utf-8
     // source text (bytes == ascii chars for this corpus).
+    // First-char hash = CODE POINT on both engines (Stubs.scala
+    // MediaDecoder.stub decodes it from the utf-8 bytes); empty text
+    // CASE-guards to 0 because DuckDB unicode('') is -1.
     "m01_media_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-        |  CAST((unicode(substr(text, 1, 1)) * 7) % 480 AS INT) AS height,
+        |  CAST((CASE WHEN text = '' THEN 0 ELSE unicode(substr(text, 1, 1)) END * 7) % 480 AS INT) AS height,
         |  CAST(3 AS INT) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
     "m02_frame_sample" ->
@@ -120,9 +123,9 @@ object MultimodalQueries {
     "m03_resize" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) % 640 AS INT) AS in_w,
-        |  CAST((unicode(substr(text, 1, 1)) * 7) % 480 AS INT) AS in_h,
+        |  CAST((CASE WHEN text = '' THEN 0 ELSE unicode(substr(text, 1, 1)) END * 7) % 480 AS INT) AS in_h,
         |  CAST((octet_length(encode(text)) % 640) // 2 AS INT) AS out_w,
-        |  CAST(((unicode(substr(text, 1, 1)) * 7) % 480) // 2 AS INT) AS out_h,
+        |  CAST(((CASE WHEN text = '' THEN 0 ELSE unicode(substr(text, 1, 1)) END * 7) % 480) // 2 AS INT) AS out_h,
         |  CAST((length(text) + 1) // 2 AS BIGINT) AS out_bytes,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(range(0, CAST(length(text) AS BIGINT), 2),

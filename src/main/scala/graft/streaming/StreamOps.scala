@@ -49,19 +49,23 @@ object StreamOps {
     *
     * Late-data contract: under an event-time timeout Spark DROPS
     * rows older than the watermark before this operator, so the
-    * tolerated event-time disorder equals the watermark delay (set
-    * to the session gap here). Replays lagging further than that
-    * belong on the batch mirror (q09/openSessions), which has no
-    * horizon.
+    * tolerated event-time disorder equals `watermarkDelay` (default:
+    * the session gap). A delay LONGER than the gap admits events
+    * that predate an open session by more than the gap — those become
+    * their own earlier session(s), exactly as the batch mirror
+    * sessionizes them, never folded into the open state. Replays
+    * lagging beyond the delay belong on the batch mirror
+    * (q09/openSessions), which has no horizon.
     *
     * session_id is derived from the session's START TIME (epoch ms),
     * not a per-user counter: state eviction must not recycle ids, and
     * (user_id, start-derived id) stays unique and monotonic across
     * evict/return cycles. */
-  def sessionize(spark: SparkSession, events: Dataset[Ev]): Dataset[SessionOut] = {
+  def sessionize(spark: SparkSession, events: Dataset[Ev],
+      watermarkDelay: String = "30 minutes"): Dataset[SessionOut] = {
     import spark.implicits._
     events
-      .withWatermark("ts", "30 minutes")
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -79,23 +83,58 @@ object StreamOps {
             val sorted = evs.toSeq.sortBy(_.ts.getTime)
             var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
             val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+            // Late events still inside the watermark can predate the
+            // carried session by MORE than the gap (the global
+            // watermark is held back by the max ts across ALL users, so
+            // a quiet user admits arbitrarily old in-horizon events).
+            // The batch mirror puts those in their OWN earlier
+            // session(s) — folding them into the open state via
+            // min(startTs, t) would emit a merged session the batch
+            // form never produces. Accumulate them in a pre-session
+            // chain instead; it closes on its own unless a later event
+            // lands within the gap of both, bridging it into the state.
+            var pre: Option[SessionState] = None
+            def flushPre(): Unit = pre.foreach { p =>
+              closed += SessionOut(user, p.startTs, p.nEvents, new Timestamp(p.startTs))
+              pre = None
+            }
             sorted.foreach { e =>
               val t = e.ts.getTime
               if (st.nEvents == 0L) {
                 st = SessionState(t, 1L, t)
+              } else if (t < st.startTs - GapMs) {
+                pre = pre match {
+                  case Some(p) if t - p.lastTs <= GapMs =>
+                    Some(SessionState(t, p.nEvents + 1, p.startTs))
+                  case _ =>
+                    flushPre()
+                    Some(SessionState(t, 1L, t))
+                }
               } else if (t - st.lastTs > GapMs) {
+                flushPre()
                 closed += SessionOut(user, st.startTs, st.nEvents, new Timestamp(st.startTs))
                 st = SessionState(t, 1L, t)
               } else {
                 // An in-watermark event from a LATER micro-batch can be
                 // older than the carried state — lastTs/startTs must
                 // stay monotone (a regressed lastTs would fake a gap
-                // against the next event; a late head event moves the
-                // session START back, matching the batch mirror).
+                // against the next event; a late head event inside the
+                // gap moves the session START back, matching the batch
+                // mirror).
                 st = SessionState(math.max(st.lastTs, t), st.nEvents + 1,
                   math.min(st.startTs, t))
+                // The pulled-back start may now sit within the gap of
+                // the pre-session chain — in the batch mirror they are
+                // then ONE session, so merge instead of closing.
+                pre match {
+                  case Some(p) if st.startTs - p.lastTs <= GapMs =>
+                    st = SessionState(st.lastTs, st.nEvents + p.nEvents, p.startTs)
+                    pre = None
+                  case _ => ()
+                }
               }
             }
+            flushPre()
             state.update(st)
             state.setTimeoutTimestamp(st.lastTs + GapMs)
             closed.iterator

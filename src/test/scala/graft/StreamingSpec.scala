@@ -149,4 +149,37 @@ class StreamingSpec extends SparkSpec {
       "stream emitted a session the batch mirror does not contain")
     assert(streamed.count() >= closedBatch.count() && closedBatch.count() > 0)
   }
+
+  test("st02 in-watermark event older than the gap becomes its OWN session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s:00")
+    // A watermark delay LONGER than the session gap (here 2h vs 30min
+    // — the disorder-tolerant configuration) admits events that
+    // predate an open session by more than the gap. Folding such an
+    // event into the open state via min(startTs, t) would emit a
+    // merged 2-event session the batch mirror never produces; it must
+    // become its OWN closed session.
+    val stream = MemoryStream[StreamOps.Ev]
+    val q = StreamOps.sessionize(spark, stream.toDS(), watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("st02_late")
+      .outputMode("append").start()
+    try {
+      stream.addData(StreamOps.Ev(1L, ts("16:00"), 1.0)); q.processAllAvailable()
+      // 60 min before user 1's open session start, inside the 2h
+      // horizon (watermark 14:00) — batch mirror: a separate session.
+      stream.addData(StreamOps.Ev(1L, ts("15:00"), 1.0)); q.processAllAvailable()
+      // Advance the watermark past 16:30 so user 1's open session
+      // times out and flushes on the following batch.
+      stream.addData(StreamOps.Ev(2L, ts("21:00"), 1.0)); q.processAllAvailable()
+      stream.addData(StreamOps.Ev(2L, ts("22:00"), 1.0)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("st02_late").filter(col("user_id") === 1L)
+      .select("session_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // The batch mirror over BOTH user-1 events: two 1-event sessions.
+    val mirror = Set(ts("15:00").getTime -> 1L, ts("16:00").getTime -> 1L)
+    assert(got == mirror,
+      s"streamed user-1 sessions $got differ from the batch mirror $mirror")
+  }
 }
