@@ -73,12 +73,27 @@ object DedupQueries {
   }
 
   def minhashSig(shingles: Seq[String], params: Array[(Long, Long)]): Array[Long] = {
-    val hs = shingles.map(polyHashJvm)
-    params.map { case (a, b) =>
+    // Primitive arrays end-to-end: the signature loop runs
+    // |params| × |shingles| times per doc, so boxed Seq[Long] hashing
+    // costs more than the arithmetic.
+    val hs = new Array[Long](shingles.length)
+    var i = 0
+    shingles.foreach { s => hs(i) = polyHashJvm(s); i += 1 }
+    val out = new Array[Long](params.length)
+    var j = 0
+    while (j < params.length) {
+      val (a, b) = params(j)
       var m = MinhashPrime
-      hs.foreach { h => val v = (a * h + b) % MinhashPrime; if (v < m) m = v }
-      m
+      var k = 0
+      while (k < hs.length) {
+        val v = (a * hs(k) + b) % MinhashPrime
+        if (v < m) m = v
+        k += 1
+      }
+      out(j) = m
+      j += 1
     }
+    out
   }
 
   /** Word 3-gram shingles in the JVM kernel (distinct, order of first
@@ -176,13 +191,31 @@ object DedupQueries {
   }
 
   /** Sorted distinct 5-gram hashes + two-pointer intersection — the
-    * verification kernel (tight JVM loops, map-side). */
+    * verification kernel (tight JVM loops, map-side). The gram hash
+    * is computed in place from the chars (same value as
+    * gramHash64(text.substring(i, i+5)) without allocating a String
+    * per position) and deduped after a primitive sort — the
+    * corpus-scale map stage allocates only the output array. */
   def charGramHashes(text: String): Array[Long] = {
     val n = math.max(text.length - 4, 0)
+    if (n == 0) return Array.emptyLongArray
     val hs = new Array[Long](n)
     var i = 0
-    while (i < n) { hs(i) = gramHash64(text.substring(i, i + 5)); i += 1 }
-    hs.distinct.sorted
+    while (i < n) {
+      var h = 1125899906842597L
+      var j = i
+      while (j < i + 5) { h = h * 31 + text.charAt(j); j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 1
+    i = 1
+    while (i < n) {
+      if (hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    if (w == n) hs else java.util.Arrays.copyOf(hs, w)
   }
 
   def sortedIntersectionSize(a: Array[Long], b: Array[Long]): Int = {
@@ -193,6 +226,22 @@ object DedupQueries {
       else if (c < 0) i += 1 else j += 1
     }
     n
+  }
+
+  /** Early-exit merge: returns the exact intersection size if it can
+    * still reach `alpha`, or -1 the moment it provably cannot
+    * (n + remaining_min < alpha). Near-threshold joins reject most
+    * candidates within a few steps instead of merging both arrays to
+    * the end — the verify-stage analog of PPJoin's positional prune. */
+  def sortedIntersectionAtLeast(a: Array[Long], b: Array[Long], alpha: Int): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      if (n + math.min(a.length - i, b.length - j) < alpha) return -1
+      val c = java.lang.Long.compare(a(i), b(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1 else j += 1
+    }
+    if (n >= alpha) n else -1
   }
 
   /** d04: exact char-5-gram Jaccard pairs >= 0.8 via PPJoin-style
@@ -242,6 +291,11 @@ object DedupQueries {
             ceil((col("l.sz") + col("r.sz")) * (t / (1 + t))))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
+    // Pre-distinct stays (unlike d06): the candidate stream carries a
+    // ~2× multi-gram multiplicity, and deferring its dedup makes the
+    // payload re-attach join size borderline for AQE's broadcast
+    // decision — measured 4× run-to-run swings when deferred. One
+    // stable shuffle of the narrow pair set is the better trade here.
     // As in d02: join the tiny pair set against the cached gram table
     // with NO broadcast hints — AQE broadcasts the small pair side at
     // runtime, the gram payloads never shuffle or broadcast, and the
@@ -252,8 +306,14 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("ga"), col("sza"), col("gb"), col("szb"))
       .as[(Long, Long, Array[Long], Int, Array[Long], Int)]
       .map { case (a, b, ga, sza, gb, szb) =>
-        val inter = sortedIntersectionSize(ga, gb)
-        (a, b, inter.toDouble / (sza + szb - inter))
+        // Required overlap for round(j,4) >= t, with a 1e-4 slack so a
+        // raw j that ROUNDS UP across the threshold is never cut: the
+        // early-exit merge rejects most candidates in a few steps.
+        val tEff = t - 1e-4
+        val alpha = math.ceil((sza + szb) * tEff / (1 + tEff)).toInt
+        val inter = sortedIntersectionAtLeast(ga, gb, alpha)
+        if (inter < 0) (a, b, 0.0)
+        else (a, b, inter.toDouble / (sza + szb - inter))
       }
       .toDF("doc_a", "doc_b", "jraw")
       .select(col("doc_a"), col("doc_b"), round(col("jraw"), 4).as("j"))
