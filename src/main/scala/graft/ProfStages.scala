@@ -69,3 +69,40 @@ object ProfStages {
     spark.stop()
   }
 }
+// (d06 staging lives in a second main to keep runs independent)
+object ProfStagesD06 {
+  import ProfStages.t
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.{DedupQueries, VectorQueries}
+    import graft.operators.DedupQueries._
+    import graft.functions.VectorFunctions._
+    import graft.sources.Tables
+    val planes = VectorQueries.lshPlanes(AnnTables * AnnBits, 64, seed = 77L)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nv", normNative(col("v")))
+      .cache()
+    t("embed + norm + cache")(e.count())
+    val cells = e.select(col("vec_id"),
+      explode(VectorQueries.cellStructs(planes, AnnTables, AnnBits)(col("v"))).as("cell"))
+    t("cells")(System.err.println("  cells=" + cells.count()))
+    val cand = cells.as("l").join(cells.as("r"),
+        col("l.cell") === col("r.cell") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
+    t("candidate rows (cell self-join)")(System.err.println("  cand=" + cand.count()))
+    val scored = cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nv").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nv").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        cosinePreRaw(col("va"), col("vb"), col("na"), col("nb")).as("rawcos"))
+      .filter(col("rawcos") >= CosineThreshold - 1e-6)
+    t("re-attach + cosine + filter")(System.err.println("  passed=" + scored.count()))
+    t("END-TO-END d06")(DedupQueries.d06EmbedNeardupAnn(spark, dir).count())
+    spark.stop()
+  }
+}

@@ -290,11 +290,14 @@ object VectorQueries {
 
   /** The L per-table (table, bucket) cells of a vector column as one
     * array column — the shared blocking primitive of v05/d06/entity
-    * resolution (explode it for the narrow (id, cell) rows). */
+    * resolution (explode it for the narrow (id, cell) rows). Each
+    * cell is PACKED into one long (table in the high bits, bucket in
+    * the low `bits`): equi-joins hash/sort a primitive key instead of
+    * a two-field struct, which is measurably cheaper on the
+    * million-row candidate joins. */
   def cellStructs(planes: Array[Array[Double]], nTables: Int, bits: Int)(v: Column): Column =
     array((0 until nTables).map { t =>
-      struct(lit(t).as("table"),
-        signature(planes.slice(t * bits, (t + 1) * bits))(v).as("bucket"))
+      signature(planes.slice(t * bits, (t + 1) * bits))(v) + lit(t.toLong << 32)
     }: _*)
 
   /** Column fn: 16-bit LSH signature of a double-array column. The
