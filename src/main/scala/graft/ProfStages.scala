@@ -106,3 +106,37 @@ object ProfStagesD06 {
     spark.stop()
   }
 }
+object ProfStagesD07 {
+  import ProfStages.t
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.DedupQueries
+    val pairs = t("d02 pairs count")(DedupQueries.d02Pairs(spark, dir).select("doc_a", "doc_b"))
+    t("d02 pairs action")(System.err.println("  pairs=" + pairs.count()))
+    val cc = t("connectedComponents (eager loop)")(DedupQueries.connectedComponents(pairs))
+    t("final d07 count")(System.err.println("  rows=" +
+      DedupQueries.d07DedupClusters(spark, dir).count()))
+    spark.stop()
+  }
+}
+object ProfStagesCC {
+  import ProfStages.t
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // 250 chains of 2 + one chain of 8 — mimics the sf0.1 pair graph
+    val edges = ((0 until 250).map(i => (i * 10L, i * 10L + 1L)) ++
+      (0 until 7).map(i => (9000L + i, 9001L + i))).toDF("u", "v")
+    t("cc #1")(graft.operators.DedupQueries.connectedComponents(edges).count())
+    t("cc #2")(graft.operators.DedupQueries.connectedComponents(edges).count())
+    t("cc #3")(graft.operators.DedupQueries.connectedComponents(edges).count())
+    spark.stop()
+  }
+}

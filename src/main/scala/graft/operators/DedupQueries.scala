@@ -106,7 +106,13 @@ object DedupQueries {
     out.toSeq
   }
 
-  def d02MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def d02MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    d02Pairs(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** The d02 near-dup pair set WITHOUT the presentation sort (d07
+    * consumes it as a graph edge list; sorting there would be wasted
+    * work under the join). */
+  def d02Pairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val params = hashParams(NumHashes, seed = 7L)
     val sigs = Tables.documents(spark, dir)
@@ -146,7 +152,6 @@ object DedupQueries {
           size(array_union(col("sa"), col("sb"))), 4))
       .filter(col("j") >= WordJaccardThreshold)
       .select("doc_a", "doc_b", "j")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** d03: 64-bit SimHash per doc (*rows-only*; DedupSpec asserts
@@ -398,6 +403,82 @@ object DedupQueries {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Connected components over an undirected edge list (two long
+    * columns) by min-label propagation TO FIXPOINT: each round is one
+    * join + one keyed agg, labels only decrease, so O(component
+    * diameter) rounds with the moved-label count as the convergence
+    * action. Near-dup clusters have small diameters (stars/short
+    * chains), which makes this the right shape; a graph with
+    * continent-sized components would want the alternating
+    * large-star/small-star contraction (O(log n) rounds) instead —
+    * same relational primitives, more bookkeeping. 64-round runaway
+    * guard, warned loudly.
+    *
+    * Returns (id, comp) for every vertex IN the edge list. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    // Iterative plans MUST truncate lineage each round with an EAGER
+    // localCheckpoint: a cache() does not cut the LOGICAL plan, and
+    // this loop references lab/hop twice per round — the analyzed
+    // plan (and every explain/listener stringification of it) grows
+    // 4^rounds and the driver hangs stringifying it long before any
+    // executor works. localCheckpoint also evaluates the (possibly
+    // expensive) edge subtree exactly once. In a fault-tolerant
+    // production run, checkpoint() to reliable storage instead —
+    // same lineage cut, plus recoverability.
+    val sym = edges.toDF("u", "v").localCheckpoint()
+    val both = sym.union(sym.select(col("v"), col("u"))).localCheckpoint()
+    var lab = both.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var moved = 1L
+    var round = 0
+    while (moved > 0 && round < 64) {
+      val viaN = both
+        .join(lab.select(col("id").as("v"), col("comp").as("ncomp")), "v")
+        .groupBy(col("u").as("id"))
+        .agg(min("ncomp").as("ncomp"))
+      val hop = lab.join(viaN, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      // Pointer jump (comp := min(comp, comp(comp))): halves the
+      // remaining chain length every round, so long duplicate chains
+      // converge in O(log diameter) rounds instead of O(diameter) —
+      // at a fixed per-round job latency, rounds are the cost.
+      // Labels are always vertex ids, so the self-join always finds
+      // the label's own row.
+      val next = hop.as("x")
+        .join(hop.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
+          col("x.comp") === col("y.cid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.comp"), coalesce(col("ccomp"), col("x.comp"))).as("comp"))
+        .localCheckpoint()
+      moved = next.join(lab.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).count()
+      lab = next
+      round += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $round moved=$moved")
+    }
+    if (moved > 0)
+      System.err.println(s"[graft] connectedComponents: NOT converged after " +
+        s"$round rounds ($moved labels still moving)")
+    lab.select("id", "comp")
+  }
+
+  /** d07: near-dup CLUSTERS + canonical selection — the "keep one
+    * copy per duplicate group" pipeline op: connected components over
+    * the d02 MinHash/LSH pair graph, canonical = the cluster's min
+    * doc_id (the survivor a keep-one filter would retain). Only docs
+    * that participate in at least one near-dup pair appear (singleton
+    * docs are their own trivial cluster and are left untouched by a
+    * keep-one pass). Oracle: DuckDB recursive-CTE transitive closure
+    * over the exact all-pairs Jaccard graph. */
+  def d07DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(d02Pairs(spark, dir).select("doc_a", "doc_b"))
+      .select(col("comp").as("cluster_id"), col("id").as("doc_id"),
+        (col("id") === col("comp")).cast("int").as("is_canonical"))
+      .orderBy("cluster_id", "doc_id")
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -406,7 +487,8 @@ object DedupQueries {
     "d03_simhash" -> (d03Simhash _),
     "d04_ngram_jaccard" -> (d04NgramJaccard _),
     "d05_embed_neardup" -> (d05EmbedNeardup _),
-    "d06_embed_neardup_ann" -> (d06EmbedNeardupAnn _))
+    "d06_embed_neardup_ann" -> (d06EmbedNeardupAnn _),
+    "d07_dedup_clusters" -> (d07DedupClusters _))
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup" ->
@@ -438,5 +520,23 @@ object DedupQueries {
          |  round(list_cosine_similarity(a.v, b.v), 6) AS cos
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= $CosineThreshold
-         |ORDER BY vec_a, vec_b""".stripMargin)
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    // Transitive closure over the EXACT all-pairs Jaccard pair graph
+    // (the same oracle bar as d02: the LSH-blocked Spark side must
+    // reconstruct the clusters of the exact graph).
+    "d07_dedup_clusters" ->
+      s"""WITH RECURSIVE g AS (SELECT doc_id, $wordShinglesSql AS grams FROM documents),
+         |p AS (SELECT a.doc_id AS u, b.doc_id AS v
+         |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |      WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+         |            len(list_distinct(a.grams || b.grams)), 4) >= $WordJaccardThreshold),
+         |e AS (SELECT u, v FROM p UNION SELECT v AS u, u AS v FROM p),
+         |reach(id, root) AS (
+         |  SELECT DISTINCT u AS id, u AS root FROM e
+         |  UNION
+         |  SELECT e2.v AS id, r.root FROM reach r JOIN e e2 ON e2.u = r.id
+         |)
+         |SELECT min(root) AS cluster_id, id AS doc_id,
+         |  CAST(id = min(root) AS INT) AS is_canonical
+         |FROM reach GROUP BY id ORDER BY cluster_id, doc_id""".stripMargin)
 }

@@ -41,4 +41,43 @@ class DedupSpec extends SparkSpec {
     info(s"d06 recall vs exact: $recall (${ann.size}/${exact.size} pairs)")
     assert(recall >= 0.9, s"recall $recall below 0.9")
   }
+
+  test("connectedComponents labels chains, stars and cliques to the component min") {
+    import spark.implicits._
+    // chain 1-2-3-4-5, star 10<-{11,12,13}, clique {20,21,22}, pair 30-31
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (11L, 10L), (12L, 10L), (13L, 10L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (31L, 30L)).toDF("u", "v")
+    val got = DedupQueries.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L)
+    assert(got == want, s"components differ: $got")
+  }
+
+  test("d07 clusters cover every d02 pair with canonical = cluster min") {
+    val pairs = DedupQueries.d02MinhashLsh(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val rows = DedupQueries.d07DedupClusters(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val cluster = rows.map { case (c, d, _) => d -> c }.toMap
+    // every near-dup pair landed in one cluster
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    // canonical flag is exactly "doc is its cluster's min id"
+    rows.groupBy(_._1).foreach { case (c, members) =>
+      val min = members.map(_._2).min
+      assert(min == c, s"cluster id $c is not the member min $min")
+      members.foreach { case (_, d, canon) =>
+        assert((canon == 1) == (d == min), s"canonical flag wrong for doc $d")
+      }
+    }
+  }
 }
