@@ -50,6 +50,24 @@ object ExtendedQueries {
       .orderBy("user_id")
   }
 
+  /** q13: grouped order statistics — exact quartiles (linear
+    * interpolation, the same definition as DuckDB's quantile_cont)
+    * plus sample stddev of extended price per return flag. Exact
+    * percentiles need the group's values together (ObjectHashAgg
+    * buffer keyed by the LOW-cardinality flag — 3 groups, so the
+    * per-group buffer spread across executors is the whole column:
+    * at 100 TB swap in approx_percentile, which partial-aggregates a
+    * bounded sketch map-side; same query shape, bounded memory). */
+  def q13GroupStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd"))
+      .orderBy("l_returnflag")
+
   /** e01: k-NN classification — every vector's label predicted by
     * majority vote of its top-5 cosine neighbours; emitted with the
     * true label so downstream can compute accuracy.
@@ -111,9 +129,17 @@ object ExtendedQueries {
   val queries: Map[String, Q] = Map(
     "q11_asof_join" -> (q11AsofJoin _),
     "q12_pivot" -> (q12Pivot _),
+    "q13_group_stats" -> (q13GroupStats _),
     "e01_knn_classify" -> (e01KnnClassify _))
 
   val oracles: Map[String, String] = Map(
+    "q13_group_stats" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q11_asof_join" ->
       """SELECT p.event_id, p.user_id, p.ts,
         |  v.event_id AS view_event_id, v.ts AS view_ts

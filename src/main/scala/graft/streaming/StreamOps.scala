@@ -175,6 +175,31 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** st05: stream-stream INTERVAL join — each purchase joined to the
+    * same user's views within the preceding hour (the always-on form
+    * of q11's ranged join; a self-join of the event stream filtered
+    * by type). Both sides carry watermarks and the join condition
+    * bounds view_ts to [purchase_ts - 1h, purchase_ts], which is
+    * what lets Spark EVICT buffered rows once the watermark passes
+    * the interval — stream-stream join state is otherwise unbounded.
+    * State ≈ horizon × arrival rate per side, keyed by user_id
+    * (high cardinality → spreads across executors). */
+  def purchaseViewJoin(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val typed = events.withColumn("ts", col("ts").cast("timestamp"))
+    val p = typed.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    val v = typed.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    p.join(v, col("user_id") === col("v_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts")
+  }
+
   /** Flush helper for specs/batch use: ALL sessions (incl. the
     * still-open last one per user), with the same start-time-derived
     * session ids the streaming form emits. */

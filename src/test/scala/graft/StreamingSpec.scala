@@ -150,6 +150,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() >= closedBatch.count() && closedBatch.count() > 0)
   }
 
+  test("st05 stream-stream interval join == batch ranged join on same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventsBatch
+      .select(col("event_id"), col("ts").cast("timestamp"), col("user_id"), col("event_type"))
+      .as[(Long, Timestamp, Long, String)].collect().toSeq
+
+    val stream = MemoryStream[(Long, Timestamp, Long, String)]
+    stream.addData(rows)
+    val q = StreamOps.purchaseViewJoin(
+        stream.toDF().toDF("event_id", "ts", "user_id", "event_type"))
+      .writeStream.format("memory").queryName("st05_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("st05_out")
+    val batch = StreamOps.purchaseViewJoin(
+      eventsBatch.select("event_id", "ts", "user_id", "event_type"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream-stream interval join differs from the batch ranged join")
+    assert(streamed.count() > 0, "no purchase-view matches in the sample")
+  }
+
   test("st02 in-watermark event older than the gap becomes its OWN session") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
