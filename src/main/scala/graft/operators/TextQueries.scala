@@ -129,6 +129,22 @@ object TextQueries {
       .select("doc_id", "n_tokens", "stop_ratio", "quality")
       .orderBy("doc_id")
 
+  /** t07: corpus-wide token frequencies, top 20 — the vocabulary /
+    * stopword-discovery primitive of a data pipeline. One explode +
+    * one hash-groupBy with map-side partial aggregation, then
+    * TakeOrderedAndProject for the top-k: only per-partition partial
+    * counts shuffle, and only 20 rows reach the driver. Ties order
+    * deterministically by (count desc, token) on both engines. The
+    * sub-linear-memory alternative for heavy-hitters-only at 100 TB
+    * is the Misra-Gries FreqSketch aggregator (spec-tested). */
+  def t07TopTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -137,7 +153,8 @@ object TextQueries {
     "t03_token_count" -> (t03TokenCount _),
     "t04_fingerprint" -> (t04Fingerprint _),
     "t05_parse_bullets" -> (t05ParseBullets _),
-    "t06_quality_filter" -> (t06QualityFilter _))
+    "t06_quality_filter" -> (t06QualityFilter _),
+    "t07_top_tokens" -> (t07TopTokens _))
 
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
   private def sqlCount(wsList: String) =
@@ -215,5 +232,10 @@ object TextQueries {
         |  FROM documents)
         |SELECT doc_id, CAST(len(items) AS INT) AS n_items,
         |  items[1] AS first_item, items[-1] AS last_item
-        |FROM b ORDER BY doc_id""".stripMargin)
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "t07_top_tokens" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token != ''
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)
 }

@@ -66,4 +66,31 @@ class AggregatorSpec extends SparkSpec {
       .head().getDouble(0)
     assert(r == 32.0)
   }
+
+  test("Misra-Gries FreqSketch keeps every item above n/k at any parallelism") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val k = 50
+    val tokens = graft.sources.Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .as[String]
+    val n = tokens.count()
+    val exact = tokens.groupByKey(identity).count().collect().toMap
+    val mustKeep = exact.filter { case (_, c) => c > n / k }.keySet
+    assert(mustKeep.nonEmpty, "corpus has no heavy hitters at n/k — weak test data")
+    for (parts <- Seq(1, 13)) { // MG output depends on partitioning; the GUARANTEE must not
+      val sketch = tokens.repartition(parts)
+        .select(new graft.functions.FreqSketch(k).toColumn)
+        .head().toMap
+      assert(sketch.size <= k - 1, s"sketch exceeded k-1 counters: ${sketch.size}")
+      val missing = mustKeep -- sketch.keySet
+      assert(missing.isEmpty, s"items above n/k missing at parts=$parts: $missing")
+      // reported counts are lower bounds within n/k of the truth
+      sketch.foreach { case (i, c) =>
+        assert(c <= exact(i), s"over-estimate for $i")
+        assert(exact(i) - c <= n / k, s"error beyond n/k for $i")
+      }
+    }
+  }
 }
