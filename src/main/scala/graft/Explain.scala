@@ -38,7 +38,12 @@ object Explain {
       // d06/h08: candidate/probe joins, never a corpus-side broadcast
       "d06_embed_neardup_ann" -> Seq("HashAggregate"),
       "h08_neighbour_facts" -> Seq("BroadcastHashJoin", "sort_array"),
-      "v07_ann_ivf" -> Seq("TakeOrderedAndProject"))
+      "v07_ann_ivf" -> Seq("TakeOrderedAndProject"),
+      // q13: exact percentile is a TypedImperativeAggregate — must
+      // partial-aggregate (no row-sort of the whole table)
+      "q13_group_stats" -> Seq("ObjectHashAggregate"),
+      // t07: only the top 20 rows may cross to the driver
+      "t07_top_tokens" -> Seq("TakeOrderedAndProject", "HashAggregate"))
 
     val sb = new StringBuilder
     sb.append(s"# Plan audit @ $dir\n\n")

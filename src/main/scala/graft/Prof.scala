@@ -41,6 +41,25 @@ object Prof {
     val d04Set = d04Pairs.map(p => (p._1, p._2)).toSet
     println(s"[xval] d02=${d02Pairs.size} d04=${d04Set.size} " +
       s"symmetric_diff=${(d02Pairs diff d04Set).size + (d04Set diff d02Pairs).size}")
+    // 3) d07's distributed components == a driver-side union-find over
+    //    the same (tiny, collected) pair set.
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    d02Pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = d02Pairs.flatMap(p => Seq(p._1, p._2))
+      .map(v => v -> find(v)).toMap
+    val got = d07DedupClusters(spark, dir)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val diff = expect.count { case (v, c) => got.get(v) != Some(c) } +
+      (got.keySet -- expect.keySet).size
+    println(s"[xval] d07 docs=${got.size} clusters=${got.values.toSet.size} " +
+      s"mismatched_vs_unionfind=$diff")
     spark.stop()
   }
 }
