@@ -47,21 +47,45 @@ final class Graft(
     *    add_fact);
     *  - entities carry `description` (storage.py:183 add_entity —
     *    the annotator inserts with an empty description). */
-  def annotate(docs: DataFrame, chunkSize: Int = 100): HippoDb = {
+  def annotate(docs: DataFrame, chunkSize: Int = 100): HippoDb =
+    // ctxSize 200 preserves this method's established contract (and
+    // every oracle/spec hash built on it); the cfg overload defaults
+    // to the reference's 1000/5000.
+    annotate(docs, AnnotatorConfig(chunkSize = chunkSize, ctxSize = 200))
+
+  /** get_splitter dispatch (splitters.py:122) with the uniform
+    * (doc_id, chunk_idx, chunk, start, end) schema. */
+  private def splitDf(docs: DataFrame, cfg: AnnotatorConfig): DataFrame =
+    (cfg.splitStrategy match {
+      case "naive" => Splitters.naive(docs, cfg.chunkSize)
+      case "paragraph" => Splitters.paragraph(docs, "\n\n")
+      case "recursive" => Splitters.recursiveDf(spark, docs, cfg.chunkSize)
+      case "semantic" => Splitters.semanticDf(spark, docs, embedder)
+      case s => throw new IllegalArgumentException(
+        s"Unknown split strategy: $s (splitters.py:135)")
+    }).select(col("doc_id").cast("long"), col("chunk_idx").cast("int"),
+      col("chunk"), col("start").cast("long"), col("end").cast("long"))
+
+  /** Config-driven annotate — AnnotatorConfig mirrors the reference's
+    * annotator section (split_strategy/chunk_size/ctx_size —
+    * annotator.py:32-34 and the configs yaml files). */
+  def annotate(docs: DataFrame, cfg: AnnotatorConfig): HippoDb = {
     import spark.implicits._
     val emb = embedder
     val llmLocal = llm
+    val ctxSize = cfg.ctxSize
     // Per-doc contextualization (annotator.py:228): prompt the LLM
-    // with the head of the doc, keep the first sentence. Narrow
-    // map-side pass; re-attached to facts by a doc_id equi-join
-    // (co-partitioned with the splitter output at scale).
+    // with content[:min(ctx_size, len)], keep the first sentence.
+    // Narrow map-side pass; re-attached to facts by a doc_id
+    // equi-join (co-partitioned with the splitter output at scale).
     val ctx = docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .mapPartitions(_.map { case (id, t) =>
-        val ans = llmLocal.invoke(Prompts.contextualization(t.take(200)))
+        val ans = llmLocal.invoke(
+          Prompts.contextualization(t.take(math.min(ctxSize, t.length))))
         (id, TextHelpers.firstSentence(ans))
       })
       .toDF("doc_id", "context")
-    val facts = Splitters.recursiveDf(spark, docs, chunkSize)
+    val facts = splitDf(docs, cfg)
       .select(
         // hash-derived: stable, collision-safe for ARBITRARY doc ids
         // (a doc_id*k+i scheme overflows for hash-derived doc ids)

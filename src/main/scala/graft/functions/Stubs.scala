@@ -55,18 +55,43 @@ final class HeuristicNli extends NliModel {
   }
 }
 
-/** Prompt → completion. */
+/** GBNF grammar constants (grammars.py). */
+object Grammars {
+  /** grammars.py:1 grammar_yn — constrains a completion to Yes/No. */
+  val YesNo = "root ::= (\"Yes\" | \"No\")"
+}
+
+/** Prompt → completion (llm_backend.py LlmBackend): optional GBNF
+  * grammar constraint and stop sequences; a backend that cannot
+  * enforce grammars reports handlesGrammars = false and callers fall
+  * back to parsing free text (llm_backend.py:8 handles_grammars). */
 trait LlmBackend extends Serializable {
-  def invoke(prompt: String, maxTokens: Int = 256): String
+  def handlesGrammars: Boolean = false
+  def invoke(prompt: String, maxTokens: Int = 256,
+      grammar: Option[String] = None, stop: Seq[String] = Nil): String
 }
 
 /** Echo-style deterministic LLM stub: "extracts" facts by returning
   * the prompt's payload lines as bullets (keeps the annotation
-  * pipeline's plumbing testable without a model). */
+  * pipeline's plumbing testable without a model). Claims grammar
+  * support: under the Yes/No grammar it answers deterministically
+  * from a prompt hash (a STUB decision — the pipeline's yes/no
+  * branches are exercised by the NliModel stub, not this), and it
+  * honors stop sequences by truncation. */
 final class TemplateLlm extends LlmBackend {
-  def invoke(prompt: String, maxTokens: Int = 256): String = {
-    val payload = prompt.linesIterator.toList.lastOption.getOrElse("")
-    payload.split("(?<=\\.) ").filter(_.nonEmpty).map("- " + _).mkString("\n")
+  override def handlesGrammars: Boolean = true
+  def invoke(prompt: String, maxTokens: Int = 256,
+      grammar: Option[String] = None, stop: Seq[String] = Nil): String = {
+    val raw = grammar match {
+      case Some(g) if g == Grammars.YesNo =>
+        if (prompt.hashCode % 2 == 0) "Yes" else "No"
+      case _ =>
+        val payload = prompt.linesIterator.toList.lastOption.getOrElse("")
+        payload.split("(?<=\\.) ").filter(_.nonEmpty).map("- " + _).mkString("\n")
+    }
+    stop.foldLeft(raw) { (acc, s) =>
+      val i = acc.indexOf(s); if (i >= 0) acc.substring(0, i) else acc
+    }
   }
 }
 

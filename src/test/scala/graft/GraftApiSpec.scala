@@ -164,4 +164,37 @@ class GraftApiSpec extends SparkSpec {
     (1 to 4).foreach(i => assert(prompt.contains(s"$i. "), s"fact $i not numbered"))
     assert(response.nonEmpty)
   }
+
+  test("annotate(cfg) honors every split strategy; config round-trips via params") {
+    import graft.api.AnnotatorConfig
+    val docs = Tables.documents(spark, sf0001).limit(20).cache()
+    val counts = Seq("naive", "paragraph", "recursive", "semantic").map { s =>
+      val store = api.annotate(docs, AnnotatorConfig(splitStrategy = s, chunkSize = 120))
+      val n = store.facts.count()
+      assert(n > 0, s"strategy $s produced no facts")
+      assert(store.factEmb.count() == n, s"strategy $s: emb/fact count mismatch")
+      s -> n
+    }.toMap
+    // strategies genuinely differ on this corpus (no silent fallback)
+    assert(counts.values.toSet.size > 1, s"all strategies identical: $counts")
+    intercept[IllegalArgumentException](
+      api.annotate(docs, AnnotatorConfig(splitStrategy = "nope")))
+    // defaults mirror annotator.py:32-34; params round-trip
+    val cfg = AnnotatorConfig()
+    assert(cfg.splitStrategy == "recursive" && cfg.chunkSize == 1000 && cfg.ctxSize == 5000)
+    assert(AnnotatorConfig.fromParams(cfg.asParams) == cfg)
+    assert(AnnotatorConfig.fromParams(Map.empty) == cfg)
+  }
+
+  test("TemplateLlm enforces the Yes/No grammar and stop sequences (llm_backend.py surface)") {
+    import graft.functions.{Grammars, TemplateLlm}
+    val llm = new TemplateLlm
+    assert(llm.handlesGrammars)
+    val yn = llm.invoke("is this a duplicate?", grammar = Some(Grammars.YesNo))
+    assert(yn == "Yes" || yn == "No")
+    // deterministic per prompt
+    assert(yn == llm.invoke("is this a duplicate?", grammar = Some(Grammars.YesNo)))
+    assert(llm.invoke("a line. another line.", stop = Seq(" another")).startsWith("- a line."))
+    assert(!llm.invoke("a line. another line.", stop = Seq(" another")).contains("another"))
+  }
 }
