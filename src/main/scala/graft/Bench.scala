@@ -37,7 +37,8 @@ object Bench {
         Seq.empty
       } else if (new java.io.File(warmDir).isDirectory)
         Seq(warmDir -> "d04_ngram_jaccard", warmDir -> "d02_minhash_lsh",
-          warmDir -> "d06_embed_neardup_ann", warmDir -> "e01_knn_classify")
+          warmDir -> "d06_embed_neardup_ann", warmDir -> "e01_knn_classify",
+          warmDir -> "d07_dedup_clusters")
       else {
         System.err.println(s"[bench] $warmDir absent — skipping typed-kernel warmup")
         Seq.empty

@@ -254,16 +254,22 @@ final class Graft(
     // Min-label propagation TO FIXPOINT: canonical = the component's
     // lexicographic min. A fixed round count would leave chains of
     // diameter beyond it mapped to non-canonical intermediates (a
-    // non-idempotent mapping); instead iterate until no label moves —
-    // one hop per round, so O(component diameter) rounds, each one
-    // join + one keyed agg with the moved-label count as the
-    // convergence action. Bounded at 32 rounds as a runaway guard
-    // (warned loudly below if hit — name-variant chains deeper than
-    // 32 indicate a degenerate NLI confirm, not a real entity).
+    // non-idempotent mapping); instead iterate until no label moves.
+    // Each round is one join + one keyed agg + a pointer jump
+    // (canon := min(canon, canon(canon)), halving remaining chain
+    // length → O(log diameter) rounds), with the moved-label count as
+    // the convergence action. Every per-round frame is an EAGER
+    // localCheckpoint: the loop references lab twice per round, and
+    // without a lineage cut the analyzed logical plan grows
+    // exponentially in rounds (cache() does not truncate it) — the
+    // driver then hangs stringifying plans, as d07's component loop
+    // demonstrated. Bounded at 32 rounds as a runaway guard (warned
+    // loudly below if hit — name-variant chains deeper than 32
+    // indicate a degenerate NLI confirm, not a real entity).
     val sym = confirmed
       .union(confirmed.select(col("b").as("a"), col("a").as("b")))
-      .cache()
-    var lab = entEmb.select(col("entity"), col("entity").as("canon")).cache()
+      .localCheckpoint()
+    var lab = entEmb.select(col("entity"), col("entity").as("canon")).localCheckpoint()
     var moved = 1L
     var round = 0
     while (moved > 0 && round < 32) {
@@ -271,13 +277,18 @@ final class Graft(
         .join(lab.withColumnsRenamed(Map("entity" -> "b", "canon" -> "ncanon")), "b")
         .groupBy(col("a").as("entity"))
         .agg(min("ncanon").as("ncanon"))
-      val next = lab.join(viaNeighbour, Seq("entity"), "left")
+      val hop = lab.join(viaNeighbour, Seq("entity"), "left")
         .select(col("entity"),
           least(col("canon"), coalesce(col("ncanon"), col("canon"))).as("canon"))
-        .cache()
+        .localCheckpoint()
+      val next = hop.as("x")
+        .join(hop.select(col("entity").as("c_ent"), col("canon").as("ccanon")).as("y"),
+          col("x.canon") === col("y.c_ent"), "left")
+        .select(col("x.entity").as("entity"),
+          least(col("x.canon"), coalesce(col("ccanon"), col("x.canon"))).as("canon"))
+        .localCheckpoint()
       moved = next.join(lab.withColumnRenamed("canon", "prev"), "entity")
         .filter(col("canon") =!= col("prev")).count()
-      lab.unpersist()
       lab = next
       round += 1
     }
@@ -286,8 +297,8 @@ final class Graft(
         s"converged after $round rounds ($moved labels still moving) — " +
         "mapping may contain non-canonical intermediates")
     val out = lab.select(col("entity"), col("canon").as("canonical")).cache()
-    out.count() // materialize before releasing the intermediates
-    sym.unpersist(); entEmb.unpersist(); lab.unpersist()
+    out.count() // materialize before releasing the embedding cache
+    entEmb.unpersist() // sym/lab are checkpoint RDDs, GC'd with their frames
     out
   }
 

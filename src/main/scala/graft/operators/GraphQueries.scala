@@ -112,6 +112,32 @@ object GraphQueries {
       .orderBy("entity")
   }
 
+  /** h09: bounded k-hop neighbourhood (k=2) with MIN hop distance —
+    * get_neighbours (storage.py:213) iterated one hop further. Each
+    * hop is a frontier expansion: entities → their facts → the facts'
+    * other entities, minus everything already reached. Both hops are
+    * co-partitioned equi-joins on the edge keys (fact_id then
+    * entity — the keys saveEdgesBucketed buckets by), so a k-hop
+    * query is k joins in one declarative plan, not a driver loop; the
+    * frontier sets stay small relative to the edge table and AQE
+    * broadcasts them. */
+  def h09KhopNeighbours(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val f1 = e.filter(col("entity") === ProbeEntity).select("fact_id").distinct()
+    val n1 = e.join(f1, "fact_id")
+      .filter(col("entity") =!= ProbeEntity)
+      .select("entity").distinct()
+    val f2 = e.join(n1, "entity").select("fact_id").distinct()
+    val n2 = e.join(f2, "fact_id")
+      .filter(col("entity") =!= ProbeEntity)
+      .join(n1.withColumnRenamed("entity", "seen"),
+        col("entity") === col("seen"), "left_anti")
+      .select("entity").distinct()
+    n1.withColumn("hops", lit(1))
+      .union(n2.withColumn("hops", lit(2)))
+      .orderBy("hops", "entity")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -122,7 +148,8 @@ object GraphQueries {
     "h05_entity_degree" -> (h05EntityDegree _),
     "h06_prune_lone_entities" -> (h06PruneLoneEntities _),
     "h07_integrity_check" -> (h07IntegrityCheck _),
-    "h08_neighbour_facts" -> (h08NeighbourFacts _))
+    "h08_neighbour_facts" -> (h08NeighbourFacts _),
+    "h09_khop_neighbours" -> (h09KhopNeighbours _))
 
   private val probeList = ProbeUnion.map(e => s"'$e'").mkString(", ")
 
@@ -172,5 +199,18 @@ object GraphQueries {
          |FROM e e1 JOIN e e2 ON e1.fact_id = e2.fact_id
          |WHERE e1.entity = '$ProbeEntity' AND e2.entity <> '$ProbeEntity'
          |GROUP BY e2.entity
-         |ORDER BY entity""".stripMargin)
+         |ORDER BY entity""".stripMargin,
+    "h09_khop_neighbours" ->
+      s"""WITH e AS ($edgesSql),
+         |f1 AS (SELECT DISTINCT fact_id FROM e WHERE entity = '$ProbeEntity'),
+         |n1 AS (SELECT DISTINCT entity FROM e JOIN f1 USING (fact_id)
+         |       WHERE entity <> '$ProbeEntity'),
+         |f2 AS (SELECT DISTINCT fact_id FROM e WHERE entity IN (SELECT entity FROM n1)),
+         |n2 AS (SELECT DISTINCT e.entity FROM e JOIN f2 USING (fact_id)
+         |       WHERE entity <> '$ProbeEntity'
+         |         AND entity NOT IN (SELECT entity FROM n1))
+         |SELECT entity, CAST(1 AS INT) AS hops FROM n1
+         |UNION ALL
+         |SELECT entity, CAST(2 AS INT) AS hops FROM n2
+         |ORDER BY hops, entity""".stripMargin)
 }
