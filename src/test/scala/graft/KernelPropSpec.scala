@@ -17,6 +17,18 @@ class KernelPropSpec extends SparkSpec {
     List.fill(1 + rnd.nextInt(8))(('a' + rnd.nextInt(26)).toChar).mkString
   private def randWords(max: Int) = List.fill(1 + rnd.nextInt(max))(randWord())
 
+  test("sortedIntersectionAtLeast: exact when reachable, -1 only below alpha") {
+    (1 to 500).foreach { _ =>
+      val sa = randLongs(40).distinct.sorted.toArray
+      val sb = randLongs(40).distinct.sorted.toArray
+      val exact = sa.toSet.intersect(sb.toSet).size
+      val alpha = rnd.nextInt(45)
+      val got = DedupQueries.sortedIntersectionAtLeast(sa, sb, alpha)
+      if (exact >= alpha) assert(got == exact, s"alpha=$alpha exact=$exact")
+      else assert(got == -1, s"alpha=$alpha exact=$exact got=$got")
+    }
+  }
+
   test("sortedIntersectionSize == exact set-intersection size") {
     (1 to 300).foreach { _ =>
       val sa = randLongs(40).distinct.sorted.toArray
