@@ -43,7 +43,10 @@ object Explain {
       // partial-aggregate (no row-sort of the whole table)
       "q13_group_stats" -> Seq("ObjectHashAggregate"),
       // t07: only the top 20 rows may cross to the driver
-      "t07_top_tokens" -> Seq("TakeOrderedAndProject", "HashAggregate"))
+      "t07_top_tokens" -> Seq("TakeOrderedAndProject", "HashAggregate"),
+      // h09: the 2-hop frontier expansion dedups reached entities via
+      // anti-join, never collecting frontiers to the driver
+      "h09_khop_neighbours" -> Seq("LeftAnti", "HashAggregate"))
 
     val sb = new StringBuilder
     sb.append(s"# Plan audit @ $dir\n\n")
