@@ -479,6 +479,57 @@ object DedupQueries {
         (col("id") === col("comp")).cast("int").as("is_canonical"))
       .orderBy("cluster_id", "doc_id")
 
+  val SpanWindow = 64
+  val SpanStride = 16
+
+  /** Fixed-stride code-point window hashes — the same quantity the
+    * oracle restates with substr + unicode() (code points, not UTF-16
+    * chars, so astral text agrees cross-engine). Tight JVM loop over
+    * a precomputed code-point array; ~len/stride windows per doc. */
+  def spanWindowHashes(text: String, w: Int, stride: Int): Array[(Long, Long)] = {
+    val cps = text.codePoints().toArray
+    val n = cps.length - w + 1
+    if (n <= 0) return Array.empty
+    val out = new Array[(Long, Long)]((n + stride - 1) / stride)
+    var pos = 0
+    var k = 0
+    while (pos < n) {
+      var h = 0L
+      var j = pos
+      while (j < pos + w) { h = (h * 131 + cps(j)) % 1000000007L; j += 1 }
+      out(k) = (pos.toLong, h)
+      pos += stride; k += 1
+    }
+    out
+  }
+
+  /** d08: repeated-SPAN detection — the exact-substring training-data
+    * dedup primitive (the "long common span" pass of
+    * deduplicate-text-datasets pipelines, distinct from whole-doc
+    * near-dup): every 64-code-point window (stride 16) whose hash
+    * appears in MORE than one document, with its positions. Window
+    * hashing is a narrow map; the multi-doc filter is one
+    * map-side-combinable groupBy on the hash; the re-join is on the
+    * narrow hash key — nothing all-pairs, nothing broadcast-O(corpus),
+    * linear at 100 TB. Overlapping/extended spans reconstruct
+    * downstream by coalescing adjacent positions. */
+  def d08SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        spanWindowHashes(t, SpanWindow, SpanStride).map { case (p, h) => (id, p, h) }
+      }
+      .toDF("doc_id", "pos", "whash")
+    val multi = w.groupBy("whash")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1)
+      .select("whash")
+    w.join(multi, "whash")
+      .select("doc_id", "pos", "whash")
+      .orderBy("doc_id", "pos")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -488,7 +539,8 @@ object DedupQueries {
     "d04_ngram_jaccard" -> (d04NgramJaccard _),
     "d05_embed_neardup" -> (d05EmbedNeardup _),
     "d06_embed_neardup_ann" -> (d06EmbedNeardupAnn _),
-    "d07_dedup_clusters" -> (d07DedupClusters _))
+    "d07_dedup_clusters" -> (d07DedupClusters _),
+    "d08_span_dedup" -> (d08SpanDedup _))
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup" ->
@@ -538,5 +590,18 @@ object DedupQueries {
          |)
          |SELECT min(root) AS cluster_id, id AS doc_id,
          |  CAST(id = min(root) AS INT) AS is_canonical
-         |FROM reach GROUP BY id ORDER BY cluster_id, doc_id""".stripMargin)
+         |FROM reach GROUP BY id ORDER BY cluster_id, doc_id""".stripMargin,
+    "d08_span_dedup" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(substr(text, CAST(i AS INT) + 1, $SpanWindow), ''),
+         |        c -> CAST(unicode(c) AS BIGINT))),
+         |      (acc, c) -> (acc * 131 + c) % 1000000007) AS whash
+         |  FROM documents
+         |  CROSS JOIN unnest(range(0, length(text) - $SpanWindow + 1, $SpanStride)) AS t(i)
+         |),
+         |m AS (SELECT whash FROM w GROUP BY whash HAVING count(DISTINCT doc_id) > 1)
+         |SELECT w.doc_id, w.pos, w.whash FROM w JOIN m USING (whash)
+         |ORDER BY doc_id, pos""".stripMargin)
 }
