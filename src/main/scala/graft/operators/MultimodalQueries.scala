@@ -90,12 +90,42 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  val FeatBins = 16
+
+  /** m04: feature extraction — a fixed-width feature vector from the
+    * decoded payload (here a 16-bin code-point histogram standing in
+    * for e.g. a color histogram, the codec being stubbed), emitted as
+    * a csv string for the representation-stable cross-engine compare.
+    * Completes the multimodal verb set (decode / frame-sample /
+    * resize / feature-extract); partition-wise narrow map, the
+    * feature array is bounded (16 ints) regardless of payload size. */
+  def m04Features(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bins = new Array[Long](FeatBins)
+        var n = 0L
+        var i = 0
+        while (i < text.length) {
+          val cp = text.codePointAt(i)
+          bins(cp % FeatBins) += 1; n += 1
+          i += Character.charCount(cp)
+        }
+        (id, n, bins.mkString(","))
+      })
+      .toDF("doc_id", "n_cps", "feat")
+      .orderBy("doc_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "m01_media_meta" -> (m01MediaMeta _),
     "m02_frame_sample" -> (m02FrameSample _),
-    "m03_resize" -> (m03Resize _))
+    "m03_resize" -> (m03Resize _),
+    "m04_features" -> (m04Features _))
 
   val oracles: Map[String, String] = Map(
     // The stub decoder's metadata formulas, restated over the utf-8
@@ -131,5 +161,16 @@ object MultimodalQueries {
         |    list_transform(range(0, CAST(length(text) AS BIGINT), 2),
         |      i -> CAST(unicode(substr(text, CAST(i AS INT) + 1, 1)) AS BIGINT))),
         |    (acc, c) -> (acc * 131 + c) % 1000000007) AS out_fp
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Histogram bins over CODE POINTS on both engines (DuckDB length/
+    // unicode are code-point functions; the Scala side iterates
+    // codePointAt) — csv string for a representation-stable compare.
+    "m04_features" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_cps,
+         |  array_to_string(
+         |    list_transform(range(0, $FeatBins),
+         |      b -> len(list_filter(
+         |        list_transform(string_split(text, ''), c -> unicode(c) % $FeatBins),
+         |        x -> x = b))), ',') AS feat
+         |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -74,5 +74,19 @@ class MultimodalSpec extends SparkSpec {
       }
       assert(r.getLong(5) == n && r.getLong(6) == h, s"doc $id out digest")
     }
+
+    val m04 = MultimodalQueries.m04Features(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    docs.foreach { case (id, text) =>
+      val bins = new Array[Long](MultimodalQueries.FeatBins)
+      var n = 0L; var i = 0
+      while (i < text.length) {
+        val cp = text.codePointAt(i)
+        bins(cp % MultimodalQueries.FeatBins) += 1; n += 1
+        i += Character.charCount(cp)
+      }
+      assert(m04(id) == ((n, bins.mkString(","))), s"doc $id features")
+      assert(m04(id)._2.split(",").map(_.toLong).sum == n, s"doc $id bin sum")
+    }
   }
 }
