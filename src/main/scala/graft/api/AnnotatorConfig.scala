@@ -22,13 +22,15 @@ final case class AnnotatorConfig(
 }
 
 object AnnotatorConfig {
-  /** Rebuild from a HippoDb parameters map (missing keys → reference
-    * defaults, same as the reference's _load_config fallback). */
+  /** Rebuild from a HippoDb parameters map. Missing OR malformed
+    * values degrade to the reference defaults (the _load_config
+    * fallback) — parameters.json is externally editable, and a
+    * corrupt numeric must not make a db directory unopenable. */
   def fromParams(params: Map[String, String]): AnnotatorConfig = {
     val d = AnnotatorConfig()
     AnnotatorConfig(
       splitStrategy = params.getOrElse("split_strategy", d.splitStrategy),
-      chunkSize = params.get("chunk_size").map(_.toInt).getOrElse(d.chunkSize),
-      ctxSize = params.get("ctx_size").map(_.toInt).getOrElse(d.ctxSize))
+      chunkSize = params.get("chunk_size").flatMap(_.toIntOption).getOrElse(d.chunkSize),
+      ctxSize = params.get("ctx_size").flatMap(_.toIntOption).getOrElse(d.ctxSize))
   }
 }

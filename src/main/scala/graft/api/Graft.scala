@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Embedder, HashEmbedder, LlmBackend, NliModel, HeuristicNli, Prompts, TemplateLlm, TextHelpers, VectorFunctions}
-import graft.operators.{Splitters, VectorQueries}
+import graft.operators.{DedupQueries, Splitters, VectorQueries}
 import graft.store.HippoDb
 
 /** User-facing facade — the complete hippollm surface, Spark-first.
@@ -251,54 +251,21 @@ final class Graft(
           nliLocal.entails(b.toLowerCase, a.toLowerCase)
       }
       .toDF("a", "b")
-    // Min-label propagation TO FIXPOINT: canonical = the component's
-    // lexicographic min. A fixed round count would leave chains of
-    // diameter beyond it mapped to non-canonical intermediates (a
-    // non-idempotent mapping); instead iterate until no label moves.
-    // Each round is one join + one keyed agg + a pointer jump
-    // (canon := min(canon, canon(canon)), halving remaining chain
-    // length → O(log diameter) rounds), with the moved-label count as
-    // the convergence action. Every per-round frame is an EAGER
-    // localCheckpoint: the loop references lab twice per round, and
-    // without a lineage cut the analyzed logical plan grows
-    // exponentially in rounds (cache() does not truncate it) — the
-    // driver then hangs stringifying plans, as d07's component loop
-    // demonstrated. Bounded at 32 rounds as a runaway guard (warned
-    // loudly below if hit — name-variant chains deeper than 32
-    // indicate a degenerate NLI confirm, not a real entity).
-    val sym = confirmed
-      .union(confirmed.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
-    var lab = entEmb.select(col("entity"), col("entity").as("canon")).localCheckpoint()
-    var moved = 1L
-    var round = 0
-    while (moved > 0 && round < 32) {
-      val viaNeighbour = sym
-        .join(lab.withColumnsRenamed(Map("entity" -> "b", "canon" -> "ncanon")), "b")
-        .groupBy(col("a").as("entity"))
-        .agg(min("ncanon").as("ncanon"))
-      val hop = lab.join(viaNeighbour, Seq("entity"), "left")
-        .select(col("entity"),
-          least(col("canon"), coalesce(col("ncanon"), col("canon"))).as("canon"))
-        .localCheckpoint()
-      val next = hop.as("x")
-        .join(hop.select(col("entity").as("c_ent"), col("canon").as("ccanon")).as("y"),
-          col("x.canon") === col("y.c_ent"), "left")
-        .select(col("x.entity").as("entity"),
-          least(col("x.canon"), coalesce(col("ccanon"), col("x.canon"))).as("canon"))
-        .localCheckpoint()
-      moved = next.join(lab.withColumnRenamed("canon", "prev"), "entity")
-        .filter(col("canon") =!= col("prev")).count()
-      lab = next
-      round += 1
-    }
-    if (moved > 0)
-      System.err.println(s"[graft] resolveEntities: min-label propagation NOT " +
-        s"converged after $round rounds ($moved labels still moving) — " +
-        "mapping may contain non-canonical intermediates")
-    val out = lab.select(col("entity"), col("canon").as("canonical")).cache()
+    // Canonicalize: connected components over the confirmed
+    // equivalence pairs — the ONE shared fixpoint implementation
+    // (DedupQueries.connectedComponents: min-label propagation with
+    // pointer jumping and per-round localCheckpoint lineage cuts;
+    // least/min order strings lexicographically, so canonical = the
+    // component's lexicographic min). Entities in no confirmed pair
+    // are their own canonical (left join + coalesce).
+    val comp = DedupQueries.connectedComponents(confirmed)
+      .withColumnsRenamed(Map("id" -> "entity", "comp" -> "canon"))
+    val out = entEmb.select(col("entity"))
+      .join(comp, Seq("entity"), "left")
+      .select(col("entity"), coalesce(col("canon"), col("entity")).as("canonical"))
+      .cache()
     out.count() // materialize before releasing the embedding cache
-    entEmb.unpersist() // sym/lab are checkpoint RDDs, GC'd with their frames
+    entEmb.unpersist()
     out
   }
 

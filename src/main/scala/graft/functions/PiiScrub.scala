@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions._
 object PiiScrub {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  /** International-ish: optional +, then 8+ of digits/space/()/-,
-    * ending in a digit (bounds stray short numbers out). */
-  val PhoneRe = "\\+?\\d[\\d() -]{6,}\\d"
+  /** International-ish: optional +, then 7+ DIGITS with at most two
+    * filler chars (space/()/-) between consecutive digits. Requiring
+    * the digits themselves — not just 8 chars of the digit-or-filler
+    * class — keeps year ranges ("2020 - 2024") and other spaced
+    * numerics out of the redaction. */
+  val PhoneRe = "\\+?\\d(?:[() -]{0,2}\\d){6,}"
 
   /** The scrubbed text column. */
   def scrub(text: Column): Column =

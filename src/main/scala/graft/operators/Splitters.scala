@@ -17,11 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Splitters {
 
-  /** Fixed-size chunks (splitters.py:46 NaiveTextSplitter). */
+  /** Fixed-size chunks (splitters.py:46 NaiveTextSplitter). The
+    * sequence stop is clamped at 0: for an EMPTY doc,
+    * ceil(0/cs)-1 = -1 and Spark's sequence(0, -1) DESCENDS, which
+    * would fabricate a phantom chunk_idx = -1 with a negative start —
+    * clamped, an empty doc yields one empty chunk (idx 0, start 0,
+    * end 0), matching the recursive splitter. */
   def naive(docs: DataFrame, chunkSize: Int): DataFrame =
     docs.select(col("doc_id"), col("text"), length(col("text")).as("len"))
       .withColumn("chunk_idx",
-        explode(sequence(lit(0), (ceil(col("len") / chunkSize.toDouble) - 1).cast("int"))))
+        explode(sequence(lit(0),
+          greatest(ceil(col("len") / chunkSize.toDouble) - 1, lit(0)).cast("int"))))
       .select(col("doc_id"), col("chunk_idx"),
         expr(s"substring(text, chunk_idx * $chunkSize + 1, $chunkSize)").as("chunk"),
         (col("chunk_idx") * chunkSize).as("start"),

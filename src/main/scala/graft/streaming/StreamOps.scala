@@ -30,7 +30,14 @@ object StreamOps {
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
-  final case class SessionState(lastTs: Long, nEvents: Long, startTs: Long)
+  /** Open session per user, plus an optional still-open PRE-session
+    * chain (in-horizon events older than the open session by more
+    * than the gap — preN == 0 means none). The pre chain must live in
+    * STATE, not flush at batch end: a later in-horizon event can
+    * still fall within its gap, and the batch mirror would then emit
+    * ONE merged earlier session. */
+  final case class SessionState(lastTs: Long, nEvents: Long, startTs: Long,
+      preLast: Long = 0L, preN: Long = 0L, preStart: Long = 0L)
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long, session_start: Timestamp)
 
   val GapMs: Long = 30 * 60 * 1000
@@ -70,18 +77,36 @@ object StreamOps {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          def emit(start: Long, n: Long) =
+            SessionOut(user, start, n, new Timestamp(start))
           if (state.hasTimedOut) {
-            // Watermark passed lastTs + gap: close + emit the open
-            // session, drop the state (bounds state by live users).
+            // The timeout fires when the watermark passes the EARLIEST
+            // still-open chain's lastTs + gap. The pre chain (if any)
+            // is always due first (preLast < startTs - gap <= lastTs);
+            // the main session may still be mergeable, in which case
+            // it stays with a re-armed timeout.
             val st = state.get
-            state.remove()
-            if (st.nEvents > 0L)
-              Iterator.single(SessionOut(user, st.startTs, st.nEvents, new Timestamp(st.startTs)))
-            else Iterator.empty
+            val wm = state.getCurrentWatermarkMs()
+            val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+            var cur = st
+            if (cur.preN > 0L && wm > cur.preLast + GapMs) {
+              out += emit(cur.preStart, cur.preN)
+              cur = cur.copy(preLast = 0L, preN = 0L, preStart = 0L)
+            }
+            if (cur.preN == 0L && wm > cur.lastTs + GapMs) {
+              if (cur.nEvents > 0L) out += emit(cur.startTs, cur.nEvents)
+              state.remove()
+            } else {
+              state.update(cur)
+              val due = if (cur.preN > 0L) cur.preLast + GapMs else cur.lastTs + GapMs
+              state.setTimeoutTimestamp(math.max(due, wm + 1L))
+            }
+            out.iterator
           } else {
             // Events within a micro-batch may be unordered; order here.
             val sorted = evs.toSeq.sortBy(_.ts.getTime)
-            var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+            val loaded = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+            var st = loaded.copy(preLast = 0L, preN = 0L, preStart = 0L)
             val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
             // Late events still inside the watermark can predate the
             // carried session by MORE than the gap (the global
@@ -91,11 +116,20 @@ object StreamOps {
             // session(s) — folding them into the open state via
             // min(startTs, t) would emit a merged session the batch
             // form never produces. Accumulate them in a pre-session
-            // chain instead; it closes on its own unless a later event
-            // lands within the gap of both, bridging it into the state.
-            var pre: Option[SessionState] = None
+            // chain instead (carried ACROSS batches in state — a later
+            // in-horizon event may still extend it); it closes only
+            // when provably unreachable (a newer event beyond its gap,
+            // or the watermark passing it via the timeout), unless a
+            // bridging event merges it into the main session first.
+            var pre: Option[SessionState] =
+              if (loaded.preN > 0L)
+                Some(SessionState(loaded.preLast, loaded.preN, loaded.preStart))
+              else None
+            // Closing here is safe ONLY from the event path: events
+            // arrive ascending, so a chain is flushed exactly when the
+            // current event already lies beyond its gap.
             def flushPre(): Unit = pre.foreach { p =>
-              closed += SessionOut(user, p.startTs, p.nEvents, new Timestamp(p.startTs))
+              closed += emit(p.startTs, p.nEvents)
               pre = None
             }
             sorted.foreach { e =>
@@ -134,9 +168,19 @@ object StreamOps {
                 }
               }
             }
-            flushPre()
-            state.update(st)
-            state.setTimeoutTimestamp(st.lastTs + GapMs)
+            // Do NOT flush the pre chain at batch end — carry it in
+            // state; the timeout below evicts it once the watermark
+            // provably passes its gap.
+            val withPre = pre match {
+              case Some(p) =>
+                st.copy(preLast = p.lastTs, preN = p.nEvents, preStart = p.startTs)
+              case None => st
+            }
+            state.update(withPre)
+            val due =
+              if (withPre.preN > 0L) withPre.preLast + GapMs
+              else withPre.lastTs + GapMs
+            state.setTimeoutTimestamp(math.max(due, state.getCurrentWatermarkMs() + 1L))
             closed.iterator
           }
       }
@@ -176,27 +220,34 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("text_hash")
 
   /** st05: stream-stream INTERVAL join — each purchase joined to the
-    * same user's views within the preceding hour (the always-on form
-    * of q11's ranged join; a self-join of the event stream filtered
-    * by type). Both sides carry watermarks and the join condition
-    * bounds view_ts to [purchase_ts - 1h, purchase_ts], which is
-    * what lets Spark EVICT buffered rows once the watermark passes
-    * the interval — stream-stream join state is otherwise unbounded.
-    * State ≈ horizon × arrival rate per side, keyed by user_id
-    * (high cardinality → spreads across executors). */
-  def purchaseViewJoin(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    * same user's views within the preceding `interval` (the always-on
+    * form of q11's ranged join; a self-join of the event stream
+    * filtered by type). Both sides carry watermarks and the join
+    * condition bounds view_ts to [purchase_ts - interval,
+    * purchase_ts], which is what lets Spark EVICT buffered rows once
+    * the watermark passes the interval — stream-stream join state is
+    * otherwise unbounded. State ≈ horizon × arrival rate per side,
+    * keyed by user_id (high cardinality → spreads across executors).
+    *
+    * The watermark DEFAULTS TO the join interval and must never be
+    * shorter: a view evicted before its interval closes would
+    * silently drop in-interval matches, so the two are one parameter
+    * unless a caller explicitly widens disorder tolerance. */
+  def purchaseViewJoin(events: DataFrame, interval: String = "1 hour",
+      watermark: Option[String] = None): DataFrame = {
+    val wm = watermark.getOrElse(interval)
     val typed = events.withColumn("ts", col("ts").cast("timestamp"))
     val p = typed.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", watermark)
+      .withWatermark("purchase_ts", wm)
     val v = typed.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
         col("ts").as("view_ts"))
-      .withWatermark("view_ts", watermark)
+      .withWatermark("view_ts", wm)
     p.join(v, col("user_id") === col("v_user") &&
         col("view_ts") <= col("purchase_ts") &&
-        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $interval"))
       .select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts")
   }
 

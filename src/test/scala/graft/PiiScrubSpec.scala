@@ -17,7 +17,9 @@ class PiiScrubSpec extends SparkSpec {
       (2L, "server 192.168.001.100 replied; backup at 10.0.0.1"),
       (3L, "order 12 items from aisle 7"), // short numbers survive
       (4L, "mixed: a@b.io then 8005551234 then 172.16.0.9"),
-      (5L, "")).toDF("doc_id", "text")
+      (5L, ""),
+      (6L, "revenue grew 2020 - 2024 by 1500 units")) // spaced numerics survive
+      .toDF("doc_id", "text")
     val out = docs.select(
         col("doc_id") +: PiiScrub.scrub(col("text")).as("clean") +:
           PiiScrub.counts(col("text")): _*)
@@ -28,5 +30,6 @@ class PiiScrubSpec extends SparkSpec {
     assert(out(3) == (("order 12 items from aisle 7", 0, 0, 0)), out(3))
     assert(out(4) == (("mixed: [EMAIL] then [PHONE] then [IP]", 1, 1, 1)), out(4))
     assert(out(5) == (("", 0, 0, 0)), out(5))
+    assert(out(6) == (("revenue grew 2020 - 2024 by 1500 units", 0, 0, 0)), out(6))
   }
 }

@@ -53,4 +53,16 @@ class SplitterSpec extends SparkSpec {
     assert(perDoc.filter(col("maxlen") > 120).count() == 0)
     assert(out.count() > docs.count())
   }
+
+  test("naive splitter: empty docs yield ONE empty chunk, never phantom indices") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, ""), (2L, "abcdefgh"), (3L, "abc")).toDF("doc_id", "text")
+    val rows = Splitters.naive(docs, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3), r.getInt(4)))
+    assert(rows.filter(_._1 == 1L).toSeq == Seq((1L, 0, "", 0, 0)),
+      s"empty doc: ${rows.filter(_._1 == 1L).toSeq}")
+    assert(rows.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSeq == Seq("abcde", "fgh"))
+    assert(rows.forall(r => r._2 >= 0 && r._4 >= 0), "phantom negative index/start")
+  }
 }

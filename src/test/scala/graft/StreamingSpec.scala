@@ -192,16 +192,22 @@ class StreamingSpec extends SparkSpec {
       // 60 min before user 1's open session start, inside the 2h
       // horizon (watermark 14:00) — batch mirror: a separate session.
       stream.addData(StreamOps.Ev(1L, ts("15:00"), 1.0)); q.processAllAvailable()
-      // Advance the watermark past 16:30 so user 1's open session
-      // times out and flushes on the following batch.
+      // A YET LATER batch extends that earlier chain (within its
+      // 30-min gap): the chain must still be open in state — flushing
+      // it at batch end would emit (15:00,1)+(15:10,1) where the
+      // batch mirror has ONE session (15:00, n=2).
+      stream.addData(StreamOps.Ev(1L, ts("15:10"), 1.0)); q.processAllAvailable()
+      // Advance the watermark past 16:30 so user 1's chains time out
+      // and flush on the following batches.
       stream.addData(StreamOps.Ev(2L, ts("21:00"), 1.0)); q.processAllAvailable()
       stream.addData(StreamOps.Ev(2L, ts("22:00"), 1.0)); q.processAllAvailable()
+      stream.addData(StreamOps.Ev(2L, ts("23:00"), 1.0)); q.processAllAvailable()
     } finally q.stop()
     val got = spark.table("st02_late").filter(col("user_id") === 1L)
       .select("session_id", "n_events").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // The batch mirror over BOTH user-1 events: two 1-event sessions.
-    val mirror = Set(ts("15:00").getTime -> 1L, ts("16:00").getTime -> 1L)
+    // The batch mirror over the three user-1 events.
+    val mirror = Set(ts("15:00").getTime -> 2L, ts("16:00").getTime -> 1L)
     assert(got == mirror,
       s"streamed user-1 sessions $got differ from the batch mirror $mirror")
   }
