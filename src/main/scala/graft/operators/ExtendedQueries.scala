@@ -68,6 +68,28 @@ object ExtendedQueries {
         round(stddev_samp(col("l_extendedprice")), 4).as("sd"))
       .orderBy("l_returnflag")
 
+  /** q13b: the BOUNDED-MEMORY form of q13 — approx_percentile
+    * (Greenwald-Khanna sketch, relative rank error ≤ 1/accuracy)
+    * instead of exact percentile (*rows-only*; spec asserts each
+    * approx quartile sits within the sketch's rank-error window of
+    * q13's exact values). The sketch partial-aggregates map-side and
+    * its buffer is O(accuracy·log n) per group REGARDLESS of group
+    * size — this is the plan to run at 100 TB, where q13's exact
+    * percentile buffers the whole group's column (3 groups = the
+    * whole column spread across 3 agg buffers). Same query shape,
+    * same output schema as q13. */
+  val ApproxPercentileAccuracy = 10000
+
+  def q13bGroupStatsApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr(s"approx_percentile(l_extendedprice, 0.25, $ApproxPercentileAccuracy)"), 4).as("p25"),
+        round(expr(s"approx_percentile(l_extendedprice, 0.5, $ApproxPercentileAccuracy)"), 4).as("p50"),
+        round(expr(s"approx_percentile(l_extendedprice, 0.75, $ApproxPercentileAccuracy)"), 4).as("p75"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd"))
+      .orderBy("l_returnflag")
+
   /** e01: k-NN classification — every vector's label predicted by
     * majority vote of its top-5 cosine neighbours; emitted with the
     * true label so downstream can compute accuracy.
@@ -101,14 +123,74 @@ object ExtendedQueries {
     val scored = e.join(q, col("vec_id") =!= col("qid"))
       .select(col("qid"),
         cosinePreRaw(col("v"), col("qv"), col("nv"), col("nq")).as("rawcos"), col("vec_id"))
+    majorityVote(e, topNeighbours(scored, k = 5))
+  }
+
+  /** e01b: ANN k-NN classification — e01's semantics with the
+    * CARTESIAN scoring join replaced by d06-style LSH cell-blocking
+    * (*rows-only*; spec asserts ≥ 0.9 prediction agreement with e01
+    * at sf0.01). Candidate generation is an equi-join of narrow
+    * (vec_id, cell) rows on the packed 16×4-bit cell key — at 100 TB
+    * only same-cell pairs shuffle, never the n² cross product — and
+    * everything downstream (TopKAgg ranking, majority vote) is the
+    * EXACT same plan tail as e01. Approximation is confined to
+    * candidate recall: a true neighbour sharing no cell is missed.
+    *
+    * 32 tables (vs v08's 16): a top-5 MAJORITY VOTE flips on a single
+    * missed neighbour, so the classify needs deeper per-pair recall
+    * than a top-k listing (measured per-pair miss on this corpus'
+    * neighbour angles: 0.087 at L=16 → ≈0.007 at L=32). This is the
+    * operator's bits/tables dial — a production corpus with real
+    * (clustered) neighbour structure prunes orders of magnitude
+    * harder at the same recall; synthetic near-random embeddings are
+    * the documented stress case. */
+  val E01bAnnTables = 32
+
+  def e01bKnnClassifyAnn(spark: SparkSession, dir: String): DataFrame = {
+    val planes = VectorQueries.lshPlanes(
+      E01bAnnTables * VectorQueries.BatchAnnBits, 64, seed = 99L)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+      .withColumn("nv", normNative(col("v")))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .cache()
+    val cells = e.select(col("vec_id"),
+      explode(VectorQueries.cellStructs(
+        planes, E01bAnnTables, VectorQueries.BatchAnnBits)(col("v"))).as("cell"))
+    // Both directions fall out of the symmetric self-join (=!=, not <):
+    // each vector is query AND corpus. Dedup multi-table collisions on
+    // the narrow pair BEFORE scoring so TopKAgg never double-counts.
+    val cand = cells.as("l").join(cells.as("r"),
+        col("l.cell") === col("r.cell") && col("l.vec_id") =!= col("r.vec_id"))
+      .select(col("l.vec_id").as("qid"), col("r.vec_id").as("vec_id"))
+      .dropDuplicates("qid", "vec_id")
+    val scored = cand
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("nq")), "qid")
+      .join(e.select(col("vec_id"), col("v"), col("nv")), "vec_id")
+      .select(col("qid"),
+        cosinePreRaw(col("v"), col("qv"), col("nv"), col("nq")).as("rawcos"), col("vec_id"))
+    majorityVote(e, topNeighbours(scored, k = 5))
+  }
+
+  /** Shared e01/e01b ranking tail: scored (qid, rawcos, vec_id) →
+    * top-k neighbour pairs via the native TopKAgg (map-side partial
+    * top-k; k+8 tie buffer so round-6 boundary ties re-rank exactly
+    * on the rounded value over the tiny survivor set). */
+  private def topNeighbours(scored: DataFrame, k: Int): DataFrame = {
     val byCos = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-    val neighbours = scored.groupBy("qid")
-      .agg(org.apache.spark.sql.graft.TopKAgg.topK(col("rawcos"), col("vec_id"), 5 + 8).as("top"))
+    scored.groupBy("qid")
+      .agg(org.apache.spark.sql.graft.TopKAgg.topK(col("rawcos"), col("vec_id"), k + 8).as("top"))
       .select(col("qid"), explode(col("top")).as("t"))
       .select(col("qid"), round(col("t.cos"), 6).as("cos"), col("t.vec_id").as("vec_id"))
       .withColumn("rk", row_number().over(byCos))
-      .filter(col("rk") <= 5)
+      .filter(col("rk") <= k)
       .select(col("qid"), col("vec_id"))
+  }
+
+  /** Shared e01/e01b voting tail: neighbour pairs + the labelled
+    * corpus → per-vector majority-vote prediction (ties break to the
+    * smaller label, as in the oracle). */
+  private def majorityVote(e: DataFrame, neighbours: DataFrame): DataFrame = {
     val labels = e.select(col("vec_id"), col("label"))
     val trueLabels = e.select(col("vec_id").as("qid"), col("label").as("true_label"))
     val byVotes = Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))
@@ -130,7 +212,9 @@ object ExtendedQueries {
     "q11_asof_join" -> (q11AsofJoin _),
     "q12_pivot" -> (q12Pivot _),
     "q13_group_stats" -> (q13GroupStats _),
-    "e01_knn_classify" -> (e01KnnClassify _))
+    "q13b_group_stats_approx" -> (q13bGroupStatsApprox _),
+    "e01_knn_classify" -> (e01KnnClassify _),
+    "e01b_knn_classify_ann" -> (e01bKnnClassifyAnn _))
 
   val oracles: Map[String, String] = Map(
     "q13_group_stats" ->

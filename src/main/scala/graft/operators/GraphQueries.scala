@@ -66,12 +66,18 @@ object GraphQueries {
       .orderBy("fact_id")
   }
 
-  /** h05: degree distribution — facts and docs per entity. */
+  /** h05: degree distribution — facts and docs per entity. doc_id
+    * comes from JOINING the facts table (co-partitioned equi-join on
+    * fact_id — the key saveEdgesBucketed buckets by), NOT from the
+    * synthetic fact_id/100 arithmetic: the query works unchanged on
+    * Graft.annotate's xxhash64-derived fact ids, where no id
+    * arithmetic recovers the doc. */
   def h05EntityDegree(spark: SparkSession, dir: String): DataFrame =
     edges(spark, dir)
+      .join(facts(spark, dir).select("fact_id", "doc_id"), "fact_id")
       .groupBy("entity")
       .agg(countDistinct("fact_id").as("n_facts"),
-        countDistinct((col("fact_id") / 100).cast("long")).as("n_docs"))
+        countDistinct("doc_id").as("n_docs"))
       .orderBy("entity")
 
   /** h06: prune lone entities (storage.py:171) — dim entities that
@@ -177,9 +183,10 @@ object GraphQueries {
          |  GROUP BY fact_id HAVING count(DISTINCT entity) = ${ProbeUnion.size})
          |ORDER BY fact_id""".stripMargin,
     "h05_entity_degree" ->
-      s"""SELECT entity, count(DISTINCT fact_id) AS n_facts,
-         |  count(DISTINCT fact_id // 100) AS n_docs
-         |FROM ($edgesSql)
+      s"""WITH e AS ($edgesSql), f AS ($factsSql)
+         |SELECT entity, count(DISTINCT e.fact_id) AS n_facts,
+         |  count(DISTINCT f.doc_id) AS n_docs
+         |FROM e JOIN f ON e.fact_id = f.fact_id
          |GROUP BY entity
          |ORDER BY entity""".stripMargin,
     "h06_prune_lone_entities" ->

@@ -282,6 +282,68 @@ object VectorQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** v08: LSH-BLOCKED batch k-NN — the UNBOUNDED-query-set path that
+    * v02/v06's bounded-batch contract only names (*rows-only*; spec
+    * asserts pair recall ≥ 0.9 vs v02's exact top-k at sf0.01).
+    *
+    * Same semantics as v02 (every label-0 vector gets its top-3
+    * neighbours) but NOTHING is broadcast-O(corpus) and nothing is
+    * all-pairs: queries and corpus both explode into 16×4-bit LSH
+    * cells (the d06 blocking), candidate generation is an equi-join
+    * on the packed cell key, and ranking partial-aggregates map-side
+    * via the native TopKAgg so only k entries per query cross the
+    * shuffle. The query side here may grow WITH the corpus — both
+    * sides shuffle narrow (id, cell) rows, so the plan scales like
+    * d06, not like a broadcast.
+    *
+    * 16 tables × 4 bits: per-table collision (1-θ/π)^4 ≈ 0.2 at the
+    * typical top-k neighbour angle of this corpus (synthetic, cos ≈
+    * 0.5), so 16 independent tables give ≈ 0.97 per-pair recall —
+    * the bits/tables dial trades candidate volume for recall exactly
+    * as in d06. */
+  val BatchAnnTables = 16
+  val BatchAnnBits = 4
+
+  def v08KnnBatchAnn(spark: SparkSession, dir: String): DataFrame =
+    knnBatchAnn(spark, emb(spark, dir), k = 3)
+
+  /** Reusable LSH-blocked batch k-NN over (vec_id, v, label) rows;
+    * queries = label-0 rows (v02's query set). */
+  def knnBatchAnn(spark: SparkSession, e0: DataFrame, k: Int): DataFrame = {
+    val planes = lshPlanes(BatchAnnTables * BatchAnnBits, 64, seed = 99L)
+    val e = e0.withColumn("nv", normNative(col("v"))).cache()
+    val cells = e.select(col("vec_id"), col("label"),
+      explode(cellStructs(planes, BatchAnnTables, BatchAnnBits)(col("v"))).as("cell"))
+    val qcells = cells.filter(col("label") === 0)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    // Candidates: equi-join on the packed cell key (NO broadcast
+    // hint — AQE picks the build side from runtime sizes; at scale
+    // both sides shuffle on the cell key). Multi-table collisions
+    // dedup on the narrow (query_id, vec_id) pair BEFORE scoring so
+    // TopKAgg never sees the same neighbour twice.
+    val cand = cells.select(col("vec_id"), col("cell")).join(qcells, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+      .dropDuplicates("query_id", "vec_id")
+    // Vector payloads re-attach via narrow equi-joins (the d06
+    // shape); rank on the RAW cosine, round(6) only the survivors.
+    val scored = cand
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nq")),
+        "query_id")
+      .join(e.select(col("vec_id"), col("v"), col("nv")), "vec_id")
+      .select(col("query_id"),
+        cosinePreRaw(col("v"), col("qv"), col("nv"), col("nq")).as("rawcos"), col("vec_id"))
+    val byCos = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.groupBy("query_id")
+      .agg(org.apache.spark.sql.graft.TopKAgg.topK(col("rawcos"), col("vec_id"), k + 8).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), round(col("t.cos"), 6).as("cos"), col("t.vec_id").as("vec_id"))
+      .withColumn("rk", row_number().over(byCos))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "cos", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   /** Deterministic hyperplanes (seeded), broadcast as literals. */
   def lshPlanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
@@ -318,7 +380,8 @@ object VectorQueries {
     "v04_hybrid_intersection" -> (v04HybridIntersection _),
     "v05_ann_lsh" -> (v05AnnLsh _),
     "v06_knn_agg" -> (v06KnnAgg _),
-    "v07_ann_ivf" -> (v07AnnIvf _))
+    "v07_ann_ivf" -> (v07AnnIvf _),
+    "v08_knn_batch_ann" -> (v08KnnBatchAnn _))
 
   private val probeList = GraphQueries.ProbeUnion.map(e => s"'$e'").mkString(", ")
 

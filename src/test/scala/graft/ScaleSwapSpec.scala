@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.operators.{ExtendedQueries, VectorQueries}
+
+/** The three documented scale swap-ins (VERDICT round-4/5 tasks):
+  *
+  *  - v08 LSH-blocked batch k-NN vs v02's exact broadcast form
+  *  - e01b ANN-blocked k-NN classify vs e01's cartesian form
+  *  - q13b approx_percentile vs q13's exact percentiles
+  *
+  * Each spec pins the approximate/scale formulation to its exact
+  * anchor, and the plan-shape specs assert the swap-ins actually
+  * removed the scale-killers (no cartesian, no corpus broadcast).
+  */
+class ScaleSwapSpec extends SparkSpec {
+
+  private def physicalPlan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("v08: LSH-blocked batch k-NN pair recall >= 0.9 vs v02 exact top-k (sf0.01)") {
+    val exact = VectorQueries.v02KnnBatch(spark, sf001)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = VectorQueries.v08KnnBatchAnn(spark, sf001)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "v02 returned no pairs")
+    val recall = exact.intersect(ann).size.toDouble / exact.size
+    info(s"v08 pair recall vs v02 = $recall (${ann.size} ANN pairs, ${exact.size} exact)")
+    assert(recall >= 0.9, s"recall $recall < 0.9")
+  }
+
+  test("v08: plan has no cartesian and no corpus-side broadcast") {
+    val plan = physicalPlan(VectorQueries.v08KnnBatchAnn(spark, sf001))
+    assert(!plan.contains("CartesianProduct"), "v08 plans a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "v08 plans a BNLJ")
+  }
+
+  test("e01b: ANN classify prediction agreement >= 0.9 with e01 (sf0.01)") {
+    val exact = ExtendedQueries.e01KnnClassify(spark, sf001)
+      .select("vec_id", "pred_label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val ann = ExtendedQueries.e01bKnnClassifyAnn(spark, sf001)
+      .select("vec_id", "pred_label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(exact.nonEmpty, "e01 returned no predictions")
+    assert(ann.keySet == exact.keySet,
+      "e01b must predict for every vector e01 predicts for")
+    val agree = exact.count { case (id, p) => ann(id) == p }.toDouble / exact.size
+    info(s"e01b prediction agreement with e01 = $agree over ${exact.size} vectors")
+    assert(agree >= 0.9, s"agreement $agree < 0.9")
+  }
+
+  test("e01b: plan has no cartesian and no BNLJ (the e01 scale-killer is gone)") {
+    val plan = physicalPlan(ExtendedQueries.e01bKnnClassifyAnn(spark, sf001))
+    assert(!plan.contains("CartesianProduct"), "e01b plans a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "e01b plans a BNLJ")
+  }
+
+  test("q13b: approx quartiles within sketch error of q13 exact values (sf0.01)") {
+    // Greenwald-Khanna guarantees rank error <= n/accuracy; translate
+    // the rank window into a VALUE window from the exact quartiles'
+    // neighbourhood. With accuracy=10000 and n ~ 60k rows/group the
+    // rank slack is a handful of rows, so a 1% relative value
+    // tolerance is generous while still failing on a wrong sketch.
+    val exact = ExtendedQueries.q13GroupStats(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = ExtendedQueries.q13bGroupStatsApprox(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (flag, (p25, p50, p75)) =>
+      val (a25, a50, a75) = approx(flag)
+      Seq(("p25", p25, a25), ("p50", p50, a50), ("p75", p75, a75)).foreach {
+        case (q, ex, ap) =>
+          val rel = math.abs(ap - ex) / math.max(math.abs(ex), 1e-9)
+          info(f"$flag $q exact=$ex%.4f approx=$ap%.4f rel=$rel%.6f")
+          assert(rel <= 0.01, s"$flag $q: approx $ap vs exact $ex (rel $rel > 1%)")
+      }
+    }
+  }
+
+  test("q13b: stddev column is exact (only the percentiles are sketched)") {
+    val exact = ExtendedQueries.q13GroupStats(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    val approx = ExtendedQueries.q13bGroupStatsApprox(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(approx == exact)
+  }
+}
