@@ -1,9 +1,77 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Headline benchmark main. Emits ONE JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  *
+  * Trend guard (round-5 finding: 5× per-query swings between driver
+  * runs of BYTE-IDENTICAL code — single-shot numbers at this SF are
+  * untrustworthy below ~2×): each query now runs SPARK_GRAFT_REPEATS
+  * times (default 3) and reports the MEDIAN; the line also embeds
+  * "regressions" — queries whose median is >2× the previous round's
+  * number (auto-discovered from the newest BENCH_r*.json in
+  * SPARK_GRAFT_BENCH_DIR, default cwd, or SPARK_GRAFT_PREV_BENCH) —
+  * and prints them loudly on stderr. A regression report refers to
+  * medians vs (possibly single-shot) previous values, so it flags
+  * candidates for investigation, not proof of a code regression.
+  */
 object Bench {
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** Previous round's per-query seconds. Accepts either a raw bench
+    * line file or the driver's wrapper JSON whose "tail" embeds the
+    * line; malformed/absent files degrade to None (no guard). */
+  private[graft] def prevBench(): Option[(String, Map[String, Double])] = {
+    val explicit = sys.env.get("SPARK_GRAFT_PREV_BENCH").map(new java.io.File(_))
+    val file = explicit.orElse {
+      val dir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "."))
+      val re = "BENCH_r0*(\\d+)\\.json".r
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .flatMap(f => f.getName match {
+          case re(n) => Some((n.toInt, f))
+          case _ => None
+        })
+        .sortBy(-_._1).headOption.map(_._2)
+    }
+    file.flatMap { f =>
+      try {
+        val raw = new String(
+          java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val line =
+          if (raw.trim.startsWith("{\"metric\"")) raw.trim
+          else {
+            val tail = Option(om.readTree(raw).get("tail")).map(_.asText("")).getOrElse("")
+            tail.linesIterator.find(_.startsWith("{\"metric\"")).getOrElse("")
+          }
+        if (line.isEmpty) None
+        else {
+          val qs = om.readTree(line).get("queries")
+          if (qs == null) None
+          else {
+            val m = scala.collection.mutable.Map.empty[String, Double]
+            val it = qs.fields()
+            while (it.hasNext) {
+              val e = it.next()
+              m(e.getKey) = e.getValue.asDouble()
+            }
+            Some((f.getName, m.toMap))
+          }
+        }
+      } catch { case _: Throwable => None }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,8 +87,7 @@ object Bench {
     // typed-map kernels (gram hashing, minhash, pair verification,
     // top-k aggregation) warm against the TINY sf0.001 dir — JIT of
     // the same code paths, none of the measured data precomputed.
-    // Heavy typed-map kernels warm ONLY against the tiny sf0.001 dir
-    // — warming them on the measured dataset would pre-load OS page /
+    // Warming them on the measured dataset would pre-load OS page /
     // parquet footer caches that clearCache() cannot drop and skew
     // the cold methodology. Hosts without sf0.001 get JIT warmup from
     // q01 alone (logged).
@@ -29,10 +96,6 @@ object Bench {
       try new java.io.File(p).getCanonicalPath catch { case _: Throwable => p }
     val heavy =
       if (canon(warmDir) == canon(sfDir)) {
-        // Warming the MEASURED dir would pre-load OS page / parquet
-        // footer caches for the exact measured queries — precisely the
-        // skew the cold methodology is meant to avoid. JIT warmup then
-        // comes from q01 alone.
         System.err.println(s"[bench] warmup dir == measured dir ($sfDir) — skipping typed-kernel warmup")
         Seq.empty
       } else if (new java.io.File(warmDir).isDirectory)
@@ -53,22 +116,47 @@ object Bench {
     }
     System.gc()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Isolate queries: clearCache() drops per-query cached plans, but
-      // broadcast blocks (BroadcastExchange results) are only released
-      // by the ContextCleaner once the referencing plan is GC'd — an
-      // explicit GC lets the cleaner reclaim them between queries, so
-      // later queries aren't taxed by accumulated broadcast/GC pressure.
-      spark.catalog.clearCache()
-      System.gc()
-      name -> dt
+      val times = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Isolate runs: clearCache() drops per-query cached plans, but
+        // broadcast blocks (BroadcastExchange results) are only
+        // released by the ContextCleaner once the referencing plan is
+        // GC'd — an explicit GC lets the cleaner reclaim them between
+        // runs, so later runs aren't taxed by accumulated broadcast/GC
+        // pressure.
+        spark.catalog.clearCache()
+        System.gc()
+        dt
+      }
+      name -> median(times)
     }.toMap
+    // Trend guard: median vs the previous round's number.
+    val prev = prevBench()
+    val regressions = prev.map { case (_, pq) =>
+      results.flatMap { case (name, now) =>
+        pq.get(name).collect {
+          case was if was > 0 && now / was > 2.0 => name -> (now / was)
+        }
+      }
+    }.getOrElse(Map.empty[String, Double])
+    prev.foreach { case (src, _) =>
+      if (regressions.nonEmpty) {
+        System.err.println(s"[bench] REGRESSION GUARD vs $src: " +
+          s"${regressions.size} queries exceed 2x the previous median:")
+        regressions.toSeq.sortBy(-_._2).foreach { case (n, r) =>
+          System.err.println(f"[bench]   $n: ${r}%.2fx (now ${results(n)}%.2fs)")
+        }
+      } else System.err.println(s"[bench] trend guard vs $src: no >2x regressions")
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val regJson = regressions.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val prevName = prev.map(p => "\"" + p._1 + "\"").getOrElse("null")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"prev":$prevName,"regressions":$regJson}""")
     spark.stop()
   }
 }
