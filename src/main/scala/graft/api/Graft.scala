@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Embedder, HashEmbedder, LlmBackend, NliModel, HeuristicNli, Prompts, TemplateLlm, TextHelpers, VectorFunctions}
+import graft.functions.{Embedder, Grammars, HashEmbedder, LlmBackend, NliModel, HeuristicNli, Prompts, TemplateLlm, TextHelpers, VectorFunctions}
 import graft.operators.{DedupQueries, Splitters, VectorQueries}
 import graft.store.HippoDb
 
@@ -94,9 +94,29 @@ final class Graft(
         col("chunk").as("fact_text"), col("start"), col("end"))
       .join(ctx, "doc_id")
       .withColumn("confidence", lit(1.0))
+    // Entity extraction threads the reference's LLM pipeline shape
+    // (annotator.py:148 _extract_entities): new_entities prompt →
+    // LLM → parse_bullet_points → entity_selection yes/no filter per
+    // proposed entity (grammar-constrained when the backend handles
+    // grammars — llm_backend.py:8). One partition-wise pass over the
+    // facts, no shuffle; the TemplateLlm stub answers the fact's
+    // long words, so the resulting entity set is the documented
+    // deterministic heuristic — swap a real backend in and the same
+    // plan runs real extraction.
     val edges = facts
-      .select(col("fact_id"), explode(split(col("fact_text"), " ")).as("entity"))
-      .filter(length(col("entity")) >= 5)
+      .select(col("fact_id"), col("fact_text"), col("context"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.flatMap { case (id, t, cx) =>
+        val proposed = TextHelpers.parseBulletPoints(
+          llmLocal.invoke(Prompts.newEntities(t, cx, Nil)))
+        val kept =
+          if (llmLocal.handlesGrammars)
+            proposed.filter(e => TextHelpers.isYes(llmLocal.invoke(
+              Prompts.entitySelection(t, e), grammar = Some(Grammars.YesNo))))
+          else proposed
+        kept.map(e => (id, e))
+      })
+      .toDF("fact_id", "entity")
       .distinct()
     val entities = edges.select("entity").distinct()
       .withColumn("description", lit(""))

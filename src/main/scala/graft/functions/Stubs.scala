@@ -73,18 +73,55 @@ trait LlmBackend extends Serializable {
 
 /** Echo-style deterministic LLM stub: "extracts" facts by returning
   * the prompt's payload lines as bullets (keeps the annotation
-  * pipeline's plumbing testable without a model). Claims grammar
-  * support: under the Yes/No grammar it answers deterministically
-  * from a prompt hash (a STUB decision — the pipeline's yes/no
-  * branches are exercised by the NliModel stub, not this), and it
-  * honors stop sequences by truncation. */
+  * pipeline's plumbing testable without a model). Recognizes the two
+  * prompt shapes the annotation pipeline threads through it:
+  *
+  *  - new_entities (prompts.py:66): answers the fact's long words
+  *    (≥ 5 chars, first-appearance order) as bullets, "None" when
+  *    there are none — the deterministic stand-in for entity
+  *    extraction, so the prompt→parse_bullet_points→selection
+  *    pipeline of annotator.py runs end to end without a model and
+  *    lands on the same entity set the long-word heuristic defines;
+  *  - entity_selection (prompts.py:51) under the Yes/No grammar:
+  *    "Yes" iff the quoted entity is literally a token of the fact
+  *    (what "explicitly named" means for a stub).
+  *
+  * Other Yes/No-grammar prompts answer deterministically from a
+  * prompt hash (a STUB decision — the pipeline's yes/no branches are
+  * exercised by the NliModel stub, not this); stop sequences are
+  * honored by truncation. */
 final class TemplateLlm extends LlmBackend {
   override def handlesGrammars: Boolean = true
+
+  /** The fact block of a prompt: text after "Fact: " up to the next
+    * section header (facts may span lines). */
+  private def factPayload(prompt: String, upTo: String): Option[String] = {
+    val i = prompt.indexOf("Fact: ")
+    if (i < 0) None
+    else {
+      val rest = prompt.substring(i + 6)
+      val j = rest.indexOf(upTo)
+      Some(if (j >= 0) rest.substring(0, j) else rest)
+    }
+  }
+
   def invoke(prompt: String, maxTokens: Int = 256,
       grammar: Option[String] = None, stop: Seq[String] = Nil): String = {
     val raw = grammar match {
       case Some(g) if g == Grammars.YesNo =>
-        if (prompt.hashCode % 2 == 0) "Yes" else "No"
+        val sel = prompt.indexOf("Is the entity \"")
+        if (sel >= 0) {
+          // entity_selection: entity between the quotes, fact above.
+          val after = prompt.substring(sel + 15)
+          val entity = after.substring(0, math.max(after.indexOf("\" explicitly named"), 0))
+          val fact = factPayload(prompt, "\nIs the entity \"").getOrElse("")
+          if (entity.nonEmpty && fact.split(" ").contains(entity)) "Yes" else "No"
+        } else if (prompt.hashCode % 2 == 0) "Yes" else "No"
+      case _ if prompt.contains("List the standalone concepts") =>
+        // new_entities: long words of the fact, first-appearance order.
+        val fact = factPayload(prompt, "\nEntities:").getOrElse("")
+        val words = fact.split(" ").filter(_.length >= 5).distinct
+        if (words.isEmpty) "None" else TextHelpers.itemizeList(words.toIndexedSeq)
       case _ =>
         val payload = prompt.linesIterator.toList.lastOption.getOrElse("")
         payload.split("(?<=\\.) ").filter(_.nonEmpty).map("- " + _).mkString("\n")

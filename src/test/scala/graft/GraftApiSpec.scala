@@ -197,4 +197,27 @@ class GraftApiSpec extends SparkSpec {
     assert(llm.invoke("a line. another line.", stop = Seq(" another")).startsWith("- a line."))
     assert(!llm.invoke("a line. another line.", stop = Seq(" another")).contains("another"))
   }
+
+  test("entity extraction runs the new_entities prompt → parse_bullet_points → selection path") {
+    import graft.functions.{Grammars, Prompts, TemplateLlm, TextHelpers}
+    import org.apache.spark.sql.functions._
+    val llm = new TemplateLlm
+    // The stub answers the fact's long words as bullets (deterministic).
+    val ans = llm.invoke(Prompts.newEntities("alpha beta gamma-ray tiny of", "ctx", Nil))
+    assert(ans == "- alpha\n- gamma-ray")
+    assert(TextHelpers.parseBulletPoints(ans) == List("alpha", "gamma-ray"))
+    assert(llm.invoke(Prompts.newEntities("of a to", "ctx", Nil)) == "None")
+    // entity_selection under the Yes/No grammar: token membership.
+    assert(TextHelpers.isYes(llm.invoke(
+      Prompts.entitySelection("alpha beta", "alpha"), grammar = Some(Grammars.YesNo))))
+    assert(!TextHelpers.isYes(llm.invoke(
+      Prompts.entitySelection("alpha beta", "omega"), grammar = Some(Grammars.YesNo))))
+    // End to end: annotate's edge set through the prompt path equals
+    // the documented long-word heuristic (what the stub encodes).
+    val heuristic = db.facts
+      .select(col("fact_id"), explode(split(col("fact_text"), " ")).as("entity"))
+      .filter(length(col("entity")) >= 5)
+      .distinct()
+    assert(db.edges.exceptAll(heuristic).isEmpty && heuristic.exceptAll(db.edges).isEmpty)
+  }
 }
