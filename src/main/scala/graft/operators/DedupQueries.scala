@@ -474,10 +474,53 @@ object DedupQueries {
     * keep-one pass). Oracle: DuckDB recursive-CTE transitive closure
     * over the exact all-pairs Jaccard graph. */
   def d07DedupClusters(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(d02Pairs(spark, dir).select("doc_a", "doc_b"))
-      .select(col("comp").as("cluster_id"), col("id").as("doc_id"),
-        (col("id") === col("comp")).cast("int").as("is_canonical"))
-      .orderBy("cluster_id", "doc_id")
+    dedupClusters(spark, dir, CanonicalMinId)
+
+  /** Canonical-selection policies for dedupClusters: real pipelines
+    * rarely keep the min-id copy — they keep the longest or the
+    * highest-quality one and drop the rest. */
+  val CanonicalMinId = "min_id"
+  val CanonicalLongest = "longest"
+  val CanonicalBestQuality = "best_quality"
+
+  /** d07 with a canonical-selection POLICY dial. All policies share
+    * the cluster computation (components over the d02 pair graph)
+    * and output schema; only the per-cluster survivor changes:
+    *
+    *  - min_id:       the cluster's smallest doc_id (== cluster_id —
+    *                  free, no extra join; the oracle-anchored form);
+    *  - longest:      max n_chars, ties to the smaller doc_id;
+    *  - best_quality: max t02 quality score, ties to the smaller
+    *                  doc_id.
+    *
+    * The metric joins are narrow per-doc lookups against the TINY
+    * cluster membership (AQE broadcasts it); the per-cluster pick is
+    * a rank window partitioned by cluster — bounded by cluster
+    * sizes, which near-dup graphs keep small. */
+  def dedupClusters(spark: SparkSession, dir: String, policy: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = connectedComponents(d02Pairs(spark, dir).select("doc_a", "doc_b"))
+      .select(col("comp").as("cluster_id"), col("id").as("doc_id"))
+    if (policy == CanonicalMinId)
+      comp.select(col("cluster_id"), col("doc_id"),
+          (col("doc_id") === col("cluster_id")).cast("int").as("is_canonical"))
+        .orderBy("cluster_id", "doc_id")
+    else {
+      val metric = policy match {
+        case CanonicalLongest =>
+          Tables.documents(spark, dir).select(col("doc_id"), col("n_chars").as("metric"))
+        case CanonicalBestQuality =>
+          TextQueries.t02QualityScore(spark, dir).select(col("doc_id"), col("quality").as("metric"))
+        case p => throw new IllegalArgumentException(
+          s"Unknown canonical policy: $p (min_id | longest | best_quality)")
+      }
+      val w = Window.partitionBy("cluster_id").orderBy(col("metric").desc, col("doc_id"))
+      comp.join(metric, "doc_id")
+        .withColumn("is_canonical", (row_number().over(w) === 1).cast("int"))
+        .select("cluster_id", "doc_id", "is_canonical")
+        .orderBy("cluster_id", "doc_id")
+    }
+  }
 
   val SpanWindow = 64
   val SpanStride = 16

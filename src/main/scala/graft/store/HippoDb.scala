@@ -114,6 +114,32 @@ object HippoDb {
     db.sources.foreach(_.write.mode(SaveMode.Append).parquet(s"$dir/sources"))
   }
 
+  /** Compact the entity dim of a parquet-backed store in place:
+    * streaming/incremental ingest (append / st03 annotateStream)
+    * accumulates one entity row PER BATCH the entity appears in —
+    * harmless for readers that distinct(), but the dim grows with
+    * batch count, not cardinality. One keyed agg dedupes it (keeping
+    * the max description per entity, so a non-empty description
+    * beats the annotator's empty default); the result replaces the
+    * directory atomically-enough via tmp-write + FS rename (the same
+    * recipe works on HDFS; object stores want a two-phase commit).
+    * Returns the compacted entity count. */
+  def compactEntities(spark: SparkSession, dir: String): Long = {
+    val path = s"$dir/entities"
+    val cur = spark.read.parquet(path)
+    val compact =
+      if (cur.columns.contains("description"))
+        cur.groupBy("entity").agg(max("description").as("description"))
+      else cur.distinct()
+    val tmp = s"$dir/entities_compact_tmp"
+    compact.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    spark.read.parquet(path).count()
+  }
+
   def load(spark: SparkSession, dir: String): HippoDb = {
     // Hadoop FS, not java.nio: the store dir may live on any
     // Spark-reachable filesystem (hdfs://, s3a://, ...) where a local

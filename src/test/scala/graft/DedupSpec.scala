@@ -80,4 +80,39 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("d07 canonical policy dial: longest / best_quality pick the metric max per cluster") {
+    import org.apache.spark.sql.functions.col
+    val minId = DedupQueries.dedupClusters(spark, sf001, DedupQueries.CanonicalMinId)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // min_id form is byte-identical to the oracle-anchored d07 entry
+    val d07 = DedupQueries.d07DedupClusters(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(minId == d07)
+    val nChars = graft.sources.Tables.documents(spark, sf001)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = graft.operators.TextQueries.t02QualityScore(spark, sf001)
+      .select(col("doc_id"), col("quality")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((policy, metric) <- Seq(
+        DedupQueries.CanonicalLongest -> nChars.andThen(_.toDouble),
+        DedupQueries.CanonicalBestQuality -> quality)) {
+      val rows = DedupQueries.dedupClusters(spark, sf001, policy)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      // same cluster membership as min_id, different survivor
+      assert(rows.map(t => (t._1, t._2)).toSet == minId.map(t => (t._1, t._2)),
+        s"$policy changed cluster membership")
+      rows.groupBy(_._1).foreach { case (c, members) =>
+        val canon = members.filter(_._3 == 1)
+        assert(canon.length == 1, s"$policy: cluster $c has ${canon.length} canonicals")
+        val best = members.map(m => metric(m._2)).max
+        assert(metric(canon.head._2) == best,
+          s"$policy: canonical of cluster $c is not the metric max")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      DedupQueries.dedupClusters(spark, sf001, "nope")
+    }
+  }
 }

@@ -88,6 +88,34 @@ class HippoDbSpec extends SparkSpec {
     assert(!nli.entails("Paris is the capital of France", "London rules Denmark"))
   }
 
+  test("compactEntities dedupes the appended entity dim in place") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("compact").toString
+    val api = new graft.api.Graft(spark)
+    // three micro-batches sharing entities across batches (the st03
+    // accumulation shape: one entity row per batch it appears in)
+    val batches = Seq(
+      Seq((1L, "alpha shares tokens batch")),
+      Seq((2L, "alpha shares tokens again batch")),
+      Seq((3L, "gamma shares tokens batch")))
+    batches.foreach { docs =>
+      HippoDb.append(api.annotate(docs.toDF("doc_id", "text")), dir)
+    }
+    val before = spark.read.parquet(s"$dir/entities").count()
+    val distinct = spark.read.parquet(s"$dir/entities")
+      .select("entity").distinct().count()
+    assert(before > distinct, "appended batches must accumulate duplicate entity rows")
+    val after = HippoDb.compactEntities(spark, dir)
+    assert(after == distinct)
+    assert(spark.read.parquet(s"$dir/entities").count() == distinct)
+    // store still load-round-trips with the compacted dim
+    val loaded = HippoDb.load(spark, dir)
+    assert(loaded.entities.count() == distinct)
+    assert(loaded.entities.columns.contains("description"))
+    val (nF, nE, missing) = loaded.integrity
+    assert(nF == nE && missing == 0L)
+  }
+
   test("csv and json round-trip a query result (sinks)") {
     val tmp = Files.createTempDirectory("sinks").toString
     val df = graft.operators.CoreQueries.q01PricingSummary(spark, sf0001)
