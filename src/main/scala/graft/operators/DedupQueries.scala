@@ -522,6 +522,27 @@ object DedupQueries {
     }
   }
 
+  /** d09: APPLY the dedup — the corpus filter every pipeline runs
+    * after clustering: drop each near-dup cluster's non-canonical
+    * members, keep canonicals and all singleton docs. One anti-join
+    * of the corpus against the (tiny) non-canonical member set — the
+    * cluster table is bounded by docs-in-pairs, so at 100 TB the
+    * corpus streams against a small build side and nothing else
+    * moves. Policy-parameterized like dedupClusters; the shipped
+    * entry uses min_id (the oracle-anchored policy). */
+  def d09DedupApply(spark: SparkSession, dir: String): DataFrame =
+    dedupApply(spark, dir, CanonicalMinId)
+
+  def dedupApply(spark: SparkSession, dir: String, policy: String): DataFrame = {
+    val drop = dedupClusters(spark, dir, policy)
+      .filter(col("is_canonical") === 0)
+      .select("doc_id")
+    Tables.documents(spark, dir)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val SpanWindow = 64
   val SpanStride = 16
 
@@ -583,7 +604,8 @@ object DedupQueries {
     "d05_embed_neardup" -> (d05EmbedNeardup _),
     "d06_embed_neardup_ann" -> (d06EmbedNeardupAnn _),
     "d07_dedup_clusters" -> (d07DedupClusters _),
-    "d08_span_dedup" -> (d08SpanDedup _))
+    "d08_span_dedup" -> (d08SpanDedup _),
+    "d09_dedup_apply" -> (d09DedupApply _))
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup" ->
@@ -634,6 +656,24 @@ object DedupQueries {
          |SELECT min(root) AS cluster_id, id AS doc_id,
          |  CAST(id = min(root) AS INT) AS is_canonical
          |FROM reach GROUP BY id ORDER BY cluster_id, doc_id""".stripMargin,
+    // Same recursive-closure oracle as d07, applied: survivors = docs
+    // that are not a non-canonical member of any cluster.
+    "d09_dedup_apply" ->
+      s"""WITH RECURSIVE g AS (SELECT doc_id, $wordShinglesSql AS grams FROM documents),
+         |p AS (SELECT a.doc_id AS u, b.doc_id AS v
+         |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |      WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+         |            len(list_distinct(a.grams || b.grams)), 4) >= $WordJaccardThreshold),
+         |e AS (SELECT u, v FROM p UNION SELECT v AS u, u AS v FROM p),
+         |reach(id, root) AS (
+         |  SELECT DISTINCT u AS id, u AS root FROM e
+         |  UNION
+         |  SELECT e2.v AS id, r.root FROM reach r JOIN e e2 ON e2.u = r.id
+         |),
+         |clusters AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id)
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+         |ORDER BY doc_id""".stripMargin,
     "d08_span_dedup" ->
       s"""WITH w AS (
          |  SELECT doc_id, CAST(i AS BIGINT) AS pos,

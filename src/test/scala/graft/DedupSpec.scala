@@ -115,4 +115,28 @@ class DedupSpec extends SparkSpec {
       DedupQueries.dedupClusters(spark, sf001, "nope")
     }
   }
+
+  test("d09 dedup-apply keeps canonicals + singletons, drops the rest, under every policy") {
+    val nDocs = graft.sources.Tables.documents(spark, sf001).count()
+    val clusters = DedupQueries.d07DedupClusters(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val nonCanonical = clusters.filter(_._3 == 0).map(_._2).toSet
+    assert(nonCanonical.nonEmpty)
+    for (policy <- Seq(DedupQueries.CanonicalMinId,
+        DedupQueries.CanonicalLongest, DedupQueries.CanonicalBestQuality)) {
+      val kept = DedupQueries.dedupApply(spark, sf001, policy)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // every policy drops exactly |cluster|-1 docs per cluster
+      assert(kept.size == nDocs - nonCanonical.size, s"$policy kept ${kept.size}")
+      // each cluster contributes exactly one survivor
+      clusters.groupBy(_._1).foreach { case (c, members) =>
+        assert(members.count(m => kept.contains(m._2)) == 1,
+          s"$policy: cluster $c has != 1 survivor")
+      }
+    }
+    // min_id survivors are exactly corpus minus non-canonical members
+    val keptMin = DedupQueries.d09DedupApply(spark, sf001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nonCanonical.intersect(keptMin).isEmpty)
+  }
 }
