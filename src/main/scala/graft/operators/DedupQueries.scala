@@ -326,8 +326,9 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** d05: embedding-cosine near-dup pairs (exact all-pairs; the
-    * approximate path at scale is LSH cell-blocking, v05). */
+  /** d05: embedding-cosine near-dup pairs (exact all-pairs — the
+    * oracle anchor; the shipped scale path with the same semantics
+    * is d06EmbedNeardupAnn's cell-blocking). */
   def d05EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions._
     val e = Tables.embeddings(spark, dir)

@@ -56,8 +56,9 @@ object ExtendedQueries {
     * percentiles need the group's values together (ObjectHashAgg
     * buffer keyed by the LOW-cardinality flag — 3 groups, so the
     * per-group buffer spread across executors is the whole column:
-    * at 100 TB swap in approx_percentile, which partial-aggregates a
-    * bounded sketch map-side; same query shape, bounded memory). */
+    * at 100 TB run q13bGroupStatsApprox, the shipped
+    * approx_percentile form with a bounded sketch buffer; this exact
+    * form is the oracle anchor). */
   def q13GroupStats(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
@@ -102,9 +103,11 @@ object ExtendedQueries {
     * k entries per query cross the shuffle. Neighbour/true labels
     * re-attach by plain equi-joins on the narrow (vec_id, label)
     * projection — AQE picks the join strategy. At 100 TB the exact
-    * all-pairs compute itself is the cost to replace (ANN
-    * cell-blocking à la d06); the plan shape here has no driver-side
-    * or broadcast O(corpus) transfer. */
+    * all-pairs compute itself is the cost to replace — that swap is
+    * SHIPPED as e01bKnnClassifyAnn (cell-blocked candidates, same
+    * ranking/vote tail); this exact form stays as the oracle anchor
+    * and small-n fast path, with no driver-side or broadcast
+    * O(corpus) transfer. */
   def e01KnnClassify(spark: SparkSession, dir: String): DataFrame = {
     // repartition: the corpus arrives as ONE parquet split at test SF
     // (a few MB), which would serialize the whole all-pairs pass on a

@@ -49,7 +49,7 @@ object VectorQueries {
     * driver orchestrating an unbounded query stream submits it in
     * batches of that size). For a query set that grows with the
     * corpus, broadcasting is the wrong shape regardless of batching —
-    * use the LSH cell equi-join (annLsh / d06 pair blocking), which
+    * use v08KnnBatchAnn, the shipped LSH cell-equi-join form that
     * shuffles narrow (vec_id, cell) keys instead. Rank window
     * partitioned by query_id so it parallelizes by query. */
   def v02KnnBatch(spark: SparkSession, dir: String): DataFrame = {
