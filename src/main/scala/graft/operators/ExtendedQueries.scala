@@ -161,12 +161,15 @@ object ExtendedQueries {
       explode(VectorQueries.cellStructs(
         planes, E01bAnnTables, VectorQueries.BatchAnnBits)(col("v"))).as("cell"))
     // Both directions fall out of the symmetric self-join (=!=, not <):
-    // each vector is query AND corpus. Dedup multi-table collisions on
-    // the narrow pair BEFORE scoring so TopKAgg never double-counts.
+    // each vector is query AND corpus. Multi-table collisions are NOT
+    // pre-deduplicated (a full candidate-stream shuffle); TopKAgg's
+    // buffer drops exact (score, id) duplicates at insert, so the
+    // collisions cost only duplicate map-side cosines and the partial
+    // agg absorbs them before any exchange (same trade as d06's
+    // score-then-distinct, adapted to top-k).
     val cand = cells.as("l").join(cells.as("r"),
         col("l.cell") === col("r.cell") && col("l.vec_id") =!= col("r.vec_id"))
       .select(col("l.vec_id").as("qid"), col("r.vec_id").as("vec_id"))
-      .dropDuplicates("qid", "vec_id")
     val scored = cand
       .join(e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("nq")), "qid")
       .join(e.select(col("vec_id"), col("v"), col("nv")), "vec_id")

@@ -319,12 +319,14 @@ object VectorQueries {
     // Candidates: equi-join on the packed cell key (NO broadcast
     // hint — AQE picks the build side from runtime sizes; at scale
     // both sides shuffle on the cell key). Multi-table collisions
-    // dedup on the narrow (query_id, vec_id) pair BEFORE scoring so
-    // TopKAgg never sees the same neighbour twice.
+    // are NOT pre-deduplicated: a dropDuplicates here is a full
+    // shuffle of the candidate stream (its dominant cost), while
+    // TopKAgg's buffer drops exact (score, id) duplicates at insert
+    // — the collisions cost only their recomputed map-side cosines
+    // and the partial agg absorbs them before any exchange.
     val cand = cells.select(col("vec_id"), col("cell")).join(qcells, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id")
-      .dropDuplicates("query_id", "vec_id")
     // Vector payloads re-attach via narrow equi-joins (the d06
     // shape); rank on the RAW cosine, round(6) only the survivors.
     val scored = cand

@@ -14,7 +14,16 @@ import org.apache.spark.sql.types._
 
 /** Bounded top-k buffer: (score, id) pairs kept best-first
   * (score desc, ties by lower id) in primitive arrays — the hot
-  * `add` is branch + shift, no allocation. */
+  * `add` is scan + shift, no allocation.
+  *
+  * Exact (score, id) DUPLICATES are dropped at insert: the buffer is
+  * sorted, so a duplicate lands exactly at its twin's position — one
+  * equality check on the O(k) scan already paid. This is what lets
+  * LSH-blocked producers (v08/e01b) feed MULTI-TABLE COLLISIONS
+  * straight into the aggregate without a corpus-scale
+  * dropDuplicates shuffle first: each partial keeps its k best
+  * distinct entries, merge() re-dedups across partials, and the
+  * distinct top-k is exact by the standard top-k merge argument. */
 final class TopKState(val k: Int) {
   var n: Int = 0
   val scores = new Array[Double](k)
@@ -25,11 +34,12 @@ final class TopKState(val k: Int) {
 
   def add(s: Double, id: Long): Unit = {
     if (n == k && !better(s, id, scores(k - 1), ids(k - 1))) return
+    var pos = 0
+    while (pos < n && better(scores(pos), ids(pos), s, id)) pos += 1
+    if (pos < n && scores(pos) == s && ids(pos) == id) return // duplicate
     var i = math.min(n, k - 1)
-    while (i > 0 && better(s, id, scores(i - 1), ids(i - 1))) {
-      scores(i) = scores(i - 1); ids(i) = ids(i - 1); i -= 1
-    }
-    scores(i) = s; ids(i) = id
+    while (i > pos) { scores(i) = scores(i - 1); ids(i) = ids(i - 1); i -= 1 }
+    scores(pos) = s; ids(pos) = id
     if (n < k) n += 1
   }
 }

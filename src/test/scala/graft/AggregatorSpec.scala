@@ -30,6 +30,34 @@ class AggregatorSpec extends SparkSpec {
     assert(agg.count() > 0)
   }
 
+  test("TopKAgg drops exact (score,id) duplicates — LSH multi-table collisions need no pre-dedup") {
+    import spark.implicits._
+    // every entry duplicated 3x (the multi-table collision shape):
+    // the distinct top-3 must come out, not 3 copies of the best
+    val rows = Seq.tabulate(30)(i => (1L, (i % 10).toDouble, (i % 10).toLong))
+    val top = new graft.functions.TopKAggregator(3).toColumn
+    val viaState = {
+      val st = new org.apache.spark.sql.graft.TopKState(3)
+      rows.foreach { case (_, s, id) => st.add(s, id) }
+      (0 until st.n).map(i => (st.scores(i), st.ids(i)))
+    }
+    assert(viaState == Seq((9.0, 9L), (8.0, 8L), (7.0, 7L)))
+    // and through the full aggregate path (partials + merge)
+    val out = rows.toDF("qid", "cos", "vec_id")
+      .repartition(4)
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graft.TopKAgg.topK(col("cos"), col("vec_id"), 3).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.cos"), col("t.vec_id"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(out == Seq((9.0, 9L), (8.0, 8L), (7.0, 7L)))
+    // ties on score with DIFFERENT ids are kept (not duplicates)
+    val st2 = new org.apache.spark.sql.graft.TopKState(3)
+    Seq((5.0, 1L), (5.0, 2L), (5.0, 1L), (5.0, 3L)).foreach { case (s, id) => st2.add(s, id) }
+    assert((0 until st2.n).map(i => (st2.scores(i), st2.ids(i))) ==
+      Seq((5.0, 1L), (5.0, 2L), (5.0, 3L)))
+  }
+
   test("HLL sketch estimates distinct counts within expected error") {
     import spark.implicits._
     val users = Tables.events(spark, sf001).select(col("user_id")).as[Long]
