@@ -85,7 +85,7 @@ final class Graft(
         (id, TextHelpers.firstSentence(ans))
       })
       .toDF("doc_id", "context")
-    val facts = splitDf(docs, cfg)
+    val rawFacts = splitDf(docs, cfg)
       .select(
         // hash-derived: stable, collision-safe for ARBITRARY doc ids
         // (a doc_id*k+i scheme overflows for hash-derived doc ids)
@@ -93,6 +93,25 @@ final class Graft(
         col("doc_id"), col("chunk_idx"),
         col("chunk").as("fact_text"), col("start"), col("end"))
       .join(ctx, "doc_id")
+    // Reformulation (annotator.py's reformulation_prompt step: make
+    // each fact self-contained before storing) — partition-wise LLM
+    // pass, re-attached by the fact_id equi-join. The stub's rewrite
+    // is the identity, so stored text is unchanged until a real
+    // backend is injected; entity extraction below then runs on the
+    // REFORMULATED text, as the reference does.
+    val reformed = rawFacts
+      .select(col("fact_id"), col("fact_text"), col("context"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, t, cx) =>
+        (id, llmLocal.invoke(Prompts.reformulation(t, cx, t)))
+      })
+      .toDF("fact_id", "reformulated")
+    val facts = rawFacts
+      .join(reformed, "fact_id")
+      .drop("fact_text")
+      .withColumnRenamed("reformulated", "fact_text")
+      .select(col("fact_id"), col("doc_id"), col("chunk_idx"),
+        col("fact_text"), col("start"), col("end"), col("context"))
       .withColumn("confidence", lit(1.0))
     // Entity extraction threads the reference's LLM pipeline shape
     // (annotator.py:148 _extract_entities): new_entities prompt →

@@ -122,6 +122,13 @@ final class TemplateLlm extends LlmBackend {
         val fact = factPayload(prompt, "\nEntities:").getOrElse("")
         val words = fact.split(" ").filter(_.length >= 5).distinct
         if (words.isEmpty) "None" else TextHelpers.itemizeList(words.toIndexedSeq)
+      case _ if prompt.contains("Rewrite this fact as a single self-contained sentence:") =>
+        // reformulation: the stub's "rewrite" is the identity — the
+        // fact comes back verbatim (a real backend would make it
+        // self-contained), so the pipeline stage exists without
+        // perturbing stored text.
+        val marker = "Rewrite this fact as a single self-contained sentence:\n"
+        prompt.substring(prompt.indexOf(marker) + marker.length)
       case _ =>
         val payload = prompt.linesIterator.toList.lastOption.getOrElse("")
         payload.split("(?<=\\.) ").filter(_.nonEmpty).map("- " + _).mkString("\n")

@@ -212,6 +212,10 @@ class GraftApiSpec extends SparkSpec {
       Prompts.entitySelection("alpha beta", "alpha"), grammar = Some(Grammars.YesNo))))
     assert(!TextHelpers.isYes(llm.invoke(
       Prompts.entitySelection("alpha beta", "omega"), grammar = Some(Grammars.YesNo))))
+    // Reformulation stage: the stub's rewrite is the identity (multi-
+    // line facts included), so stored fact text is stable.
+    assert(llm.invoke(Prompts.reformulation("alpha beta.", "ctx", "alpha beta.")) == "alpha beta.")
+    assert(llm.invoke(Prompts.reformulation("line one\nline two", "ctx", "src")) == "line one\nline two")
     // End to end: annotate's edge set through the prompt path equals
     // the documented long-word heuristic (what the stub encodes).
     val heuristic = db.facts
