@@ -23,14 +23,17 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
-  /** Previous round's per-query seconds. Accepts either a raw bench
-    * line file or the driver's wrapper JSON whose "tail" embeds the
-    * line; malformed/absent files degrade to None (no guard). */
-  private[graft] def prevBench(): Option[(String, Map[String, Double])] = {
+  /** Previous round's per-query seconds, ONLY if it was measured at
+    * the same scale factor (comparing sf0.01 medians against sf0.1
+    * numbers would flag everything). Accepts either a raw bench line
+    * file or the driver's wrapper JSON whose "tail" embeds the line;
+    * malformed/absent files degrade to None (no guard). */
+  private[graft] def prevBench(sfDir: String): Option[(String, Map[String, Double])] = {
     val explicit = sys.env.get("SPARK_GRAFT_PREV_BENCH").map(new java.io.File(_))
     val file = explicit.orElse {
       val dir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "."))
-      val re = "BENCH_r0*(\\d+)\\.json".r
+      // \d{1,9}: a digit run past Int range must not crash the bench
+      val re = "BENCH_r0*(\\d{1,9})\\.json".r
       Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
         .flatMap(f => f.getName match {
           case re(n) => Some((n.toInt, f))
@@ -52,9 +55,18 @@ object Bench {
           }
         if (line.isEmpty) None
         else {
-          val qs = om.readTree(line).get("queries")
+          val node = om.readTree(line)
+          // sf match on the directory BASENAME (the line records the
+          // full measured dir path)
+          val prevSf = Option(node.get("sf")).map(_.asText("")).getOrElse("")
+          val sameSf = new java.io.File(prevSf).getName == new java.io.File(sfDir).getName
+          val qs = node.get("queries")
           if (qs == null) None
-          else {
+          else if (!sameSf) {
+            System.err.println(
+              s"[bench] trend guard: ${f.getName} measured at '$prevSf' != '$sfDir' — skipping comparison")
+            None
+          } else {
             val m = scala.collection.mutable.Map.empty[String, Double]
             val it = qs.fields()
             while (it.hasNext) {
@@ -133,7 +145,7 @@ object Bench {
       name -> median(times)
     }.toMap
     // Trend guard: median vs the previous round's number.
-    val prev = prevBench()
+    val prev = prevBench(sfDir)
     val regressions = prev.map { case (_, pq) =>
       results.flatMap { case (name, now) =>
         pq.get(name).collect {

@@ -106,6 +106,12 @@ final class Graft(
         (id, llmLocal.invoke(Prompts.reformulation(t, cx, t)))
       })
       .toDF("fact_id", "reformulated")
+    // cache(): facts feed edges, factEmb AND the caller's actions
+    // (HippoDb.save is four writes) — without it every action re-runs
+    // the contextualization + reformulation LLM passes, and the
+    // rawFacts⋈reformed join evaluates the splitter subtree twice.
+    // Identity-stub cost hides that; a real backend would pay 4-8×.
+    // (Same precedent as HippoDb.build's facts.cache().)
     val facts = rawFacts
       .join(reformed, "fact_id")
       .drop("fact_text")
@@ -113,6 +119,7 @@ final class Graft(
       .select(col("fact_id"), col("doc_id"), col("chunk_idx"),
         col("fact_text"), col("start"), col("end"), col("context"))
       .withColumn("confidence", lit(1.0))
+      .cache()
     // Entity extraction threads the reference's LLM pipeline shape
     // (annotator.py:148 _extract_entities): new_entities prompt →
     // LLM → parse_bullet_points → entity_selection yes/no filter per

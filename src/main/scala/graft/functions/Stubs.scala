@@ -93,10 +93,13 @@ trait LlmBackend extends Serializable {
 final class TemplateLlm extends LlmBackend {
   override def handlesGrammars: Boolean = true
 
-  /** The fact block of a prompt: text after "Fact: " up to the next
+  /** The fact block of a prompt: text after the "Fact: " header that
+    * FOLLOWS the given template marker (so a context that itself
+    * contains "Fact: " cannot shift the anchor), up to the next
     * section header (facts may span lines). */
-  private def factPayload(prompt: String, upTo: String): Option[String] = {
-    val i = prompt.indexOf("Fact: ")
+  private def factPayload(prompt: String, after: String, upTo: String): Option[String] = {
+    val m = math.max(prompt.indexOf(after), 0)
+    val i = prompt.indexOf("Fact: ", m)
     if (i < 0) None
     else {
       val rest = prompt.substring(i + 6)
@@ -111,16 +114,22 @@ final class TemplateLlm extends LlmBackend {
       case Some(g) if g == Grammars.YesNo =>
         val sel = prompt.indexOf("Is the entity \"")
         if (sel >= 0) {
-          // entity_selection: entity between the quotes, fact above.
+          // entity_selection: entity between the quotes, fact above
+          // (this prompt STARTS with its "Fact: " header).
           val after = prompt.substring(sel + 15)
           val entity = after.substring(0, math.max(after.indexOf("\" explicitly named"), 0))
-          val fact = factPayload(prompt, "\nIs the entity \"").getOrElse("")
-          if (entity.nonEmpty && fact.split(" ").contains(entity)) "Yes" else "No"
+          val fact = factPayload(prompt, "", "\nIs the entity \"").getOrElse("")
+          if (entity.nonEmpty && fact.split("\\s+").contains(entity)) "Yes" else "No"
         } else if (prompt.hashCode % 2 == 0) "Yes" else "No"
       case _ if prompt.contains("List the standalone concepts") =>
-        // new_entities: long words of the fact, first-appearance order.
-        val fact = factPayload(prompt, "\nEntities:").getOrElse("")
-        val words = fact.split(" ").filter(_.length >= 5).distinct
+        // new_entities: the fact's long words, first-appearance order.
+        // WHITESPACE-delimited (not split(" ")): a bullet list cannot
+        // round-trip a token containing a newline through
+        // parse_bullet_points, so tokens are words in the usual sense
+        // — the selection check above uses the same tokenization.
+        val fact = factPayload(prompt, "List the standalone concepts", "\nEntities:")
+          .getOrElse("")
+        val words = fact.split("\\s+").filter(_.length >= 5).distinct
         if (words.isEmpty) "None" else TextHelpers.itemizeList(words.toIndexedSeq)
       case _ if prompt.contains("Rewrite this fact as a single self-contained sentence:") =>
         // reformulation: the stub's "rewrite" is the identity — the

@@ -150,31 +150,16 @@ object ExtendedQueries {
   val E01bAnnTables = 32
 
   def e01bKnnClassifyAnn(spark: SparkSession, dir: String): DataFrame = {
-    val planes = VectorQueries.lshPlanes(
-      E01bAnnTables * VectorQueries.BatchAnnBits, 64, seed = 99L)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
       .withColumn("nv", normNative(col("v")))
       .repartition(spark.sparkContext.defaultParallelism)
       .cache()
-    val cells = e.select(col("vec_id"),
-      explode(VectorQueries.cellStructs(
-        planes, E01bAnnTables, VectorQueries.BatchAnnBits)(col("v"))).as("cell"))
-    // Both directions fall out of the symmetric self-join (=!=, not <):
-    // each vector is query AND corpus. Multi-table collisions are NOT
-    // pre-deduplicated (a full candidate-stream shuffle); TopKAgg's
-    // buffer drops exact (score, id) duplicates at insert, so the
-    // collisions cost only duplicate map-side cosines and the partial
-    // agg absorbs them before any exchange (same trade as d06's
-    // score-then-distinct, adapted to top-k).
-    val cand = cells.as("l").join(cells.as("r"),
-        col("l.cell") === col("r.cell") && col("l.vec_id") =!= col("r.vec_id"))
-      .select(col("l.vec_id").as("qid"), col("r.vec_id").as("vec_id"))
-    val scored = cand
-      .join(e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("nq")), "qid")
-      .join(e.select(col("vec_id"), col("v"), col("nv")), "vec_id")
-      .select(col("qid"),
-        cosinePreRaw(col("v"), col("qv"), col("nv"), col("nq")).as("rawcos"), col("vec_id"))
+    // The shared v08 scoring kernel with EVERY vector as a query
+    // (isQuery = true ⇒ the cell equi-join is the symmetric
+    // self-join); see lshScored for the no-pre-dedup rationale.
+    val scored = VectorQueries.lshScored(
+      e, lit(true), E01bAnnTables, VectorQueries.BatchAnnBits, seed = 99L)
     majorityVote(e, topNeighbours(scored, k = 5))
   }
 

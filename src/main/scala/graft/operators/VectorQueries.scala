@@ -310,31 +310,9 @@ object VectorQueries {
   /** Reusable LSH-blocked batch k-NN over (vec_id, v, label) rows;
     * queries = label-0 rows (v02's query set). */
   def knnBatchAnn(spark: SparkSession, e0: DataFrame, k: Int): DataFrame = {
-    val planes = lshPlanes(BatchAnnTables * BatchAnnBits, 64, seed = 99L)
     val e = e0.withColumn("nv", normNative(col("v"))).cache()
-    val cells = e.select(col("vec_id"), col("label"),
-      explode(cellStructs(planes, BatchAnnTables, BatchAnnBits)(col("v"))).as("cell"))
-    val qcells = cells.filter(col("label") === 0)
-      .select(col("vec_id").as("query_id"), col("cell"))
-    // Candidates: equi-join on the packed cell key (NO broadcast
-    // hint — AQE picks the build side from runtime sizes; at scale
-    // both sides shuffle on the cell key). Multi-table collisions
-    // are NOT pre-deduplicated: a dropDuplicates here is a full
-    // shuffle of the candidate stream (its dominant cost), while
-    // TopKAgg's buffer drops exact (score, id) duplicates at insert
-    // — the collisions cost only their recomputed map-side cosines
-    // and the partial agg absorbs them before any exchange.
-    val cand = cells.select(col("vec_id"), col("cell")).join(qcells, "cell")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id")
-    // Vector payloads re-attach via narrow equi-joins (the d06
-    // shape); rank on the RAW cosine, round(6) only the survivors.
-    val scored = cand
-      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nq")),
-        "query_id")
-      .join(e.select(col("vec_id"), col("v"), col("nv")), "vec_id")
-      .select(col("query_id"),
-        cosinePreRaw(col("v"), col("qv"), col("nv"), col("nq")).as("rawcos"), col("vec_id"))
+    val scored = lshScored(e, col("label") === 0, BatchAnnTables, BatchAnnBits, seed = 99L)
+      .withColumnRenamed("qid", "query_id")
     val byCos = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     scored.groupBy("query_id")
       .agg(org.apache.spark.sql.graft.TopKAgg.topK(col("rawcos"), col("vec_id"), k + 8).as("top"))
@@ -344,6 +322,43 @@ object VectorQueries {
       .filter(col("rk") <= k)
       .select("query_id", "vec_id", "cos", "rk")
       .orderBy("query_id", "rk")
+  }
+
+  /** The shared LSH cell-blocked SCORING kernel of v08/e01b: rows
+    * matching `isQuery` become queries, every row is corpus, and the
+    * result is (qid, rawcos, vec_id) for each candidate pair sharing
+    * at least one of the nTables×bits cells.
+    *
+    *  - Candidates: equi-join on the packed cell key (NO broadcast
+    *    hint — AQE picks the build side from runtime sizes; at scale
+    *    both sides shuffle on the cell key).
+    *  - Multi-table collisions are NOT pre-deduplicated: a
+    *    dropDuplicates here is a full shuffle of the candidate
+    *    stream (its dominant cost), while TopKAgg's buffer drops
+    *    exact (score, id) duplicates at insert — collisions cost
+    *    only their recomputed map-side cosines and the partial agg
+    *    absorbs them before any exchange.
+    *  - Vector payloads re-attach via narrow equi-joins (the d06
+    *    shape); consumers rank on the RAW cosine and round(6) only
+    *    the survivors.
+    *
+    * `e` must carry (vec_id, v, nv) and SHOULD be cached — it is
+    * scanned three times (cells + both payload re-attach joins). */
+  def lshScored(
+      e: DataFrame, isQuery: Column, nTables: Int, bits: Int, seed: Long): DataFrame = {
+    val planes = lshPlanes(nTables * bits, 64, seed)
+    val cells = e.select(col("vec_id"), isQuery.as("is_q"),
+      explode(cellStructs(planes, nTables, bits)(col("v"))).as("cell"))
+    val qcells = cells.filter(col("is_q"))
+      .select(col("vec_id").as("qid"), col("cell"))
+    val cand = cells.select(col("vec_id"), col("cell")).join(qcells, "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id")
+    cand
+      .join(e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("nq")), "qid")
+      .join(e.select(col("vec_id"), col("v"), col("nv")), "vec_id")
+      .select(col("qid"),
+        cosinePreRaw(col("v"), col("qv"), col("nv"), col("nq")).as("rawcos"), col("vec_id"))
   }
 
   /** Deterministic hyperplanes (seeded), broadcast as literals. */

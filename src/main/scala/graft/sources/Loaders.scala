@@ -77,7 +77,9 @@ object Loaders {
     * Returns a 0/1-row DataFrame (the reference returns None when
     * nothing matches). */
   def loadWikipedia(spark: SparkSession, query: String, dumpGlob: String): DataFrame = {
-    val q = query.toLowerCase
+    // Locale.ROOT: Spark's lower() is locale-independent; the JVM
+    // default locale (e.g. tr-TR dotless i) would break the match.
+    val q = query.toLowerCase(java.util.Locale.ROOT)
     loadWikipediaDump(spark, dumpGlob)
       .filter(lower(col("title")).contains(q))
       .withColumn("is_prefix", lower(col("title")).startsWith(q).cast("int"))

@@ -135,8 +135,15 @@ object HippoDb {
     compact.write.mode(SaveMode.Overwrite).parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    // Hadoop FS ops signal failure via their RETURN VALUE — an
+    // unchecked false rename after a successful delete would lose
+    // the dim (data stranded in tmp); fail loudly instead.
+    if (!fs.delete(new org.apache.hadoop.fs.Path(path), true))
+      throw new java.io.IOException(
+        s"compactEntities: could not delete $path (compacted data left at $tmp)")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path)))
+      throw new java.io.IOException(
+        s"compactEntities: rename $tmp -> $path failed (compacted data left at $tmp)")
     spark.read.parquet(path).count()
   }
 

@@ -216,10 +216,15 @@ class GraftApiSpec extends SparkSpec {
     // line facts included), so stored fact text is stable.
     assert(llm.invoke(Prompts.reformulation("alpha beta.", "ctx", "alpha beta.")) == "alpha beta.")
     assert(llm.invoke(Prompts.reformulation("line one\nline two", "ctx", "src")) == "line one\nline two")
+    // Newline-containing facts tokenize on ANY whitespace (a bullet
+    // list cannot round-trip a token with an embedded newline).
+    assert(llm.invoke(Prompts.newEntities("alpha one\nbeta gamma", "ctx", Nil))
+      == "- alpha\n- gamma")
     // End to end: annotate's edge set through the prompt path equals
-    // the documented long-word heuristic (what the stub encodes).
+    // the documented long-word heuristic (what the stub encodes),
+    // with whitespace tokenization.
     val heuristic = db.facts
-      .select(col("fact_id"), explode(split(col("fact_text"), " ")).as("entity"))
+      .select(col("fact_id"), explode(split(col("fact_text"), "\\s+")).as("entity"))
       .filter(length(col("entity")) >= 5)
       .distinct()
     assert(db.edges.exceptAll(heuristic).isEmpty && heuristic.exceptAll(db.edges).isEmpty)
