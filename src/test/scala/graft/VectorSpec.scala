@@ -40,6 +40,25 @@ class VectorSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("IVF at scale: cluster-partitioned parquet layout prunes probes at the file level") {
+    // The 100 TB claim in v07's scaladoc, executed: inverted lists
+    // written partitionBy(cluster) make a probe a PARTITION-PRUNED
+    // scan — only the probed cells' files are read.
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v")).cache()
+    val (assigned, _, _) = graft.operators.KMeans.fit(spark, e, 8, 2, trackInertia = false)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-layout").toString
+    e.join(assigned, "vec_id").write.partitionBy("cluster").parquet(s"$tmp/ivf")
+    val probed = spark.read.parquet(s"$tmp/ivf")
+      .filter(col("cluster").isin(0, 1))
+    val scan = probed.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cluster"),
+      s"probe does not partition-prune:\n$scan")
+    // and the pruned read returns exactly the probed cells' rows
+    val direct = e.join(assigned, "vec_id").filter(col("cluster").isin(0, 1)).count()
+    assert(probed.count() == direct && direct > 0)
+  }
+
   test("IVF ANN: probing all cells == brute force; partial probe keeps recall") {
     val e = Tables.embeddings(spark, sf0001)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
