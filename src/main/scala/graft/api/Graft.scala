@@ -120,27 +120,26 @@ final class Graft(
         col("fact_text"), col("start"), col("end"), col("context"))
       .withColumn("confidence", lit(1.0))
       .cache()
-    // Entity extraction threads the reference's LLM pipeline shape
-    // (annotator.py:148 _extract_entities): new_entities prompt →
-    // LLM → parse_bullet_points → entity_selection yes/no filter per
-    // proposed entity (grammar-constrained when the backend handles
-    // grammars — llm_backend.py:8). One partition-wise pass over the
-    // facts, no shuffle; the TemplateLlm stub answers the fact's
-    // long words, so the resulting entity set is the documented
-    // deterministic heuristic — swap a real backend in and the same
-    // plan runs real extraction.
+    // Entity extraction matches the reference's ACTUAL pipeline
+    // (annotator.py:148-152 _extract_entities): entity_extraction
+    // prompt → LLM → parse_bullet_points(only_first_bullets=True),
+    // NO selection filter — the new_entities/entity_selection
+    // prompts (prompts.py:51/66) are a variant the reference defines
+    // but never wires up, and we mirror that exactly (builders +
+    // stub branches exist, spec-tested, unwired here). One
+    // partition-wise pass over the facts, no shuffle; the
+    // TemplateLlm stub answers the fact's long words, so the
+    // resulting entity set is the documented deterministic heuristic
+    // — swap a real backend in and the same plan runs real
+    // extraction.
     val edges = facts
       .select(col("fact_id"), col("fact_text"), col("context"))
       .as[(Long, String, String)]
       .mapPartitions(_.flatMap { case (id, t, cx) =>
-        val proposed = TextHelpers.parseBulletPoints(
-          llmLocal.invoke(Prompts.newEntities(t, cx, Nil)))
-        val kept =
-          if (llmLocal.handlesGrammars)
-            proposed.filter(e => TextHelpers.isYes(llmLocal.invoke(
-              Prompts.entitySelection(t, e), grammar = Some(Grammars.YesNo))))
-          else proposed
-        kept.map(e => (id, e))
+        TextHelpers.parseBulletPoints(
+          llmLocal.invoke(Prompts.entityExtraction(t, cx)),
+          onlyFirstBullets = true)
+          .map(e => (id, e))
       })
       .toDF("fact_id", "entity")
       .distinct()

@@ -121,6 +121,17 @@ final class TemplateLlm extends LlmBackend {
           val fact = factPayload(prompt, "", "\nIs the entity \"").getOrElse("")
           if (entity.nonEmpty && fact.split("\\s+").contains(entity)) "Yes" else "No"
         } else if (prompt.hashCode % 2 == 0) "Yes" else "No"
+      case _ if prompt.contains("List the entities involved in this fact") =>
+        // entity_extraction (annotator.py:148's actual prompt): same
+        // deterministic answer as new_entities — the fact's long
+        // words, first-appearance order, as bullets — so the two
+        // extraction variants agree under the stub.
+        val fact = prompt.substring(
+          prompt.lastIndexOf("List the entities involved in this fact as bullet points:")
+            + "List the entities involved in this fact as bullet points:".length)
+          .stripPrefix("\n")
+        val words = fact.split("\\s+").filter(_.length >= 5).distinct
+        if (words.isEmpty) "None" else TextHelpers.itemizeList(words.toIndexedSeq)
       case _ if prompt.contains("List the standalone concepts") =>
         // new_entities: the fact's long words, first-appearance order.
         // WHITESPACE-delimited (not split(" ")): a bullet list cannot
@@ -135,9 +146,13 @@ final class TemplateLlm extends LlmBackend {
         // reformulation: the stub's "rewrite" is the identity — the
         // fact comes back verbatim (a real backend would make it
         // self-contained), so the pipeline stage exists without
-        // perturbing stored text.
-        val marker = "Rewrite this fact as a single self-contained sentence:\n"
-        prompt.substring(prompt.indexOf(marker) + marker.length)
+        // perturbing stored text. Anchor on the LAST occurrence of
+        // the header (the context/source-text sections PRECEDE it
+        // and in annotate contain the fact text itself, so a
+        // first-occurrence search could anchor inside them) and
+        // tolerate a missing trailing newline (empty fact → "").
+        val head = "Rewrite this fact as a single self-contained sentence:"
+        prompt.substring(prompt.lastIndexOf(head) + head.length).stripPrefix("\n")
       case _ =>
         val payload = prompt.linesIterator.toList.lastOption.getOrElse("")
         payload.split("(?<=\\.) ").filter(_.nonEmpty).map("- " + _).mkString("\n")

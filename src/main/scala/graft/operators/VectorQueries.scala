@@ -343,10 +343,14 @@ object VectorQueries {
     *    the survivors.
     *
     * `e` must carry (vec_id, v, nv) and SHOULD be cached — it is
-    * scanned three times (cells + both payload re-attach joins). */
+    * scanned three times (cells + both payload re-attach joins).
+    * `dim` must equal the length of the `v` arrays (defaults to the
+    * shipped corpus' 64): hyperplanes shorter than the vectors would
+    * silently score only their first `dim` components. */
   def lshScored(
-      e: DataFrame, isQuery: Column, nTables: Int, bits: Int, seed: Long): DataFrame = {
-    val planes = lshPlanes(nTables * bits, 64, seed)
+      e: DataFrame, isQuery: Column, nTables: Int, bits: Int, seed: Long,
+      dim: Int = 64): DataFrame = {
+    val planes = lshPlanes(nTables * bits, dim, seed)
     val cells = e.select(col("vec_id"), isQuery.as("is_q"),
       explode(cellStructs(planes, nTables, bits)(col("v"))).as("cell"))
     val qcells = cells.filter(col("is_q"))

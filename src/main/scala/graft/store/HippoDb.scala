@@ -121,10 +121,15 @@ object HippoDb {
     * batch count, not cardinality. One keyed agg dedupes it (keeping
     * the max description per entity, so a non-empty description
     * beats the annotator's empty default); the result replaces the
-    * directory atomically-enough via tmp-write + FS rename (the same
-    * recipe works on HDFS; object stores want a two-phase commit).
-    * Returns the compacted entity count. */
+    * directory via a BACKUP-RENAME swap — verify the tmp write reads
+    * back, rename live → backup, rename tmp → live, delete backup —
+    * so every intermediate state (including a crash between any two
+    * steps) still leaves a readable entities dim at either the live
+    * or the backup path (the same recipe works on HDFS; object
+    * stores want a two-phase commit). Returns the compacted entity
+    * count. */
   def compactEntities(spark: SparkSession, dir: String): Long = {
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val path = s"$dir/entities"
     val cur = spark.read.parquet(path)
     val compact =
@@ -132,19 +137,31 @@ object HippoDb {
         cur.groupBy("entity").agg(max("description").as("description"))
       else cur.distinct()
     val tmp = s"$dir/entities_compact_tmp"
+    val bak = s"$dir/entities_compact_bak"
     compact.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Hadoop FS ops signal failure via their RETURN VALUE — an
-    // unchecked false rename after a successful delete would lose
-    // the dim (data stranded in tmp); fail loudly instead.
-    if (!fs.delete(new org.apache.hadoop.fs.Path(path), true))
+    val fs = p(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Write-verify BEFORE touching the live dim: a torn/empty tmp
+    // must fail while the live directory is still in place.
+    val n = spark.read.parquet(tmp).count()
+    // Hadoop FS ops signal failure via their RETURN VALUE — every
+    // step below checks it and fails loudly, never half-swapped.
+    if (fs.exists(p(bak)) && !fs.delete(p(bak), true))
       throw new java.io.IOException(
-        s"compactEntities: could not delete $path (compacted data left at $tmp)")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path)))
+        s"compactEntities: could not clear stale backup $bak")
+    if (!fs.rename(p(path), p(bak)))
       throw new java.io.IOException(
-        s"compactEntities: rename $tmp -> $path failed (compacted data left at $tmp)")
-    spark.read.parquet(path).count()
+        s"compactEntities: rename $path -> $bak failed (live dim untouched)")
+    if (!fs.rename(p(tmp), p(path))) {
+      // Restore the live dim so this failure mode also leaves the
+      // store readable; the compacted data stays at tmp for retry.
+      fs.rename(p(bak), p(path))
+      throw new java.io.IOException(
+        s"compactEntities: rename $tmp -> $path failed (live dim restored from $bak)")
+    }
+    if (!fs.delete(p(bak), true))
+      throw new java.io.IOException(
+        s"compactEntities: compaction succeeded but stale backup $bak was not deleted")
+    n
   }
 
   def load(spark: SparkSession, dir: String): HippoDb = {

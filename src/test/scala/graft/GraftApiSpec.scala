@@ -198,16 +198,24 @@ class GraftApiSpec extends SparkSpec {
     assert(!llm.invoke("a line. another line.", stop = Seq(" another")).contains("another"))
   }
 
-  test("entity extraction runs the new_entities prompt → parse_bullet_points → selection path") {
+  test("entity extraction runs the entity_extraction prompt → parse_bullet_points(only_first) path") {
     import graft.functions.{Grammars, Prompts, TemplateLlm, TextHelpers}
     import org.apache.spark.sql.functions._
     val llm = new TemplateLlm
-    // The stub answers the fact's long words as bullets (deterministic).
+    // annotator.py:148-152: the ACTUAL extraction prompt; the stub
+    // answers the fact's long words as bullets (deterministic).
+    val ext = llm.invoke(Prompts.entityExtraction("alpha beta gamma-ray tiny of", "ctx"))
+    assert(ext == "- alpha\n- gamma-ray")
+    assert(TextHelpers.parseBulletPoints(ext, onlyFirstBullets = true)
+      == List("alpha", "gamma-ray"))
+    assert(llm.invoke(Prompts.entityExtraction("of a to", "ctx")) == "None")
+    // The new_entities/entity_selection VARIANT (prompts.py:51/66 —
+    // defined by the reference but unwired, mirrored as such): same
+    // stub answer, selection = token membership under Yes/No grammar.
     val ans = llm.invoke(Prompts.newEntities("alpha beta gamma-ray tiny of", "ctx", Nil))
     assert(ans == "- alpha\n- gamma-ray")
     assert(TextHelpers.parseBulletPoints(ans) == List("alpha", "gamma-ray"))
     assert(llm.invoke(Prompts.newEntities("of a to", "ctx", Nil)) == "None")
-    // entity_selection under the Yes/No grammar: token membership.
     assert(TextHelpers.isYes(llm.invoke(
       Prompts.entitySelection("alpha beta", "alpha"), grammar = Some(Grammars.YesNo))))
     assert(!TextHelpers.isYes(llm.invoke(
@@ -216,9 +224,21 @@ class GraftApiSpec extends SparkSpec {
     // line facts included), so stored fact text is stable.
     assert(llm.invoke(Prompts.reformulation("alpha beta.", "ctx", "alpha beta.")) == "alpha beta.")
     assert(llm.invoke(Prompts.reformulation("line one\nline two", "ctx", "src")) == "line one\nline two")
+    // Anchoring is defensive: a source text that CONTAINS the header
+    // line (annotate passes the fact as the source text) must not
+    // capture the decoy occurrence, and a header with no trailing
+    // newline (empty fact) yields "" instead of garbage indices.
+    assert(llm.invoke(Prompts.reformulation(
+      "THE FACT.", "ctx",
+      "Rewrite this fact as a single self-contained sentence:\nnested decoy")) == "THE FACT.")
+    assert(llm.invoke(
+      "Context: c\nSource text: s\nRewrite this fact as a single self-contained sentence:") == "")
     // Newline-containing facts tokenize on ANY whitespace (a bullet
-    // list cannot round-trip a token with an embedded newline).
+    // list cannot round-trip a token with an embedded newline) —
+    // both extraction variants agree.
     assert(llm.invoke(Prompts.newEntities("alpha one\nbeta gamma", "ctx", Nil))
+      == "- alpha\n- gamma")
+    assert(llm.invoke(Prompts.entityExtraction("alpha one\nbeta gamma", "ctx"))
       == "- alpha\n- gamma")
     // End to end: annotate's edge set through the prompt path equals
     // the documented long-word heuristic (what the stub encodes),

@@ -60,6 +60,28 @@ class ScaleSwapSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "e01b plans a BNLJ")
   }
 
+  test("lshScored scores arbitrary-dim vectors via the dim parameter (kernel reuse contract)") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions._
+    import org.apache.spark.sql.functions._
+    // 8-dim rows: an identical pair hashes to the SAME cell in every
+    // table (sign(v·p) is a function of v), so it must surface as a
+    // candidate and score exactly 1 — with hyperplanes of the right
+    // dimension, not the default 64.
+    val e = Seq(
+      (0L, Array(1.0, 0.5, -0.25, 0.0, 2.0, -1.0, 0.75, 2.0)),
+      (1L, Array(1.0, 0.5, -0.25, 0.0, 2.0, -1.0, 0.75, 2.0)),
+      (2L, Array(-1.0, 3.0, 0.5, -2.0, 0.25, 1.5, -0.5, -2.0)))
+      .toDF("vec_id", "v")
+      .withColumn("nv", normNative(col("v"))).cache()
+    val scored = VectorQueries.lshScored(
+      e, col("vec_id") === 0, nTables = 4, bits = 2, seed = 7L, dim = 8)
+    val hit = scored.filter(col("vec_id") === 1).select("rawcos").collect()
+    assert(hit.nonEmpty, "identical 8-dim pair produced no candidate")
+    assert(hit.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9),
+      "identical pair must score cosine 1 under 8-dim hyperplanes")
+  }
+
   test("q13b: approx quartiles within sketch error of q13 exact values (sf0.01)") {
     // Greenwald-Khanna guarantees rank error <= n/accuracy; translate
     // the rank window into a VALUE window from the exact quartiles'
