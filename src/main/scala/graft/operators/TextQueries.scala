@@ -145,6 +145,103 @@ object TextQueries {
       .orderBy(col("n").desc, col("token"))
       .limit(20)
 
+  /** t08: within-document REPETITION signals — the Gopher-style
+    * quality filters (Rae et al. 2021 §A1.1: duplicate-token and
+    * top-n-gram fractions; this corpus has no newlines, so the
+    * line/paragraph variants of the same rule family are moot).
+    * Token stats are a narrow per-row pass; top-n-gram counts are
+    * explode → (doc_id, gram) hash-groupBy with map-side partial
+    * aggregation → per-doc max — everything keyed by doc, linear at
+    * 100 TB (per-doc HOF counting would be O(len²) per document and
+    * blow up on long docs; the explode keeps it O(len)). */
+  def t08Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => w =!= "").as("ts"))
+    val base = toks.select(col("doc_id"),
+      size(col("ts")).as("n_tokens"),
+      size(array_distinct(col("ts"))).as("n_distinct"))
+    def topGram(n: Int): DataFrame = toks
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ts) - ${n - 1}), " +
+          s"i -> array_join(slice(ts, i, $n), ' '))")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as(s"top${n}_n"))
+    base
+      .join(topGram(2), Seq("doc_id"), "left")
+      .join(topGram(3), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct") / col("n_tokens"), 4).as("dup_word_frac"),
+        coalesce(col("top2_n"), lit(0L)).as("top2_n"),
+        when(col("n_tokens") >= 2,
+          round(col("top2_n") / (col("n_tokens") - 1), 4)).otherwise(0.0).as("top2_frac"),
+        coalesce(col("top3_n"), lit(0L)).as("top3_n"),
+        when(col("n_tokens") >= 3,
+          round(col("top3_n") / (col("n_tokens") - 2), 4)).otherwise(0.0).as("top3_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** t09: eval-set DECONTAMINATION — the n-gram overlap check every
+    * training pipeline runs against its benchmark suite (GPT-3 §C /
+    * PaLM-style 5-gram collision test). The "eval set" here is the
+    * deterministic doc_id % 100 == 0 slice standing in for a
+    * benchmark table; a training doc is flagged with the number of
+    * distinct 5-word-grams it shares with ANY eval doc and how many
+    * eval docs it hits. Both sides reduce to narrow (doc, gram)
+    * rows; the join key is the gram string and the eval side is
+    * tiny relative to the corpus, so AQE broadcasts it at runtime
+    * (no hint — the d02 precedent). Nothing is all-pairs: cost is
+    * linear in corpus grams.
+    *
+    * Gram size is calibrated to the corpus: real pipelines use 8-13
+    * word grams on natural text; this synthetic ~40-word vocabulary
+    * makes exact 5-gram collisions vanishingly rare (0 hits at
+    * sf0.01), so 3 keeps the operator's output non-trivial (148/495
+    * docs flagged) while staying selective (2-grams flag 99%). */
+  val ContamGram = 3
+
+  def t09Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => w =!= "").as("ts"))
+      .filter(size(col("ts")) >= ContamGram)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ts) - ${ContamGram - 1}), " +
+          s"i -> array_join(slice(ts, i, $ContamGram), ' '))")).as("gram"))
+    val evalGrams = grams.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("eval_doc"), col("gram")).distinct()
+    grams.filter(col("doc_id") % 100 =!= 0)
+      .join(evalGrams, "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("eval_doc")).as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** t10: deterministic STRATIFIED downsampling — the data-mixing
+    * step that reweights a corpus by stratum (language here; domain
+    * in production). Membership is a pure function of the row:
+    * md5(doc_id) rendered as hex, first nibble compared against the
+    * stratum's threshold — so the sample is reproducible across
+    * engines, clusters and reruns, needs NO stored random state, and
+    * is a scan-speed codegen'd predicate (no shuffle; at 100 TB this
+    * composes with t06 into the same single pass). Rates: nibble <
+    * threshold out of 16. */
+  val SampleThresholds: Map[String, String] =
+    Map("en" -> "c", "de" -> "8", "es" -> "6", "zh" -> "4", "fr" -> "2")
+
+  def t10StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val th = SampleThresholds.foldLeft(lit("1")) { case (acc, (l, t)) =>
+      when(col("lang") === l, lit(t)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .filter(col("bucket") < th)
+      .select("doc_id", "lang", "bucket")
+      .orderBy("doc_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -154,7 +251,10 @@ object TextQueries {
     "t04_fingerprint" -> (t04Fingerprint _),
     "t05_parse_bullets" -> (t05ParseBullets _),
     "t06_quality_filter" -> (t06QualityFilter _),
-    "t07_top_tokens" -> (t07TopTokens _))
+    "t07_top_tokens" -> (t07TopTokens _),
+    "t08_repetition" -> (t08Repetition _),
+    "t09_decontaminate" -> (t09Decontaminate _),
+    "t10_stratified_sample" -> (t10StratifiedSample _))
 
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
   private def sqlCount(wsList: String) =
@@ -237,5 +337,61 @@ object TextQueries {
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |WHERE token != ''
-        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "t08_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ts
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,
+        |         CAST(len(list_distinct(ts)) AS INT) AS n_distinct
+        |  FROM toks),
+        |g2 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |    i -> array_to_string(list_slice(ts, CAST(i AS INT), CAST(i AS INT) + 1), ' '))) AS gram
+        |  FROM toks WHERE len(ts) >= 2),
+        |g3 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+        |    i -> array_to_string(list_slice(ts, CAST(i AS INT), CAST(i AS INT) + 2), ' '))) AS gram
+        |  FROM toks WHERE len(ts) >= 3),
+        |t2 AS (SELECT doc_id, max(c) AS top2_n FROM (
+        |  SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+        |t3 AS (SELECT doc_id, max(c) AS top3_n FROM (
+        |  SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1)
+        |SELECT b.doc_id, b.n_tokens, b.n_distinct,
+        |  round(1.0 - b.n_distinct / CAST(b.n_tokens AS DOUBLE), 4) AS dup_word_frac,
+        |  CAST(coalesce(t2.top2_n, 0) AS BIGINT) AS top2_n,
+        |  CASE WHEN b.n_tokens >= 2
+        |       THEN round(t2.top2_n / CAST(b.n_tokens - 1 AS DOUBLE), 4)
+        |       ELSE 0.0 END AS top2_frac,
+        |  CAST(coalesce(t3.top3_n, 0) AS BIGINT) AS top3_n,
+        |  CASE WHEN b.n_tokens >= 3
+        |       THEN round(t3.top3_n / CAST(b.n_tokens - 2 AS DOUBLE), 4)
+        |       ELSE 0.0 END AS top3_frac
+        |FROM base b LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "t09_decontaminate" ->
+      s"""WITH grams AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ts) - ${ContamGram - 2}),
+         |    i -> array_to_string(list_slice(ts, CAST(i AS INT),
+         |      CAST(i AS INT) + ${ContamGram - 1}), ' '))) AS gram
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ts
+         |        FROM documents)
+         |  WHERE len(ts) >= $ContamGram),
+         |ev AS (SELECT DISTINCT doc_id AS eval_doc, gram FROM grams WHERE doc_id % 100 = 0)
+         |SELECT g.doc_id,
+         |  CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared_grams,
+         |  CAST(count(DISTINCT ev.eval_doc) AS BIGINT) AS n_eval_docs
+         |FROM grams g JOIN ev ON g.gram = ev.gram
+         |WHERE g.doc_id % 100 != 0
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "t10_stratified_sample" -> {
+      val cases = SampleThresholds.toSeq.sorted
+        .map { case (l, t) => s"WHEN '$l' THEN '$t'" }.mkString(" ")
+      s"""SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+         |FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+         |  CASE lang $cases ELSE '1' END
+         |ORDER BY doc_id""".stripMargin
+    })
 }
