@@ -242,6 +242,49 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t11: SEQUENCE PACKING — the concat-and-chunk step that turns a
+    * tokenized corpus into fixed-length training sequences (GPT-style
+    * packing: documents concatenated in doc_id order, sliced every
+    * `SeqBudget` tokens; a doc straddling a slice boundary spans
+    * multiple sequences). Emits each doc's first/last sequence id and
+    * span count.
+    *
+    * The global running token total is a distributed TWO-PASS prefix
+    * sum — NOT a single-partition window (a global `Window.orderBy`
+    * funnels 100 TB through one task): range-repartition by doc_id,
+    * pass 1 reduces each partition to one subtotal (only
+    * O(partitions) longs reach the driver), pass 2 streams each
+    * partition once more adding its broadcast offset. Per-row work is
+    * O(1); the result is partitioning-invariant because range
+    * partitions are ordered and disjoint. */
+  val SeqBudget = 2048L
+
+  def t11PackSequences(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("CAST(aggregate(transform(split(text, ' '), w -> (length(w) + 3) DIV 4), 0L, (acc, x) -> acc + x) AS BIGINT)")
+          .as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)]
+    val rdd = toks.rdd.cache()
+    val partSums = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.map(_._2).sum)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
+    val s = SeqBudget
+    rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = offsets.value(i)
+      it.map { case (id, t) =>
+        cum += t
+        (id, t, (cum - t) / s, (cum - 1) / s)
+      }
+    }.toDF("doc_id", "n_tokens", "first_seq", "last_seq")
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+      .orderBy("doc_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -254,7 +297,8 @@ object TextQueries {
     "t07_top_tokens" -> (t07TopTokens _),
     "t08_repetition" -> (t08Repetition _),
     "t09_decontaminate" -> (t09Decontaminate _),
-    "t10_stratified_sample" -> (t10StratifiedSample _))
+    "t10_stratified_sample" -> (t10StratifiedSample _),
+    "t11_pack_sequences" -> (t11PackSequences _))
 
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
   private def sqlCount(wsList: String) =
@@ -393,5 +437,19 @@ object TextQueries {
          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
          |  CASE lang $cases ELSE '1' END
          |ORDER BY doc_id""".stripMargin
-    })
+    },
+    "t11_pack_sequences" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST(list_sum(list_transform(string_split(text, ' '),
+         |    w -> (length(w) + 3) // 4)) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER (
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM base)
+         |SELECT doc_id, n_tokens,
+         |  CAST((cum - n_tokens) // $SeqBudget AS BIGINT) AS first_seq,
+         |  CAST((cum - 1) // $SeqBudget AS BIGINT) AS last_seq,
+         |  CAST((cum - 1) // $SeqBudget - (cum - n_tokens) // $SeqBudget + 1 AS BIGINT) AS n_seqs
+         |FROM c ORDER BY doc_id""".stripMargin)
 }
