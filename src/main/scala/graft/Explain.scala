@@ -46,7 +46,19 @@ object Explain {
       "t07_top_tokens" -> Seq("TakeOrderedAndProject", "HashAggregate"),
       // h09: the 2-hop frontier expansion dedups reached entities via
       // anti-join, never collecting frontiers to the driver
-      "h09_khop_neighbours" -> Seq("LeftAnti", "HashAggregate"))
+      "h09_khop_neighbours" -> Seq("LeftAnti", "HashAggregate"),
+      // t08: top-gram counts explode then hash-aggregate with map-side
+      // partials (never per-row O(len^2) HOF counting)
+      "t08_repetition" -> Seq("Generate", "HashAggregate"),
+      // t09: gram-key equi-join + distinct aggregation; the eval side
+      // is joined, not collected
+      "t09_decontaminate" -> Seq("Generate", "HashAggregate"),
+      // t10: scan-speed predicate over a PRUNED schema — the filter
+      // needs only doc_id and lang, text must not be read
+      "t10_stratified_sample" -> Seq("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      // t11: the prefix sum runs as an RDD two-pass (scan of the
+      // offset-adjusted partitions), final presentation sort only
+      "t11_pack_sequences" -> Seq("MapPartitionsRDD", "rangepartitioning"))
 
     val sb = new StringBuilder
     sb.append(s"# Plan audit @ $dir\n\n")
