@@ -41,26 +41,55 @@ object Bench {
         })
         .sortBy(-_._1).headOption.map(_._2)
     }
-    file.flatMap { f =>
+    file.flatMap(parseBenchFile(_, sfDir))
+  }
+
+  /** Parse one bench artifact (raw line or driver wrapper) into its
+    * per-query seconds, or None on sf mismatch / malformed file. */
+  private[graft] def parseBenchFile(
+      f: java.io.File, sfDir: String): Option[(String, Map[String, Double])] = {
       try {
         val raw = new String(
           java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8)
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        val line =
+        val src =
           if (raw.trim.startsWith("{\"metric\"")) raw.trim
+          else Option(om.readTree(raw).get("tail")).map(_.asText("")).getOrElse("")
+        // The driver wrapper may TRUNCATE the head of the bench line
+        // (r6's tail starts mid-value), so don't require the
+        // {"metric" prefix — locate the "queries" object and the
+        // "sf" field anywhere in the text and parse them standalone.
+        def balanced(from: Int): Option[String] = {
+          val start = src.indexOf('{', from)
+          if (start < 0) None
           else {
-            val tail = Option(om.readTree(raw).get("tail")).map(_.asText("")).getOrElse("")
-            tail.linesIterator.find(_.startsWith("{\"metric\"")).getOrElse("")
+            var i = start; var depth = 0; var inStr = false; var esc = false
+            while (i < src.length) {
+              val c = src.charAt(i)
+              if (esc) esc = false
+              else if (inStr) { if (c == '\\') esc = true else if (c == '"') inStr = false }
+              else c match {
+                case '"' => inStr = true
+                case '{' => depth += 1
+                case '}' => depth -= 1; if (depth == 0) return Some(src.substring(start, i + 1))
+                case _ =>
+              }
+              i += 1
+            }
+            None
           }
-        if (line.isEmpty) None
+        }
+        val qIdx = src.indexOf("\"queries\":")
+        val qsJson = if (qIdx < 0) None else balanced(qIdx)
+        if (qsJson.isEmpty) None
         else {
-          val node = om.readTree(line)
           // sf match on the directory BASENAME (the line records the
           // full measured dir path)
-          val prevSf = Option(node.get("sf")).map(_.asText("")).getOrElse("")
+          val sfRe = "\"sf\":\"([^\"]*)\"".r
+          val prevSf = sfRe.findFirstMatchIn(src).map(_.group(1)).getOrElse("")
           val sameSf = new java.io.File(prevSf).getName == new java.io.File(sfDir).getName
-          val qs = node.get("queries")
+          val qs = om.readTree(qsJson.get)
           if (qs == null) None
           else if (!sameSf) {
             System.err.println(
@@ -77,7 +106,6 @@ object Bench {
           }
         }
       } catch { case _: Throwable => None }
-    }
   }
 
   def main(args: Array[String]): Unit = {
