@@ -251,6 +251,39 @@ object StreamOps {
       .select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts")
   }
 
+  /** st06: STREAMING decontamination — the stream-static join form
+    * of t09: incoming documents are checked against a STATIC
+    * eval-gram table (a fixed benchmark suite). A stream-static
+    * equi-join is STATELESS on the stream side — the static side
+    * replans per micro-batch (AQE broadcasts a tiny eval set) and
+    * nothing is buffered across batches, so an always-on ingest pays
+    * O(micro-batch), never O(stream lifetime). The per-doc tallies
+    * group on (ts, doc_id) — the WATERMARK column in the key lets
+    * append mode finalize a doc's row once the watermark passes its
+    * event time and evict the agg state (collect_set, not
+    * count(DISTINCT): distinct aggregates are unsupported on
+    * streams, and the set is bounded by one doc's gram count). */
+  def decontaminateStream(docs: DataFrame, evalDocs: DataFrame,
+      gramSize: Int = graft.operators.TextQueries.ContamGram,
+      watermark: String = "1 hour"): DataFrame = {
+    def gramRows(df: DataFrame, keep: Seq[org.apache.spark.sql.Column]) = df
+      .withColumn("toks", filter(split(col("text"), " "), w => w =!= ""))
+      .filter(size(col("toks")) >= gramSize)
+      .select(keep :+ explode(expr(
+        s"transform(sequence(1, size(toks) - ${gramSize - 1}), " +
+          s"i -> array_join(slice(toks, i, $gramSize), ' '))")).as("gram"): _*)
+    val ev = gramRows(evalDocs, Seq(col("doc_id").as("eval_doc"))).distinct()
+    gramRows(
+      docs.withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark),
+      Seq(col("ts"), col("doc_id")))
+      .join(ev, "gram")
+      .groupBy(col("ts"), col("doc_id"))
+      .agg(size(collect_set(col("gram"))).as("n_shared_grams"),
+        size(collect_set(col("eval_doc"))).as("n_eval_docs"))
+      .select("doc_id", "n_shared_grams", "n_eval_docs", "ts")
+  }
+
   /** Flush helper for specs/batch use: ALL sessions (incl. the
     * still-open last one per user), with the same start-time-derived
     * session ids the streaming form emits. */

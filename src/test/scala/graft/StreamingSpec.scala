@@ -173,6 +173,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0, "no purchase-view matches in the sample")
   }
 
+  test("st06 stream-static decontamination flags shared grams per finalized doc") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val evalDocs = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamOps.decontaminateStream(
+        stream.toDF().toDF("ts", "doc_id", "text"), evalDocs, gramSize = 3)
+      .writeStream.format("memory").queryName("st06_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (t0, 1L, "x alpha beta gamma y"),        // shares "alpha beta gamma"
+        (t0, 2L, "no shared grams here at all"), // clean
+        (t0, 3L, "alpha beta gamma delta zz")))  // shares two 3-grams
+      q.processAllAvailable()
+      // Advance the watermark past t0 so those rows finalize.
+      stream.addData(Seq((new Timestamp(t0.getTime + 3 * 3600 * 1000), 4L, "also clean text here")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("st06_out")
+      .select("doc_id", "n_shared_grams", "n_eval_docs").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got == Map(1L -> ((1, 1)), 3L -> ((2, 1))),
+      s"streamed contamination rows $got differ from the batch semantics")
+  }
+
   test("st02 in-watermark event older than the gap becomes its OWN session") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
