@@ -20,7 +20,8 @@ object SparkEntry {
       SplitterQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       MultimodalQueries.queries ++ ExtendedQueries.queries ++
       Map[String, (SparkSession, String) => DataFrame](
-        "e02_kmeans" -> (graft.operators.KMeans.e02Kmeans _))
+        "e02_kmeans" -> (graft.operators.KMeans.e02Kmeans _),
+        "v09_ann_pq" -> (graft.operators.Pq.v09AnnPq _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Product Quantization ANN (SURVEY.md §2 v09) — the MEMORY
+  * compression scale path next to LSH (v05) and IVF (v07), after
+  * Jégou et al. 2011 ("Product Quantization for Nearest Neighbor
+  * Search"): vectors split into M subvectors, each quantized against
+  * its own K-centroid codebook, so a 64-dim float vector (512 B as
+  * doubles, 256 B as floats) becomes M=8 codes of log2(16)=4 bits —
+  * 8 int codes here, 4 PACKED bytes of information. At 100 TB the
+  * point is that the SCORING pass streams the code table (M bytes +
+  * one norm per vector), not the embeddings: queries score
+  * asymmetrically (ADC) via an M×K lookup table computed once per
+  * query on the driver, O(M) adds per corpus vector instead of
+  * O(dim) multiplies over 64× more bytes.
+  *
+  * Scale shape:
+  *  - TRAIN: one distributed Lloyd's pass over ALL subspaces at once
+  *    — assignment is a tight typed flatMap emitting (s, c, u),
+  *    update one (s, c, dim)-keyed agg with map-side partials; the
+  *    model (M×K×subDim doubles, 8 KB) lives on the driver, the
+  *    corpus is never collected (KMeans.fit precedent, keyed by
+  *    subspace so M codebooks train in ONE job per iteration, not M).
+  *  - ENCODE: one narrow typed map → (vec_id, codes, norm); no
+  *    shuffle. The stored norm is what makes COSINE ranking work on
+  *    inner-product ADC (|v| is lost in quantization).
+  *  - SCORE: narrow map over codes with the broadcast table, top
+  *    rerank×k by approximate cosine via TakeOrderedAndProject, then
+  *    EXACT re-rank of that tiny pool (equi-join back to the
+  *    embeddings on vec_id) — the standard ADC + exact-rerank
+  *    pipeline; approximation error only affects which candidates
+  *    reach the pool, not their final ordering.
+  */
+object Pq {
+
+  val M = 8        // subspaces
+  val K = 16       // centroids per subspace (4-bit codes)
+  val Rerank = 8   // candidate pool = Rerank × k, re-ranked exactly
+
+  private def argmin(cb: Array[Array[Double]], v: Array[Double], off: Int): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cb.length) {
+      val cc = cb(c)
+      var d = 0.0; var j = 0
+      while (j < cc.length) { val t = v(off + j) - cc(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Train the M per-subspace codebooks: codebooks(s)(c) is centroid
+    * c of subspace s. Deterministic init (first k vectors by vec_id,
+    * sliced); empty clusters keep their centroid. */
+  def train(spark: SparkSession, e: DataFrame, m: Int = M, k: Int = K,
+      iters: Int = 3): Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    val rows = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])].cache()
+    val dim = rows.head()._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    var cb: Array[Array[Array[Double]]] = {
+      val seed = rows.orderBy("vec_id").limit(k).collect().map(_._2)
+      Array.tabulate(m, k)((s, c) => seed(c).slice(s * sub, (s + 1) * sub))
+    }
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cb)
+      val sums = rows
+        .flatMap { case (_, v) =>
+          (0 until bc.value.length).iterator.map { s =>
+            val sl = v.length / bc.value.length
+            (s, argmin(bc.value(s), v, s * sl), v.slice(s * sl, (s + 1) * sl))
+          }
+        }
+        .toDF("s", "c", "u")
+        .select(col("s"), col("c"), posexplode(col("u")).as(Seq("dim", "x")))
+        .groupBy("s", "c", "dim")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .collect() // m × k × subDim rows only
+      val byKey = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+      cb = Array.tabulate(m, k) { (s, c) =>
+        byKey.get((s, c)) match {
+          case Some(rs) => rs.sortBy(_.getInt(2)).map(r => r.getDouble(3) / r.getLong(4))
+          case None => cb(s)(c)
+        }
+      }
+    }
+    cb
+  }
+
+  /** Encode: (vec_id, codes: array<int> of length M, norm). One
+    * narrow typed map — the 100 TB artifact this writes is M codes +
+    * one double per vector (the ONLY thing the scoring pass reads). */
+  def encode(spark: SparkSession, e: DataFrame,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    val m = cb.length
+    e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val sl = v.length / m
+        val codes = Array.tabulate(m)(s => argmin(bc.value(s), v, s * sl))
+        var n2 = 0.0; var j = 0
+        while (j < v.length) { n2 += v(j) * v(j); j += 1 }
+        (id, codes, math.sqrt(n2))
+      }
+      .toDF("vec_id", "codes", "norm")
+  }
+
+  /** ADC top-k: approximate cosine = Σ_s table(s)(code_s) / (|q|·|v|)
+    * over the code stream, exact re-rank of the top rerank×k pool. */
+  def annPq(spark: SparkSession, e: DataFrame, queryVecId: Long, k: Int,
+      m: Int = M, nCent: Int = K, rerank: Int = Rerank): DataFrame = {
+    import spark.implicits._
+    val cached = e.select(col("vec_id"), col("v")).cache()
+    val cb = train(spark, cached, m, nCent)
+    val enc = encode(spark, cached, cb)
+    val qv = cached.filter(col("vec_id") === queryVecId)
+      .select("v").head().getSeq[Double](0).toArray
+    val sub = qv.length / m
+    // Driver-side M×K inner-product table (8 KB) — ONE per query.
+    val tab = Array.tabulate(m, nCent) { (s, c) =>
+      var d = 0.0; var j = 0
+      while (j < sub) { d += qv(s * sub + j) * cb(s)(c)(j); j += 1 }
+      d
+    }
+    var qn2 = 0.0; qv.foreach(x => qn2 += x * x)
+    val qn = math.sqrt(qn2)
+    val bcTab = spark.sparkContext.broadcast(tab)
+    val pool = enc.as[(Long, Array[Int], Double)]
+      .filter(_._1 != queryVecId)
+      .map { case (id, codes, n) =>
+        var s = 0; var dot = 0.0
+        while (s < codes.length) { dot += bcTab.value(s)(codes(s)); s += 1 }
+        (id, dot / (qn * n))
+      }
+      .toDF("vec_id", "approx_cos")
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+      .limit(rerank * k)
+    val q = cached.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
+    pool.join(cached, "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosineNative6(col("v"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** v09 entry (*rows-only*; VectorSpec: full-pool == brute exactly,
+    * default-pool recall vs brute, code width == M). Same output
+    * shape as v05/v07. */
+  def v09AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    annPq(spark, e, queryVecId = 0, k = 10)
+  }
+}

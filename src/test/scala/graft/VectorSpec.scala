@@ -77,4 +77,29 @@ class VectorSpec extends SparkSpec {
     info(s"IVF recall@10 (probe ${VectorQueries.IvfProbe}/${VectorQueries.IvfCells}) = $recall")
     assert(recall >= 0.5, s"recall $recall too low")
   }
+
+  test("PQ ANN: full-pool re-rank == brute force; default pool keeps recall; codes bounded") {
+    import graft.operators.Pq
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val brute = VectorQueries.v01KnnFacts(spark, sf0001)
+      .collect().map(_.getLong(0))
+    // Pool = whole corpus → the exact re-rank degenerates to brute
+    // force regardless of quantization error (pins the re-rank tail).
+    val n = e.count().toInt
+    val full = Pq.annPq(spark, e, queryVecId = 0, k = 10, rerank = n / 10 + 1)
+      .collect().map(_.getLong(0))
+    assert(full.sameElements(brute), "full-pool PQ differs from brute force")
+    // Default pool (Rerank × k of the corpus): ADC must steer enough
+    // true neighbours into the pool on this near-random corpus.
+    val ann = Pq.v09AnnPq(spark, sf0001).collect().map(_.getLong(0)).toSet
+    val recall = brute.toSet.intersect(ann).size.toDouble / brute.length
+    info(s"PQ recall@10 (pool ${Pq.Rerank}×10 of $n) = $recall")
+    assert(recall >= 0.5, s"recall $recall too low")
+    // Compression contract: M codes per vector, each within [0, K).
+    val enc = Pq.encode(spark, e, Pq.train(spark, e))
+    val codes = enc.select("codes").collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == Pq.M && c.forall(x => x >= 0 && x < Pq.K)))
+    assert(enc.count() == n)
+  }
 }
