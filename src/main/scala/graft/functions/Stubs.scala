@@ -121,14 +121,16 @@ final class TemplateLlm extends LlmBackend {
           val fact = factPayload(prompt, "", "\nIs the entity \"").getOrElse("")
           if (entity.nonEmpty && fact.split("\\s+").contains(entity)) "Yes" else "No"
         } else if (prompt.hashCode % 2 == 0) "Yes" else "No"
-      case _ if prompt.contains("List the entities involved in this fact") =>
+      case _ if prompt.contains("List the entities involved in this fact as bullet points:") =>
         // entity_extraction (annotator.py:148's actual prompt): same
         // deterministic answer as new_entities — the fact's long
         // words, first-appearance order, as bullets — so the two
-        // extraction variants agree under the stub.
-        val fact = prompt.substring(
-          prompt.lastIndexOf("List the entities involved in this fact as bullet points:")
-            + "List the entities involved in this fact as bullet points:".length)
+        // extraction variants agree under the stub. Guard and anchor
+        // are the SAME full header string (a guard on a shorter
+        // prefix would hijack prompts that merely mention it and
+        // mis-anchor the substring arithmetic).
+        val extHead = "List the entities involved in this fact as bullet points:"
+        val fact = prompt.substring(prompt.lastIndexOf(extHead) + extHead.length)
           .stripPrefix("\n")
         val words = fact.split("\\s+").filter(_.length >= 5).distinct
         if (words.isEmpty) "None" else TextHelpers.itemizeList(words.toIndexedSeq)

@@ -56,16 +56,20 @@ object Pq {
 
   /** Train the M per-subspace codebooks: codebooks(s)(c) is centroid
     * c of subspace s. Deterministic init (first k vectors by vec_id,
-    * sliced); empty clusters keep their centroid. */
+    * sliced); empty clusters keep their centroid. `e` SHOULD be
+    * cached by the caller (annPq does) — train itself never persists
+    * so a cached caller dataframe is not held twice. */
   def train(spark: SparkSession, e: DataFrame, m: Int = M, k: Int = K,
       iters: Int = 3): Array[Array[Array[Double]]] = {
     import spark.implicits._
-    val rows = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])].cache()
+    val rows = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
     val dim = rows.head()._2.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     var cb: Array[Array[Array[Double]]] = {
       val seed = rows.orderBy("vec_id").limit(k).collect().map(_._2)
+      require(seed.length >= k,
+        s"PQ train needs at least k=$k vectors to seed codebooks, got ${seed.length}")
       Array.tabulate(m, k)((s, c) => seed(c).slice(s * sub, (s + 1) * sub))
     }
     for (_ <- 0 until iters) {
@@ -131,13 +135,17 @@ object Pq {
     }
     var qn2 = 0.0; qv.foreach(x => qn2 += x * x)
     val qn = math.sqrt(qn2)
+    require(qn > 0, s"zero-norm query vector $queryVecId — cosine undefined")
     val bcTab = spark.sparkContext.broadcast(tab)
     val pool = enc.as[(Long, Array[Int], Double)]
       .filter(_._1 != queryVecId)
       .map { case (id, codes, n) =>
         var s = 0; var dot = 0.0
         while (s < codes.length) { dot += bcTab.value(s)(codes(s)); s += 1 }
-        (id, dot / (qn * n))
+        // Zero-norm corpus vectors rank LAST (cosine undefined), not
+        // first: an unguarded /0 yields ±Infinity/NaN, which a
+        // descending sort floats to the TOP of the pool.
+        (id, if (n > 0) dot / (qn * n) else Double.NegativeInfinity)
       }
       .toDF("vec_id", "approx_cos")
       .orderBy(col("approx_cos").desc, col("vec_id"))

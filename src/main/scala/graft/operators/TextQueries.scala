@@ -154,18 +154,27 @@ object TextQueries {
     * aggregation → per-doc max — everything keyed by doc, linear at
     * 100 TB (per-doc HOF counting would be O(len²) per document and
     * blow up on long docs; the explode keeps it O(len)). */
+  /** Shared n-word-gram explode: (keep..., gram) rows over the
+    * whitespace-tokenized `text` column — the ONE tokenization/gram
+    * rule t08, t09 and st06 (stream form) must agree on; a drift
+    * here is a silent batch/stream parity break. */
+  def wordGramRows(df: DataFrame, n: Int,
+      keep: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.withColumn("toks", filter(split(col("text"), " "), w => w =!= ""))
+      .filter(size(col("toks")) >= n)
+      .select(keep :+ explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> array_join(slice(toks, i, $n), ' '))")).as("gram"): _*)
+
   def t08Repetition(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    val d = Tables.documents(spark, dir)
+    val base = d
       .select(col("doc_id"),
         filter(split(col("text"), " "), w => w =!= "").as("ts"))
-    val base = toks.select(col("doc_id"),
-      size(col("ts")).as("n_tokens"),
-      size(array_distinct(col("ts"))).as("n_distinct"))
-    def topGram(n: Int): DataFrame = toks
-      .filter(size(col("ts")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(ts) - ${n - 1}), " +
-          s"i -> array_join(slice(ts, i, $n), ' '))")).as("gram"))
+      .select(col("doc_id"),
+        size(col("ts")).as("n_tokens"),
+        size(array_distinct(col("ts"))).as("n_distinct"))
+    def topGram(n: Int): DataFrame = wordGramRows(d, n, Seq(col("doc_id")))
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max(col("c")).as(s"top${n}_n"))
     base
@@ -202,13 +211,7 @@ object TextQueries {
   val ContamGram = 3
 
   def t09Decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        filter(split(col("text"), " "), w => w =!= "").as("ts"))
-      .filter(size(col("ts")) >= ContamGram)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(ts) - ${ContamGram - 1}), " +
-          s"i -> array_join(slice(ts, i, $ContamGram), ' '))")).as("gram"))
+    val grams = wordGramRows(Tables.documents(spark, dir), ContamGram, Seq(col("doc_id")))
     val evalGrams = grams.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("eval_doc"), col("gram")).distinct()
     grams.filter(col("doc_id") % 100 =!= 0)
@@ -268,7 +271,13 @@ object TextQueries {
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions("doc_id")
       .as[(Long, Long)]
-    val rdd = toks.rdd.cache()
+    // NOT cached: each pass scans the (narrow, cheap) token
+    // projection once — at 100 TB caching the corpus between the two
+    // passes is not an option, and an RDD cache survives
+    // spark.catalog.clearCache() (it would leak across Bench's
+    // between-run isolation). Both passes share ONE RDD object, so
+    // the range-partitioner bounds are computed once and identical.
+    val rdd = toks.rdd
     val partSums = rdd
       .mapPartitionsWithIndex((i, it) => Iterator((i, it.map(_._2).sum)))
       .collect().sortBy(_._1).map(_._2)

@@ -138,11 +138,18 @@ object HippoDb {
       else cur.distinct()
     val tmp = s"$dir/entities_compact_tmp"
     val bak = s"$dir/entities_compact_bak"
+    val hadRows = !cur.isEmpty
     compact.write.mode(SaveMode.Overwrite).parquet(tmp)
     val fs = p(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Write-verify BEFORE touching the live dim: a torn/empty tmp
-    // must fail while the live directory is still in place.
+    // must fail while the live directory is still in place — an
+    // unreadable tmp throws here, and a readable-but-EMPTY tmp for a
+    // non-empty input (zero-task commit, upstream bug) is the same
+    // data-loss mode, so it fails too.
     val n = spark.read.parquet(tmp).count()
+    if (hadRows && n == 0)
+      throw new java.io.IOException(
+        s"compactEntities: compacted output at $tmp is empty for a non-empty input — live dim untouched")
     // Hadoop FS ops signal failure via their RETURN VALUE — every
     // step below checks it and fails loudly, never half-swapped.
     if (fs.exists(p(bak)) && !fs.delete(p(bak), true))
@@ -154,9 +161,15 @@ object HippoDb {
     if (!fs.rename(p(tmp), p(path))) {
       // Restore the live dim so this failure mode also leaves the
       // store readable; the compacted data stays at tmp for retry.
-      fs.rename(p(bak), p(path))
+      // The restore's OWN return value is checked too — reporting
+      // "restored" when the rename failed would send an operator
+      // away from a store with NO live dim.
+      val restored = fs.rename(p(bak), p(path))
       throw new java.io.IOException(
-        s"compactEntities: rename $tmp -> $path failed (live dim restored from $bak)")
+        if (restored)
+          s"compactEntities: rename $tmp -> $path failed (live dim restored from $bak)"
+        else
+          s"compactEntities: rename $tmp -> $path failed AND restore failed — live dim is at $bak, compacted data at $tmp")
     }
     if (!fs.delete(p(bak), true))
       throw new java.io.IOException(

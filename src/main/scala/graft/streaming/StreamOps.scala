@@ -266,17 +266,15 @@ object StreamOps {
   def decontaminateStream(docs: DataFrame, evalDocs: DataFrame,
       gramSize: Int = graft.operators.TextQueries.ContamGram,
       watermark: String = "1 hour"): DataFrame = {
-    def gramRows(df: DataFrame, keep: Seq[org.apache.spark.sql.Column]) = df
-      .withColumn("toks", filter(split(col("text"), " "), w => w =!= ""))
-      .filter(size(col("toks")) >= gramSize)
-      .select(keep :+ explode(expr(
-        s"transform(sequence(1, size(toks) - ${gramSize - 1}), " +
-          s"i -> array_join(slice(toks, i, $gramSize), ' '))")).as("gram"): _*)
-    val ev = gramRows(evalDocs, Seq(col("doc_id").as("eval_doc"))).distinct()
-    gramRows(
+    // Gram construction is the SHARED t09 kernel — batch/stream
+    // parity depends on one tokenization/gram rule, not two copies.
+    import graft.operators.TextQueries.wordGramRows
+    val ev = wordGramRows(evalDocs, gramSize,
+      Seq(col("doc_id").as("eval_doc"))).distinct()
+    wordGramRows(
       docs.withColumn("ts", col("ts").cast("timestamp"))
         .withWatermark("ts", watermark),
-      Seq(col("ts"), col("doc_id")))
+      gramSize, Seq(col("ts"), col("doc_id")))
       .join(ev, "gram")
       .groupBy(col("ts"), col("doc_id"))
       .agg(size(collect_set(col("gram"))).as("n_shared_grams"),
