@@ -58,7 +58,10 @@ object Explain {
       "t10_stratified_sample" -> Seq("ReadSchema: struct<doc_id:bigint,lang:string>"),
       // t11: the prefix sum runs as an RDD two-pass (scan of the
       // offset-adjusted partitions), final presentation sort only
-      "t11_pack_sequences" -> Seq("MapPartitionsRDD", "rangepartitioning"))
+      "t11_pack_sequences" -> Seq("MapPartitionsRDD", "rangepartitioning"),
+      // v09: the ADC pool is a TakeOrderedAndProject over the code
+      // stream (never a full sort), exact re-rank joins the tiny pool
+      "v09_ann_pq" -> Seq("TakeOrderedAndProject"))
 
     val sb = new StringBuilder
     sb.append(s"# Plan audit @ $dir\n\n")
