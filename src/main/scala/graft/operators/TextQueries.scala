@@ -245,6 +245,35 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t12: UNIGRAM LOG-PROBABILITY scoring — the perplexity-filter
+    * family of quality scores (CCNet/RedPajama filter on LM
+    * perplexity; the unigram LM is its degenerate-but-distributable
+    * core, trained on the corpus itself). Per doc: mean ln p(token)
+    * under the corpus unigram distribution — low scores = rare-token
+    * soup (boilerplate, garbled text), high = stopword soup; real
+    * pipelines band-pass it like t06's stop_ratio.
+    *
+    * Shape at 100 TB: vocab = one map-side-combining token groupBy;
+    * the corpus total rides along as a LAZY 1-row broadcast (no
+    * eager count action); scoring joins tokens to vocab KEYED BY
+    * TOKEN (a production vocab is millions of rows — never assume it
+    * broadcasts; AQE may still choose to at runtime) and reduces per
+    * doc with map-side partials. Everything is linear, nothing is
+    * collected. */
+  def t12UnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), " "), w => w =!= "")).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = vocab.groupBy().agg(sum("cnt").as("total"))
+    toks.join(vocab, "token")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("cnt") / col("total"))), 4).as("logprob"))
+      .orderBy("doc_id")
+  }
+
   /** t11: SEQUENCE PACKING — the concat-and-chunk step that turns a
     * tokenized corpus into fixed-length training sequences (GPT-style
     * packing: documents concatenated in doc_id order, sliced every
@@ -307,7 +336,8 @@ object TextQueries {
     "t08_repetition" -> (t08Repetition _),
     "t09_decontaminate" -> (t09Decontaminate _),
     "t10_stratified_sample" -> (t10StratifiedSample _),
-    "t11_pack_sequences" -> (t11PackSequences _))
+    "t11_pack_sequences" -> (t11PackSequences _),
+    "t12_unigram_logprob" -> (t12UnigramLogprob _))
 
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
   private def sqlCount(wsList: String) =
@@ -460,5 +490,15 @@ object TextQueries {
          |  CAST((cum - n_tokens) // $SeqBudget AS BIGINT) AS first_seq,
          |  CAST((cum - 1) // $SeqBudget AS BIGINT) AS last_seq,
          |  CAST((cum - 1) // $SeqBudget - (cum - n_tokens) // $SeqBudget + 1 AS BIGINT) AS n_seqs
-         |FROM c ORDER BY doc_id""".stripMargin)
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "t12_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w != '')) AS token
+        |  FROM documents),
+        |vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM vocab)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(ln(cnt / CAST(total AS DOUBLE))), 4) AS logprob
+        |FROM toks JOIN vocab USING (token) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }
