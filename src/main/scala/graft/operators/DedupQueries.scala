@@ -595,6 +595,86 @@ object DedupQueries {
       .orderBy("doc_id", "pos")
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken
+    * 2003 "Winnowing: Local Algorithms for Document Fingerprinting")
+    * — the guaranteed-coverage sampling of t04's rolling-hash gram
+    * stream: the MINIMUM hash of every `w`-gram window is selected,
+    * so any shared substring of length ≥ gram+w-1 yields a shared
+    * fingerprint, while only ~2/(w+1) of grams are indexed. Linear
+    * kernel: O(1)-amortized rolling hash update + monotonic-deque
+    * window minimum (the oracle restates it as per-gram fold +
+    * per-window list_min — identical values, O(L·g·w) is fine for
+    * DuckDB at oracle SF, the deque is the shape that survives long
+    * documents). Returns the DISTINCT selected hash values (tie
+    * position is irrelevant to the value set). */
+  private[graft] def winnowSelect(text: String, gram: Int, w: Int): Array[Long] = {
+    val cps = text.codePoints.toArray
+    val n = cps.length
+    if (n < gram) return Array.empty
+    val g = n - gram + 1
+    if (g < w) return Array.empty
+    val P = 1000000007L
+    var pow = 1L
+    var j = 1
+    while (j < gram) { pow = pow * 131 % P; j += 1 }
+    val hs = new Array[Long](g)
+    var acc = 0L
+    var i = 0
+    while (i < gram) { acc = (acc * 131 + cps(i)) % P; i += 1 }
+    hs(0) = acc
+    i = 1
+    while (i < g) {
+      acc = ((acc - cps(i - 1) % P * pow) % P + P) % P
+      acc = (acc * 131 + cps(i + gram - 1)) % P
+      hs(i) = acc
+      i += 1
+    }
+    val out = new java.util.TreeSet[java.lang.Long]()
+    val dq = new java.util.ArrayDeque[Int]()
+    var k = 0
+    while (k < g) {
+      while (!dq.isEmpty && hs(dq.peekLast) >= hs(k)) dq.pollLast()
+      dq.addLast(k)
+      if (dq.peekFirst <= k - w) dq.pollFirst()
+      if (k >= w - 1) out.add(hs(dq.peekFirst))
+      k += 1
+    }
+    val res = new Array[Long](out.size)
+    val it = out.iterator()
+    var r = 0
+    while (it.hasNext) { res(r) = it.next(); r += 1 }
+    res
+  }
+
+  val WinnowGram = 24
+  val WinnowWindow = 8
+  val WinnowMinShared = 2
+
+  /** d10: WINNOWED near-dup candidate pairs — doc pairs sharing ≥ 2
+    * selected fingerprints. The scale contrast with d08: d08 indexes
+    * EVERY stride-16 window hash; winnowing indexes ~2/(w+1) of all
+    * grams yet still guarantees detection of any shared run ≥
+    * gram+w-1 code points — the plagiarism-detection/MOSS shape of
+    * the substring-dedup index. Selection is a narrow typed flatMap;
+    * pairing is an equi-join on the fingerprint VALUE (never
+    * all-pairs) + a map-side-combining pair count. */
+  def d10WinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sel = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        winnowSelect(t, WinnowGram, WinnowWindow).map(fp => (id, fp))
+      }
+      .toDF("doc_id", "fp")
+    sel.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(sel.select(col("doc_id").as("doc_b"), col("fp")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(countDistinct("fp").as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -606,7 +686,8 @@ object DedupQueries {
     "d06_embed_neardup_ann" -> (d06EmbedNeardupAnn _),
     "d07_dedup_clusters" -> (d07DedupClusters _),
     "d08_span_dedup" -> (d08SpanDedup _),
-    "d09_dedup_apply" -> (d09DedupApply _))
+    "d09_dedup_apply" -> (d09DedupApply _),
+    "d10_winnow_pairs" -> (d10WinnowPairs _))
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup" ->
@@ -687,5 +768,23 @@ object DedupQueries {
          |),
          |m AS (SELECT whash FROM w GROUP BY whash HAVING count(DISTINCT doc_id) > 1)
          |SELECT w.doc_id, w.pos, w.whash FROM w JOIN m USING (whash)
-         |ORDER BY doc_id, pos""".stripMargin)
+         |ORDER BY doc_id, pos""".stripMargin,
+    "d10_winnow_pairs" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, list_transform(range(0, greatest(length(text) - $WinnowGram, -1) + 1),
+         |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(substr(text, CAST(i AS INT) + 1, $WinnowGram), ''),
+         |        c -> CAST(unicode(c) AS BIGINT))),
+         |      (acc, c) -> (acc * 131 + c) % 1000000007)) AS grams
+         |  FROM documents),
+         |sel AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(0, len(grams) - $WinnowWindow + 1),
+         |    i -> list_min(list_slice(grams, CAST(i AS INT) + 1, CAST(i AS INT) + $WinnowWindow)))) AS fps
+         |  FROM g WHERE len(grams) >= $WinnowWindow),
+         |e AS (SELECT doc_id, unnest(fps) AS fp FROM sel)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared
+         |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= $WinnowMinShared
+         |ORDER BY doc_a, doc_b""".stripMargin)
 }

@@ -139,4 +139,30 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(nonCanonical.intersect(keptMin).isEmpty)
   }
+
+  test("winnowing guarantee: any shared run >= gram+w-1 yields a shared fingerprint") {
+    import DedupQueries.{winnowSelect, WinnowGram, WinnowWindow}
+    val g = WinnowGram; val w = WinnowWindow
+    val rnd = new scala.util.Random(7)
+    def junk(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // The guarantee window: a shared substring of gram+w-1 code
+    // points contains a full w-gram window, whose minimum is selected
+    // in BOTH documents (Schleimer et al. 2003, property W1).
+    val shared = junk(g + w - 1)
+    val a = junk(40) + shared + junk(40)
+    val b = junk(55) + shared + junk(25)
+    val fa = winnowSelect(a, g, w).toSet
+    val fb = winnowSelect(b, g, w).toSet
+    assert(fa.intersect(fb).nonEmpty, "guaranteed shared fingerprint missing")
+    // Density: winnowing selects a small fraction of the gram stream
+    // (expected ~2/(w+1)), never more than one per window position.
+    assert(fa.size <= a.length - g + 1 - w + 1)
+    assert(fa.size < (a.length - g + 1) / 2, s"selected ${fa.size} of ${a.length - g + 1} grams")
+    // Degenerate inputs select nothing instead of throwing.
+    assert(winnowSelect(junk(g - 1), g, w).isEmpty)     // shorter than one gram
+    assert(winnowSelect(junk(g + w - 2), g, w).isEmpty) // fewer than w grams
+    // Disjoint random texts share nothing at this gram size.
+    assert(winnowSelect(junk(200), g, w).toSet.intersect(
+      winnowSelect(junk(200), g, w).toSet).isEmpty)
+  }
 }
