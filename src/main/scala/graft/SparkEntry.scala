@@ -21,6 +21,7 @@ object SparkEntry {
       MultimodalQueries.queries ++ ExtendedQueries.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "e02_kmeans" -> (graft.operators.KMeans.e02Kmeans _),
+        "e03_cluster_sample" -> (graft.operators.KMeans.e03ClusterSample _),
         "v09_ann_pq" -> (graft.operators.Pq.v09AnnPq _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -81,4 +81,36 @@ object KMeans {
     val (assign, _, _) = fit(spark, e, k = 8, iters = 5, trackInertia = false)
     assign.orderBy("vec_id")
   }
+
+  val SampleClusters = 8
+  val ClusterQuota = 40
+
+  /** e03: CLUSTER-BALANCED diversity sampling — the SemDeDup-family
+    * curation step: cluster the embedding space, then keep a
+    * deterministic per-cluster QUOTA (not a per-cluster rate — a
+    * uniform rate per cluster is just a global uniform sample).
+    * Dense regions downsample hard, sparse regions keep everything
+    * ≤ quota, so every region of embedding space stays represented
+    * regardless of corpus skew.
+    *
+    * Selection within a cluster orders by the md5 nibble-hash of the
+    * id (t10's engine-reproducible coin) and takes the first `quota`
+    * — a per-cluster window whose state is bounded by the quota
+    * after the rank filter; the shuffle is keyed by cluster (k
+    * partitions of work, each independent). *rows-only*: k-means is
+    * not SQL-expressible; KMeansSpec pins quota/determinism/balance. */
+  def e03ClusterSample(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val (assign, _, _) = fit(spark, e, k = SampleClusters, iters = 3, trackInertia = false)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster")
+      .orderBy(col("coin"), col("vec_id"))
+    assign
+      .withColumn("coin", md5(col("vec_id").cast("string")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= ClusterQuota)
+      .select("vec_id", "cluster")
+      .orderBy("vec_id")
+  }
 }

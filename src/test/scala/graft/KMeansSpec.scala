@@ -21,6 +21,29 @@ class KMeansSpec extends SparkSpec {
     assert(again == KMeans.e02Kmeans(spark, sf0001).collect().toSeq)
   }
 
+  test("e03 cluster-balanced sample: per-cluster quota, deterministic, skew-resistant") {
+    import org.apache.spark.sql.functions._
+    val sample = KMeans.e03ClusterSample(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val all = KMeans.e02Kmeans(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    // Same 8-cluster geometry base (e03 refits with 3 iters, so only
+    // structural properties are compared, not assignments).
+    val perCluster = sample.groupBy(_._2).view.mapValues(_.length).toMap
+    // QUOTA: no cluster exceeds it; clusters smaller than the quota
+    // keep everything (balanced, not a uniform rate).
+    assert(perCluster.values.forall(_ <= KMeans.ClusterQuota),
+      s"quota exceeded: $perCluster")
+    val sizes = KMeans.e03ClusterSample(spark, sf0001) // determinism
+    assert(sizes.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq == sample.toSeq)
+    // A 500-vector corpus over 8 clusters with quota 40 keeps at most
+    // 320 — dense clusters MUST have been downsampled.
+    assert(sample.length <= KMeans.SampleClusters * KMeans.ClusterQuota)
+    assert(sample.length < all.length, "sampling kept everything")
+    // Every sampled id exists in the corpus.
+    assert(sample.map(_._1).toSet.subsetOf(all.map(_._1).toSet))
+  }
+
   test("loadText reads a directory of files into the documents schema") {
     val tmp = java.nio.file.Files.createTempDirectory("docs")
     java.nio.file.Files.writeString(tmp.resolve("a.txt"), "hello spark world")
