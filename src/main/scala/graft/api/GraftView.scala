@@ -118,18 +118,25 @@ final class GraftView(spark: SparkSession, api: Graft) {
     * fact texts attached to links as the reference's `facts` map. */
   def toJson(db: HippoDb, graph: (DataFrame, DataFrame)): String = {
     val (nodes, links) = graph
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", "\\n")
+    def esc(s: String) = graft.functions.TextHelpers.escapeJson(s)
     val nodeJson = nodes.collect().map { r =>
       s"""{"id":"${esc(r.getString(0))}","description":"${esc(r.getString(1))}"}"""
     }
     val texts = db.facts.select(col("fact_id"), col("fact_text"))
+    // LEFT join: a link must survive even if some (or all) of its
+    // fact ids dangle — the stores this views can be mid-ingest or
+    // pre-restoreIntegrity, and silently dropping a link the graph
+    // DataFrames contain would desynchronize payload and graph.
+    // Unmatched ids just contribute nothing to the facts map
+    // (collect_list skips the null structs).
     val withTexts = links
       .select(col("source"), col("target"), col("value"),
         explode(col("fact_ids")).as("fact_id"))
-      .join(texts, "fact_id")
+      .join(texts, Seq("fact_id"), "left")
       .groupBy("source", "target", "value")
-      .agg(sort_array(collect_list(struct(col("fact_id"), col("fact_text")))).as("fs"))
+      .agg(sort_array(collect_list(
+        when(col("fact_text").isNotNull, struct(col("fact_id"), col("fact_text")))))
+        .as("fs"))
       .orderBy("source", "target")
     val linkJson = withTexts.collect().map { r =>
       val fs = r.getSeq[org.apache.spark.sql.Row](3)

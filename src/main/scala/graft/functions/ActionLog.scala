@@ -17,15 +17,14 @@ object ActionLog {
 
   @volatile private var path: Option[java.nio.file.Path] = None
 
-  private def esc(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+  private def esc(s: String): String = TextHelpers.escapeJson(s)
 
   /** log_setup: choose the log file (timestamped name under `dir`,
-    * created if absent). Idempotent for the same dir, like the
-    * reference's _is_setup latch. */
+    * created if absent). Idempotent for the same dir — paths are
+    * NORMALIZED first, so "logs" and "./logs" hit the same latch,
+    * like the reference's _is_setup flag. */
   def setup(dir: String): Unit = synchronized {
-    val d = Paths.get(dir)
+    val d = Paths.get(dir).toAbsolutePath.normalize
     if (!Files.exists(d)) Files.createDirectories(d)
     val already = path.exists(_.getParent == d)
     if (!already) {
@@ -51,9 +50,13 @@ object ActionLog {
     write(s"""ACTION:{"action":"${esc(action)}","prompt":"${esc(String.valueOf(prompt))}","answer":"${esc(String.valueOf(answer))}"$extra}""")
   }
 
-  /** log_message: logged AND printed, as the reference does. */
+  /** log_message: logged AND printed, as the reference does. The
+    * LOGGED copy escapes line breaks — the log is one record per
+    * line, and a raw embedded newline would split the record (or
+    * forge an ACTION: line); the console echo stays verbatim. */
   def logMessage(message: String): Unit = {
-    write(s"MESSAGE:$message")
+    write("MESSAGE:" + message.replace("\\", "\\\\")
+      .replace("\n", "\\n").replace("\r", "\\r"))
     println(message)
   }
 

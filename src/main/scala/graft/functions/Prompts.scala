@@ -129,6 +129,25 @@ object TextHelpers {
   def itemizeList(items: Seq[Any]): String =
     items.map("- " + _).mkString("\n")
 
+  /** Minimal JSON string escaper — THE one escape rule for every
+    * hand-rendered JSON surface (ActionLog records, GraftView
+    * payloads): backslash, quote, and ALL control chars U+0000–001F
+    * (raw control chars are invalid JSON and crash consumers'
+    * JSON.parse). */
+  def escapeJson(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
   /** helpers.py:67 choice_selection. */
   def choiceSelection(answer: String, choices: Seq[String]): Option[String] = {
     val a = answer.trim.toLowerCase

@@ -19,10 +19,21 @@ class ActionLogSpec extends AnyFunSuite {
     ActionLog.logAction("llm.reformulation", "a \"quoted\"\nprompt", "an answer",
       Map("fact" -> "f1"))
     ActionLog.logMessage("hello")
+    // A multi-line message stays ONE log record — a raw newline
+    // would split it and could forge an ACTION: line.
+    ActionLog.logMessage("retry\nACTION:{\"action\":\"forged\"}")
+    // Control chars in action payloads are JSON-escaped (raw U+0000-
+    // 001F is invalid JSON).
+    ActionLog.logAction("a", "tab\there", "bell", Map.empty)  // raw BEL (U+0007) in the answer
     val lines = scala.io.Source.fromFile(f).getLines().toList
-    assert(lines.length == 2)
+    assert(lines.length == 4)
     assert(lines.head ==
       """ACTION:{"action":"llm.reformulation","prompt":"a \"quoted\"\nprompt","answer":"an answer","fact":"f1"}""")
     assert(lines(1) == "MESSAGE:hello")
+    assert(lines(2) == """MESSAGE:retry\nACTION:{"action":"forged"}""")
+    // the raw BEL must come out as a \-u escape ("\\" + "u0007"
+    // spelled via concat: Scala resolves \uXXXX even in triple quotes).
+    assert(lines(3) ==
+      """ACTION:{"action":"a","prompt":"tab\there","answer":"bell""" + "\\u0007\"}")
   }
 }

@@ -68,4 +68,28 @@ class GraftViewSpec extends SparkSpec {
     assert(json.contains(""""source":"A","target":"B","value":1"""))
     assert(json.contains(""""facts":{"1":"f one"}"""))
   }
+
+  test("toJson keeps dangling-fact links and escapes control characters") {
+    import spark.implicits._
+    // fact 9 exists only in edges (pre-restoreIntegrity store);
+    // description carries a tab, fact text a newline.
+    val facts = Seq((1L, "line one\nline two")).toDF("fact_id", "fact_text")
+    val edges = Seq((1L, "A"), (1L, "B"), (9L, "A"), (9L, "B")).toDF("fact_id", "entity")
+    val ents = Seq(("A", "has\ttab"), ("B", "")).toDF("entity", "description")
+    val emb = new HashEmbedder(64)
+    val fe = facts.as[(Long, String)].map { case (id, t) => (id, emb.embed(t)) }
+      .toDF("fact_id", "embedding")
+    val db2 = HippoDb(facts, edges, ents, fe)
+    import org.apache.spark.sql.functions.{array, col, lit}
+    val links = edges.sparkSession.createDataFrame(Seq(("A", "B", 2L, Seq(1L, 9L))))
+      .toDF("source", "target", "value", "fact_ids")
+    val nodes = ents
+    val json = view.toJson(db2, (nodes.select(col("entity"), col("description")), links))
+    // The link survives with value 2; only the resolvable fact text
+    // appears in the facts map; control chars are JSON-escaped.
+    assert(json.contains(""""source":"A","target":"B","value":2"""))
+    assert(json.contains(""""facts":{"1":"line one\nline two"}"""))
+    assert(json.contains(""""description":"has\ttab""""))
+    assert(!json.exists(c => c == '\t' || c == '\n'))
+  }
 }
