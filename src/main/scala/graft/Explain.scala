@@ -61,7 +61,16 @@ object Explain {
       "t11_pack_sequences" -> Seq("MapPartitionsRDD", "rangepartitioning"),
       // v09: the ADC pool is a TakeOrderedAndProject over the code
       // stream (never a full sort), exact re-rank joins the tiny pool
-      "v09_ann_pq" -> Seq("TakeOrderedAndProject"))
+      "v09_ann_pq" -> Seq("TakeOrderedAndProject"),
+      // t12: vocab + per-doc reductions partial-aggregate map-side;
+      // the scoring join is keyed by token (never assumed broadcast)
+      "t12_unigram_logprob" -> Seq("HashAggregate"),
+      // d10: fingerprint-value equi-join + map-side pair counting
+      "d10_winnow_pairs" -> Seq("HashAggregate"),
+      // e03: the per-cluster quota rank must push into the window
+      // operator (WindowGroupLimit) — state bounded by the quota,
+      // not the cluster size
+      "e03_cluster_sample" -> Seq("WindowGroupLimit"))
 
     val sb = new StringBuilder
     sb.append(s"# Plan audit @ $dir\n\n")
