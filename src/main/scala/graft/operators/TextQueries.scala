@@ -181,7 +181,12 @@ object TextQueries {
       .join(topGram(2), Seq("doc_id"), "left")
       .join(topGram(3), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        round(lit(1.0) - col("n_distinct") / col("n_tokens"), 4).as("dup_word_frac"),
+        // n_tokens guard: ANSI mode (Spark 4 default) makes 0/0
+        // THROW, and an empty doc legitimately has 0 tokens —
+        // define its duplicate fraction as 0 (nothing duplicated).
+        when(col("n_tokens") > 0,
+          round(lit(1.0) - col("n_distinct") / col("n_tokens"), 4))
+          .otherwise(0.0).as("dup_word_frac"),
         coalesce(col("top2_n"), lit(0L)).as("top2_n"),
         when(col("n_tokens") >= 2,
           round(col("top2_n") / (col("n_tokens") - 1), 4)).otherwise(0.0).as("top2_frac"),
@@ -316,7 +321,11 @@ object TextQueries {
       var cum = offsets.value(i)
       it.map { case (id, t) =>
         cum += t
-        (id, t, (cum - t) / s, (cum - 1) / s)
+        // floorDiv, not `/`: the oracle's `//` floors, and Scala `/`
+        // truncates toward zero — they differ exactly on the
+        // zero-token-doc edge ((cum-1) with cum == 0). Positive
+        // token counts are unaffected.
+        (id, t, Math.floorDiv(cum - t, s), Math.floorDiv(cum - 1, s))
       }
     }.toDF("doc_id", "n_tokens", "first_seq", "last_seq")
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
@@ -442,7 +451,9 @@ object TextQueries {
         |t3 AS (SELECT doc_id, max(c) AS top3_n FROM (
         |  SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1)
         |SELECT b.doc_id, b.n_tokens, b.n_distinct,
-        |  round(1.0 - b.n_distinct / CAST(b.n_tokens AS DOUBLE), 4) AS dup_word_frac,
+        |  CASE WHEN b.n_tokens > 0
+        |       THEN round(1.0 - b.n_distinct / CAST(b.n_tokens AS DOUBLE), 4)
+        |       ELSE 0.0 END AS dup_word_frac,
         |  CAST(coalesce(t2.top2_n, 0) AS BIGINT) AS top2_n,
         |  CASE WHEN b.n_tokens >= 2
         |       THEN round(t2.top2_n / CAST(b.n_tokens - 1 AS DOUBLE), 4)

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupQueries, KMeans, TextQueries}
+
+/** Degenerate-corpus hardening for the round-7 operators: empty
+  * documents, single tokens, and texts shorter than every gram/
+  * window size must flow through without exceptions and with sane
+  * values — the driver corpus never exercises these (min 12 tokens
+  * per doc), so they are planted here. */
+class DegenerateInputSpec extends SparkSpec {
+
+  /** A planted documents dir: empty doc, 1-token doc, sub-gram doc,
+    * and one normal doc (id 0 doubles as the t09 eval slice). */
+  private lazy val dir: String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("degen").toString
+    Seq(
+      (0L, "", "en", "src0", 0L),
+      (1L, "one", "en", "src1", 3L),
+      (2L, "tiny pair", "de", "src2", 9L),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta " * 4, "es", "src3", 188L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("t08 repetition: empty and 1-token docs produce guarded rows") {
+    val rows = TextQueries.t08Repetition(spark, dir).collect()
+    assert(rows.length == 4)
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(0L).getInt(1) == 0, "empty doc must count 0 tokens")
+    // fracs for n_tokens < 2/3 are the guarded 0.0, never a crash
+    assert(byId(1L).getDouble(5) == 0.0 && byId(1L).getDouble(7) == 0.0)
+    assert(byId(3L).getInt(1) == 32)
+  }
+
+  test("t09/d10/t12: sub-gram docs drop out instead of failing") {
+    // doc 0 is the eval slice and is EMPTY — no grams, no matches.
+    assert(TextQueries.t09Decontaminate(spark, dir).collect().isEmpty)
+    // no 24-cp shared runs in this corpus
+    assert(DedupQueries.d10WinnowPairs(spark, dir).collect().isEmpty)
+    // the empty doc contributes no tokens → absent from t12
+    val lp = TextQueries.t12UnigramLogprob(spark, dir).collect()
+    assert(lp.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("t11 packing: zero-token docs occupy no sequence and shift nothing") {
+    val rows = TextQueries.t11PackSequences(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 0 is empty: 0 tokens, floorDiv gives last_seq = -1 →
+    // n_seqs 0 (Scala `/` would truncate to 0 and claim 1 sequence,
+    // diverging from the oracle's floor `//`).
+    assert(rows(0L) == ((0L, 0L, -1L, 0L)), s"empty doc row: ${rows(0L)}")
+    // every non-empty doc spans >= 1 sequence; n_seqs never negative
+    assert(rows.values.forall(_._4 >= 0))
+    assert(rows(1L)._4 >= 1 && rows(3L)._4 >= 1)
+  }
+
+  test("t10 sampling ignores text entirely (works on the degenerate corpus)") {
+    val s = TextQueries.t10StratifiedSample(spark, dir).collect()
+    assert(s.forall(r => r.getString(2) < "d")) // below every threshold char used
+  }
+}
