@@ -282,6 +282,25 @@ object StreamOps {
       .select("doc_id", "n_shared_grams", "n_eval_docs", "ts")
   }
 
+  /** st07: STREAMING stratified sampling — t10's always-on form for
+    * ingest-time data mixing. Membership is a PURE ROW FUNCTION
+    * (md5 nibble vs the stratum threshold), so the operator is a
+    * stateless codegen'd filter: no watermark, no state store, and
+    * the SAME rows survive whether the corpus is replayed through
+    * the stream or read as a batch — the property that makes
+    * ingest-time sampling reproducible/auditable. Works unchanged
+    * under read and readStream (spec proves batch/stream parity). */
+  def stratifiedSampleStream(docs: DataFrame,
+      thresholds: Map[String, String] =
+        graft.operators.TextQueries.SampleThresholds): DataFrame = {
+    val th = thresholds.toSeq.sortBy(_._1).foldLeft(lit("1")) {
+      case (acc, (l, t)) => when(col("lang") === l, lit(t)).otherwise(acc)
+    }
+    docs
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .filter(col("bucket") < th)
+  }
+
   /** Flush helper for specs/batch use: ALL sessions (incl. the
     * still-open last one per user), with the same start-time-derived
     * session ids the streaming form emits. */

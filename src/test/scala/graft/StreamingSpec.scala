@@ -200,6 +200,26 @@ class StreamingSpec extends SparkSpec {
       s"streamed contamination rows $got differ from the batch semantics")
   }
 
+  test("st07 streaming stratified sample == batch t10 predicate on same docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf0001).limit(100)
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs)
+    val q = StreamOps.stratifiedSampleStream(stream.toDF().toDF("doc_id", "lang"))
+      .writeStream.format("memory").queryName("st07_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("st07_out").select("doc_id", "lang", "bucket")
+    val batch = StreamOps.stratifiedSampleStream(
+      Tables.documents(spark, sf0001).limit(100).select("doc_id", "lang"))
+      .select("doc_id", "lang", "bucket")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream and batch samples differ — the coin is not a pure row function")
+    assert(streamed.count() > 0 && streamed.count() < 100)
+  }
+
   test("st02 in-watermark event older than the gap becomes its OWN session") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
