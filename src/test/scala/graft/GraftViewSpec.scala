@@ -69,6 +69,27 @@ class GraftViewSpec extends SparkSpec {
     assert(json.contains(""""facts":{"1":"f one"}"""))
   }
 
+  test("entity mode runs end-to-end on a real annotated store") {
+    import graft.sources.Tables
+    val api = new Graft(spark)
+    val real = api.annotate(Tables.documents(spark, sf0001).limit(20))
+    // Seed with an entity that HAS neighbours (shares a fact), via
+    // its stored "name ()" repr so the hash embedder matches exactly.
+    val e = real.edges.as("a")
+      .join(real.edges.as("b"), "fact_id")
+      .filter(org.apache.spark.sql.functions.col("a.entity") =!=
+        org.apache.spark.sql.functions.col("b.entity"))
+      .select("a.entity").head().getString(0)
+    val (nodes, links) = view.entityGraph(
+      real, Graft.entityStoredRepr(e, ""), k = 1, depth = 1)
+    assert(nodes.collect().map(_.getString(0)).contains(e))
+    val l = links.collect()
+    assert(l.nonEmpty, s"entity '$e' shares a fact but produced no links")
+    assert(l.forall(_.getSeq[Long](3).nonEmpty))
+    val json = view.toJson(real, (nodes, links))
+    assert(json.startsWith("""{"nodes":[""") && json.contains(""""links":["""))
+  }
+
   test("toJson keeps dangling-fact links and escapes control characters") {
     import spark.implicits._
     // fact 9 exists only in edges (pre-restoreIntegrity store);
