@@ -129,51 +129,84 @@ object HippoDb {
     * stores want a two-phase commit). Returns the compacted entity
     * count. */
   def compactEntities(spark: SparkSession, dir: String): Long = {
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val path = s"$dir/entities"
     val cur = spark.read.parquet(path)
     val compact =
       if (cur.columns.contains("description"))
         cur.groupBy("entity").agg(max("description").as("description"))
       else cur.distinct()
-    val tmp = s"$dir/entities_compact_tmp"
-    val bak = s"$dir/entities_compact_bak"
-    val hadRows = !cur.isEmpty
-    compact.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = p(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Write-verify BEFORE touching the live dim: a torn/empty tmp
-    // must fail while the live directory is still in place — an
-    // unreadable tmp throws here, and a readable-but-EMPTY tmp for a
-    // non-empty input (zero-task commit, upstream bug) is the same
-    // data-loss mode, so it fails too.
+    verifiedSwap(spark, path, compact, !cur.isEmpty)
+  }
+
+  /** Small-FILES compaction of any parquet directory — the table-
+    * maintenance pass every long-lived dataset needs at 100 TB:
+    * streaming/incremental ingest (append / st03) accumulates one
+    * small file per micro-batch per partition, and scan cost becomes
+    * dominated by file opens + footer reads once files shrink far
+    * below the ~128 MB split size. Rewrites the directory into
+    * ceil(bytes / targetBytes) files via a round-robin repartition —
+    * compaction is LAYOUT, not clustering (key co-location is
+    * saveEdgesBucketed's job) — using the same crash-safe
+    * backup-rename swap as compactEntities. Returns (filesBefore,
+    * filesAfter). */
+  def compactFiles(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles() = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    val before = dataFiles()
+    val nOut = math.max(1,
+      math.ceil(before.map(_.getLen).sum.toDouble / targetBytes).toInt)
+    val cur = spark.read.parquet(path)
+    verifiedSwap(spark, path, cur.repartition(nOut), !cur.isEmpty)
+    (before.length, dataFiles().length)
+  }
+
+  /** Write `replacement` over the live directory at `path` via the
+    * crash-safe recipe: tmp-write → read-back VERIFY (an unreadable
+    * tmp throws; a readable-but-EMPTY tmp for a non-empty input is
+    * the zero-task-commit data-loss mode and throws too) → rename
+    * live → backup → rename tmp → live → delete backup. Every
+    * intermediate state, including a crash between any two steps,
+    * leaves a readable copy at either the live or the backup path
+    * (works as-is on HDFS; object stores want a two-phase commit).
+    * Returns the verified row count. */
+  private def verifiedSwap(spark: SparkSession, path: String,
+      replacement: DataFrame, hadRows: Boolean): Long = {
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val tmp = s"${path}_compact_tmp"
+    val bak = s"${path}_compact_bak"
+    replacement.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = p(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val n = spark.read.parquet(tmp).count()
     if (hadRows && n == 0)
       throw new java.io.IOException(
-        s"compactEntities: compacted output at $tmp is empty for a non-empty input — live dim untouched")
+        s"verifiedSwap: compacted output at $tmp is empty for a non-empty input — live dir untouched")
     // Hadoop FS ops signal failure via their RETURN VALUE — every
     // step below checks it and fails loudly, never half-swapped.
     if (fs.exists(p(bak)) && !fs.delete(p(bak), true))
       throw new java.io.IOException(
-        s"compactEntities: could not clear stale backup $bak")
+        s"verifiedSwap: could not clear stale backup $bak")
     if (!fs.rename(p(path), p(bak)))
       throw new java.io.IOException(
-        s"compactEntities: rename $path -> $bak failed (live dim untouched)")
+        s"verifiedSwap: rename $path -> $bak failed (live dir untouched)")
     if (!fs.rename(p(tmp), p(path))) {
-      // Restore the live dim so this failure mode also leaves the
+      // Restore the live dir so this failure mode also leaves the
       // store readable; the compacted data stays at tmp for retry.
       // The restore's OWN return value is checked too — reporting
       // "restored" when the rename failed would send an operator
-      // away from a store with NO live dim.
+      // away from a store with NO live dir.
       val restored = fs.rename(p(bak), p(path))
       throw new java.io.IOException(
         if (restored)
-          s"compactEntities: rename $tmp -> $path failed (live dim restored from $bak)"
+          s"verifiedSwap: rename $tmp -> $path failed (live dir restored from $bak)"
         else
-          s"compactEntities: rename $tmp -> $path failed AND restore failed — live dim is at $bak, compacted data at $tmp")
+          s"verifiedSwap: rename $tmp -> $path failed AND restore failed — live dir is at $bak, compacted data at $tmp")
     }
     if (!fs.delete(p(bak), true))
       throw new java.io.IOException(
-        s"compactEntities: compaction succeeded but stale backup $bak was not deleted")
+        s"verifiedSwap: swap succeeded but stale backup $bak was not deleted")
     n
   }
 

@@ -116,6 +116,24 @@ class HippoDbSpec extends SparkSpec {
     assert(nF == nE && missing == 0L)
   }
 
+  test("compactFiles rewrites a many-small-files dir into few files, rows intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("filecompact").toString
+    val path = s"$dir/docs"
+    // the incremental-ingest shape: many tiny part files
+    (0L until 240L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+      .repartition(24).write.parquet(path)
+    val beforeRows = spark.read.parquet(path).collect().map(_.getLong(0)).toSet
+    val (before, after) = HippoDb.compactFiles(spark, path)
+    assert(before == 24, s"planted 24 files, saw $before")
+    assert(after < before && after >= 1, s"compaction left $after files")
+    // identical content, readable through the same path
+    assert(spark.read.parquet(path).collect().map(_.getLong(0)).toSet == beforeRows)
+    // idempotent-ish: compacting a compacted dir keeps it small
+    val (b2, a2) = HippoDb.compactFiles(spark, path)
+    assert(b2 == after && a2 <= b2)
+  }
+
   test("csv and json round-trip a query result (sinks)") {
     val tmp = Files.createTempDirectory("sinks").toString
     val df = graft.operators.CoreQueries.q01PricingSummary(spark, sf0001)
