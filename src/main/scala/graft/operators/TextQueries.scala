@@ -250,6 +250,24 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t13: per-language CORPUS REPORT — the data-card summary every
+    * curation pipeline publishes (counts, size and token-length
+    * distribution per stratum). One map-side pass for the per-doc
+    * columns, one (lang)-keyed agg; the exact median uses the same
+    * TypedImperativeAggregate percentile q13 anchors (groups =
+    * languages, so the per-group buffer is bounded by the stratum's
+    * doc count — the q13b sketch swap applies verbatim if strata
+    * grow unbounded). */
+  def t13LangReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        round(expr("percentile(n_tokens, 0.5)"), 4).as("median_tokens"))
+      .orderBy("lang")
+
   /** t12: UNIGRAM LOG-PROBABILITY scoring — the perplexity-filter
     * family of quality scores (CCNet/RedPajama filter on LM
     * perplexity; the unigram LM is its degenerate-but-distributable
@@ -346,7 +364,8 @@ object TextQueries {
     "t09_decontaminate" -> (t09Decontaminate _),
     "t10_stratified_sample" -> (t10StratifiedSample _),
     "t11_pack_sequences" -> (t11PackSequences _),
-    "t12_unigram_logprob" -> (t12UnigramLogprob _))
+    "t12_unigram_logprob" -> (t12UnigramLogprob _),
+    "t13_lang_report" -> (t13LangReport _))
 
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
   private def sqlCount(wsList: String) =
@@ -511,5 +530,13 @@ object TextQueries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  round(avg(ln(cnt / CAST(total AS DOUBLE))), 4) AS logprob
         |FROM toks JOIN vocab USING (token) CROSS JOIN tot
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t13_lang_report" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  round(quantile_cont(n_tokens, 0.5), 4) AS median_tokens
+        |FROM (SELECT lang, n_chars,
+        |        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |      FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin)
 }
