@@ -650,15 +650,36 @@ object DedupQueries {
   val WinnowWindow = 8
   val WinnowMinShared = 2
 
+  /** Hot-fingerprint document-frequency cap: a fingerprint appearing
+    * in more than this many documents is DROPPED before pairing (the
+    * standard winnowing-index mitigation — Schleimer et al. §5 and
+    * MOSS both suppress over-frequent fingerprints, which on real
+    * corpora are license headers / boilerplate). Without the cap a
+    * span shared by F documents emits F² join rows on ONE shuffle
+    * key — quadratic blowup in a single partition. Verified
+    * non-binding on the driver corpus (capped == uncapped at
+    * sf0.001; SkewCorpusSpec), so the oracle stays hash-green. */
+  val WinnowMaxDf = 64
+
   /** d10: WINNOWED near-dup candidate pairs — doc pairs sharing ≥ 2
     * selected fingerprints. The scale contrast with d08: d08 indexes
     * EVERY stride-16 window hash; winnowing indexes ~2/(w+1) of all
     * grams yet still guarantees detection of any shared run ≥
     * gram+w-1 code points — the plagiarism-detection/MOSS shape of
-    * the substring-dedup index. Selection is a narrow typed flatMap;
-    * pairing is an equi-join on the fingerprint VALUE (never
-    * all-pairs) + a map-side-combining pair count. */
-  def d10WinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    * the substring-dedup index. Selection is a narrow typed flatMap.
+    *
+    * Pairing is skew-proof by construction (r8): pass 1 counts each
+    * fingerprint's document frequency map-side-combinably and drops
+    * fingerprints outside [2, fMax]; pass 2 aggregates the surviving
+    * posting lists (each now BOUNDED at fMax doc ids) and emits the
+    * ≤ fMax·(fMax-1)/2 pairs per fingerprint from inside the list —
+    * no self-join, no key that can explode. Each per-doc fingerprint
+    * set is distinct (winnowSelect) so a plain pair count equals the
+    * distinct-fingerprint share count. */
+  def d10WinnowPairs(spark: SparkSession, dir: String): DataFrame =
+    d10WinnowPairsCapped(spark, dir, WinnowMaxDf)
+
+  def d10WinnowPairsCapped(spark: SparkSession, dir: String, fMax: Int): DataFrame = {
     import spark.implicits._
     val sel = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -666,11 +687,30 @@ object DedupQueries {
         winnowSelect(t, WinnowGram, WinnowWindow).map(fp => (id, fp))
       }
       .toDF("doc_id", "fp")
-    sel.select(col("doc_id").as("doc_a"), col("fp"))
-      .join(sel.select(col("doc_id").as("doc_b"), col("fp")), "fp")
-      .filter(col("doc_a") < col("doc_b"))
+    // Pass 1: per-fingerprint doc frequency (partial counts combine
+    // map-side, so even a fingerprint in every document costs one
+    // long per task, not a posting list). Singletons pair with
+    // nothing and hot fingerprints are boilerplate — both drop here.
+    val keep = sel.groupBy("fp")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= fMax)
+      .select("fp")
+    // Pass 2: posting lists only for kept fingerprints — buffers are
+    // bounded at fMax ids, pair fan-out at fMax²/2 per fingerprint.
+    val postings = sel.join(keep, "fp")
+      .groupBy("fp")
+      .agg(collect_list("doc_id").as("docs"))
+    postings.select(col("docs")).as[Seq[Long]]
+      .flatMap { docs =>
+        val s = docs.sorted.toArray
+        for {
+          i <- s.indices.iterator
+          j <- (i + 1) until s.length
+        } yield (s(i), s(j))
+      }
+      .toDF("doc_a", "doc_b")
       .groupBy("doc_a", "doc_b")
-      .agg(countDistinct("fp").as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= WinnowMinShared)
       .orderBy("doc_a", "doc_b")
   }
@@ -769,6 +809,10 @@ object DedupQueries {
          |m AS (SELECT whash FROM w GROUP BY whash HAVING count(DISTINCT doc_id) > 1)
          |SELECT w.doc_id, w.pos, w.whash FROM w JOIN m USING (whash)
          |ORDER BY doc_id, pos""".stripMargin,
+    // The hot-fingerprint cap (df BETWEEN 2 AND WinnowMaxDf) is part
+    // of the operator's semantics and is mirrored here, so the
+    // cross-engine hash pins the CAPPED behavior; SkewCorpusSpec
+    // separately shows the cap is non-binding on this corpus.
     "d10_winnow_pairs" ->
       s"""WITH g AS (
          |  SELECT doc_id, list_transform(range(0, greatest(length(text) - $WinnowGram, -1) + 1),
@@ -781,10 +825,13 @@ object DedupQueries {
          |  SELECT doc_id, list_distinct(list_transform(range(0, len(grams) - $WinnowWindow + 1),
          |    i -> list_min(list_slice(grams, CAST(i AS INT) + 1, CAST(i AS INT) + $WinnowWindow)))) AS fps
          |  FROM g WHERE len(grams) >= $WinnowWindow),
-         |e AS (SELECT doc_id, unnest(fps) AS fp FROM sel)
+         |e AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+         |keep AS (SELECT fp FROM e GROUP BY fp
+         |         HAVING count(*) BETWEEN 2 AND $WinnowMaxDf),
+         |e2 AS (SELECT e.doc_id, e.fp FROM e JOIN keep USING (fp))
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared
-         |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |FROM e2 a JOIN e2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= $WinnowMinShared
          |ORDER BY doc_a, doc_b""".stripMargin)
 }

@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.{DedupQueries, VectorQueries}
+
+/** Planted-SKEW hardening for the dedup/ANN suite — the opposite of
+  * DegenerateInputSpec's tiny inputs: boilerplate-heavy and
+  * duplicate-heavy corpora, the shapes that turn candidate generation
+  * quadratic on real data (license headers shared by thousands of
+  * documents, crawler mega-duplicate clusters). The driver corpus
+  * never exercises these, so they are planted here with ASSERTED
+  * row-count bounds.
+  *
+  * Layout: every boilerplate doc is a fixed-length unique filler
+  * (aligned so d08's stride-16 windows coincide across docs) followed
+  * by one shared boilerplate span. */
+class SkewCorpusSpec extends SparkSpec {
+
+  private val FillerLen = 64
+  private val BoilerA1 = // 96 chars >= WinnowGram + WinnowWindow - 1
+    "All rights reserved under the license terms stated herein; see the accompanying notice file. "
+      .padTo(96, 'x').mkString
+  private val NBoiler = 80 // > WinnowMaxDf(64): the default cap must bind
+  private val NPlain = 48
+
+  private def randText(seed: Int, len: Int): String = {
+    val r = new scala.util.Random(seed)
+    val sb = new StringBuilder(len)
+    while (sb.length < len) sb.append(('a' + r.nextInt(26)).toChar)
+    sb.toString
+  }
+
+  /** Corpus A1: 80 docs sharing one 96-char boilerplate span at a
+    * window-aligned offset + 48 fully-unique docs (all 160 chars). */
+  private lazy val dirA1: String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("skewA1").toString
+    val docs =
+      (0 until NBoiler).map(i => (i.toLong, randText(1000 + i, FillerLen) + BoilerA1)) ++
+      (0 until NPlain).map(i => ((NBoiler + i).toLong, randText(2000 + i, FillerLen + 96)))
+    docs.map { case (id, t) => (id, t, "en", "skew", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  /** Corpus A2 (word-level boilerplate for d02): 80 docs = 48 unique
+    * words + 12 shared words (pairwise Jaccard ~0.09, far below the
+    * 0.8 near-dup bar) + 48 fully-unique docs. */
+  private lazy val dirA2: String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("skewA2").toString
+    val boilerWords = (0 until 12).map(i => s"boiler$i").mkString(" ")
+    def words(seed: Int, n: Int) =
+      (0 until n).map(i => randText(seed * 100 + i, 7)).mkString(" ")
+    val docs =
+      (0 until NBoiler).map(i => (i.toLong, words(3000 + i, 48) + " " + boilerWords)) ++
+      (0 until NPlain).map(i => ((NBoiler + i).toLong, words(4000 + i, 60)))
+    docs.map { case (id, t) => (id, t, "en", "skew", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  /** Corpus B: one MEGA duplicate cluster (100 identical docs) + 20
+    * unique docs. */
+  private lazy val dirB: String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("skewB").toString
+    val mega = (0 until 30).map(i => s"megaword$i").mkString(" ")
+    def words(seed: Int, n: Int) =
+      (0 until n).map(i => randText(seed * 100 + i, 7)).mkString(" ")
+    val docs =
+      (0 until 100).map(i => (i.toLong, mega)) ++
+      (0 until 20).map(i => ((100 + i).toLong, words(5000 + i, 30)))
+    docs.map { case (id, t) => (id, t, "en", "skew", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  /** Corpus C: CLUSTERED embeddings — 10 well-separated (orthogonal
+    * one-hot-block) centers × 12 members with tiny noise. The shape
+    * real (non-synthetic-random) embedding corpora have, where LSH
+    * blocking is supposed to pay off. */
+  private lazy val dirC: String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("skewC").toString
+    val r = new scala.util.Random(42)
+    val vecs = for (c <- 0 until 10; m <- 0 until 12) yield {
+      val v = Array.tabulate(64)(d =>
+        (if (d >= c * 6 && d < c * 6 + 6) 1.0f else 0.0f) + (r.nextFloat() - 0.5f) * 0.002f)
+      ((c * 12 + m).toLong, v, c)
+    }
+    vecs.toSeq.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    tmp
+  }
+
+  // ---------------------------------------------------------------- d10
+
+  test("d10: the default hot-fingerprint cap keeps boilerplate pairs bounded") {
+    // 80 docs share one span; the fingerprints selected by every doc
+    // have df=80 > 64 and are dropped, so the quadratic bulk
+    // (80·79/2 = 3160 pairs) never materializes. Boundary windows
+    // (where per-doc filler grams compete with the span's grams)
+    // select some span fingerprints in only a small SUBSET of docs —
+    // those have df below the cap and survive, which is the desired
+    // behavior: the cap suppresses the blowup without erasing all
+    // evidence of the shared span. Bound: well under one pair per
+    // boilerplate doc, vs 39.5 per doc uncapped.
+    val capped = DedupQueries.d10WinnowPairs(spark, dirA1).collect()
+    assert(capped.length < NBoiler,
+      s"capped d10 must stay near-linear (got ${capped.length} pairs vs $NBoiler docs)")
+    assert(capped.forall(r => r.getLong(0) < NBoiler && r.getLong(1) < NBoiler),
+      "surviving pairs all stem from the genuinely-shared span")
+    // Uncapped (the r7 shape) explodes quadratically on the same
+    // corpus — the failure mode the cap exists for.
+    val uncapped = DedupQueries.d10WinnowPairsCapped(spark, dirA1, Int.MaxValue).count()
+    assert(uncapped == NBoiler.toLong * (NBoiler - 1) / 2,
+      s"uncapped winnowing emits all ${NBoiler * (NBoiler - 1) / 2} pairs, got $uncapped")
+  }
+
+  test("d10: the cap is NOT binding on the driver corpus (oracle unaffected)") {
+    val capped = DedupQueries.d10WinnowPairs(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val uncapped = DedupQueries.d10WinnowPairsCapped(spark, sf0001, Int.MaxValue)
+      .collect().map(_.toSeq).toSet
+    assert(capped == uncapped,
+      "WinnowMaxDf must not bind at driver SF — the oracle pins capped semantics either way")
+    assert(capped.nonEmpty)
+  }
+
+  // ---------------------------------------------------------------- d08
+
+  test("d08: span rows stay LINEAR in boilerplate occurrences (never pairs)") {
+    // Aligned stride-16 windows fully inside the shared span: offsets
+    // 64/80/96 of the 160-char docs → exactly 3 multi-doc hashes,
+    // one row per occurrence = 80 × 3. Per-occurrence output is what
+    // keeps d08 linear under hot-span skew.
+    val rows = DedupQueries.d08SpanDedup(spark, dirA1).collect()
+    assert(rows.length == NBoiler * 3, s"expected ${NBoiler * 3} occurrence rows, got ${rows.length}")
+    assert(rows.map(_.getLong(0)).distinct.length == NBoiler)
+  }
+
+  // ---------------------------------------------------------------- d02
+
+  test("d02: LSH candidate volume stays near-linear under word boilerplate") {
+    // Driver-side re-derivation through the SAME kernels (seed 7 =
+    // d02's): band-bucket collisions are the candidate volume the
+    // shuffle carries. J≈0.09 between boilerplate docs → per-band
+    // collision ≈ J⁴ ≈ 8e-5; bound generously at 64 (vs 3160 pairs).
+    val params = DedupQueries.hashParams(DedupQueries.NumHashes, seed = 7L)
+    val docs = spark.read.parquet(s"$dirA2/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> DedupQueries.minhashSig(
+        DedupQueries.wordShingles(r.getString(1).split(" ")), params))
+    val buckets = scala.collection.mutable.Map.empty[(Int, String), List[Long]]
+    for ((id, sig) <- docs; b <- 0 until DedupQueries.Bands) {
+      val key = (b, (0 until DedupQueries.RowsPerBand)
+        .map(r => sig(b * DedupQueries.RowsPerBand + r)).mkString(":"))
+      buckets(key) = id :: buckets.getOrElse(key, Nil)
+    }
+    val candidates = buckets.valuesIterator
+      .flatMap(ids => ids.combinations(2)).map(_.sorted).toSet
+    assert(candidates.size <= 64,
+      s"boilerplate must not flood LSH buckets: ${candidates.size} candidate pairs")
+    // And the verified output is empty — no pair crosses J >= 0.8.
+    assert(DedupQueries.d02MinhashLsh(spark, dirA2).collect().isEmpty)
+  }
+
+  // ---------------------------------------------------------------- d06 dial
+
+  test("d06 dial: more-bits-fewer-tables collapses candidate volume on clustered vectors") {
+    import graft.functions.VectorFunctions._
+    val e = spark.read.parquet(s"$dirC/embeddings.parquet")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    def candCount(tables: Int, bits: Int, seed: Long): Long = {
+      val planes = VectorQueries.lshPlanes(tables * bits, 64, seed)
+      val cells = e.select(col("vec_id"),
+        explode(VectorQueries.cellStructs(planes, tables, bits)(col("v"))).as("cell"))
+      cells.as("l").join(cells.as("r"),
+          col("l.cell") === col("r.cell") && col("l.vec_id") < col("r.vec_id"))
+        .select(col("l.vec_id"), col("r.vec_id")).distinct().count()
+    }
+    val intraPairs = 10L * (12 * 11 / 2) // 660 true near-dup pairs
+    // The d06 default dial (16×4 bits): orthogonal clusters collide at
+    // ~(1/2)⁴ per table → the candidate set is quadratic-ish noise.
+    val wide = candCount(16, 4, 77L)
+    // The production dial the d06 scaladoc names (4×12 bits): same
+    // intra-cluster recall, inter-cluster collisions ~(1/2)¹² → the
+    // candidate set is the true pair set + epsilon.
+    val narrow = candCount(4, 12, 77L)
+    assert(narrow >= intraPairs, s"narrow dial must keep every intra-cluster pair: $narrow")
+    assert(narrow <= intraPairs + 66, s"narrow dial candidates must stay near-linear: $narrow")
+    assert(wide > narrow * 3,
+      s"the dial must matter: wide=$wide narrow=$narrow")
+  }
+
+  // ---------------------------------------------------------------- d07/d09
+
+  test("d07: one mega-cluster of 100 identical docs converges to one canonical") {
+    val rows = DedupQueries.d07DedupClusters(spark, dirB).collect()
+    assert(rows.length == 100, s"the 100 duplicates cluster, singletons stay out: ${rows.length}")
+    assert(rows.forall(_.getLong(0) == 0L), "every member labels to the min id")
+    assert(rows.count(_.getInt(2) == 1) == 1, "exactly one canonical")
+  }
+
+  test("d09: applying the mega-cluster dedup keeps 1 canonical + 20 singletons") {
+    val kept = DedupQueries.d09DedupApply(spark, dirB).collect().map(_.getLong(0)).toSet
+    assert(kept == (Set(0L) ++ (100L until 120L)), s"survivors: $kept")
+  }
+}
