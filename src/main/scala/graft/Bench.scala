@@ -196,7 +196,23 @@ object Bench {
       .mkString("{", ",", "}")
     val prevName = prev.map(p => "\"" + p._1 + "\"").getOrElse("null")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"prev":$prevName,"regressions":$regJson}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"prev":$prevName,"regressions":$regJson}"""
+    println(line)
+    // The stdout line is what the driver captures, but its wrapper has
+    // TRUNCATED the line's head in past rounds (BENCH_r07 lost the
+    // total and several entries) — persist the complete line to a
+    // file too, so the artifact survives any stdout mangling.
+    // SPARK_GRAFT_BENCH_OUT overrides; default target/bench.json.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    try {
+      val p = java.nio.file.Paths.get(outFile)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p, line + "\n")
+      System.err.println(s"[bench] full bench line written to $outFile")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -73,8 +73,15 @@ final class GraftView(spark: SparkSession, api: Graft) {
   def entityGraph(db: HippoDb, query: String, k: Int = 3, depth: Int = 1,
       maxRelations: Option[Int] = None): (DataFrame, DataFrame) = {
     val seeds = api.closestEntities(db, query, k).select("entity")
-    var visited = seeds
-    var frontier = seeds
+    // Iterative expansion MUST cut lineage each round (the d07
+    // lesson): frontier feeds the next round's join and visited is
+    // referenced twice per round, so without an eager localCheckpoint
+    // the analyzed plan grows geometrically with depth — fine at the
+    // UI's depth 1-2, a driver-side plan-stringification hang by
+    // depth ~5. Each checkpointed leg is human-scale (entity lists,
+    // per-round link rows), so the materialization is trivial.
+    var visited = seeds.localCheckpoint()
+    var frontier = visited
     var links: Option[DataFrame] = None
     for (_ <- 0 until depth) {
       val originFacts = db.edges
@@ -86,16 +93,16 @@ final class GraftView(spark: SparkSession, api: Graft) {
         .groupBy("origin", "entity")
         .agg(countDistinct("fact_id").as("value"),
           sort_array(collect_set("fact_id")).as("fact_ids"))
-      val kept = maxRelations match {
+      val kept = (maxRelations match {
         case Some(p) =>
           val w = Window.partitionBy("origin")
             .orderBy(col("value").desc, col("entity"))
           nb.withColumn("rk", row_number().over(w)).filter(col("rk") <= p).drop("rk")
         case None => nb
-      }
+      }).localCheckpoint()
       links = Some(links.map(_.unionByName(kept)).getOrElse(kept))
-      frontier = kept.select(col("entity")).exceptAll(visited).distinct()
-      visited = visited.unionByName(frontier).distinct()
+      frontier = kept.select(col("entity")).exceptAll(visited).distinct().localCheckpoint()
+      visited = visited.unionByName(frontier).distinct().localCheckpoint()
     }
     val linkRows = links.getOrElse(
         spark.emptyDataFrame.select(lit("").as("origin"), lit("").as("entity"),
@@ -123,15 +130,17 @@ final class GraftView(spark: SparkSession, api: Graft) {
       s"""{"id":"${esc(r.getString(0))}","description":"${esc(r.getString(1))}"}"""
     }
     val texts = db.facts.select(col("fact_id"), col("fact_text"))
-    // LEFT join: a link must survive even if some (or all) of its
-    // fact ids dangle — the stores this views can be mid-ingest or
+    // explode_OUTER + LEFT join: a link must survive even if some (or
+    // all) of its fact ids dangle OR its fact_ids array is empty —
+    // the stores this views can be mid-ingest or
     // pre-restoreIntegrity, and silently dropping a link the graph
-    // DataFrames contain would desynchronize payload and graph.
-    // Unmatched ids just contribute nothing to the facts map
-    // (collect_list skips the null structs).
+    // DataFrames contain would desynchronize payload and graph. An
+    // inner explode would swallow the empty-array row outright
+    // (ADVICE r7); unmatched/null ids just contribute nothing to the
+    // facts map (collect_list skips the null structs).
     val withTexts = links
       .select(col("source"), col("target"), col("value"),
-        explode(col("fact_ids")).as("fact_id"))
+        explode_outer(col("fact_ids")).as("fact_id"))
       .join(texts, Seq("fact_id"), "left")
       .groupBy("source", "target", "value")
       .agg(sort_array(collect_list(

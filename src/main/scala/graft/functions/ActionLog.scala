@@ -41,12 +41,37 @@ object ActionLog {
     }
   }
 
+  /** Render a kwargs value as JSON the way the reference's
+    * orjson.dumps(**kwargs) does: numbers and booleans bare,
+    * sequences as arrays, maps as objects, everything else as an
+    * escaped string. Non-finite doubles (invalid JSON bare) fall back
+    * to their quoted string form. */
+  private def jsonVal(v: Any): String = v match {
+    case null => "null"
+    case s: String => s""""${esc(s)}""""
+    case b: Boolean => b.toString
+    case d: Double if !java.lang.Double.isFinite(d) => s""""$d""""
+    case f: Float if !java.lang.Float.isFinite(f) => s""""$f""""
+    case n @ (_: Int | _: Long | _: Short | _: Byte | _: Float | _: Double) => n.toString
+    case n: java.math.BigDecimal => n.toString
+    case seq: Iterable[_] => seq.map(jsonVal).mkString("[", ",", "]")
+    case arr: Array[_] => arr.map(jsonVal).mkString("[", ",", "]")
+    case m: collection.Map[_, _] =>
+      m.toSeq.sortBy(_._1.toString)
+        .map { case (k, x) => s""""${esc(String.valueOf(k))}":${jsonVal(x)}""" }
+        .mkString("{", ",", "}")
+    case other => s""""${esc(String.valueOf(other))}""""
+  }
+
   /** log_action: one JSON record per action (prompt/answer
-    * stringified as the reference does; extra fields appended). */
+    * stringified as the reference does; extra fields appended with
+    * their NATIVE JSON types — the reference's orjson.dumps keeps
+    * entities=[...] an array and counts numeric, so a Map("k" -> 3)
+    * here logs "k":3, not "k":"3"). */
   def logAction(action: String, prompt: Any, answer: Any,
-      kwargs: Map[String, String] = Map.empty): Unit = {
+      kwargs: Map[String, Any] = Map.empty): Unit = {
     val extra = kwargs.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""","${esc(k)}":"${esc(v)}"""" }.mkString
+      .map { case (k, v) => s""","${esc(k)}":${jsonVal(v)}""" }.mkString
     write(s"""ACTION:{"action":"${esc(action)}","prompt":"${esc(String.valueOf(prompt))}","answer":"${esc(String.valueOf(answer))}"$extra}""")
   }
 

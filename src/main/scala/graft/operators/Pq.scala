@@ -116,19 +116,23 @@ object Pq {
       .toDF("vec_id", "codes", "norm")
   }
 
-  /** ADC top-k: approximate cosine = Σ_s table(s)(code_s) / (|q|·|v|)
-    * over the code stream, exact re-rank of the top rerank×k pool. */
-  def annPq(spark: SparkSession, e: DataFrame, queryVecId: Long, k: Int,
-      m: Int = M, nCent: Int = K, rerank: Int = Rerank): DataFrame = {
+  /** ADC scoring + exact re-rank over an ALREADY-ENCODED code table —
+    * the query half shared by the in-memory annPq and the persisted
+    * index (graft.store.VectorIndex.annPq), so the two paths cannot
+    * drift. `emb` (vec_id, v) is touched only for the query vector
+    * and the exact re-rank of the bounded rerank×k pool (point
+    * lookups by vec_id — at 100 TB the scan that streams is `enc`,
+    * M bytes + one double per vector). */
+  def adcTopK(spark: SparkSession, enc: DataFrame,
+      cb: Array[Array[Array[Double]]], emb: DataFrame,
+      queryVecId: Long, k: Int, rerank: Int = Rerank): DataFrame = {
     import spark.implicits._
-    val cached = e.select(col("vec_id"), col("v")).cache()
-    val cb = train(spark, cached, m, nCent)
-    val enc = encode(spark, cached, cb)
-    val qv = cached.filter(col("vec_id") === queryVecId)
+    val m = cb.length
+    val qv = emb.filter(col("vec_id") === queryVecId)
       .select("v").head().getSeq[Double](0).toArray
     val sub = qv.length / m
     // Driver-side M×K inner-product table (8 KB) — ONE per query.
-    val tab = Array.tabulate(m, nCent) { (s, c) =>
+    val tab = Array.tabulate(m, cb(0).length) { (s, c) =>
       var d = 0.0; var j = 0
       while (j < sub) { d += qv(s * sub + j) * cb(s)(c)(j); j += 1 }
       d
@@ -137,7 +141,8 @@ object Pq {
     val qn = math.sqrt(qn2)
     require(qn > 0, s"zero-norm query vector $queryVecId — cosine undefined")
     val bcTab = spark.sparkContext.broadcast(tab)
-    val pool = enc.as[(Long, Array[Int], Double)]
+    val pool = enc.select(col("vec_id"), col("codes"), col("norm"))
+      .as[(Long, Array[Int], Double)]
       .filter(_._1 != queryVecId)
       .map { case (id, codes, n) =>
         var s = 0; var dot = 0.0
@@ -150,12 +155,31 @@ object Pq {
       .toDF("vec_id", "approx_cos")
       .orderBy(col("approx_cos").desc, col("vec_id"))
       .limit(rerank * k)
-    val q = cached.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
-    pool.join(cached, "vec_id")
+    val q = emb.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
+    pool.join(emb.select(col("vec_id"), col("v")), "vec_id")
       .crossJoin(broadcast(q))
       .select(col("vec_id"), cosineNative6(col("v"), col("qv")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** ADC top-k with train+encode inline: approximate cosine =
+    * Σ_s table(s)(code_s) / (|q|·|v|) over the code stream, exact
+    * re-rank of the top rerank×k pool. Convenient for one-shot use;
+    * repeated queries should BUILD the index once
+    * (VectorIndex.buildPq) and query the persisted codes instead of
+    * re-training per call. The bounded result is materialized
+    * (localCheckpoint) so the corpus cache can be dropped before
+    * returning — a lazily-dependent return would pin the embeddings
+    * in executor memory until clearCache (ADVICE r7). */
+  def annPq(spark: SparkSession, e: DataFrame, queryVecId: Long, k: Int,
+      m: Int = M, nCent: Int = K, rerank: Int = Rerank): DataFrame = {
+    val cached = e.select(col("vec_id"), col("v")).cache()
+    try {
+      val cb = train(spark, cached, m, nCent)
+      val enc = encode(spark, cached, cb)
+      adcTopK(spark, enc, cb, cached, queryVecId, k, rerank).localCheckpoint()
+    } finally cached.unpersist()
   }
 
   /** v09 entry (*rows-only*; VectorSpec: full-pool == brute exactly,

@@ -216,10 +216,28 @@ object TextQueries {
   val ContamGram = 3
 
   def t09Decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val grams = wordGramRows(Tables.documents(spark, dir), ContamGram, Seq(col("doc_id")))
-    val evalGrams = grams.filter(col("doc_id") % 100 === 0)
+    val docs = Tables.documents(spark, dir)
+    decontaminate(
+      docs.filter(col("doc_id") % 100 =!= 0),
+      docs.filter(col("doc_id") % 100 === 0),
+      ContamGram)
+  }
+
+  /** t09 against a USER-SUPPLIED eval table — the general form: real
+    * pipelines bring their own benchmark suite as a DataFrame, not a
+    * corpus slice (the entry above keeps the doc_id%100 slice so the
+    * DuckDB oracle can restate it). Both inputs need (doc_id, text);
+    * output = every training doc sharing ≥ 1 word-`gram` with any
+    * eval doc, with the shared-gram and eval-doc counts. Same plan
+    * shape as the entry: narrow (doc, gram) rows both sides, the
+    * gram-keyed join leaves the (small) eval side to AQE's runtime
+    * broadcast — linear in corpus grams. */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame,
+      gram: Int = ContamGram): DataFrame = {
+    val grams = wordGramRows(train, gram, Seq(col("doc_id")))
+    val evalGrams = wordGramRows(evalDocs, gram, Seq(col("doc_id")))
       .select(col("doc_id").as("eval_doc"), col("gram")).distinct()
-    grams.filter(col("doc_id") % 100 =!= 0)
+    grams
       .join(evalGrams, "gram")
       .groupBy("doc_id")
       .agg(countDistinct(col("gram")).as("n_shared_grams"),

@@ -1,0 +1,137 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.{KMeans, Pq, VectorQueries}
+
+/** Persisted ANN index artifacts (VERDICT r7 #2) — the split that
+  * makes the PQ/IVF scale stories real at 100 TB: BUILD once (train,
+  * encode, write), QUERY many times against the persisted artifact.
+  * The in-memory operators (Pq.annPq, VectorQueries.annIvf) re-train
+  * per call — fine as oracle anchors and one-shots, wrong as a
+  * serving path, because "PQ scoring reads ~64× fewer bytes" only
+  * holds if the codes exist BEFORE the query arrives.
+  *
+  * Layout under `dir/` (alongside the HippoDb components):
+  *   pq_codes/       (vec_id, codes array<int>[M], norm)  — the ONLY
+  *                   thing a PQ query scans
+  *   pq_codebook/    (s, c, dim, x) flat centroid rows
+  *   pq.json         {m, k, dim} metadata echo
+  *   ivf_vectors/    (vec_id, v) PARTITIONED BY cluster — the
+  *                   inverted lists ARE the directory layout, so an
+  *                   nProbe query prunes at the FILE level
+  *   ivf_centroids/  (c, dim, x) flat centroid rows
+  *
+  * Codebooks/centroids persist as flat parquet rows rather than JSON:
+  * schema'd, mergeable, and loadable without a JSON parser — the
+  * driver-side model is k×dim doubles either way. Both query paths
+  * byte-share their scoring with the in-memory operators (Pq.adcTopK;
+  * the IVF probe predicate), so persisted and in-memory results
+  * cannot drift (HippoDbSpec pins equality).
+  */
+object VectorIndex {
+
+  // ------------------------------------------------------------- PQ
+
+  /** Train + encode once, persist the scoring artifacts. `e` must be
+    * (vec_id, v: array<double>) rows. */
+  def buildPq(spark: SparkSession, e: DataFrame, dir: String,
+      m: Int = Pq.M, k: Int = Pq.K, iters: Int = 3): Unit = {
+    import spark.implicits._
+    val cached = e.select(col("vec_id"), col("v")).cache()
+    try {
+      val cb = Pq.train(spark, cached, m, k, iters)
+      Pq.encode(spark, cached, cb)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/pq_codes")
+      val rows = for {
+        s <- cb.indices; c <- cb(s).indices; d <- cb(s)(c).indices
+      } yield (s, c, d, cb(s)(c)(d))
+      rows.toDF("s", "c", "dim", "x")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/pq_codebook")
+      val dim = cb(0)(0).length * m
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/pq.json"),
+        s"""{"format": "graft-pq-v1", "m": $m, "k": $k, "dim": $dim}""")
+    } finally cached.unpersist()
+  }
+
+  /** The driver-side model back from its flat rows (m×k×subDim
+    * doubles — 8 KB at the defaults). */
+  def loadPqCodebook(spark: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$dir/pq_codebook").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    val sub = rows.map(_.getInt(2)).max + 1
+    val cb = Array.fill(m, k)(new Array[Double](sub))
+    rows.foreach(r => cb(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+    cb
+  }
+
+  /** Query the PERSISTED PQ index: the streamed scan is pq_codes
+    * (M ints + one double per vector); `emb` is touched only for the
+    * query vector and the exact re-rank of the bounded pool. Same
+    * output contract as Pq.annPq. */
+  def annPq(spark: SparkSession, dir: String, emb: DataFrame,
+      queryVecId: Long, k: Int, rerank: Int = Pq.Rerank): DataFrame = {
+    val cb = loadPqCodebook(spark, dir)
+    val enc = spark.read.parquet(s"$dir/pq_codes")
+    Pq.adcTopK(spark, enc, cb,
+      emb.select(col("vec_id"), col("v")), queryVecId, k, rerank)
+  }
+
+  // ------------------------------------------------------------ IVF
+
+  /** Cluster once, write the corpus PARTITIONED BY its coarse cell —
+    * the inverted-file layout: an nProbe query's `cluster IN (...)`
+    * filter becomes a partition filter and only nProbe/nCells of the
+    * files are opened at all. */
+  def buildIvf(spark: SparkSession, e: DataFrame, dir: String,
+      nCells: Int = VectorQueries.IvfCells, iters: Int = 2): Unit = {
+    import spark.implicits._
+    val cached = e.select(col("vec_id"), col("v")).cache()
+    try {
+      val (assigned, centroids, _) =
+        KMeans.fit(spark, cached, nCells, iters, trackInertia = false)
+      cached.join(assigned, "vec_id")
+        .write.mode(SaveMode.Overwrite).partitionBy("cluster")
+        .parquet(s"$dir/ivf_vectors")
+      val rows = for (c <- centroids.indices; d <- centroids(c).indices)
+        yield (c, d, centroids(c)(d))
+      rows.toDF("c", "dim", "x")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/ivf_centroids")
+    } finally cached.unpersist()
+  }
+
+  def loadIvfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(s"$dir/ivf_centroids").collect()
+    val k = rows.map(_.getInt(0)).max + 1
+    val dim = rows.map(_.getInt(1)).max + 1
+    val cs = Array.fill(k)(new Array[Double](dim))
+    rows.foreach(r => cs(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    cs
+  }
+
+  /** Query the PERSISTED IVF index. The query vector comes from the
+    * index itself (a point lookup by vec_id); the probe filter is on
+    * the PARTITION column, so non-probed cells are pruned before any
+    * file opens. Same output contract as VectorQueries.annIvf. */
+  def annIvf(spark: SparkSession, dir: String, queryVecId: Long, k: Int,
+      nProbe: Int = VectorQueries.IvfProbe): DataFrame = {
+    val centroids = loadIvfCentroids(spark, dir)
+    val vecs = spark.read.parquet(s"$dir/ivf_vectors")
+    val qv = vecs.filter(col("vec_id") === queryVecId)
+      .select("v").head().getSeq[Double](0).toArray
+    val probeCells = centroids.zipWithIndex.map { case (c, i) =>
+      var d = 0.0; var j = 0
+      while (j < c.length) { val t = qv(j) - c(j); d += t * t; j += 1 }
+      (d, i)
+    }.sortBy(_._1).take(nProbe).map(_._2)
+    val qCol = array(qv.toIndexedSeq.map(lit): _*)
+    vecs.filter(col("cluster").isin(probeCells.toIndexedSeq: _*))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), cosineNative6(col("v"), qCol).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+}

@@ -36,4 +36,29 @@ class ActionLogSpec extends AnyFunSuite {
     assert(lines(3) ==
       """ACTION:{"action":"a","prompt":"tab\there","answer":"bell""" + "\\u0007\"}")
   }
+
+  test("kwargs values log with native JSON types (orjson parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("actionlog2").toString
+    ActionLog.setup(dir)
+    val f = ActionLog.currentFile.get
+    ActionLog.logAction("entity extraction", "p", "a", Map(
+      "entities" -> Seq("Paris", "France"),
+      "n" -> 3,
+      "score" -> 0.25,
+      "ok" -> true,
+      "note" -> "plain",
+      "nan" -> Double.NaN))
+    val line = scala.io.Source.fromFile(f).getLines().toList.last
+    // the reference's log_action(**kwargs) via orjson keeps lists as
+    // arrays and numbers/bools bare; strings stay quoted; a bare NaN
+    // would be invalid JSON so it degrades to its string form
+    assert(line.contains(""""entities":["Paris","France"]"""), line)
+    assert(line.contains(""""n":3""") && line.contains(""""score":0.25"""), line)
+    assert(line.contains(""""ok":true""") && line.contains(""""note":"plain""""), line)
+    assert(line.contains(""""nan":"NaN""""), line)
+    // still one valid JSON record after the ACTION: prefix
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(line.stripPrefix("ACTION:"))
+    assert(node.get("entities").isArray && node.get("n").asInt == 3)
+  }
 }

@@ -90,6 +90,38 @@ class GraftViewSpec extends SparkSpec {
     assert(json.startsWith("""{"nodes":[""") && json.contains(""""links":["""))
   }
 
+  test("entity mode: depth 3 walks the full A-B-C-D chain") {
+    val (nodes, links) = view.entityGraph(db, "A (alpha)", k = 1, depth = 3)
+    assert(nodes.collect().map(_.getString(0)).toSeq == Seq("A", "B", "C", "D"))
+    val got = links.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("A", "B", 2L), ("B", "C", 1L), ("C", "D", 1L)))
+  }
+
+  test("entity mode: deep exploration keeps the plan bounded (lineage cut per round)") {
+    // d07 lesson: without a per-round localCheckpoint the analyzed
+    // plan grows geometrically with depth and the driver hangs
+    // stringifying it. With the cut, every round starts from
+    // LogicalRDD leaves — depth 5 must both finish promptly and
+    // carry a flat, small plan.
+    val (nodes, links) = view.entityGraph(db, "A (alpha)", k = 1, depth = 5)
+    val planChars = links.queryExecution.analyzed.toString.length
+    assert(planChars < 20000, s"depth-5 links plan is $planChars chars — lineage not cut?")
+    // exhausted graph: depth 5 finds nothing beyond the depth-3 set
+    assert(nodes.collect().map(_.getString(0)).toSeq == Seq("A", "B", "C", "D"))
+    assert(links.count() == 3)
+  }
+
+  test("toJson keeps a link whose fact_ids array is EMPTY (explode_outer contract)") {
+    import spark.implicits._
+    val links = Seq(("A", "B", 0L, Seq.empty[Long]))
+      .toDF("source", "target", "value", "fact_ids")
+    val nodes = Seq(("A", "alpha"), ("B", "beta")).toDF("entity", "description")
+    val json = view.toJson(db, (nodes, links))
+    assert(json.contains(""""source":"A","target":"B","value":0,"facts":{}"""),
+      s"empty-fact_ids link must still emit a row: $json")
+  }
+
   test("toJson keeps dangling-fact links and escapes control characters") {
     import spark.implicits._
     // fact 9 exists only in edges (pre-restoreIntegrity store);

@@ -134,6 +134,51 @@ class HippoDbSpec extends SparkSpec {
     assert(b2 == after && a2 <= b2)
   }
 
+  test("VectorIndex PQ: build -> persist -> query == in-memory annPq (v09 contract)") {
+    import graft.functions.VectorFunctions._
+    import graft.operators.Pq
+    import graft.store.VectorIndex
+    val dir = Files.createTempDirectory("pqindex").toString
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    VectorIndex.buildPq(spark, e, dir)
+    // the persisted artifacts exist and have the scale shapes: codes
+    // are M ints + a norm per vector, the codebook is m*k*subDim rows
+    val codes = spark.read.parquet(s"$dir/pq_codes")
+    assert(codes.count() == e.count())
+    assert(codes.select(max(size(col("codes")))).head().getInt(0) == Pq.M)
+    assert(Files.readString(java.nio.file.Paths.get(s"$dir/pq.json")).contains("graft-pq-v1"))
+    // query through the persisted index == the in-memory one-shot
+    // (both score through Pq.adcTopK; train is deterministic)
+    val fromIndex = VectorIndex.annPq(spark, dir, e, queryVecId = 0, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inMemory = Pq.annPq(spark, e, queryVecId = 0, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIndex == inMemory, s"index: $fromIndex vs in-memory: $inMemory")
+  }
+
+  test("VectorIndex IVF: persisted inverted lists prune at the partition level") {
+    import graft.functions.VectorFunctions._
+    import graft.operators.VectorQueries
+    import graft.store.VectorIndex
+    val dir = Files.createTempDirectory("ivfindex").toString
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    VectorIndex.buildIvf(spark, e, dir)
+    val fromIndex = VectorIndex.annIvf(spark, dir, queryVecId = 0, k = 10)
+    // the probe filter must reach the scan as a PARTITION filter —
+    // that is the file-level pruning the inverted-file layout buys
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"IVF probe must prune partitions, plan:\n$plan")
+    // query through the persisted index == the in-memory one-shot
+    val got = fromIndex.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inMemory = VectorQueries.annIvf(spark, e, queryVecId = 0, k = 10,
+        nCells = VectorQueries.IvfCells, nProbe = VectorQueries.IvfProbe)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == inMemory, s"index: $got vs in-memory: $inMemory")
+  }
+
   test("csv and json round-trip a query result (sinks)") {
     val tmp = Files.createTempDirectory("sinks").toString
     val df = graft.operators.CoreQueries.q01PricingSummary(spark, sf0001)
