@@ -198,10 +198,43 @@ object StreamOps {
       docsStream: DataFrame,
       api: graft.api.Graft,
       dir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    annotateStream(spark, docsStream, api, dir, compactEvery = 0)
+
+  /** st03 with TABLE MAINTENANCE scheduled into the ingest: every
+    * `compactEvery` micro-batches (0 = never), the store's
+    * append-heavy components are rewritten by HippoDb.compactFiles —
+    * incremental ingest otherwise accumulates one small file per
+    * micro-batch per partition and scan cost degrades to file opens
+    * + footer reads, so at 100 TB the compaction cadence (not the
+    * stream's lifetime) is what bounds file counts. The pass runs
+    * INSIDE foreachBatch, between micro-batches, so no concurrent
+    * writer races the swap; concurrent READERS stay correct
+    * throughout because the crash-safe backup-rename swap keeps a
+    * readable directory at every intermediate step. Cadence is keyed
+    * to the deterministic batchId, so a restart from the checkpoint
+    * keeps the same schedule. */
+  def annotateStream(
+      spark: SparkSession,
+      docsStream: DataFrame,
+      api: graft.api.Graft,
+      dir: String,
+      compactEvery: Int,
+      targetBytes: Long = 128L << 20): org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) graft.store.HippoDb.append(api.annotate(batch), dir)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          val hconf = spark.sparkContext.hadoopConfiguration
+          Seq("facts", "edges", "entities", "fact_emb", "sources").foreach { c =>
+            val p = new org.apache.hadoop.fs.Path(s"$dir/$c")
+            if (p.getFileSystem(hconf).exists(p)) {
+              val (before, after) =
+                graft.store.HippoDb.compactFiles(spark, s"$dir/$c", targetBytes)
+              System.err.println(s"[st03] batch $batchId compacted $c: $before -> $after files")
+            }
+          }
+        }
       }
       .start()
 

@@ -93,6 +93,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st03 scheduled compaction bounds file counts across 10 micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("hippocompactstream").toString
+    val docs = Tables.documents(spark, sf0001).limit(40)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val batches = docs.grouped(4).toSeq // 10 micro-batches of 4 docs
+
+    def partFiles(c: String): Int = {
+      val d = new java.io.File(s"$tmp/$c")
+      if (!d.isDirectory) 0
+      else d.listFiles().count(f => f.isFile && f.getName.startsWith("part-"))
+    }
+
+    val stream = MemoryStream[(Long, String)]
+    val api = new graft.api.Graft(spark)
+    val q = StreamOps.annotateStream(spark,
+      stream.toDF().toDF("doc_id", "text"), api, tmp, compactEvery = 3)
+    try {
+      var maxFactFiles = 0
+      batches.foreach { b =>
+        stream.addData(b.toSeq); q.processAllAvailable()
+        maxFactFiles = math.max(maxFactFiles, partFiles("facts"))
+        // queries stay correct mid-stream, including right after a
+        // compaction swap: the store loads and its graph/vector
+        // sides agree.
+        val db = graft.store.HippoDb.load(spark, tmp)
+        val (nF, nE, missing) = db.integrity
+        assert(nF == nE && missing == 0L, s"integrity broke mid-stream: $nF/$nE/$missing")
+      }
+      // without compaction, facts would end at >= 10 files (one+ per
+      // micro-batch); compaction at batches 3/6/9 keeps the count at
+      // the cadence bound, and the observed max never reaches the
+      // uncompacted accumulation.
+      val end = partFiles("facts")
+      assert(end <= 5, s"facts dir ended with $end part files — compaction never ran?")
+      assert(maxFactFiles < 10, s"file count grew unbounded mid-stream ($maxFactFiles)")
+      // and the store still matches the one-shot batch annotate
+      val db = graft.store.HippoDb.load(spark, tmp)
+      val batchDb = api.annotate(Tables.documents(spark, sf0001).limit(40))
+      assert(db.facts.count() == batchDb.facts.count())
+      assert(db.facts.select("fact_id").distinct().count() == db.facts.count())
+    } finally q.stop()
+  }
+
   test("st04 streaming dedup keeps first occurrence per content hash") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
