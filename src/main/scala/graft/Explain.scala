@@ -59,14 +59,21 @@ object Explain {
       // t11: the prefix sum runs as an RDD two-pass (scan of the
       // offset-adjusted partitions), final presentation sort only
       "t11_pack_sequences" -> Seq("MapPartitionsRDD", "rangepartitioning"),
-      // v09: the ADC pool is a TakeOrderedAndProject over the code
-      // stream (never a full sort), exact re-rank joins the tiny pool
-      "v09_ann_pq" -> Seq("TakeOrderedAndProject"),
+      // v09: the one-shot entry returns its k rows MATERIALIZED
+      // (localCheckpoint — the r7-ADVICE cache-release fix), so the
+      // outer plan is the checkpointed RDD scan; the inner
+      // TakeOrderedAndProject ADC pipeline is audited on the
+      // persisted-index serving path instead (HippoDbSpec/VectorSpec
+      // pin VectorIndex.annPq's plan)
+      "v09_ann_pq" -> Seq("Scan ExistingRDD"),
       // t12: vocab + per-doc reductions partial-aggregate map-side;
       // the scoring join is keyed by token (never assumed broadcast)
       "t12_unigram_logprob" -> Seq("HashAggregate"),
-      // d10: fingerprint-value equi-join + map-side pair counting
-      "d10_winnow_pairs" -> Seq("HashAggregate"),
+      // d10 (r8 capped shape): map-side-combining df count, then pair
+      // emission from BOUNDED posting lists via the typed flatMap —
+      // the plan must carry the object pipeline (DeserializeToObject)
+      // and hash aggregation, and NO self-join key that can explode
+      "d10_winnow_pairs" -> Seq("HashAggregate", "DeserializeToObject"),
       // e03: the per-cluster quota rank must push into the window
       // operator (WindowGroupLimit) — state bounded by the quota,
       // not the cluster size

@@ -365,6 +365,50 @@ object VectorQueries {
         cosinePreRaw(col("v"), col("qv"), col("nv"), col("nq")).as("rawcos"), col("vec_id"))
   }
 
+  /** LSH (tables × bits) TUNING SWEEP — the dial d06/e01b's scaladocs
+    * name, made measurable: for each setting, the candidate-pair
+    * volume (what the blocking equi-join shuffles) and the recall of
+    * exact-verified pairs against the brute-force truth at
+    * `threshold`. Returns one (tables, bits, candidates, found,
+    * recall) row per grid point; counts only cross the driver, and
+    * the brute truth is computed once. A real-corpus user runs this
+    * on a SAMPLE to pick the dial before the full job — on clustered
+    * embeddings more bits collapse candidates at held recall, while
+    * on near-random vectors (this synthetic corpus) no dial is
+    * selective near the random-pair cosine (SkewCorpusSpec shows
+    * both regimes). */
+  def lshSweep(spark: SparkSession, e: DataFrame, threshold: Double,
+      grid: Seq[(Int, Int)], seed: Long = 77L): Seq[(Int, Int, Long, Long, Double)] = {
+    val cached = e.select(col("vec_id"), col("v"))
+      .withColumn("nv", normNative(col("v")))
+      .repartition(spark.sparkContext.defaultParallelism).cache()
+    try {
+      val dim = cached.select("v").head().getSeq[Double](0).length
+      val exact = cached.as("l").join(cached.as("r"), col("l.vec_id") < col("r.vec_id"))
+        .select(cosinePreRaw(col("l.v"), col("r.v"), col("l.nv"), col("r.nv")).as("rawcos"))
+        .filter(col("rawcos") >= threshold - 1e-6)
+        .filter(round(col("rawcos"), 6) >= threshold).count()
+      grid.map { case (tables, bits) =>
+        val planes = lshPlanes(tables * bits, dim, seed)
+        val cells = cached.select(col("vec_id"),
+          explode(cellStructs(planes, tables, bits)(col("v"))).as("cell"))
+        val cand = cells.as("l").join(cells.as("r"),
+            col("l.cell") === col("r.cell") && col("l.vec_id") < col("r.vec_id"))
+          .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"))
+          .distinct().cache()
+        val nCand = cand.count()
+        val found = cand
+          .join(cached.select(col("vec_id").as("a"), col("v").as("va"), col("nv").as("na")), "a")
+          .join(cached.select(col("vec_id").as("b"), col("v").as("vb"), col("nv").as("nb")), "b")
+          .select(cosinePreRaw(col("va"), col("vb"), col("na"), col("nb")).as("rawcos"))
+          .filter(col("rawcos") >= threshold - 1e-6)
+          .filter(round(col("rawcos"), 6) >= threshold).count()
+        cand.unpersist()
+        (tables, bits, nCand, found, if (exact == 0) 1.0 else found.toDouble / exact)
+      }
+    } finally { cached.unpersist(); () }
+  }
+
   /** Deterministic hyperplanes (seeded), broadcast as literals. */
   def lshPlanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

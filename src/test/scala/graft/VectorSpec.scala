@@ -34,6 +34,35 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("lshSweep: more tables buy recall with more candidates (the dial is real)") {
+    import graft.functions.VectorFunctions.toDouble
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val n = e.count()
+    val rows = VectorQueries.lshSweep(spark, e,
+      graft.operators.DedupQueries.CosineThreshold, Seq((8, 4), (32, 4)))
+    val Seq((_, _, cand8, _, rec8), (_, _, cand32, _, rec32)) = rows
+    assert(cand8 <= cand32, s"more tables must not shrink the candidate union: $cand8 vs $cand32")
+    assert(rec8 <= rec32, s"more tables must not lose recall: $rec8 vs $rec32")
+    assert(cand32 <= n * (n - 1) / 2)
+    assert(rows.forall { case (_, _, cand, found, _) => found <= cand })
+  }
+
+  test("PQ serving plan: the persisted-index query pools via TakeOrderedAndProject") {
+    import graft.functions.VectorFunctions.toDouble
+    val dir = java.nio.file.Files.createTempDirectory("pqplan").toString
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    graft.store.VectorIndex.buildPq(spark, e, dir)
+    // the serving path stays LAZY (unlike the one-shot annPq, whose
+    // result is checkpointed for cache release) — its plan must show
+    // the bounded ADC pool: a TakeOrderedAndProject over the code
+    // scan, never a full sort of the corpus
+    val df = graft.store.VectorIndex.annPq(spark, dir, e, queryVecId = 0, k = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"ADC pool must be top-k, plan:\n$plan")
+  }
+
   test("LSH buckets are deterministic across invocations") {
     val a = VectorQueries.v05AnnLsh(spark, sf0001).collect().toSeq
     val b = VectorQueries.v05AnnLsh(spark, sf0001).collect().toSeq
