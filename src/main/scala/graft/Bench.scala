@@ -82,28 +82,52 @@ object Bench {
         }
         val qIdx = src.indexOf("\"queries\":")
         val qsJson = if (qIdx < 0) None else balanced(qIdx)
-        if (qsJson.isEmpty) None
-        else {
-          // sf match on the directory BASENAME (the line records the
-          // full measured dir path)
-          val sfRe = "\"sf\":\"([^\"]*)\"".r
-          val prevSf = sfRe.findFirstMatchIn(src).map(_.group(1)).getOrElse("")
-          val sameSf = new java.io.File(prevSf).getName == new java.io.File(sfDir).getName
-          val qs = om.readTree(qsJson.get)
-          if (qs == null) None
-          else if (!sameSf) {
-            System.err.println(
-              s"[bench] trend guard: ${f.getName} measured at '$prevSf' != '$sfDir' — skipping comparison")
-            None
-          } else {
+        // r7's wrapper truncated past the "queries": needle itself
+        // (the tail starts mid-value inside the queries object), so
+        // when the balanced parse is impossible, recover what
+        // survives: every `"<name_with_underscore>":<number>` pair
+        // before the "regressions" object is a per-query median —
+        // query names all carry underscores, the scalar fields
+        // (value/repeats/sf/...) don't, and regression ratios are cut
+        // off by the prefix bound.
+        val viaObject: Option[Map[String, Double]] = qsJson.flatMap { js =>
+          Option(om.readTree(js)).map { qs =>
             val m = scala.collection.mutable.Map.empty[String, Double]
             val it = qs.fields()
             while (it.hasNext) {
               val e = it.next()
               m(e.getKey) = e.getValue.asDouble()
             }
-            Some((f.getName, m.toMap))
+            m.toMap
           }
+        }
+        val viaScan: Option[Map[String, Double]] = {
+          val cutAt = src.indexOf("\"regressions\":")
+          val cut = if (cutAt >= 0) src.substring(0, cutAt) else src
+          val pairRe = "\"([A-Za-z][A-Za-z0-9]*_[A-Za-z0-9_]+)\":(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)".r
+          val m = pairRe.findAllMatchIn(cut)
+            .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+          if (m.isEmpty) None else Some(m)
+        }
+        val recovered = viaObject.orElse {
+          viaScan.foreach(m => System.err.println(
+            s"[bench] trend guard: ${f.getName} queries object truncated — " +
+              s"recovered ${m.size} per-query entries by scan"))
+          viaScan
+        }
+        recovered match {
+          case None => None
+          case Some(m) =>
+            // sf match on the directory BASENAME (the line records
+            // the full measured dir path)
+            val sfRe = "\"sf\":\"([^\"]*)\"".r
+            val prevSf = sfRe.findFirstMatchIn(src).map(_.group(1)).getOrElse("")
+            val sameSf = new java.io.File(prevSf).getName == new java.io.File(sfDir).getName
+            if (!sameSf) {
+              System.err.println(
+                s"[bench] trend guard: ${f.getName} measured at '$prevSf' != '$sfDir' — skipping comparison")
+              None
+            } else Some((f.getName, m))
         }
       } catch { case _: Throwable => None }
   }
