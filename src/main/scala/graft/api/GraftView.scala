@@ -80,10 +80,17 @@ final class GraftView(spark: SparkSession, api: Graft) {
     // UI's depth 1-2, a driver-side plan-stringification hang by
     // depth ~5. Each checkpointed leg is human-scale (entity lists,
     // per-round link rows), so the materialization is trivial.
+    // localCheckpoint is the right cut for this interactive, human-
+    // scale surface; a fault-tolerant batch caller wants checkpoint()
+    // to reliable storage instead (the connectedComponents note) —
+    // local blocks have no lineage to recompute from after an
+    // executor loss.
     var visited = seeds.localCheckpoint()
     var frontier = visited
     var links: Option[DataFrame] = None
-    for (_ <- 0 until depth) {
+    var round = 0
+    var exhausted = false
+    while (round < depth && !exhausted) {
       val originFacts = db.edges
         .join(broadcast(frontier.select(col("entity").as("origin"))),
           col("entity") === col("origin"))
@@ -103,6 +110,12 @@ final class GraftView(spark: SparkSession, api: Graft) {
       links = Some(links.map(_.unionByName(kept)).getOrElse(kept))
       frontier = kept.select(col("entity")).exceptAll(visited).distinct().localCheckpoint()
       visited = visited.unionByName(frontier).distinct().localCheckpoint()
+      // The frontier is already materialized — isEmpty is a cheap
+      // local check, and without it every post-exhaustion round
+      // would run (and eagerly checkpoint) real edge-join/window
+      // jobs against an empty probe set.
+      exhausted = frontier.isEmpty
+      round += 1
     }
     val linkRows = links.getOrElse(
         spark.emptyDataFrame.select(lit("").as("origin"), lit("").as("entity"),

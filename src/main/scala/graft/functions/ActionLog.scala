@@ -54,12 +54,14 @@ object ActionLog {
     case f: Float if !java.lang.Float.isFinite(f) => s""""$f""""
     case n @ (_: Int | _: Long | _: Short | _: Byte | _: Float | _: Double) => n.toString
     case n: java.math.BigDecimal => n.toString
-    case seq: Iterable[_] => seq.map(jsonVal).mkString("[", ",", "]")
-    case arr: Array[_] => arr.map(jsonVal).mkString("[", ",", "]")
+    // Map BEFORE Iterable: scala Maps are Iterables, and the generic
+    // case would render them as arrays of stringified tuples.
     case m: collection.Map[_, _] =>
       m.toSeq.sortBy(_._1.toString)
         .map { case (k, x) => s""""${esc(String.valueOf(k))}":${jsonVal(x)}""" }
         .mkString("{", ",", "}")
+    case seq: Iterable[_] => seq.map(jsonVal).mkString("[", ",", "]")
+    case arr: Array[_] => arr.map(jsonVal).mkString("[", ",", "]")
     case other => s""""${esc(String.valueOf(other))}""""
   }
 

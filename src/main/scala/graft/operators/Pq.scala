@@ -155,10 +155,13 @@ object Pq {
       .toDF("vec_id", "approx_cos")
       .orderBy(col("approx_cos").desc, col("vec_id"))
       .limit(rerank * k)
-    val q = emb.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
+    // The query vector is already on the driver (qv) — rebuild it as
+    // a literal column instead of re-filtering `emb`, which on the
+    // persisted serving path would cost a SECOND full embeddings
+    // scan per query just to re-fetch one row.
+    val qCol = array(qv.toIndexedSeq.map(lit): _*)
     pool.join(emb.select(col("vec_id"), col("v")), "vec_id")
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"), cosineNative6(col("v"), col("qv")).as("cos"))
+      .select(col("vec_id"), cosineNative6(col("v"), qCol).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
@@ -178,7 +181,15 @@ object Pq {
     try {
       val cb = train(spark, cached, m, nCent)
       val enc = encode(spark, cached, cb)
-      adcTopK(spark, enc, cb, cached, queryVecId, k, rerank).localCheckpoint()
+      val res = adcTopK(spark, enc, cb, cached, queryVecId, k, rerank)
+      // Materialize the k rows ON THE DRIVER (not localCheckpoint:
+      // its executor-stored blocks have no lineage, so an executor
+      // loss after return would permanently break the DataFrame) —
+      // k rows is human-scale, and the rebuilt frame survives any
+      // cluster event while letting the corpus cache drop now.
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(res.collect(): _*)),
+        res.schema)
     } finally cached.unpersist()
   }
 

@@ -158,6 +158,11 @@ object HippoDb {
     val before = dataFiles()
     val nOut = math.max(1,
       math.ceil(before.map(_.getLen).sum.toDouble / targetBytes).toInt)
+    // Already at (or under) the target layout: rewriting would be
+    // pure write amplification — a no-op keeps repeated maintenance
+    // passes (and every-N-batch streaming cadences) from rewriting
+    // a table that is already compact.
+    if (before.length <= nOut) return (before.length, before.length)
     val cur = spark.read.parquet(path)
     verifiedSwap(spark, path, cur.repartition(nOut), !cur.isEmpty)
     (before.length, dataFiles().length)

@@ -112,26 +112,39 @@ object VectorIndex {
     cs
   }
 
-  /** Query the PERSISTED IVF index. The query vector comes from the
-    * index itself (a point lookup by vec_id); the probe filter is on
-    * the PARTITION column, so non-probed cells are pruned before any
-    * file opens. Same output contract as VectorQueries.annIvf. */
-  def annIvf(spark: SparkSession, dir: String, queryVecId: Long, k: Int,
-      nProbe: Int = VectorQueries.IvfProbe): DataFrame = {
+  /** Query the PERSISTED IVF index by VECTOR — the serving form: the
+    * probe cells are chosen driver-side against the loaded
+    * centroids, so the ONLY index read is the `cluster IN (...)`
+    * partition-pruned scan (non-probed cells never open a file).
+    * `excludeVecId` drops a known corpus row (self-match). Same
+    * output contract as VectorQueries.annIvf. */
+  def annIvf(spark: SparkSession, dir: String, queryVec: Array[Double],
+      k: Int, nProbe: Int, excludeVecId: Option[Long]): DataFrame = {
     val centroids = loadIvfCentroids(spark, dir)
     val vecs = spark.read.parquet(s"$dir/ivf_vectors")
-    val qv = vecs.filter(col("vec_id") === queryVecId)
-      .select("v").head().getSeq[Double](0).toArray
     val probeCells = centroids.zipWithIndex.map { case (c, i) =>
       var d = 0.0; var j = 0
-      while (j < c.length) { val t = qv(j) - c(j); d += t * t; j += 1 }
+      while (j < c.length) { val t = queryVec(j) - c(j); d += t * t; j += 1 }
       (d, i)
     }.sortBy(_._1).take(nProbe).map(_._2)
-    val qCol = array(qv.toIndexedSeq.map(lit): _*)
-    vecs.filter(col("cluster").isin(probeCells.toIndexedSeq: _*))
-      .filter(col("vec_id") =!= queryVecId)
+    val qCol = array(queryVec.toIndexedSeq.map(lit): _*)
+    val probed = vecs.filter(col("cluster").isin(probeCells.toIndexedSeq: _*))
+    excludeVecId.foldLeft(probed)((df, id) => df.filter(col("vec_id") =!= id))
       .select(col("vec_id"), cosineNative6(col("v"), qCol).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Convenience by-ID form. The id→vector lookup cannot prune (the
+    * row's cell is unknown until read), so it costs ONE full-index
+    * scan up front — fine for ad-hoc use; a serving path should keep
+    * query vectors on hand (or look them up against an embeddings
+    * side table) and call the vector form above. */
+  def annIvf(spark: SparkSession, dir: String, queryVecId: Long, k: Int,
+      nProbe: Int = VectorQueries.IvfProbe): DataFrame = {
+    val qv = spark.read.parquet(s"$dir/ivf_vectors")
+      .filter(col("vec_id") === queryVecId)
+      .select("v").head().getSeq[Double](0).toArray
+    annIvf(spark, dir, qv, k, nProbe, Some(queryVecId))
   }
 }

@@ -201,25 +201,36 @@ object StreamOps {
     annotateStream(spark, docsStream, api, dir, compactEvery = 0)
 
   /** st03 with TABLE MAINTENANCE scheduled into the ingest: every
-    * `compactEvery` micro-batches (0 = never), the store's
-    * append-heavy components are rewritten by HippoDb.compactFiles —
-    * incremental ingest otherwise accumulates one small file per
-    * micro-batch per partition and scan cost degrades to file opens
-    * + footer reads, so at 100 TB the compaction cadence (not the
-    * stream's lifetime) is what bounds file counts. The pass runs
-    * INSIDE foreachBatch, between micro-batches, so no concurrent
-    * writer races the swap; concurrent READERS stay correct
-    * throughout because the crash-safe backup-rename swap keeps a
-    * readable directory at every intermediate step. Cadence is keyed
-    * to the deterministic batchId, so a restart from the checkpoint
-    * keeps the same schedule. */
+    * `compactEvery` micro-batches (0 = never), store components that
+    * have accumulated at least `minSmallFiles` sub-target files are
+    * rewritten by HippoDb.compactFiles — incremental ingest
+    * otherwise accumulates one small file per micro-batch per
+    * partition and scan cost degrades to file opens + footer reads,
+    * so at 100 TB the compaction cadence (not the stream's lifetime)
+    * is what bounds file counts. The pass runs INSIDE foreachBatch,
+    * between micro-batches, so no concurrent writer races the swap;
+    * concurrent READERS stay correct throughout because the
+    * crash-safe backup-rename swap keeps a readable directory at
+    * every intermediate step. Cadence is keyed to the deterministic
+    * batchId, so a restart from the checkpoint keeps the same
+    * schedule.
+    *
+    * Write-amplification contract: each pass rewrites the WHOLE
+    * component, so total maintenance bytes grow quadratically with
+    * stream lifetime divided by the trigger threshold — the
+    * `minSmallFiles` gate keeps passes rare, and a long-lived
+    * PRODUCTION ingest should date/bucket-partition its store so
+    * each pass touches only the partitions still receiving small
+    * files (the ivf_vectors layout precedent), rather than raising
+    * the cadence here. */
   def annotateStream(
       spark: SparkSession,
       docsStream: DataFrame,
       api: graft.api.Graft,
       dir: String,
       compactEvery: Int,
-      targetBytes: Long = 128L << 20): org.apache.spark.sql.streaming.StreamingQuery =
+      targetBytes: Long = 128L << 20,
+      minSmallFiles: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -228,10 +239,15 @@ object StreamOps {
           val hconf = spark.sparkContext.hadoopConfiguration
           Seq("facts", "edges", "entities", "fact_emb", "sources").foreach { c =>
             val p = new org.apache.hadoop.fs.Path(s"$dir/$c")
-            if (p.getFileSystem(hconf).exists(p)) {
-              val (before, after) =
-                graft.store.HippoDb.compactFiles(spark, s"$dir/$c", targetBytes)
-              System.err.println(s"[st03] batch $batchId compacted $c: $before -> $after files")
+            val fs = p.getFileSystem(hconf)
+            if (fs.exists(p)) {
+              val small = fs.listStatus(p).count(f => f.isFile &&
+                f.getPath.getName.startsWith("part-") && f.getLen < targetBytes)
+              if (small >= minSmallFiles) {
+                val (before, after) =
+                  graft.store.HippoDb.compactFiles(spark, s"$dir/$c", targetBytes)
+                System.err.println(s"[st03] batch $batchId compacted $c: $before -> $after files")
+              }
             }
           }
         }

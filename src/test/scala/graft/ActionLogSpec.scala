@@ -47,6 +47,7 @@ class ActionLogSpec extends AnyFunSuite {
       "score" -> 0.25,
       "ok" -> true,
       "note" -> "plain",
+      "meta" -> Map("k" -> 3), // Maps are Iterables — must render as an object
       "nan" -> Double.NaN))
     val line = scala.io.Source.fromFile(f).getLines().toList.last
     // the reference's log_action(**kwargs) via orjson keeps lists as
@@ -55,6 +56,7 @@ class ActionLogSpec extends AnyFunSuite {
     assert(line.contains(""""entities":["Paris","France"]"""), line)
     assert(line.contains(""""n":3""") && line.contains(""""score":0.25"""), line)
     assert(line.contains(""""ok":true""") && line.contains(""""note":"plain""""), line)
+    assert(line.contains(""""meta":{"k":3}"""), line)
     assert(line.contains(""""nan":"NaN""""), line)
     // still one valid JSON record after the ACTION: prefix
     val om = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -177,6 +177,12 @@ class HippoDbSpec extends SparkSpec {
         nCells = VectorQueries.IvfCells, nProbe = VectorQueries.IvfProbe)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == inMemory, s"index: $got vs in-memory: $inMemory")
+    // the SERVING form (query by vector, no id lookup scan) agrees
+    val qv = e.filter(col("vec_id") === 0).select("v").head().getSeq[Double](0).toArray
+    val byVec = VectorIndex.annIvf(spark, dir, qv, k = 10,
+        nProbe = VectorQueries.IvfProbe, excludeVecId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(byVec == got)
   }
 
   test("csv and json round-trip a query result (sinks)") {

@@ -109,8 +109,12 @@ class StreamingSpec extends SparkSpec {
 
     val stream = MemoryStream[(Long, String)]
     val api = new graft.api.Graft(spark)
+    // minSmallFiles = 2: at this toy scale every component stays
+    // under the default trigger; production keeps the default 8 so
+    // passes stay rare (see the write-amplification contract).
     val q = StreamOps.annotateStream(spark,
-      stream.toDF().toDF("doc_id", "text"), api, tmp, compactEvery = 3)
+      stream.toDF().toDF("doc_id", "text"), api, tmp,
+      compactEvery = 3, minSmallFiles = 2)
     try {
       var maxFactFiles = 0
       batches.foreach { b =>
