@@ -59,13 +59,13 @@ object Explain {
       // t11: the prefix sum runs as an RDD two-pass (scan of the
       // offset-adjusted partitions), final presentation sort only
       "t11_pack_sequences" -> Seq("MapPartitionsRDD", "rangepartitioning"),
-      // v09: the one-shot entry returns its k rows MATERIALIZED
-      // (localCheckpoint — the r7-ADVICE cache-release fix), so the
-      // outer plan is the checkpointed RDD scan; the inner
-      // TakeOrderedAndProject ADC pipeline is audited on the
-      // persisted-index serving path instead (HippoDbSpec/VectorSpec
-      // pin VectorIndex.annPq's plan)
-      "v09_ann_pq" -> Seq("Scan ExistingRDD"),
+      // v09: the one-shot entry returns its k rows MATERIALIZED on
+      // the driver (the r7-ADVICE cache-release fix, survivable
+      // across executor loss), so the outer plan is a local relation;
+      // the inner TakeOrderedAndProject ADC pipeline is audited on
+      // the persisted-index serving path instead (HippoDbSpec/
+      // VectorSpec pin VectorIndex.annPq's plan)
+      "v09_ann_pq" -> Seq("LocalTableScan"),
       // t12: vocab + per-doc reductions partial-aggregate map-side;
       // the scoring join is keyed by token (never assumed broadcast)
       "t12_unigram_logprob" -> Seq("HashAggregate"),
@@ -77,7 +77,13 @@ object Explain {
       // e03: the per-cluster quota rank must push into the window
       // operator (WindowGroupLimit) — state bounded by the quota,
       // not the cluster size
-      "e03_cluster_sample" -> Seq("WindowGroupLimit"))
+      "e03_cluster_sample" -> Seq("WindowGroupLimit"),
+      // d11: canonical choice = ONE rank window keyed by the narrow
+      // span hash; the splice is the typed map (object pipeline)
+      "d11_span_dedup_apply" -> Seq("Window", "DeserializeToObject"),
+      // d12: bloom prefilter feeds an exact verify join + per-doc
+      // distinct tally — partial aggregation must be map-side
+      "d12_bloom_span_incremental" -> Seq("HashAggregate"))
 
     val sb = new StringBuilder
     sb.append(s"# Plan audit @ $dir\n\n")

@@ -646,6 +646,125 @@ object DedupQueries {
     res
   }
 
+  /** Merge the fixed-width cut windows starting at `cuts` and splice
+    * them OUT of the text (code-point arithmetic, matching
+    * spanWindowHashes' positions). Returns (new_text,
+    * removed_code_points). Adjacent windows (s == previous end)
+    * merge, mirroring the oracle's gaps-and-islands `pos > prev_max`
+    * island rule. */
+  private[graft] def spliceWindows(text: String, cuts: Seq[Long], w: Int): (String, Int) = {
+    if (cuts.isEmpty) return (text, 0)
+    val cps = text.codePoints().toArray
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    cuts.sorted.foreach { c0 =>
+      val s = c0.toInt
+      val e = s + w
+      if (merged.nonEmpty && s <= merged.last._2) {
+        val (ls, le) = merged.last
+        merged(merged.length - 1) = (ls, math.max(le, e))
+      } else merged += ((s, e))
+    }
+    val sb = new java.lang.StringBuilder(cps.length)
+    var prev = 0
+    var removed = 0
+    merged.foreach { case (s, e) =>
+      var i = prev
+      while (i < s) { sb.appendCodePoint(cps(i)); i += 1 }
+      removed += e - s
+      prev = e
+    }
+    var i = prev
+    while (i < cps.length) { sb.appendCodePoint(cps(i)); i += 1 }
+    (sb.toString, removed)
+  }
+
+  /** d11: exact-substring dedup APPLY — the REMOVAL pass the
+    * deduplicate-text-datasets pipeline (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better") runs after d08's
+    * detection: every cross-document repeated window keeps its FIRST
+    * occurrence (min doc_id, then min pos — the canonical) and every
+    * other occurrence is cut out of its document; overlapping or
+    * adjacent cut windows merge before splicing so text is removed
+    * once. Within-doc-only repeats are untouched (the operator's
+    * contract is cross-document dedup; d08's multi-doc filter).
+    *
+    * Scale shape: the canonical choice is ONE rank window keyed by
+    * the narrow window-hash (a hash shared by F docs costs F rows in
+    * one partition — linear, the d08 guarantee); cuts aggregate
+    * per-doc (bounded by len/stride positions); the splice is a
+    * narrow typed map over (text, cuts). Nothing all-pairs, nothing
+    * broadcast-O(corpus). Output (doc_id, new_text, n_removed) —
+    * every doc appears, untouched docs pass through verbatim. */
+  def d11SpanDedupApply(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val w = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        spanWindowHashes(t, SpanWindow, SpanStride).map { case (p, h) => (id, p, h) }
+      }
+      .toDF("doc_id", "pos", "whash")
+    val multi = w.groupBy("whash")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1)
+      .select("whash")
+    val firstOcc = Window.partitionBy("whash").orderBy("doc_id", "pos")
+    val cuts = w.join(multi, "whash")
+      .withColumn("rk", row_number().over(firstOcc))
+      .filter(col("rk") > 1)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list("pos")).as("cuts"))
+    docs.select(col("doc_id"), col("text"))
+      .join(cuts, Seq("doc_id"), "left")
+      .as[(Long, String, Option[Seq[Long]])]
+      .map { case (id, t, cs) =>
+        val (nt, removed) = spliceWindows(t, cs.getOrElse(Seq.empty), SpanWindow)
+        (id, nt, removed.toLong)
+      }
+      .toDF("doc_id", "new_text", "n_removed")
+      .orderBy("doc_id")
+  }
+
+  /** d12: INCREMENTAL span dedup with a BLOOM-FILTER prefilter — the
+    * sketch-broadcast pattern for checking a new micro-batch against
+    * a history corpus too big to join wholesale (the always-on form
+    * of d08's question: "does this new doc repeat content the corpus
+    * already has?"). History = doc_id%10≠0, batch = doc_id%10=0
+    * (standing in for [existing corpus, new ingest batch], the t09
+    * slice precedent).
+    *
+    * A Bloom filter over the history's span hashes (1% fpp) is built
+    * once with a distributed aggregate and broadcast; the batch's
+    * spans filter against it AT SCAN SPEED, so only the bloom-
+    * positive sliver (true hits + ~1% noise) ever shuffles into the
+    * exact verify join — where false positives die. False negatives
+    * are impossible, so the output is EXACTLY the naive join's (the
+    * oracle restates it join-only). At 100 TB the bloom (~1.2 GB per
+    * 10⁹ spans at 1%) replaces shuffling the batch against a
+    * corpus-sized table; size it per-partition or raise fpp if the
+    * history outgrows one broadcast. */
+  def d12BloomSpanIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        spanWindowHashes(t, SpanWindow, SpanStride).map { case (_, h) => (id, h) }
+      }
+      .toDF("doc_id", "whash")
+    val hist = w.filter(col("doc_id") % 10 =!= 0)
+    val batch = w.filter(col("doc_id") % 10 === 0)
+    val bloom = hist.stat.bloomFilter("whash", expectedNumItems = hist.count(), 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val candidates = batch.as[(Long, Long)]
+      .filter(r => bc.value.mightContainLong(r._2))
+      .toDF("doc_id", "whash")
+    candidates
+      .join(hist.select("whash").distinct(), "whash") // exact: fp noise dies here
+      .groupBy("doc_id")
+      .agg(countDistinct("whash").as("n_shared_spans"))
+      .orderBy("doc_id")
+  }
+
   val WinnowGram = 24
   val WinnowWindow = 8
   val WinnowMinShared = 2
@@ -727,7 +846,9 @@ object DedupQueries {
     "d07_dedup_clusters" -> (d07DedupClusters _),
     "d08_span_dedup" -> (d08SpanDedup _),
     "d09_dedup_apply" -> (d09DedupApply _),
-    "d10_winnow_pairs" -> (d10WinnowPairs _))
+    "d10_winnow_pairs" -> (d10WinnowPairs _),
+    "d11_span_dedup_apply" -> (d11SpanDedupApply _),
+    "d12_bloom_span_incremental" -> (d12BloomSpanIncremental _))
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup" ->
@@ -809,6 +930,76 @@ object DedupQueries {
          |m AS (SELECT whash FROM w GROUP BY whash HAVING count(DISTINCT doc_id) > 1)
          |SELECT w.doc_id, w.pos, w.whash FROM w JOIN m USING (whash)
          |ORDER BY doc_id, pos""".stripMargin,
+    // d11: same window/hash CTE as d08, then: canonical = first
+    // occurrence per repeated hash (rank over doc_id, pos); every
+    // later occurrence becomes a cut; cuts merge per doc via
+    // gaps-and-islands (pos > running-max end starts an island);
+    // kept segments = island complement; new_text = ordered
+    // string_agg of the kept substrings.
+    "d11_span_dedup_apply" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(substr(text, CAST(i AS INT) + 1, $SpanWindow), ''),
+         |        c -> CAST(unicode(c) AS BIGINT))),
+         |      (acc, c) -> (acc * 131 + c) % 1000000007) AS whash
+         |  FROM documents
+         |  CROSS JOIN unnest(range(0, length(text) - $SpanWindow + 1, $SpanStride)) AS t(i)
+         |),
+         |m AS (SELECT whash FROM w GROUP BY whash HAVING count(DISTINCT doc_id) > 1),
+         |occ AS (SELECT w.doc_id, w.pos,
+         |        row_number() OVER (PARTITION BY w.whash ORDER BY w.doc_id, w.pos) AS rk
+         |        FROM w JOIN m USING (whash)),
+         |cuts AS (SELECT doc_id, pos FROM occ WHERE rk > 1),
+         |ord AS (SELECT doc_id, pos,
+         |        max(pos + $SpanWindow) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |        FROM cuts),
+         |isl AS (SELECT doc_id, pos,
+         |        sum(CASE WHEN prev_max IS NULL OR pos > prev_max THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |        FROM ord),
+         |merged AS (SELECT doc_id, island, min(pos) AS s, max(pos) + $SpanWindow AS e
+         |           FROM isl GROUP BY doc_id, island),
+         |segs AS (
+         |  SELECT doc_id,
+         |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS ks,
+         |    s AS ke
+         |  FROM merged
+         |  UNION ALL
+         |  SELECT mm.doc_id, max(mm.e) AS ks, max(CAST(length(d.text) AS BIGINT)) AS ke
+         |  FROM merged mm JOIN documents d USING (doc_id) GROUP BY mm.doc_id
+         |),
+         |spliced AS (
+         |  SELECT s.doc_id,
+         |    string_agg(substr(d.text, CAST(s.ks AS INT) + 1, CAST(s.ke - s.ks AS INT)),
+         |               '' ORDER BY s.ks) AS new_text
+         |  FROM segs s JOIN documents d USING (doc_id)
+         |  GROUP BY s.doc_id
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(sp.new_text, d.text) AS new_text,
+         |  CAST(length(d.text) - length(coalesce(sp.new_text, d.text)) AS BIGINT) AS n_removed
+         |FROM documents d LEFT JOIN spliced sp USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    // d12: the bloom prefilter is an exact-output optimization (false
+    // positives die in the verify join, false negatives impossible),
+    // so the oracle is the plain history⋈batch span join.
+    "d12_bloom_span_incremental" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(substr(text, CAST(i AS INT) + 1, $SpanWindow), ''),
+         |        c -> CAST(unicode(c) AS BIGINT))),
+         |      (acc, c) -> (acc * 131 + c) % 1000000007) AS whash
+         |  FROM documents
+         |  CROSS JOIN unnest(range(0, length(text) - $SpanWindow + 1, $SpanStride)) AS t(i)
+         |),
+         |hist AS (SELECT DISTINCT whash FROM w WHERE doc_id % 10 <> 0),
+         |batch AS (SELECT doc_id, whash FROM w WHERE doc_id % 10 = 0)
+         |SELECT doc_id, CAST(count(DISTINCT whash) AS BIGINT) AS n_shared_spans
+         |FROM batch JOIN hist USING (whash)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // The hot-fingerprint cap (df BETWEEN 2 AND WinnowMaxDf) is part
     // of the operator's semantics and is mirrored here, so the
     // cross-engine hash pins the CAPPED behavior; SkewCorpusSpec

@@ -41,6 +41,12 @@ class DegenerateInputSpec extends SparkSpec {
     assert(TextQueries.t09Decontaminate(spark, dir).collect().isEmpty)
     // no 24-cp shared runs in this corpus
     assert(DedupQueries.d10WinnowPairs(spark, dir).collect().isEmpty)
+    // d11 apply: sub-window docs emit no cuts; everything passes
+    // through verbatim (empty doc included)
+    val applied = DedupQueries.d11SpanDedupApply(spark, dir).collect()
+    assert(applied.length == 4 && applied.forall(_.getLong(2) == 0L))
+    // d12 incremental: no 64-cp windows at all -> no flagged docs
+    assert(DedupQueries.d12BloomSpanIncremental(spark, dir).collect().isEmpty)
     // the empty doc contributes no tokens → absent from t12
     val lp = TextQueries.t12UnigramLogprob(spark, dir).collect()
     assert(lp.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))

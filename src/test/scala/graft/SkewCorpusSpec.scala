@@ -145,6 +145,62 @@ class SkewCorpusSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).distinct.length == NBoiler)
   }
 
+  // ---------------------------------------------------------------- d11
+
+  test("d11: apply removes every non-canonical boilerplate occurrence, canonical survives") {
+    val rows = DedupQueries.d11SpanDedupApply(spark, dirA1).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rows.size == NBoiler + NPlain, "every doc appears in the applied output")
+    // doc 0 is the canonical occurrence of the shared span: untouched
+    assert(rows(0L)._2 == 0L && rows(0L)._1.length == FillerLen + 96)
+    // every other boilerplate doc loses the merged [64, 160) cut —
+    // its three aligned windows (64/80/96) coalesce into ONE splice
+    (1L until NBoiler).foreach { id =>
+      val (nt, removed) = rows(id)
+      assert(removed == 96L, s"doc $id removed $removed")
+      assert(nt.length == FillerLen && !nt.contains("rights reserved"),
+        s"doc $id must keep only its unique filler")
+    }
+    // unique docs pass through verbatim
+    (NBoiler.toLong until (NBoiler + NPlain)).foreach(id => assert(rows(id)._2 == 0L))
+  }
+
+  // ---------------------------------------------------------------- d12
+
+  test("d12: bloom-prefiltered incremental check flags exactly the contaminated batch docs") {
+    val rows = DedupQueries.d12BloomSpanIncremental(spark, dirA1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch = doc_id%10==0: boilerplate members 0,10,...,70 share the
+    // three aligned span hashes with the history's 72 boilerplate
+    // docs; the plain batch docs (80, 90, ..., 120) share nothing.
+    assert(rows.keySet == (0L until NBoiler by 10).toSet, rows.toString)
+    assert(rows.values.forall(_ == 3L), rows.toString)
+  }
+
+  test("d12: the bloom prefilter actually prunes (bloom-positive spans << batch spans)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Rebuild the operator's two sides through the same kernel and
+    // measure the prefilter alone: only the true shared spans (8
+    // boiler batch docs x 3 windows) plus ~1% fpp noise may pass —
+    // the whole point of the sketch is that the verify join sees a
+    // sliver, not the batch.
+    val w = spark.read.parquet(s"$dirA1/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        DedupQueries.spanWindowHashes(t, DedupQueries.SpanWindow, DedupQueries.SpanStride)
+          .map { case (_, h) => (id, h) }
+      }.toDF("doc_id", "whash")
+    val hist = w.filter(col("doc_id") % 10 =!= 0)
+    val batch = w.filter(col("doc_id") % 10 === 0)
+    val bloom = hist.stat.bloomFilter("whash", expectedNumItems = hist.count(), 0.01)
+    val total = batch.count()
+    val positive = batch.as[(Long, Long)].filter(r => bloom.mightContainLong(r._2)).count()
+    assert(positive >= 8 * 3, s"every true shared span must pass the bloom: $positive")
+    assert(positive <= 8 * 3 + total / 20,
+      s"prefilter must prune: $positive bloom-positive of $total batch spans")
+  }
+
   // ---------------------------------------------------------------- d02
 
   test("d02: LSH candidate volume stays near-linear under word boilerplate") {
