@@ -744,22 +744,40 @@ object DedupQueries {
     * corpus-sized table; size it per-partition or raise fpp if the
     * history outgrows one broadcast. */
   def d12BloomSpanIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val w = spanHashRows(Tables.documents(spark, dir))
+    val hist = w.filter(col("doc_id") % 10 =!= 0)
+    val batch = w.filter(col("doc_id") % 10 === 0)
+    val bloom = hist.stat.bloomFilter("whash", expectedNumItems = hist.count(), 0.01)
+    bloomSpanCheck(batch, hist.select("whash").distinct(), bloom)
+  }
+
+  /** (doc_id, whash) span-hash rows — the shared kernel of
+    * d08/d11/d12/st08 and the SketchIndex artifact build (ONE window
+    * rule, so batch, stream and index agree by construction). */
+  def spanHashRows(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val w = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, t) =>
         spanWindowHashes(t, SpanWindow, SpanStride).map { case (_, h) => (id, h) }
       }
       .toDF("doc_id", "whash")
-    val hist = w.filter(col("doc_id") % 10 =!= 0)
-    val batch = w.filter(col("doc_id") % 10 === 0)
-    val bloom = hist.stat.bloomFilter("whash", expectedNumItems = hist.count(), 0.01)
+  }
+
+  /** The d12 verify stage over pre-hashed sides: bloom prefilter at
+    * scan speed, exact equi-join (false positives die), per-doc
+    * distinct tally. Shared by the inline entry and the
+    * persisted-artifact path (SketchIndex), so the two cannot
+    * drift. */
+  def bloomSpanCheck(batch: DataFrame, histHashes: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(bloom)
-    val candidates = batch.as[(Long, Long)]
+    batch.select(col("doc_id"), col("whash")).as[(Long, Long)]
       .filter(r => bc.value.mightContainLong(r._2))
       .toDF("doc_id", "whash")
-    candidates
-      .join(hist.select("whash").distinct(), "whash") // exact: fp noise dies here
+      .join(histHashes, "whash") // exact: fp noise dies here
       .groupBy("doc_id")
       .agg(countDistinct("whash").as("n_shared_spans"))
       .orderBy("doc_id")

@@ -331,6 +331,65 @@ object StreamOps {
       .select("doc_id", "n_shared_grams", "n_eval_docs", "ts")
   }
 
+  /** st08: STREAMING incremental span dedup — d12's always-on form:
+    * incoming documents are checked against a PERSISTED history
+    * span-bloom (SketchIndex.buildSpanBloom, built once per corpus
+    * version) plus the static exact-verify hash table. The stream
+    * side is a narrow typed flatMap to span hashes (the SHARED
+    * d08/d11/d12 kernel — parity by construction) followed by a
+    * STATELESS broadcast-bloom filter at scan speed; only the
+    * bloom-positive sliver reaches the stream-static verify join
+    * (stateless on the stream side — the static table replans per
+    * micro-batch). Per-doc tallies finalize by watermark — the
+    * (ts, doc_id) group key is st06's recipe, collect_set bounded by
+    * one doc's window count. An always-on ingest pays O(micro-batch)
+    * against 100 TB of indexed history, never a history scan. */
+  def spanDedupStream(docs: DataFrame, histHashes: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      watermark: String = "1 hour"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.operators.DedupQueries
+    val bc = spark.sparkContext.broadcast(bloom)
+    docs
+      .select(col("ts").cast("timestamp").as("ts"), col("doc_id"), col("text"))
+      .as[(java.sql.Timestamp, Long, String)]
+      .flatMap { case (ts, id, t) =>
+        val hits = DedupQueries.spanWindowHashes(t,
+            DedupQueries.SpanWindow, DedupQueries.SpanStride)
+          .iterator.filter { case (_, h) => bc.value.mightContainLong(h) }
+          .map { case (_, h) => (ts, id, Option(h)) }
+        // SENTINEL row (null hash) when a doc yields no bloom hits:
+        // the watermark node sits downstream of this flatMap and only
+        // advances on rows that REACH it — without the sentinel, a
+        // stream of clean/short documents would never advance the
+        // watermark and already-grouped tallies would never finalize.
+        // Sentinels die in the inner verify join (null joins nothing).
+        if (hits.hasNext) hits
+        else Iterator((ts, id, Option.empty[Long]))
+      }
+      .toDF("ts", "doc_id", "whash")
+      // Watermark AFTER the typed transform: event-time metadata
+      // attaches to THIS plan's ts attribute (a typed map re-creates
+      // attributes, so marking earlier would be lost).
+      .withWatermark("ts", watermark)
+      // LEFT join, not inner: an inner join's IsNotNull(whash)
+      // constraint gets PUSHED BELOW the watermark node by Catalyst,
+      // silently dropping the sentinel rows before event-time stats
+      // are collected — the watermark then never advances on clean
+      // micro-batches (observed: batch rows=1, eventTime={} — no
+      // min/max). The left join carries sentinels and bloom false
+      // positives through; only MATCHED spans tally (hit marker) and
+      // zero-tally docs drop after the aggregation, so the output
+      // contract stays d12's.
+      .join(histHashes.select(col("whash")).distinct().withColumn("hit", lit(true)),
+        Seq("whash"), "left")
+      .groupBy(col("ts"), col("doc_id"))
+      .agg(size(collect_set(when(col("hit"), col("whash")))).as("n_shared_spans"))
+      .filter(col("n_shared_spans") > 0)
+      .select("doc_id", "n_shared_spans", "ts")
+  }
+
   /** st07: STREAMING stratified sampling — t10's always-on form for
     * ingest-time data mixing. Membership is a PURE ROW FUNCTION
     * (md5 nibble vs the stratum threshold), so the operator is a

@@ -185,6 +185,32 @@ class HippoDbSpec extends SparkSpec {
     assert(byVec == got)
   }
 
+  test("SketchIndex: persisted span bloom reproduces the inline d12 output") {
+    import graft.operators.DedupQueries
+    import graft.store.SketchIndex
+    val dir = Files.createTempDirectory("spanbloom").toString
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val hist = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val n = SketchIndex.buildSpanBloom(spark, hist, dir)
+    assert(n > 0)
+    // artifacts exist: the bits file + the exact-verify hash table
+    assert(new java.io.File(s"$dir/span_bloom").isFile)
+    assert(SketchIndex.loadSpanHashes(spark, dir).count() == n)
+    // the loaded bloom answers for every indexed hash (no false negatives)
+    val bloom = SketchIndex.loadSpanBloom(spark, dir)
+    val sample = SketchIndex.loadSpanHashes(spark, dir).limit(50)
+      .collect().map(_.getLong(0))
+    assert(sample.forall(bloom.mightContainLong))
+    // checking the batch against the ARTIFACT == the inline entry
+    // (exact verify makes bloom-bit differences unobservable)
+    val viaIndex = SketchIndex.checkBatch(spark, dir, batch)
+      .collect().map(_.toSeq).toSeq
+    val inline = DedupQueries.d12BloomSpanIncremental(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(viaIndex == inline)
+  }
+
   test("csv and json round-trip a query result (sinks)") {
     val tmp = Files.createTempDirectory("sinks").toString
     val df = graft.operators.CoreQueries.q01PricingSummary(spark, sf0001)

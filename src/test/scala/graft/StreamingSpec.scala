@@ -249,6 +249,53 @@ class StreamingSpec extends SparkSpec {
       s"streamed contamination rows $got differ from the batch semantics")
   }
 
+  test("st08 streaming span dedup checks micro-batches against the persisted history bloom") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val boiler = "All rights reserved under the license terms stated herein; see the accompanying notice. "
+      .padTo(96, 'x').mkString
+    def filler(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      (0 until 64).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    // history: 8 docs carrying the boilerplate span at aligned offset 64
+    val hist = (0 until 8).map(i => (i.toLong, filler(i) + boiler))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("st08bloom").toString
+    graft.store.SketchIndex.buildSpanBloom(spark, hist, dir)
+    val bloom = graft.store.SketchIndex.loadSpanBloom(spark, dir)
+    val histHashes = graft.store.SketchIndex.loadSpanHashes(spark, dir)
+
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamOps.spanDedupStream(
+        stream.toDF().toDF("ts", "doc_id", "text"), histHashes, bloom)
+      .writeStream.format("memory").queryName("st08_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (t0, 100L, filler(900) + boiler),    // repeats the indexed span
+        (t0, 101L, filler(901) + filler(902) + filler(903)))) // clean, same length
+      q.processAllAvailable()
+      // advance the watermark so the t0 rows finalize
+      stream.addData(Seq((new Timestamp(t0.getTime + 3 * 3600 * 1000), 102L, "tiny")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("st08_out").select("doc_id", "n_shared_spans").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // doc 100 shares the three aligned boilerplate windows (64/80/96);
+    // the clean doc and the short doc never appear.
+    assert(got == Map(100L -> 3), s"streamed span dedup rows: $got")
+    // batch/stream parity: the same batch through the shared verify
+    // stage gives the same tally
+    val batchForm = graft.operators.DedupQueries.bloomSpanCheck(
+        graft.operators.DedupQueries.spanHashRows(
+          Seq((100L, filler(900) + boiler)).toDF("doc_id", "text")),
+        histHashes, bloom)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batchForm == Map(100L -> 3L))
+  }
+
   test("st07 streaming stratified sample == batch t10 predicate on same docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
