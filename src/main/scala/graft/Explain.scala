@@ -83,7 +83,10 @@ object Explain {
       "d11_span_dedup_apply" -> Seq("Window", "DeserializeToObject"),
       // d12: bloom prefilter feeds an exact verify join + per-doc
       // distinct tally — partial aggregation must be map-side
-      "d12_bloom_span_incremental" -> Seq("HashAggregate"))
+      "d12_bloom_span_incremental" -> Seq("HashAggregate"),
+      // h10: each power iteration is an edge-keyed equi-join + a
+      // map-side-combining agg — no driver-side model, no cartesian
+      "h10_entity_rank" -> Seq("HashAggregate"))
 
     val sb = new StringBuilder
     sb.append(s"# Plan audit @ $dir\n\n")

@@ -144,6 +144,49 @@ object GraphQueries {
       .orderBy("hops", "entity")
   }
 
+  val RankDamping = 0.85
+  val RankTeleport = 0.15 // literal, NOT 1-0.85: both engines must parse the same double
+  val RankIters = 3
+
+  /** h10: entity IMPORTANCE — PageRank over the entity co-occurrence
+    * graph (entities adjacent iff they share a fact; the h02
+    * neighbour relation made global). The capability a graph memory
+    * wants for ranking retrieval candidates and pruning noise
+    * entities: a fixed 3-iteration power method with damping 0.85,
+    * exact (the DuckDB oracle unrolls the same three iterations).
+    *
+    * Scale shape: pair generation is the fact-keyed self-join (per-
+    * fact entity counts are small, so a fact contributes bounded
+    * pairs — h02's shape); each iteration is one edge-keyed join +
+    * one map-side-combining agg, with the MODEL fully distributed —
+    * the only driver value is the node-count scalar. The symmetric
+    * graph has no dangling nodes, so every node receives inflow and
+    * no left-join backfill is needed (mirrored in the oracle).
+    * Iterations are a fixed small count, so the linear plan growth
+    * needs no lineage cut (the d07 rule kicks in for fixpoint loops,
+    * not k=3). g/deg cache across the three uses. */
+  def h10EntityRank(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val g = e.select(col("fact_id"), col("entity").as("src"))
+      .join(e.select(col("fact_id"), col("entity").as("dst")), "fact_id")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+      .cache()
+    val deg = g.groupBy("src").agg(count(lit(1)).as("deg")).cache()
+    val n = deg.count() // node-count scalar — the only driver traffic
+    var rank = deg.select(col("src").as("entity"), lit(1.0 / n).as("rank"))
+    for (_ <- 0 until RankIters) {
+      rank = g.join(rank.withColumnRenamed("entity", "src"), "src")
+        .join(deg, "src")
+        .groupBy(col("dst"))
+        .agg((lit(RankTeleport / n) +
+          lit(RankDamping) * sum(col("rank") / col("deg"))).as("rank"))
+        .withColumnRenamed("dst", "entity")
+    }
+    rank.select(col("entity"), round(col("rank"), 6).as("rank"))
+      .orderBy("entity")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -155,7 +198,8 @@ object GraphQueries {
     "h06_prune_lone_entities" -> (h06PruneLoneEntities _),
     "h07_integrity_check" -> (h07IntegrityCheck _),
     "h08_neighbour_facts" -> (h08NeighbourFacts _),
-    "h09_khop_neighbours" -> (h09KhopNeighbours _))
+    "h09_khop_neighbours" -> (h09KhopNeighbours _),
+    "h10_entity_rank" -> (h10EntityRank _))
 
   private val probeList = ProbeUnion.map(e => s"'$e'").mkString(", ")
 
@@ -219,5 +263,31 @@ object GraphQueries {
          |SELECT entity, CAST(1 AS INT) AS hops FROM n1
          |UNION ALL
          |SELECT entity, CAST(2 AS INT) AS hops FROM n2
-         |ORDER BY hops, entity""".stripMargin)
+         |ORDER BY hops, entity""".stripMargin,
+    // h10: the SAME three power iterations unrolled; all arithmetic
+    // forced to DOUBLE so both engines round the same values.
+    "h10_entity_rank" ->
+      s"""WITH e AS ($edgesSql),
+         |g AS (SELECT DISTINCT a.entity AS src, b.entity AS dst
+         |      FROM e a JOIN e b ON a.fact_id = b.fact_id AND a.entity <> b.entity),
+         |deg AS (SELECT src, count(*) AS deg FROM g GROUP BY src),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+         |r0 AS (SELECT src AS entity, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM deg),
+         |r1 AS (SELECT g.dst AS entity,
+         |         CAST($RankTeleport AS DOUBLE) / (SELECT n FROM nn) +
+         |         CAST($RankDamping AS DOUBLE) * sum(r0.rank / deg.deg) AS rank
+         |       FROM g JOIN r0 ON g.src = r0.entity JOIN deg ON g.src = deg.src
+         |       GROUP BY g.dst),
+         |r2 AS (SELECT g.dst AS entity,
+         |         CAST($RankTeleport AS DOUBLE) / (SELECT n FROM nn) +
+         |         CAST($RankDamping AS DOUBLE) * sum(r1.rank / deg.deg) AS rank
+         |       FROM g JOIN r1 ON g.src = r1.entity JOIN deg ON g.src = deg.src
+         |       GROUP BY g.dst),
+         |r3 AS (SELECT g.dst AS entity,
+         |         CAST($RankTeleport AS DOUBLE) / (SELECT n FROM nn) +
+         |         CAST($RankDamping AS DOUBLE) * sum(r2.rank / deg.deg) AS rank
+         |       FROM g JOIN r2 ON g.src = r2.entity JOIN deg ON g.src = deg.src
+         |       GROUP BY g.dst)
+         |SELECT entity, round(rank, 6) AS rank FROM r3
+         |ORDER BY entity""".stripMargin)
 }
