@@ -578,19 +578,32 @@ object DedupQueries {
     * narrow hash key — nothing all-pairs, nothing broadcast-O(corpus),
     * linear at 100 TB. Overlapping/extended spans reconstruct
     * downstream by coalescing adjacent positions. */
-  def d08SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, pos, whash) window-occurrence rows — the position-
+    * bearing shared kernel of d08 (detect) and d11 (apply); the
+    * position-free d12/SketchIndex form derives from it
+    * (spanHashRows). ONE window rule, so detect, apply, incremental
+    * and streaming agree by construction. */
+  def spanOccurrenceRows(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val w = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, t) =>
         spanWindowHashes(t, SpanWindow, SpanStride).map { case (p, h) => (id, p, h) }
       }
       .toDF("doc_id", "pos", "whash")
-    val multi = w.groupBy("whash")
+  }
+
+  /** Window hashes that occur in MORE than one document (the shared
+    * multi-doc filter of d08/d11). */
+  private def multiDocHashes(w: DataFrame): DataFrame =
+    w.groupBy("whash")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") > 1)
       .select("whash")
-    w.join(multi, "whash")
+
+  def d08SpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = spanOccurrenceRows(Tables.documents(spark, dir))
+    w.join(multiDocHashes(w), "whash")
       .select("doc_id", "pos", "whash")
       .orderBy("doc_id", "pos")
   }
@@ -678,6 +691,24 @@ object DedupQueries {
     (sb.toString, removed)
   }
 
+  /** True iff the `w`-code-point windows of `a` at `apos` and `b` at
+    * `bpos` are identical — the byte-level confirmation behind d11's
+    * cuts. Allocation-free code-point walk (surrogate-aware). */
+  private[graft] def sameWindow(a: String, apos: Int, b: String, bpos: Int, w: Int): Boolean = {
+    var ia = a.offsetByCodePoints(0, apos)
+    var ib = b.offsetByCodePoints(0, bpos)
+    var k = 0
+    while (k < w) {
+      val ca = a.codePointAt(ia)
+      val cb = b.codePointAt(ib)
+      if (ca != cb) return false
+      ia += Character.charCount(ca)
+      ib += Character.charCount(cb)
+      k += 1
+    }
+    true
+  }
+
   /** d11: exact-substring dedup APPLY — the REMOVAL pass the
     * deduplicate-text-datasets pipeline (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better") runs after d08's
@@ -688,33 +719,49 @@ object DedupQueries {
     * once. Within-doc-only repeats are untouched (the operator's
     * contract is cross-document dedup; d08's multi-doc filter).
     *
+    * Destructive cuts are BYTE-VERIFIED, not hash-trusted: each
+    * candidate cut re-compares its window against the canonical
+    * occurrence's actual text before any splice — a hash collision
+    * (mod 1e9+7, guaranteed to occur by the birthday bound at real
+    * corpus scale) must never delete unique text. Detection-only d08
+    * can tolerate collision noise; an apply pass cannot. The oracle
+    * mirrors the verification with the same substr comparison.
+    *
     * Scale shape: the canonical choice is ONE rank window keyed by
     * the narrow window-hash (a hash shared by F docs costs F rows in
-    * one partition — linear, the d08 guarantee); cuts aggregate
-    * per-doc (bounded by len/stride positions); the splice is a
-    * narrow typed map over (text, cuts). Nothing all-pairs, nothing
+    * one partition — linear, the d08 guarantee); verification joins
+    * text onto the TINY cut set only (cut rows ⋈ their doc + the
+    * canonical doc, both narrow equi-joins); cuts aggregate per-doc
+    * (bounded by len/stride positions); the splice is a narrow typed
+    * map over (text, cuts). Nothing all-pairs, nothing
     * broadcast-O(corpus). Output (doc_id, new_text, n_removed) —
     * every doc appears, untouched docs pass through verbatim. */
   def d11SpanDedupApply(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val w = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, t) =>
-        spanWindowHashes(t, SpanWindow, SpanStride).map { case (p, h) => (id, p, h) }
-      }
-      .toDF("doc_id", "pos", "whash")
-    val multi = w.groupBy("whash")
-      .agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") > 1)
-      .select("whash")
+    val w = spanOccurrenceRows(docs)
     val firstOcc = Window.partitionBy("whash").orderBy("doc_id", "pos")
-    val cuts = w.join(multi, "whash")
+    val occ = w.join(multiDocHashes(w), "whash")
       .withColumn("rk", row_number().over(firstOcc))
-      .filter(col("rk") > 1)
+    val canon = occ.filter(col("rk") === 1)
+      .select(col("whash"), col("doc_id").as("cdoc"), col("pos").as("cpos"))
+    val texts = docs.select(col("doc_id"), col("text"))
+    val cuts = occ.filter(col("rk") > 1)
+      .select("doc_id", "pos", "whash")
+      .join(canon, "whash")
+      .join(texts, "doc_id")
+      .join(texts.select(col("doc_id").as("cdoc"), col("text").as("ctext")), "cdoc")
+      .select(col("doc_id"), col("pos"), col("text"), col("cpos"), col("ctext"))
+      .as[(Long, Long, String, Long, String)]
+      .filter { case (_, pos, t, cpos, ct) =>
+        sameWindow(t, pos.toInt, ct, cpos.toInt, SpanWindow)
+      }
+      .map { case (id, pos, _, _, _) => (id, pos) }
+      .toDF("doc_id", "pos")
       .groupBy("doc_id")
       .agg(sort_array(collect_list("pos")).as("cuts"))
-    docs.select(col("doc_id"), col("text"))
+    texts
       .join(cuts, Seq("doc_id"), "left")
       .as[(Long, String, Option[Seq[Long]])]
       .map { case (id, t, cs) =>
@@ -744,25 +791,32 @@ object DedupQueries {
     * corpus-sized table; size it per-partition or raise fpp if the
     * history outgrows one broadcast. */
   def d12BloomSpanIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val w = spanHashRows(Tables.documents(spark, dir))
+    // One hashing pass feeds all four consumers (count, bloom agg,
+    // verify-join side, batch filter all derive from this cache —
+    // uncached, the corpus would re-hash four times). Cache-without-
+    // unpersist is the DedupQueries one-shot convention; the harness
+    // isolates queries with clearCache.
+    val w = spanHashRows(Tables.documents(spark, dir)).cache()
     val hist = w.filter(col("doc_id") % 10 =!= 0)
     val batch = w.filter(col("doc_id") % 10 === 0)
-    val bloom = hist.stat.bloomFilter("whash", expectedNumItems = hist.count(), 0.01)
-    bloomSpanCheck(batch, hist.select("whash").distinct(), bloom)
+    val histHashes = hist.select("whash").distinct().cache()
+    // Sized on the DISTINCT count (buildSpanBloom's rule — raw rows
+    // oversize the bits on boilerplate-heavy corpora). An EMPTY
+    // history (all docs sub-window — a legal corpus) short-circuits:
+    // df.stat.bloomFilter over zero rows yields a null-buffer sketch
+    // that NPEs on read, and the answer is definitionally no rows.
+    val n = histHashes.count()
+    if (n == 0)
+      return batch.select(col("doc_id"), lit(0L).as("n_shared_spans")).limit(0)
+    val bloom = histHashes.stat.bloomFilter("whash", expectedNumItems = n, 0.01)
+    bloomSpanCheck(batch, histHashes, bloom)
   }
 
-  /** (doc_id, whash) span-hash rows — the shared kernel of
-    * d08/d11/d12/st08 and the SketchIndex artifact build (ONE window
-    * rule, so batch, stream and index agree by construction). */
-  def spanHashRows(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, t) =>
-        spanWindowHashes(t, SpanWindow, SpanStride).map { case (_, h) => (id, h) }
-      }
-      .toDF("doc_id", "whash")
-  }
+  /** (doc_id, whash) span-hash rows — the position-free projection of
+    * spanOccurrenceRows, shared by d12/st08 and the SketchIndex
+    * artifact build. */
+  def spanHashRows(docs: DataFrame): DataFrame =
+    spanOccurrenceRows(docs).select("doc_id", "whash")
 
   /** The d12 verify stage over pre-hashed sides: bloom prefilter at
     * scan speed, exact equi-join (false positives die), per-doc
@@ -965,10 +1019,17 @@ object DedupQueries {
          |  CROSS JOIN unnest(range(0, length(text) - $SpanWindow + 1, $SpanStride)) AS t(i)
          |),
          |m AS (SELECT whash FROM w GROUP BY whash HAVING count(DISTINCT doc_id) > 1),
-         |occ AS (SELECT w.doc_id, w.pos,
+         |occ AS (SELECT w.doc_id, w.pos, w.whash,
          |        row_number() OVER (PARTITION BY w.whash ORDER BY w.doc_id, w.pos) AS rk
          |        FROM w JOIN m USING (whash)),
-         |cuts AS (SELECT doc_id, pos FROM occ WHERE rk > 1),
+         |canon AS (SELECT whash, doc_id AS cdoc, pos AS cpos FROM occ WHERE rk = 1),
+         |cuts AS (SELECT o.doc_id, o.pos FROM occ o
+         |         JOIN canon c USING (whash)
+         |         JOIN documents da ON da.doc_id = o.doc_id
+         |         JOIN documents db ON db.doc_id = c.cdoc
+         |         WHERE o.rk > 1
+         |           AND substr(da.text, CAST(o.pos AS INT) + 1, $SpanWindow) =
+         |               substr(db.text, CAST(c.cpos AS INT) + 1, $SpanWindow)),
          |ord AS (SELECT doc_id, pos,
          |        max(pos + $SpanWindow) OVER (PARTITION BY doc_id ORDER BY pos
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max

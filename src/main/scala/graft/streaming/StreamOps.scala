@@ -385,7 +385,12 @@ object StreamOps {
       .join(histHashes.select(col("whash")).distinct().withColumn("hit", lit(true)),
         Seq("whash"), "left")
       .groupBy(col("ts"), col("doc_id"))
-      .agg(size(collect_set(when(col("hit"), col("whash")))).as("n_shared_spans"))
+      // cast to LONG: d12's countDistinct emits bigint, and "the
+      // output contract stays d12's" must include the schema (a
+      // union/backfill between batch and stream forms would
+      // otherwise type-mismatch)
+      .agg(size(collect_set(when(col("hit"), col("whash")))).cast("long")
+        .as("n_shared_spans"))
       .filter(col("n_shared_spans") > 0)
       .select("doc_id", "n_shared_spans", "ts")
   }

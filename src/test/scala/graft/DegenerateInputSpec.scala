@@ -45,8 +45,23 @@ class DegenerateInputSpec extends SparkSpec {
     // through verbatim (empty doc included)
     val applied = DedupQueries.d11SpanDedupApply(spark, dir).collect()
     assert(applied.length == 4 && applied.forall(_.getLong(2) == 0L))
-    // d12 incremental: no 64-cp windows at all -> no flagged docs
+    // d12 incremental: no shared 64-cp windows -> no flagged docs
     assert(DedupQueries.d12BloomSpanIncremental(spark, dir).collect().isEmpty)
+  }
+
+  test("d12: an all-sub-window HISTORY slice must not crash the bloom build") {
+    import spark.implicits._
+    // history (doc_id%10 != 0) entirely shorter than the 64-cp
+    // window; only the batch doc is long. BloomFilter.create throws
+    // on 0 expected items — the entry guards with max(1, n).
+    val tmp = java.nio.file.Files.createTempDirectory("degen12").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta " * 4, "en", "s", 188L),
+      (1L, "short", "en", "s", 5L),
+      (2L, "also short", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    assert(DedupQueries.d12BloomSpanIncremental(spark, tmp).collect().isEmpty)
     // the empty doc contributes no tokens → absent from t12
     val lp = TextQueries.t12UnigramLogprob(spark, dir).collect()
     assert(lp.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))

@@ -194,8 +194,13 @@ class HippoDbSpec extends SparkSpec {
     val batch = docs.filter(col("doc_id") % 10 === 0)
     val n = SketchIndex.buildSpanBloom(spark, hist, dir)
     assert(n > 0)
-    // artifacts exist: the bits file + the exact-verify hash table
-    assert(new java.io.File(s"$dir/span_bloom").isFile)
+    // artifacts exist under the atomically-swapped span_index dir
+    assert(new java.io.File(s"$dir/span_index/span_bloom").isFile)
+    // rebuilding swaps cleanly over the live artifact (the crash-safe
+    // backup-rename path) and leaves no tmp/backup residue
+    assert(SketchIndex.buildSpanBloom(spark, hist, dir) == n)
+    assert(!new java.io.File(s"$dir/span_index_tmp").exists)
+    assert(!new java.io.File(s"$dir/span_index_bak").exists)
     assert(SketchIndex.loadSpanHashes(spark, dir).count() == n)
     // the loaded bloom answers for every indexed hash (no false negatives)
     val bloom = SketchIndex.loadSpanBloom(spark, dir)

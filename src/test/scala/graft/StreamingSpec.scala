@@ -282,10 +282,11 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     val got = spark.table("st08_out").select("doc_id", "n_shared_spans").collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // doc 100 shares the three aligned boilerplate windows (64/80/96);
-    // the clean doc and the short doc never appear.
-    assert(got == Map(100L -> 3), s"streamed span dedup rows: $got")
+    // the clean doc and the short doc never appear. LONG tally — the
+    // d12 schema contract.
+    assert(got == Map(100L -> 3L), s"streamed span dedup rows: $got")
     // batch/stream parity: the same batch through the shared verify
     // stage gives the same tally
     val batchForm = graft.operators.DedupQueries.bloomSpanCheck(
