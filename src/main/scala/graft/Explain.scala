@@ -86,7 +86,10 @@ object Explain {
       "d12_bloom_span_incremental" -> Seq("HashAggregate"),
       // h10: each power iteration is an edge-keyed equi-join + a
       // map-side-combining agg — no driver-side model, no cartesian
-      "h10_entity_rank" -> Seq("HashAggregate"))
+      "h10_entity_rank" -> Seq("HashAggregate"),
+      // d13: batch⋈history candidates on the narrow cell key, exact
+      // verify, per-batch-doc rollup — never batch × history
+      "d13_incremental_neardup" -> Seq("HashAggregate"))
 
     val sb = new StringBuilder
     sb.append(s"# Plan audit @ $dir\n\n")

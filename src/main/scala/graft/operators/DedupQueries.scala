@@ -109,10 +109,11 @@ object DedupQueries {
   def d02MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     d02Pairs(spark, dir).orderBy("doc_a", "doc_b")
 
-  /** The d02 near-dup pair set WITHOUT the presentation sort (d07
-    * consumes it as a graph edge list; sorting there would be wasted
-    * work under the join). */
-  def d02Pairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared MinHash blocking tables (d02/d13): the narrow
+    * (doc_id, band-cell) rows that shuffle for candidate joins, and
+    * the (doc_id, shingles) payload table for verification — both
+    * cached, since candidates and verify each read them. */
+  private def minhashTables(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val params = hashParams(NumHashes, seed = 7L)
     val sigs = Tables.documents(spark, dir)
@@ -128,30 +129,83 @@ object DedupQueries {
       struct(lit(b).as("band"), concat_ws(":", rows: _*).as("sig"))
     }
     val docShingles = sigs.select(col("doc_id"), col("shingles")).cache()
-    // Narrow (doc_id, cell) rows shuffle for the self-join; shingle
-    // payloads re-attach afterwards via the tiny candidate-pair join.
     val cells = sigs.select(col("doc_id"),
       explode(array(bandCols: _*)).as("cell"))
       .cache()
-    val candidates = cells.as("l").join(cells.as("r"),
-        col("l.cell") === col("r.cell") && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
-    // Shingle payloads re-attach by joining the TINY pair set against
-    // the cached per-doc table — no hints: at runtime AQE broadcasts
-    // the genuinely small side (the pairs), so the payload table is
-    // never broadcast and never shuffled, and the expensive candidate
-    // subtree appears exactly once in the DAG (a nest of eager
-    // broadcast builds over a shared uncached subtree recomputes it
-    // concurrently — measured 5x wall-clock at sf0.1).
+    (cells, docShingles)
+  }
+
+  /** Exact-Jaccard verification of a candidate pair set (columns
+    * `a`, `b` are doc ids): shingle payloads re-attach by joining the
+    * TINY pair set against the cached per-doc table — no hints: at
+    * runtime AQE broadcasts the genuinely small side (the pairs), so
+    * the payload table is never broadcast and never shuffled, and
+    * the expensive candidate subtree appears exactly once in the DAG
+    * (a nest of eager broadcast builds over a shared uncached
+    * subtree recomputes it concurrently — measured 5x wall-clock at
+    * sf0.1). */
+  private def verifyJaccard(candidates: DataFrame, docShingles: DataFrame,
+      a: String, b: String): DataFrame =
     candidates
-      .join(docShingles.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
-      .join(docShingles.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .join(docShingles.select(col("doc_id").as(a), col("shingles").as("sa")), a)
+      .join(docShingles.select(col("doc_id").as(b), col("shingles").as("sb")), b)
       .withColumn("j", round(
         size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb"))), 4))
       .filter(col("j") >= WordJaccardThreshold)
-      .select("doc_a", "doc_b", "j")
+      .select(col(a), col(b), col("j"))
+
+  /** The d02 near-dup pair set WITHOUT the presentation sort (d07
+    * consumes it as a graph edge list; sorting there would be wasted
+    * work under the join). */
+  def d02Pairs(spark: SparkSession, dir: String): DataFrame = {
+    val (cells, docShingles) = minhashTables(spark, dir)
+    // Narrow (doc_id, cell) rows shuffle for the self-join; shingle
+    // payloads re-attach afterwards via the tiny candidate-pair join.
+    val candidates = cells.as("l").join(cells.as("r"),
+        col("l.cell") === col("r.cell") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(candidates, docShingles, "doc_a", "doc_b")
+  }
+
+  /** d13: INCREMENTAL near-dup — d02's semantics for the [history
+    * corpus, new ingest batch] split (the d12 incremental pattern at
+    * whole-document granularity): which NEW documents are ≥ 0.8-
+    * Jaccard near-duplicates of something the corpus already holds.
+    * History = doc_id%10≠0, batch = doc_id%10=0 (the t09/d12 slice
+    * precedent).
+    *
+    * Candidates are batch cells ⋈ history cells on the narrow packed
+    * band-cell key — never batch × history — and verification keeps
+    * exact J ≥ 0.8 on the tiny candidate set (shared d02 stages). At
+    * 100 TB the history's (doc_id, cell) table is a PERSISTED
+    * artifact built once per corpus version (the SketchIndex
+    * precedent; band cells are exactly what saveEdgesBucketed-style
+    * bucketing stores pre-shuffled), so each ingest batch pays its
+    * own signatures + a sliver-sized join — both sides derive inline
+    * here so the oracle can restate the whole operator.
+    *
+    * Output is the per-batch-doc ROLLUP (how many history dups, best
+    * J) rather than raw pairs: a new doc duplicating a k-member
+    * history cluster would emit k pair rows (quadratic under
+    * mega-clusters — the d10 lesson), while the rollup is bounded by
+    * the batch size and is the actionable answer ("drop/keep this
+    * new doc"). The map-side-combining agg keeps the pair stream
+    * from ever collecting anywhere. */
+  def d13IncrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val (cells, docShingles) = minhashTables(spark, dir)
+    val bCells = cells.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("batch_doc"), col("cell"))
+    val hCells = cells.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("hist_doc"), col("cell"))
+    val candidates = bCells.join(hCells, "cell")
+      .select("batch_doc", "hist_doc")
+      .distinct()
+    verifyJaccard(candidates, docShingles, "batch_doc", "hist_doc")
+      .groupBy("batch_doc")
+      .agg(count(lit(1)).as("n_hist_dups"), max("j").as("best_j"))
+      .orderBy("batch_doc")
   }
 
   /** d03: 64-bit SimHash per doc (*rows-only*; DedupSpec asserts
@@ -920,7 +974,8 @@ object DedupQueries {
     "d09_dedup_apply" -> (d09DedupApply _),
     "d10_winnow_pairs" -> (d10WinnowPairs _),
     "d11_span_dedup_apply" -> (d11SpanDedupApply _),
-    "d12_bloom_span_incremental" -> (d12BloomSpanIncremental _))
+    "d12_bloom_span_incremental" -> (d12BloomSpanIncremental _),
+    "d13_incremental_neardup" -> (d13IncrementalNeardup _))
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup" ->
@@ -1061,6 +1116,20 @@ object DedupQueries {
          |  CAST(length(d.text) - length(coalesce(sp.new_text, d.text)) AS BIGINT) AS n_removed
          |FROM documents d LEFT JOIN spliced sp USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // d13: LSH blocking must not lose any cross-slice pair at or
+    // above the threshold — the oracle is the EXACT batch × history
+    // Jaccard (the d02 oracle bar, restricted to the slice split).
+    "d13_incremental_neardup" ->
+      s"""WITH g AS (SELECT doc_id, $wordShinglesSql AS grams FROM documents),
+         |p AS (SELECT b.doc_id AS batch_doc, h.doc_id AS hist_doc,
+         |        round(len(list_intersect(b.grams, h.grams))::DOUBLE /
+         |              len(list_distinct(b.grams || h.grams)), 4) AS j
+         |      FROM g b JOIN g h ON b.doc_id % 10 = 0 AND h.doc_id % 10 <> 0
+         |      WHERE round(len(list_intersect(b.grams, h.grams))::DOUBLE /
+         |            len(list_distinct(b.grams || h.grams)), 4) >= $WordJaccardThreshold)
+         |SELECT batch_doc, CAST(count(*) AS BIGINT) AS n_hist_dups, max(j) AS best_j
+         |FROM p GROUP BY batch_doc
+         |ORDER BY batch_doc""".stripMargin,
     // d12: the bloom prefilter is an exact-output optimization (false
     // positives die in the verify join, false negatives impossible),
     // so the oracle is the plain history⋈batch span join.

@@ -268,4 +268,15 @@ class SkewCorpusSpec extends SparkSpec {
     val kept = DedupQueries.d09DedupApply(spark, dirB).collect().map(_.getLong(0)).toSet
     assert(kept == (Set(0L) ++ (100L until 120L)), s"survivors: $kept")
   }
+
+  test("d13: mega-cluster rollup stays bounded by the batch, not the pair count") {
+    // batch members of the 100-identical cluster: ids 0,10,...,90 —
+    // each duplicates all 90 history members (J = 1.0), which would
+    // be 900 pair rows; the rollup emits exactly ONE row per
+    // contaminated batch doc. Unique batch docs (100, 110) absent.
+    val rows = DedupQueries.d13IncrementalNeardup(spark, dirB).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows.keySet == (0L until 100L by 10).toSet, rows.toString)
+    assert(rows.values.forall { case (n, j) => n == 90L && j == 1.0 }, rows.toString)
+  }
 }
