@@ -123,6 +123,15 @@ object DedupQueries {
         val sh = wordShingles(ws)
         (id, sh, minhashSig(sh, params))
       }
+      // Sub-3-word docs have NO shingles: they can never reach J ≥
+      // 0.8 (the oracle's J over an empty set is NaN → excluded), but
+      // minhashSig over nothing is the all-MinhashPrime signature, so
+      // every pair of them would collide in all 16 bands — a
+      // guaranteed quadratic candidate blowup — and their exact-J
+      // division (0/0) THROWS under Spark 4's default ANSI mode.
+      // Drop them before banding: no signature rows, no candidates,
+      // no division.
+      .filter(_._2.nonEmpty)
       .toDF("doc_id", "shingles", "mh")
     val bandCols = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand).map(r => expr(s"mh[${b * RowsPerBand + r}]"))

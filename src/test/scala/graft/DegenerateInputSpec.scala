@@ -47,13 +47,16 @@ class DegenerateInputSpec extends SparkSpec {
     assert(applied.length == 4 && applied.forall(_.getLong(2) == 0L))
     // d12 incremental: no shared 64-cp windows -> no flagged docs
     assert(DedupQueries.d12BloomSpanIncremental(spark, dir).collect().isEmpty)
+    // the empty doc contributes no tokens → absent from t12
+    val lp = TextQueries.t12UnigramLogprob(spark, dir).collect()
+    assert(lp.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
   }
 
   test("d12: an all-sub-window HISTORY slice must not crash the bloom build") {
     import spark.implicits._
     // history (doc_id%10 != 0) entirely shorter than the 64-cp
     // window; only the batch doc is long. BloomFilter.create throws
-    // on 0 expected items — the entry guards with max(1, n).
+    // on 0 expected items — the entry guards the empty-history case.
     val tmp = java.nio.file.Files.createTempDirectory("degen12").toString
     Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta " * 4, "en", "s", 188L),
@@ -62,9 +65,25 @@ class DegenerateInputSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$tmp/documents.parquet")
     assert(DedupQueries.d12BloomSpanIncremental(spark, tmp).collect().isEmpty)
-    // the empty doc contributes no tokens → absent from t12
-    val lp = TextQueries.t12UnigramLogprob(spark, dir).collect()
-    assert(lp.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("d02/d13: sub-3-word docs (no shingles) neither crash nor flood the bands") {
+    import spark.implicits._
+    // Empty shingle sets used to (a) share the all-MinhashPrime
+    // signature — every short-doc pair a guaranteed 16-band
+    // candidate — and (b) throw DIVIDE_BY_ZERO in the exact-J verify
+    // under Spark 4 ANSI. Both slices carry short docs so the d13
+    // cross-slice path is exercised too.
+    val tmp = java.nio.file.Files.createTempDirectory("degen0213").toString
+    Seq(
+      (10L, "ok", "en", "s", 2L),        // batch slice, sub-shingle
+      (11L, "hi", "en", "s", 2L),        // history slice, sub-shingle
+      (20L, "tiny pair", "en", "s", 9L), // batch, still sub-shingle
+      (21L, "alpha beta gamma delta epsilon zeta eta theta " * 4, "en", "s", 188L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    assert(DedupQueries.d02MinhashLsh(spark, tmp).collect().isEmpty)
+    assert(DedupQueries.d13IncrementalNeardup(spark, tmp).collect().isEmpty)
   }
 
   test("t11 packing: zero-token docs occupy no sequence and shift nothing") {

@@ -39,6 +39,16 @@ class ScaleSwapSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "v08 plans a BNLJ")
   }
 
+  test("d13: plan has no cartesian / BNLJ (candidates stay on the band-cell key)") {
+    // The Explain needle (HashAggregate) would stay green even if
+    // the candidate join degraded to batch × history — this NEGATIVE
+    // pin is the assertion that actually binds the scale contract.
+    val plan = physicalPlan(
+      graft.operators.DedupQueries.d13IncrementalNeardup(spark, sf001))
+    assert(!plan.contains("CartesianProduct"), "d13 plans a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "d13 plans a BNLJ")
+  }
+
   test("e01b: ANN classify prediction agreement >= 0.9 with e01 (sf0.01)") {
     val exact = ExtendedQueries.e01KnnClassify(spark, sf001)
       .select("vec_id", "pred_label").collect()
