@@ -54,7 +54,13 @@ object Splitters {
     * highest-priority separator; greedily pack pieces into chunks of
     * at most chunkSize; recurse into any piece still too large with
     * the next separator; character-split as the last resort. Pure
-    * function — used per-row from recursiveDf. */
+    * function — used per-row from recursiveDf.
+    *
+    * Positions/sizes count Java UTF-16 units (the reference's Python
+    * counts code points; the two agree on all BMP text, and astral
+    * chunks are kept valid — never split mid-surrogate-pair — by the
+    * hard-split boundary nudge). `naive` above counts code points
+    * because Spark SQL substring/length do. */
   def recursiveSplit(text: String, chunkSize: Int,
       separators: List[String] = List("\n\n", "\n", ". ", "? ", "! ", "; ", ", ", " ")): List[(String, Int, Int)] = {
 
@@ -63,8 +69,24 @@ object Splitters {
     def splitRec(start: Int, end: Int, seps: List[String]): List[(Int, Int)] =
       if (end - start <= chunkSize) List((start, end))
       else seps match {
-        case Nil => // last resort: hard character split
-          (start until end by chunkSize).map(i => (i, math.min(i + chunkSize, end))).toList
+        case Nil =>
+          // Last resort: hard character split. A boundary that lands
+          // on a LOW surrogate would tear a supplementary character
+          // (emoji, rare CJK) into two lone surrogates — invalid
+          // strings that UTF-8 sinks (parquet) corrupt to U+FFFD, so
+          // concat(chunks) would no longer reconstruct the document
+          // after a round trip. Nudge such a boundary forward one
+          // code unit (that chunk carries chunkSize+1 units — the
+          // size contract here is approximate by nature).
+          val out = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+          var s = start
+          while (s < end) {
+            var e = math.min(s + chunkSize, end)
+            if (e < end && Character.isLowSurrogate(text.charAt(e))) e += 1
+            out += ((s, e))
+            s = e
+          }
+          out.toList
         case sep :: rest =>
           val pieces = pieceSpans(start, end, sep)
           if (pieces.length == 1) splitRec(start, end, rest)

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupQueries, Splitters, TextQueries}
+
+/** Unicode/multibyte hardening — the third adversarial corpus next to
+  * DegenerateInputSpec (empty/tiny) and SkewCorpusSpec (boilerplate):
+  * CJK text and astral-plane emoji (surrogate PAIRS in Java strings,
+  * 3–4 byte sequences in UTF-8). Two failure classes are pinned:
+  *
+  *  1. Validity — no kernel may emit a LONE surrogate (a torn emoji).
+  *     Such strings silently corrupt to U+FFFD on any UTF-8 sink
+  *     (parquet), so concat-of-chunks stops reconstructing the doc.
+  *  2. Unit semantics — span/window/fingerprint positions must count
+  *     CODE POINTS (what the DuckDB oracle's substr/unicode() counts
+  *     and what the Python reference counts), not UTF-16 units.
+  */
+class UnicodeCorpusSpec extends SparkSpec {
+
+  /** True iff s survives a UTF-8 round trip byte-identically — i.e.
+    * contains no lone surrogate. */
+  private def utf8Clean(s: String): Boolean =
+    new String(s.getBytes("UTF-8"), "UTF-8") == s
+
+  private val EmojiTen = "😀😁😂🤣" +
+    "😃😄😅😆😉😊" // 10 astral cps
+
+  test("recursive hard split never tears a surrogate pair; chunks reconstruct the doc") {
+    val text = EmojiTen * 5 // 50 code points / 100 UTF-16 units, no separators at all
+    val chunks = Splitters.recursiveSplit(text, 7) // odd size: every naive boundary would tear
+    assert(chunks.nonEmpty)
+    // spans are contiguous and exact (no separators -> full coverage)
+    assert(chunks.head._2 == 0 && chunks.last._3 == text.length)
+    chunks.sliding(2).foreach { case Seq((_, _, e), (_, s, _)) => assert(s == e); case _ => }
+    chunks.foreach { case (c, s, e) =>
+      assert(c == text.substring(s, e))
+      assert(utf8Clean(c), s"chunk [$s,$e) contains a lone surrogate")
+    }
+    assert(chunks.map(_._1).mkString == text)
+  }
+
+  test("recursive chunks of an emoji corpus survive a parquet round trip byte-identically") {
+    import spark.implicits._
+    val docs = Seq((1L, EmojiTen * 9), (2L, "plain ascii text " * 12))
+      .toDF("doc_id", "text")
+    val out = Splitters.recursiveDf(spark, docs, 13)
+    val tmp = java.nio.file.Files.createTempDirectory("uni_s03").toString
+    out.write.parquet(s"$tmp/chunks.parquet")
+    val back = spark.read.parquet(s"$tmp/chunks.parquet")
+      .orderBy("doc_id", "chunk_idx").collect()
+    val reconstructed = back.filter(_.getLong(0) == 1L).map(_.getString(2)).mkString
+    assert(reconstructed == EmojiTen * 9, "parquet round trip corrupted a chunk (U+FFFD)")
+    assert(!back.exists(_.getString(2).contains('�')))
+  }
+
+  test("s01 naive (SQL substring) splits astral text by code points, chunks stay valid") {
+    import spark.implicits._
+    val text = EmojiTen * 4 // 40 code points
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val rows = Splitters.naive(docs, 7).orderBy("chunk_idx").collect()
+    assert(rows.length == 6) // ceil(40/7)
+    rows.foreach(r => assert(utf8Clean(r.getString(2))))
+    assert(rows.map(_.getString(2)).mkString == text)
+    // positions are code-point units: last end == 40, not 80
+    assert(rows.last.getAs[Number](4).longValue == 40L)
+  }
+
+  /** CJK + emoji mini-corpus through the Tables.documents schema. */
+  private lazy val uniDir: String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("uni_corpus").toString
+    Seq(
+      (1L, "你好世界 数据处理", "zh", "uni", 9L), // "hello world data-processing", 2 words of 4 cps
+      (2L, EmojiTen, "en", "uni", 10L), // one 10-cp emoji word
+      (3L, "contact me at alice@example.com 谢谢", "en", "uni", 34L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("t03 token counts are code-point based on CJK and emoji words") {
+    val rows = TextQueries.t03TokenCount(spark, uniDir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // doc 1: two 4-cp words -> 2 ws tokens, ceil(4/4)*2 = 2 bpe tokens
+    assert(rows(1L) == ((2, 2L)))
+    // doc 2: one 10-cp word -> ceil(10/4) = 3 bpe tokens (UTF-16 length 20 would give 5)
+    assert(rows(2L) == ((1, 3L)))
+  }
+
+  test("t04 fingerprint gram count is code-point based and deterministic on astral text") {
+    val a = TextQueries.t04Fingerprint(spark, uniDir).collect()
+    val b = TextQueries.t04Fingerprint(spark, uniDir).collect()
+    assert(a.toSeq == b.toSeq)
+    val byId = a.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // doc 2 has 10 code points -> 10 - 8 + 1 = 3 grams (UTF-16 would give 13)
+    assert(byId(2L) == 3L)
+  }
+
+  test("PiiScrub redacts an email embedded in CJK text without touching the CJK") {
+    import spark.implicits._
+    val out = Seq((3L, "contact me at alice@example.com 谢谢"))
+      .toDF("doc_id", "text")
+      .select(graft.functions.PiiScrub.scrub(col("text")).as("t"))
+      .head().getString(0)
+    assert(out == "contact me at [EMAIL] 谢谢")
+  }
+
+  test("d02/d13 on a spaceless-CJK corpus: no shingles, no crash, no candidates") {
+    assert(DedupQueries.d02MinhashLsh(spark, uniDir).collect().isEmpty)
+    assert(DedupQueries.d13IncrementalNeardup(spark, uniDir).collect().isEmpty)
+  }
+
+  /** Span-surgery corpus: two docs = 64 unique CJK-filler code points
+    * (stride-aligned) + one SHARED 96-cp emoji span; one unique doc. */
+  private lazy val spanDir: String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("uni_span").toString
+    val shared = EmojiTen * 9 + "😀" * 6 // 96 astral cps
+    def filler(c: Char) = c.toString * 64
+    Seq(
+      (1L, filler('甲') + shared, "zh", "uni", 160L),
+      (2L, filler('乙') + shared, "zh", "uni", 160L),
+      (3L, filler('丙') + "丁".toString * 96, "zh", "uni", 160L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("d08 finds the shared astral span at code-point positions") {
+    val rows = DedupQueries.d08SpanDedup(spark, spanDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // shared windows start at stride-aligned cp offsets 64/80/96 in both docs
+    assert(rows.toSet == Set(1L, 2L).flatMap(d => Set(64L, 80L, 96L).map(p => (d, p))))
+  }
+
+  test("d11 splices the astral span out of the non-canonical doc, output stays valid") {
+    val rows = DedupQueries.d11SpanDedupApply(spark, spanDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val shared = EmojiTen * 9 + "😀" * 6
+    // canonical (min doc_id) untouched; docs 3 untouched
+    assert(rows(1L) == ((("甲".toString * 64) + shared, 0L)))
+    assert(rows(3L)._2 == 0L)
+    // doc 2: merged cut [64,160) -> 96 code points removed, filler remains
+    assert(rows(2L) == ((("乙".toString * 64), 96L)))
+    rows.values.foreach { case (t, _) =>
+      assert(utf8Clean(t) && !t.contains('�'))
+    }
+  }
+}
