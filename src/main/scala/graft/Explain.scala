@@ -89,7 +89,12 @@ object Explain {
       "h10_entity_rank" -> Seq("HashAggregate"),
       // d13: batch⋈history candidates on the narrow cell key, exact
       // verify, per-batch-doc rollup — never batch × history
-      "d13_incremental_neardup" -> Seq("HashAggregate"))
+      "d13_incremental_neardup" -> Seq("HashAggregate"),
+      // t14: the NFC map is a narrow object pipeline over a PRUNED
+      // 2-column scan (text must be the only payload read); no
+      // shuffle except the final presentation sort
+      "t14_normalize" -> Seq("DeserializeToObject",
+        "ReadSchema: struct<doc_id:bigint,text:string>"))
 
     val sb = new StringBuilder
     sb.append(s"# Plan audit @ $dir\n\n")

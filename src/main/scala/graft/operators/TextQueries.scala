@@ -368,9 +368,44 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t14: UNICODE NORMALIZATION — the canonicalization pass curation
+    * pipelines run BEFORE any hashing/dedup/fingerprint step:
+    * decomposed "e + COMBINING ACUTE" and precomposed "é" must hash
+    * identically or every hash-keyed operator (d01/d02/d08/t04)
+    * silently treats equal texts as distinct. NFC (UAX #15) +
+    * whitespace-run collapse + trim + code-point recount.
+    *
+    * NFC has no Spark builtin, so it runs as a narrow typed map
+    * (java.text.Normalizer implements the same UAX #15 tables
+    * DuckDB's nfc_normalize does, so the engines agree exactly) with
+    * an isNormalized fast path — the common already-NFC case is a
+    * zero-allocation scan. The collapse/trim/length stay codegen'd
+    * column expressions. Scan-speed narrow map, zero shuffle —
+    * linear at 100 TB. */
+  def t14Normalize(spark: SparkSession, dir: String): DataFrame =
+    normalize(Tables.documents(spark, dir))
+
+  /** General form over any (doc_id, text) frame. */
+  def normalize(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import java.text.Normalizer
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        (id, if (Normalizer.isNormalized(t, Normalizer.Form.NFC)) t
+             else Normalizer.normalize(t, Normalizer.Form.NFC))
+      }
+      .toDF("doc_id", "nfc")
+      .select(col("doc_id"),
+        trim(regexp_replace(col("nfc"), "\\s+", " ")).as("norm_text"))
+      .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "t14_normalize" -> (t14Normalize _),
     "t01_lang_id" -> (t01LangId _),
     "t02_quality_score" -> (t02QualityScore _),
     "t03_token_count" -> (t03TokenCount _),
@@ -390,6 +425,11 @@ object TextQueries {
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($wsList))) AS INT)"
 
   val oracles: Map[String, String] = Map(
+    "t14_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')) AS norm_text,
+        |  CAST(length(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t01_lang_id" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang AS tagged_lang,

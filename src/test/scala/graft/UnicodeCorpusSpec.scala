@@ -111,6 +111,25 @@ class UnicodeCorpusSpec extends SparkSpec {
     assert(DedupQueries.d13IncrementalNeardup(spark, uniDir).collect().isEmpty)
   }
 
+  test("t14 normalize: NFC folds decomposed accents so hash-keyed dedup sees equal texts") {
+    import spark.implicits._
+    val decomposed = "Cafe\u0301  du \t Parc" // e + COMBINING ACUTE, messy whitespace
+    val precomposed = "Café du Parc"
+    val out = TextQueries.normalize(
+        Seq((1L, decomposed), (2L, precomposed), (3L, EmojiTen)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // both spellings normalize to the SAME string (the dedup precondition)
+    assert(out(1L) == out(2L) && out(1L)._1 == precomposed)
+    // n_chars_norm counts code points: "Café du Parc" = 12
+    assert(out(1L)._2 == 12L)
+    // astral text is already NFC and survives untouched (fast path)
+    assert(out(3L) == ((EmojiTen, 10L)))
+    // idempotent: normalizing the normalized output is the identity
+    val again = TextQueries.normalize(
+        Seq((1L, out(1L)._1)).toDF("doc_id", "text")).head()
+    assert(again.getString(1) == out(1L)._1)
+  }
+
   /** Span-surgery corpus: two docs = 64 unique CJK-filler code points
     * (stride-aligned) + one SHARED 96-cp emoji span; one unique doc. */
   private lazy val spanDir: String = {
