@@ -94,7 +94,12 @@ object Explain {
       // 2-column scan (text must be the only payload read); no
       // shuffle except the final presentation sort
       "t14_normalize" -> Seq("DeserializeToObject",
-        "ReadSchema: struct<doc_id:bigint,text:string>"))
+        "ReadSchema: struct<doc_id:bigint,text:string>"),
+      // p01: the five curation stages fuse into ONE plan — the
+      // normalize object pipeline, the digest-keyed dedup rank
+      // window, the map-side-combining gram join and the anti-join
+      "p01_curation_pipeline" -> Seq("DeserializeToObject", "Window",
+        "HashAggregate", "LeftAnti"))
 
     val sb = new StringBuilder
     sb.append(s"# Plan audit @ $dir\n\n")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CoreQueries, DedupQueries, ExtendedQueries, GraphQueries, MultimodalQueries, SplitterQueries, TextQueries, VectorQueries}
+import graft.operators.{CoreQueries, DedupQueries, ExtendedQueries, GraphQueries, MultimodalQueries, PipelineQueries, SplitterQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -19,6 +19,7 @@ object SparkEntry {
     CoreQueries.queries ++ GraphQueries.queries ++ VectorQueries.queries ++
       SplitterQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       MultimodalQueries.queries ++ ExtendedQueries.queries ++
+      PipelineQueries.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "e02_kmeans" -> (graft.operators.KMeans.e02Kmeans _),
         "e03_cluster_sample" -> (graft.operators.KMeans.e03ClusterSample _),
@@ -29,5 +30,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ GraphQueries.oracles ++ VectorQueries.oracles ++
       SplitterQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
-      MultimodalQueries.oracles ++ ExtendedQueries.oracles
+      MultimodalQueries.oracles ++ ExtendedQueries.oracles ++
+      PipelineQueries.oracles
 }

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** p01: the END-TO-END curation pipeline — the composition every
+  * training-data run actually executes, as ONE declarative plan:
+  *
+  *   normalize (t14) → quality band (t06) → exact dedup keep-first
+  *   (d01) → eval-set decontamination (t09) → stratified sample (t10)
+  *
+  * Each stage reuses its standalone operator's kernel/constants
+  * (nfcForm, countIn/stopwords, wordGramRows/ContamGram,
+  * SampleThresholds), so the pipeline cannot drift from the
+  * oracle-pinned pieces — and the whole chain is one Catalyst plan:
+  * Spark fuses the narrow stages (normalize map, quality predicate,
+  * sample predicate) into the same scan-side stage, the dedup rank
+  * window shuffles once on the text digest, and the decontamination
+  * gram join leaves the (small) eval side to AQE's runtime broadcast.
+  *
+  * Scale notes: the dedup window keys on md5(text) — a production
+  * corpus shuffles a 16-byte digest, never megabyte documents, and
+  * both engines agree on the hex digest so the oracle restates it
+  * verbatim. Nothing is all-pairs, nothing is collected; the one
+  * wide exchange is the digest-keyed window plus the gram join's
+  * hash shuffle — both narrow keys. Output: surviving docs with
+  * their quality metrics (the table a tokenizer consumes next).
+  */
+object PipelineQueries {
+
+  def p01CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+
+    // Stage 1 — normalize (t14 rule; shared NFC kernel + collapse).
+    val norm = docs.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, lang, t) => (id, lang, TextQueries.nfcForm(t)) }
+      .toDF("doc_id", "lang", "nfc")
+      .select(col("doc_id"), col("lang"),
+        trim(regexp_replace(col("nfc"), "\\s+", " ")).as("text"))
+
+    // Stage 2 — quality band (t06 rule, on the NORMALIZED text).
+    val scored = norm
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("n_stop", TextQueries.countIn(TextQueries.stopwords)(col("text")))
+      .withColumn("stop_ratio", round(col("n_stop") / col("n_tokens"), 4))
+      .withColumn("quality",
+        round(least(col("n_tokens") / lit(100.0), lit(1.0)) *
+          (lit(1.0) - col("n_stop") / col("n_tokens")), 4))
+      .filter(col("n_tokens").between(TextQueries.MinTokens, TextQueries.MaxTokens) &&
+        col("stop_ratio") <= TextQueries.MaxStopRatio &&
+        col("quality") >= TextQueries.MinQuality)
+
+    // Stage 3 — exact dedup, keep-first (d01 rule on the normalized
+    // text): one rank window keyed by the 16-byte digest.
+    val deduped = scored
+      .withColumn("rk",
+        row_number().over(Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
+      .filter(col("rk") === 1)
+
+    // Stage 4 — decontamination (t09 rule): survivors sharing ANY
+    // word-gram with the eval slice drop; the eval slice itself
+    // (doc_id % 100 == 0) never trains. Eval grams come from the
+    // NORMALIZED corpus pre-filter — a benchmark document is
+    // contaminating whether or not it would survive curation.
+    val train = deduped.filter(col("doc_id") % 100 =!= 0)
+    val evalGrams = TextQueries.wordGramRows(
+        norm.filter(col("doc_id") % 100 === 0),
+        TextQueries.ContamGram, Seq.empty)
+      .select("gram").distinct()
+    val contaminated = TextQueries.wordGramRows(
+        train, TextQueries.ContamGram, Seq(col("doc_id")))
+      .join(evalGrams, "gram")
+      .select("doc_id").distinct()
+    val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+
+    // Stage 5 — deterministic stratified sample (t10 rule).
+    val th = TextQueries.SampleThresholds.foldLeft(lit("1")) { case (acc, (l, t)) =>
+      when(col("lang") === l, lit(t)).otherwise(acc)
+    }
+    clean
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < th)
+      .select("doc_id", "lang", "n_tokens", "stop_ratio", "quality")
+      .orderBy("doc_id")
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "p01_curation_pipeline" -> (p01CurationPipeline _))
+
+  val oracles: Map[String, String] = {
+    val g = TextQueries.ContamGram
+    val stops = TextQueries.inList(TextQueries.stopwords)
+    val cases = TextQueries.SampleThresholds.toSeq.sorted
+      .map { case (l, t) => s"WHEN '$l' THEN '$t'" }.mkString(" ")
+    Map(
+      "p01_curation_pipeline" ->
+        s"""WITH norm AS (
+           |  SELECT doc_id, lang,
+           |    trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g')) AS text
+           |  FROM documents),
+           |scored AS (
+           |  SELECT doc_id, lang, text,
+           |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           |    CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stops))) AS INT) AS n_stop
+           |  FROM norm),
+           |q AS (
+           |  SELECT doc_id, lang, text, n_tokens,
+           |    round(n_stop / CAST(n_tokens AS DOUBLE), 4) AS stop_ratio,
+           |    round(least(n_tokens / 100.0, 1.0) * (1.0 - n_stop / CAST(n_tokens AS DOUBLE)), 4) AS quality
+           |  FROM scored),
+           |filt AS (
+           |  SELECT * FROM q
+           |  WHERE n_tokens BETWEEN ${TextQueries.MinTokens} AND ${TextQueries.MaxTokens}
+           |    AND stop_ratio <= ${TextQueries.MaxStopRatio}
+           |    AND quality >= ${TextQueries.MinQuality}),
+           |dedup AS (
+           |  SELECT * FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+           |    FROM filt) WHERE rk = 1),
+           |train AS (SELECT * FROM dedup WHERE doc_id % 100 != 0),
+           |ev AS (
+           |  SELECT DISTINCT unnest(list_transform(range(1, len(ts) - ${g - 2}),
+           |    i -> array_to_string(list_slice(ts, CAST(i AS INT),
+           |      CAST(i AS INT) + ${g - 1}), ' '))) AS gram
+           |  FROM (SELECT list_filter(string_split(text, ' '), w -> w != '') AS ts
+           |        FROM norm WHERE doc_id % 100 = 0)
+           |  WHERE len(ts) >= $g),
+           |bad AS (
+           |  SELECT DISTINCT t.doc_id FROM (
+           |    SELECT doc_id, unnest(list_transform(range(1, len(ts) - ${g - 2}),
+           |      i -> array_to_string(list_slice(ts, CAST(i AS INT),
+           |        CAST(i AS INT) + ${g - 1}), ' '))) AS gram
+           |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ts
+           |          FROM train)
+           |    WHERE len(ts) >= $g) t
+           |  JOIN ev USING (gram))
+           |SELECT doc_id, lang, n_tokens, stop_ratio, quality
+           |FROM train
+           |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+           |  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < CASE lang $cases ELSE '1' END
+           |ORDER BY doc_id""".stripMargin)
+  }
+}

@@ -21,9 +21,9 @@ object TextQueries {
     "es" -> Seq("part", "sort", "merge"),
     "zh" -> Seq("row", "join", "scan"))
 
-  private val stopwords = Seq("the", "a", "of", "to", "and")
+  private[operators] val stopwords = Seq("the", "a", "of", "to", "and")
 
-  private def countIn(words: Seq[String]) = {
+  private[operators] def countIn(words: Seq[String]) = {
     val set = typedLit(words)
     (c: org.apache.spark.sql.Column) =>
       size(filter(split(c, " "), w => array_contains(set, w)))
@@ -385,16 +385,20 @@ object TextQueries {
   def t14Normalize(spark: SparkSession, dir: String): DataFrame =
     normalize(Tables.documents(spark, dir))
 
+  /** The ONE NFC rule t14 and p01 share (a drift here would let the
+    * pipeline hash texts the standalone normalizer considers equal). */
+  private[operators] def nfcForm(t: String): String = {
+    import java.text.Normalizer
+    if (Normalizer.isNormalized(t, Normalizer.Form.NFC)) t
+    else Normalizer.normalize(t, Normalizer.Form.NFC)
+  }
+
   /** General form over any (doc_id, text) frame. */
   def normalize(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    import java.text.Normalizer
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, t) =>
-        (id, if (Normalizer.isNormalized(t, Normalizer.Form.NFC)) t
-             else Normalizer.normalize(t, Normalizer.Form.NFC))
-      }
+      .map { case (id, t) => (id, nfcForm(t)) }
       .toDF("doc_id", "nfc")
       .select(col("doc_id"),
         trim(regexp_replace(col("nfc"), "\\s+", " ")).as("norm_text"))
@@ -420,8 +424,8 @@ object TextQueries {
     "t12_unigram_logprob" -> (t12UnigramLogprob _),
     "t13_lang_report" -> (t13LangReport _))
 
-  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
-  private def sqlCount(wsList: String) =
+  private[operators] def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+  private[operators] def sqlCount(wsList: String) =
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($wsList))) AS INT)"
 
   val oracles: Map[String, String] = Map(

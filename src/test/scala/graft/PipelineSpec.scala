@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{PipelineQueries, TextQueries}
+
+/** p01 end-to-end curation pipeline — a planted corpus where every
+  * stage has exactly one designated victim, so each absence proves
+  * ITS stage did the dropping (every victim is chosen to PASS the
+  * later stages, especially the md5-nibble sample, which would
+  * otherwise mask the earlier drop).
+  *
+  * md5 first nibbles (lang=en threshold 'c'): pass = 4('a'), 6('1'),
+  * 7('8'), 9('4'), 14('a'); fail = 1('c'), 2('c'), 5('e').
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def words(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  // 60 unique tokens + café precomposed → quality 0.6, stop_ratio 0
+  private val T1 = "café " + words("wfour", 59)
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pipeline").toString
+    Seq(
+      // IN: canonical of the dup pair (nibble 'a' passes sampling)
+      (4L, T1, "en", "p", T1.length.toLong),
+      // OUT by DEDUP: same text after NFC+whitespace normalization
+      // (decomposed e + COMBINING ACUTE, doubled spaces); nibble 'a'
+      // would pass sampling, so only stage 3 can explain its absence
+      (14L, "cafe\u0301  " + words("wfour", 59), "en", "p", 0L),
+      // IN: clean unique doc (nibble '1')
+      (6L, words("wsix", 60), "en", "p", 0L),
+      // OUT by QUALITY: 10 tokens < MinTokens (nibble '8' passes)
+      (7L, words("wseven", 10), "en", "p", 0L),
+      // OUT by DECONTAMINATION: carries the eval doc's gram (nibble '4' passes)
+      (9L, words("wnine", 57) + " zebra quark nebula", "en", "p", 0L),
+      // eval slice (doc_id % 100 == 0): never trains, contaminates 9
+      (100L, "zebra quark nebula benchmark item", "en", "p", 0L),
+      // OUT by SAMPLING alone: clean doc whose nibble 'e' fails
+      (5L, words("wfive", 60), "en", "p", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("p01: each stage drops exactly its designated victim") {
+    val out = PipelineQueries.p01CurationPipeline(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(4L, 6L))
+    // the survivors carry t06's metrics computed on normalized text
+    out.foreach { r =>
+      assert(r.getInt(2) == 60) // n_tokens
+      assert(r.getDouble(4) == 0.6) // quality
+    }
+  }
+
+  test("p01: survivors are a subset of every standalone stage's survivors") {
+    val p = PipelineQueries.p01CurationPipeline(spark, sf001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(p.nonEmpty, "pipeline produced an empty corpus at sf0.01")
+    // t06 quality filter (raw text == normalized on this ASCII corpus)
+    val q = TextQueries.t06QualityFilter(spark, sf001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // t10 sample predicate
+    val s = TextQueries.t10StratifiedSample(spark, sf001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // t09's flagged docs must be absent
+    val contaminated = TextQueries.t09Decontaminate(spark, sf001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(p.subsetOf(q), "pipeline kept a doc t06 rejects")
+    assert(p.subsetOf(s), "pipeline kept a doc t10 samples out")
+    assert(p.intersect(contaminated).isEmpty, "pipeline kept a contaminated doc")
+    assert(!p.exists(_ % 100 == 0), "pipeline kept an eval-slice doc")
+  }
+}
