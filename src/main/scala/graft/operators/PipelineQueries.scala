@@ -12,51 +12,56 @@ import graft.sources.Tables
   *   normalize (t14) → quality band (t06) → exact dedup keep-first
   *   (d01) → eval-set decontamination (t09) → stratified sample (t10)
   *
-  * Each stage reuses its standalone operator's kernel/constants
-  * (nfcForm, countIn/stopwords, wordGramRows/ContamGram,
-  * SampleThresholds), so the pipeline cannot drift from the
-  * oracle-pinned pieces — and the whole chain is one Catalyst plan:
-  * Spark fuses the narrow stages (normalize map, quality predicate,
-  * sample predicate) into the same scan-side stage, the dedup rank
-  * window shuffles once on the text digest, and the decontamination
-  * gram join leaves the (small) eval side to AQE's runtime broadcast.
+  * Each stage calls its standalone operator's SHARED builder
+  * (nfcForm/collapseWs, withQualityCols/qualityBand,
+  * wordGramRows/ContamGram, samplePredicate/sampleCaseSql), so an
+  * edit to a stage's rule reaches the pipeline and the standalone
+  * operator together — there is no second copy to drift. The whole
+  * chain is one Catalyst plan: Spark fuses the narrow stages
+  * (normalize map, quality predicate, sample predicate) into the
+  * same scan-side stage, the dedup rank window shuffles once on the
+  * text digest, and the decontamination gram join leaves the (small)
+  * eval side to AQE's runtime broadcast.
   *
   * Scale notes: the dedup window keys on md5(text) — a production
   * corpus shuffles a 16-byte digest, never megabyte documents, and
   * both engines agree on the hex digest so the oracle restates it
-  * verbatim. Nothing is all-pairs, nothing is collected; the one
-  * wide exchange is the digest-keyed window plus the gram join's
-  * hash shuffle — both narrow keys. Output: surviving docs with
-  * their quality metrics (the table a tokenizer consumes next).
+  * verbatim. The eval slice is filtered from the RAW scan before its
+  * normalize pass (the predicate pushes into the reader; running the
+  * filter above the opaque NFC map would re-normalize the whole
+  * corpus a second time just to keep its 1%). Nothing is all-pairs,
+  * nothing is collected; the wide exchanges are the digest-keyed
+  * window and the gram join's hash shuffle — both narrow keys.
+  * Output: surviving docs with their quality metrics (the table a
+  * tokenizer consumes next).
   */
 object PipelineQueries {
 
-  def p01CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+  /** Stage 1 — t14's normalize keeping `lang` for the sample stage
+    * (shared NFC kernel + shared whitespace collapse). */
+  private def normStage(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-
-    // Stage 1 — normalize (t14 rule; shared NFC kernel + collapse).
-    val norm = docs.select(col("doc_id"), col("lang"), col("text"))
+    docs.select(col("doc_id"), col("lang"), col("text"))
       .as[(Long, String, String)]
       .map { case (id, lang, t) => (id, lang, TextQueries.nfcForm(t)) }
       .toDF("doc_id", "lang", "nfc")
       .select(col("doc_id"), col("lang"),
-        trim(regexp_replace(col("nfc"), "\\s+", " ")).as("text"))
+        TextQueries.collapseWs(col("nfc")).as("text"))
+  }
 
-    // Stage 2 — quality band (t06 rule, on the NORMALIZED text).
-    val scored = norm
-      .withColumn("n_tokens", size(split(col("text"), " ")))
-      .withColumn("n_stop", TextQueries.countIn(TextQueries.stopwords)(col("text")))
-      .withColumn("stop_ratio", round(col("n_stop") / col("n_tokens"), 4))
-      .withColumn("quality",
-        round(least(col("n_tokens") / lit(100.0), lit(1.0)) *
-          (lit(1.0) - col("n_stop") / col("n_tokens")), 4))
-      .filter(col("n_tokens").between(TextQueries.MinTokens, TextQueries.MaxTokens) &&
-        col("stop_ratio") <= TextQueries.MaxStopRatio &&
-        col("quality") >= TextQueries.MinQuality)
+  def p01CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+
+    // Stages 1+2 — normalize, then the t06 quality band on the
+    // NORMALIZED text (shared scoring rule + shared predicate).
+    val scored = TextQueries.withQualityCols(normStage(docs))
+      .filter(TextQueries.qualityBand)
 
     // Stage 3 — exact dedup, keep-first (d01 rule on the normalized
-    // text): one rank window keyed by the 16-byte digest.
+    // text): one rank window keyed by the 16-byte digest. Runs
+    // BEFORE the eval-slice exclusion on purpose: a training doc
+    // that exactly duplicates an eval doc must not train.
     val deduped = scored
       .withColumn("rk",
         row_number().over(Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
@@ -65,11 +70,11 @@ object PipelineQueries {
     // Stage 4 — decontamination (t09 rule): survivors sharing ANY
     // word-gram with the eval slice drop; the eval slice itself
     // (doc_id % 100 == 0) never trains. Eval grams come from the
-    // NORMALIZED corpus pre-filter — a benchmark document is
+    // normalized corpus PRE-quality-filter — a benchmark document is
     // contaminating whether or not it would survive curation.
     val train = deduped.filter(col("doc_id") % 100 =!= 0)
     val evalGrams = TextQueries.wordGramRows(
-        norm.filter(col("doc_id") % 100 === 0),
+        normStage(docs.filter(col("doc_id") % 100 === 0)),
         TextQueries.ContamGram, Seq.empty)
       .select("gram").distinct()
     val contaminated = TextQueries.wordGramRows(
@@ -78,12 +83,9 @@ object PipelineQueries {
       .select("doc_id").distinct()
     val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
 
-    // Stage 5 — deterministic stratified sample (t10 rule).
-    val th = TextQueries.SampleThresholds.foldLeft(lit("1")) { case (acc, (l, t)) =>
-      when(col("lang") === l, lit(t)).otherwise(acc)
-    }
+    // Stage 5 — deterministic stratified sample (t10's shared predicate).
     clean
-      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < th)
+      .filter(TextQueries.samplePredicate)
       .select("doc_id", "lang", "n_tokens", "stop_ratio", "quality")
       .orderBy("doc_id")
   }
@@ -96,13 +98,11 @@ object PipelineQueries {
   val oracles: Map[String, String] = {
     val g = TextQueries.ContamGram
     val stops = TextQueries.inList(TextQueries.stopwords)
-    val cases = TextQueries.SampleThresholds.toSeq.sorted
-      .map { case (l, t) => s"WHEN '$l' THEN '$t'" }.mkString(" ")
     Map(
       "p01_curation_pipeline" ->
         s"""WITH norm AS (
            |  SELECT doc_id, lang,
-           |    trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g')) AS text
+           |    ${TextQueries.NormTextSql} AS text
            |  FROM documents),
            |scored AS (
            |  SELECT doc_id, lang, text,
@@ -143,7 +143,7 @@ object PipelineQueries {
            |SELECT doc_id, lang, n_tokens, stop_ratio, quality
            |FROM train
            |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
-           |  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < CASE lang $cases ELSE '1' END
+           |  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < CASE lang ${TextQueries.sampleCaseSql} ELSE '1' END
            |ORDER BY doc_id""".stripMargin)
   }
 }

@@ -63,6 +63,11 @@ object Splitters {
     * because Spark SQL substring/length do. */
   def recursiveSplit(text: String, chunkSize: Int,
       separators: List[String] = List("\n\n", "\n", ". ", "? ", "! ", "; ", ", ", " ")): List[(String, Int, Int)] = {
+    // chunkSize reaches here from user config (AnnotatorConfig); the
+    // hard-split loop below would spin forever on a non-positive
+    // value (the pre-fix Range-based code threw on step 0) — fail
+    // fast instead of hanging an executor task.
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
 
     // Work on (start, end) spans of the ORIGINAL text so positions stay
     // exact; chunk text is always text.substring(start, end).

@@ -46,16 +46,29 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  /** t02: quality score from length/token/stopword ratios. */
-  def t02QualityScore(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"),
-        size(split(col("text"), " ")).as("n_tokens"),
-        countIn(stopwords)(col("text")).as("n_stop"))
+  /** The ONE quality-scoring rule t02/t06/p01 share (adds n_tokens,
+    * n_stop, stop_ratio, quality to any frame with a `text` column —
+    * a formula edit here reaches all three operators AND forces the
+    * oracle updates in one place). */
+  private[operators] def withQualityCols(df: DataFrame): DataFrame =
+    df.withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("n_stop", countIn(stopwords)(col("text")))
       .withColumn("stop_ratio", round(col("n_stop") / col("n_tokens"), 4))
       .withColumn("quality",
         round(least(col("n_tokens") / lit(100.0), lit(1.0)) *
           (lit(1.0) - col("n_stop") / col("n_tokens")), 4))
+
+  /** The ONE survival predicate t06/p01 share. */
+  private[operators] def qualityBand: org.apache.spark.sql.Column =
+    col("n_tokens").between(MinTokens, MaxTokens) &&
+      col("stop_ratio") <= MaxStopRatio &&
+      col("quality") >= MinQuality
+
+  /** t02: quality score from length/token/stopword ratios. */
+  def t02QualityScore(spark: SparkSession, dir: String): DataFrame =
+    withQualityCols(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"), col("text")))
+      .drop("text")
       .orderBy("doc_id")
 
   /** t03: whitespace + BPE-ish token counts (integer arithmetic only,
@@ -115,17 +128,8 @@ object TextQueries {
   val MinQuality = 0.5
 
   def t06QualityFilter(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"),
-        size(split(col("text"), " ")).as("n_tokens"),
-        countIn(stopwords)(col("text")).as("n_stop"))
-      .withColumn("stop_ratio", round(col("n_stop") / col("n_tokens"), 4))
-      .withColumn("quality",
-        round(least(col("n_tokens") / lit(100.0), lit(1.0)) *
-          (lit(1.0) - col("n_stop") / col("n_tokens")), 4))
-      .filter(col("n_tokens").between(MinTokens, MaxTokens) &&
-        col("stop_ratio") <= MaxStopRatio &&
-        col("quality") >= MinQuality)
+    withQualityCols(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .filter(qualityBand)
       .select("doc_id", "n_tokens", "stop_ratio", "quality")
       .orderBy("doc_id")
 
@@ -257,16 +261,26 @@ object TextQueries {
   val SampleThresholds: Map[String, String] =
     Map("en" -> "c", "de" -> "8", "es" -> "6", "zh" -> "4", "fr" -> "2")
 
-  def t10StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+  /** The ONE sampling predicate t10/p01 share (needs doc_id + lang),
+    * with its oracle CASE expression alongside so the two cannot
+    * drift independently. */
+  private[operators] def samplePredicate: org.apache.spark.sql.Column = {
     val th = SampleThresholds.foldLeft(lit("1")) { case (acc, (l, t)) =>
       when(col("lang") === l, lit(t)).otherwise(acc)
     }
+    substring(md5(col("doc_id").cast("string")), 1, 1) < th
+  }
+
+  private[operators] def sampleCaseSql: String =
+    SampleThresholds.toSeq.sorted
+      .map { case (l, t) => s"WHEN '$l' THEN '$t'" }.mkString(" ")
+
+  def t10StratifiedSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 1))
-      .filter(col("bucket") < th)
+      .filter(samplePredicate)
       .select("doc_id", "lang", "bucket")
       .orderBy("doc_id")
-  }
 
   /** t13: per-language CORPUS REPORT — the data-card summary every
     * curation pipeline publishes (counts, size and token-length
@@ -393,6 +407,18 @@ object TextQueries {
     else Normalizer.normalize(t, Normalizer.Form.NFC)
   }
 
+  /** Whitespace-run collapse shared by t14/p01 and their oracles — an
+    * EXPLICIT ASCII class, not `\s`: Java's `\s` matches U+000B
+    * (vertical tab) while RE2's (DuckDB's engine) does not, so `\s`
+    * on both sides silently diverges on real scraped text and the
+    * cross-engine hash gate — and worse, cross-engine dedup keys —
+    * break on the first document carrying a VT. */
+  private[operators] val WsRun = "[ \\t\\n\\x0B\\f\\r]+"
+  private[operators] val NormTextSql =
+    """trim(regexp_replace(nfc_normalize(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))"""
+  private[operators] def collapseWs(c: org.apache.spark.sql.Column) =
+    trim(regexp_replace(c, WsRun, " "))
+
   /** General form over any (doc_id, text) frame. */
   def normalize(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -400,8 +426,7 @@ object TextQueries {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) => (id, nfcForm(t)) }
       .toDF("doc_id", "nfc")
-      .select(col("doc_id"),
-        trim(regexp_replace(col("nfc"), "\\s+", " ")).as("norm_text"))
+      .select(col("doc_id"), collapseWs(col("nfc")).as("norm_text"))
       .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
       .orderBy("doc_id")
   }
@@ -430,10 +455,10 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "t14_normalize" ->
-      """SELECT doc_id,
-        |  trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')) AS norm_text,
-        |  CAST(length(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  $NormTextSql AS norm_text,
+         |  CAST(length($NormTextSql) AS BIGINT) AS n_chars_norm
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "t01_lang_id" ->
       s"""WITH scored AS (
          |  SELECT doc_id, lang AS tagged_lang,
@@ -560,15 +585,12 @@ object TextQueries {
          |FROM grams g JOIN ev ON g.gram = ev.gram
          |WHERE g.doc_id % 100 != 0
          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
-    "t10_stratified_sample" -> {
-      val cases = SampleThresholds.toSeq.sorted
-        .map { case (l, t) => s"WHEN '$l' THEN '$t'" }.mkString(" ")
+    "t10_stratified_sample" ->
       s"""SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
          |FROM documents
          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
-         |  CASE lang $cases ELSE '1' END
-         |ORDER BY doc_id""".stripMargin
-    },
+         |  CASE lang $sampleCaseSql ELSE '1' END
+         |ORDER BY doc_id""".stripMargin,
     "t11_pack_sequences" ->
       s"""WITH base AS (
          |  SELECT doc_id, CAST(list_sum(list_transform(string_split(text, ' '),

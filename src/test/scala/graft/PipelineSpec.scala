@@ -57,6 +57,16 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("p01: survivors are a subset of every standalone stage's survivors") {
+    // Precondition of the comparisons below: the sf0.01 corpus must
+    // be normalization-stable (t06/t09 below run on RAW text, the
+    // pipeline on normalized). If a regenerated corpus ever carries
+    // doubled whitespace or non-NFC accents, fail HERE with a
+    // diagnosable message, not in the subset asserts.
+    val changed = TextQueries.normalize(
+        graft.sources.Tables.documents(spark, sf001))
+      .join(graft.sources.Tables.documents(spark, sf001), "doc_id")
+      .filter(col("norm_text") =!= col("text")).count()
+    assert(changed == 0, s"sf0.01 corpus not normalization-stable ($changed docs)")
     val p = PipelineQueries.p01CurationPipeline(spark, sf001)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(p.nonEmpty, "pipeline produced an empty corpus at sf0.01")

@@ -130,6 +130,15 @@ class UnicodeCorpusSpec extends SparkSpec {
     assert(again.getString(1) == out(1L)._1)
   }
 
+  test("t14 collapses the explicit ASCII whitespace class (incl. U+000B, where Java \\s and RE2 \\s disagree)") {
+    import spark.implicits._
+    val out = TextQueries.normalize(
+        Seq((1L, "ab\t c \r\n d")).toDF("doc_id", "text"))
+      .head()
+    assert(out.getString(1) == "a b c d")
+    assert(out.getLong(2) == 7L)
+  }
+
   /** Span-surgery corpus: two docs = 64 unique CJK-filler code points
     * (stride-aligned) + one SHARED 96-cp emoji span; one unique doc. */
   private lazy val spanDir: String = {
