@@ -50,6 +50,21 @@ object PipelineQueries {
         TextQueries.collapseWs(col("nfc")).as("text"))
   }
 
+  /** The STATELESS curation subset (stages 1, 2, 5) as one per-row
+    * pass — normalize, quality band, stratified sample are each pure
+    * row functions, so this runs at scan speed with no shuffle and
+    * works unchanged under read and readStream (st09 is exactly this
+    * applied to a stream). The stateful stages — dedup (3) and
+    * decontamination (4) — key on content, not on doc_id/lang, and
+    * none of the three predicates here depends on which OTHER rows
+    * survive, so an ingest can run this first and leave 3-4 to the
+    * stateful streaming operators (st04/st06/st08) downstream. */
+  def curateStateless(docs: DataFrame): DataFrame =
+    TextQueries.withQualityCols(normStage(docs))
+      .filter(TextQueries.qualityBand)
+      .filter(TextQueries.samplePredicate)
+      .select("doc_id", "lang", "n_tokens", "stop_ratio", "quality")
+
   def p01CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
 

@@ -297,6 +297,38 @@ class StreamingSpec extends SparkSpec {
     assert(batchForm == Map(100L -> 3L))
   }
 
+  test("st09 streaming curation == batch stateless subset, incl. NFC fold on the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def words(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    // doc 4 passes everything (nibble 'a' < 'c'); doc 14 is its
+    // DECOMPOSED spelling (dedup is NOT this op's job — both pass,
+    // proving the stream normalizes before scoring: unnormalized,
+    // doc 14's doubled spaces add a phantom empty token); doc 7
+    // fails the quality band; doc 5 fails the sample coin ('e').
+    val docs = Seq(
+      (4L, "en", "café " + words("w", 59)),
+      (14L, "en", "cafe\u0301  " + words("w", 59)),
+      (7L, "en", words("w", 10)),
+      (5L, "en", words("v", 60)))
+    val stream = MemoryStream[(Long, String, String)]
+    stream.addData(docs)
+    val q = StreamOps.curationStream(
+        stream.toDF().toDF("doc_id", "lang", "text"))
+      .writeStream.format("memory").queryName("st09_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("st09_out")
+    assert(streamed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(4L, 14L))
+    // both spellings score IDENTICALLY post-normalization
+    assert(streamed.select("n_tokens", "stop_ratio", "quality").distinct().count() == 1)
+    // exact batch/stream parity: same rows through the same function
+    val batch = graft.operators.PipelineQueries.curateStateless(
+      docs.toDF("doc_id", "lang", "text"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("st07 streaming stratified sample == batch t10 predicate on same docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
