@@ -113,10 +113,19 @@ object DedupQueries {
     * (doc_id, band-cell) rows that shuffle for candidate joins, and
     * the (doc_id, shingles) payload table for verification — both
     * cached, since candidates and verify each read them. */
-  private def minhashTables(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def minhashTables(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    minhashTablesOf(Tables.documents(spark, dir))
+
+  /** The banded-signature stage over ANY (doc_id, text) frame —
+    * private[graft] so SketchIndex can persist the history side as
+    * the d13 cell-index artifact with the SAME banding rule. Both
+    * returned frames are cached; callers that persist-and-discard
+    * must unpersist them. */
+  private[graft] def minhashTablesOf(docs: DataFrame): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val params = hashParams(NumHashes, seed = 7L)
-    val sigs = Tables.documents(spark, dir)
+    val sigs = docs
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .as[(Long, Array[String])]
       .map { case (id, ws) =>
@@ -153,7 +162,7 @@ object DedupQueries {
     * (a nest of eager broadcast builds over a shared uncached
     * subtree recomputes it concurrently — measured 5x wall-clock at
     * sf0.1). */
-  private def verifyJaccard(candidates: DataFrame, docShingles: DataFrame,
+  private[graft] def verifyJaccard(candidates: DataFrame, docShingles: DataFrame,
       a: String, b: String): DataFrame =
     candidates
       .join(docShingles.select(col("doc_id").as(a), col("shingles").as("sa")), a)

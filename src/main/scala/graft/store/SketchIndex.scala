@@ -63,18 +63,7 @@ object SketchIndex {
     if (!sample.forall(back.mightContainLong))
       throw new java.io.IOException(
         s"buildSpanBloom: read-back bloom at $tmp misses indexed hashes — live artifact untouched")
-    if (fs.exists(p(bak)) && !fs.delete(p(bak), true))
-      throw new java.io.IOException(s"buildSpanBloom: could not clear stale backup $bak")
-    if (fs.exists(p(live)) && !fs.rename(p(live), p(bak)))
-      throw new java.io.IOException(s"buildSpanBloom: rename $live -> $bak failed (live untouched)")
-    if (!fs.rename(p(tmp), p(live))) {
-      val restored = !fs.exists(p(bak)) || fs.rename(p(bak), p(live))
-      throw new java.io.IOException(
-        if (restored) s"buildSpanBloom: rename $tmp -> $live failed (live restored)"
-        else s"buildSpanBloom: rename $tmp -> $live failed AND restore failed — live is at $bak")
-    }
-    if (fs.exists(p(bak)) && !fs.delete(p(bak), true))
-      throw new java.io.IOException(s"buildSpanBloom: swap succeeded but backup $bak not deleted")
+    atomicDirSwap(fs, p(live), p(tmp), p(bak), "buildSpanBloom")
     n
   }
 
@@ -98,4 +87,86 @@ object SketchIndex {
       DedupQueries.spanHashRows(batchDocs),
       loadSpanHashes(spark, dir),
       loadSpanBloom(spark, dir))
+
+  /** d13's history artifact made operational — the "cell table
+    * persists per corpus version" claim as code: the banded MinHash
+    * cell table + per-doc shingle sets of the HISTORY corpus, built
+    * once under `dir/cell_index/`, so a later ingest batch
+    * (checkBatchNeardup) hashes only ITSELF and pays a sliver-sized
+    * cell join + exact verify against the persisted tables instead
+    * of re-hashing 100 TB of history per batch. The two tables are
+    * CO-DEPENDENT (the cells band exactly the signatures whose
+    * shingle sets the verify step re-reads), so they commit
+    * atomically via the same backup-rename swap as the span index,
+    * with a read-back check that the pair covers the SAME doc set.
+    * Returns the number of indexed (shingle-bearing) documents. */
+  def buildCellIndex(spark: SparkSession, docs: DataFrame, dir: String): Long = {
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val live = s"$dir/cell_index"
+    val tmp = s"$dir/cell_index_tmp"
+    val bak = s"$dir/cell_index_bak"
+    val fs = p(live).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p(tmp)) && !fs.delete(p(tmp), true))
+      throw new java.io.IOException(s"buildCellIndex: could not clear stale tmp $tmp")
+    val (cells, shingles) = DedupQueries.minhashTablesOf(docs)
+    try {
+      cells.write.mode(SaveMode.Overwrite).parquet(s"$tmp/cells")
+      shingles.write.mode(SaveMode.Overwrite).parquet(s"$tmp/shingles")
+    } finally {
+      // minhashTablesOf caches both frames for its usual multi-read
+      // callers; a build-and-discard must release them (the v09
+      // cache-leak lesson).
+      cells.unpersist(); shingles.unpersist()
+    }
+    val cDocs = spark.read.parquet(s"$tmp/cells").select("doc_id").distinct()
+    val sDocs = spark.read.parquet(s"$tmp/shingles").select("doc_id").distinct()
+    val n = sDocs.count()
+    if (cDocs.count() != n || cDocs.except(sDocs).count() != 0)
+      throw new java.io.IOException(
+        s"buildCellIndex: persisted cells/shingles at $tmp disagree on their doc set — live artifact untouched")
+    atomicDirSwap(fs, p(live), p(tmp), p(bak), "buildCellIndex")
+    n
+  }
+
+  /** d13 against the PERSISTED index: candidates = the batch's own
+    * cells ⋈ the history cell table on the narrow cell key (never
+    * batch × history), exact-J verify over the union of the batch's
+    * in-memory shingle sets and the persisted history sets (doc ids
+    * are globally unique), then the same bounded per-batch-doc
+    * rollup. Output contract identical to d13IncrementalNeardup. */
+  def checkBatchNeardup(spark: SparkSession, dir: String, batchDocs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (bCells, bShingles) = DedupQueries.minhashTablesOf(batchDocs)
+    val candidates = bCells.select(col("doc_id").as("batch_doc"), col("cell"))
+      .join(spark.read.parquet(s"$dir/cell_index/cells")
+        .select(col("doc_id").as("hist_doc"), col("cell")), "cell")
+      .select("batch_doc", "hist_doc").distinct()
+    DedupQueries.verifyJaccard(candidates,
+        bShingles.unionByName(spark.read.parquet(s"$dir/cell_index/shingles")),
+        "batch_doc", "hist_doc")
+      .groupBy("batch_doc")
+      .agg(count(lit(1)).as("n_hist_dups"), max("j").as("best_j"))
+      .orderBy("batch_doc")
+  }
+
+  /** Atomic live/backup directory swap shared by the index builders
+    * (the HippoDb.verifiedSwap recipe at directory granularity):
+    * `tmp` must already hold the complete, verified artifact; every
+    * crash point leaves a consistent artifact at live or backup. */
+  private def atomicDirSwap(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path,
+      bak: org.apache.hadoop.fs.Path, what: String): Unit = {
+    if (fs.exists(bak) && !fs.delete(bak, true))
+      throw new java.io.IOException(s"$what: could not clear stale backup $bak")
+    if (fs.exists(live) && !fs.rename(live, bak))
+      throw new java.io.IOException(s"$what: rename $live -> $bak failed (live untouched)")
+    if (!fs.rename(tmp, live)) {
+      val restored = !fs.exists(bak) || fs.rename(bak, live)
+      throw new java.io.IOException(
+        if (restored) s"$what: rename $tmp -> $live failed (live restored)"
+        else s"$what: rename $tmp -> $live failed AND restore failed — live is at $bak")
+    }
+    if (fs.exists(bak) && !fs.delete(bak, true))
+      throw new java.io.IOException(s"$what: swap succeeded but backup $bak not deleted")
+  }
 }

@@ -216,6 +216,28 @@ class HippoDbSpec extends SparkSpec {
     assert(viaIndex == inline)
   }
 
+  test("SketchIndex: persisted near-dup cell index reproduces the inline d13 rollup") {
+    import graft.operators.DedupQueries
+    import graft.store.SketchIndex
+    val dir = Files.createTempDirectory("cellindex").toString
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val hist = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val n = SketchIndex.buildCellIndex(spark, hist, dir)
+    assert(n > 0)
+    // rebuild swaps cleanly over the live artifact, no residue
+    assert(SketchIndex.buildCellIndex(spark, hist, dir) == n)
+    assert(!new java.io.File(s"$dir/cell_index_tmp").exists)
+    assert(!new java.io.File(s"$dir/cell_index_bak").exists)
+    // the batch checked against the ARTIFACT == the inline d13 entry
+    // (the batch hashes only itself; history comes from parquet)
+    val viaIndex = SketchIndex.checkBatchNeardup(spark, dir, batch)
+      .collect().map(_.toSeq).toSeq
+    val inline = DedupQueries.d13IncrementalNeardup(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(viaIndex == inline && viaIndex.nonEmpty)
+  }
+
   test("csv and json round-trip a query result (sinks)") {
     val tmp = Files.createTempDirectory("sinks").toString
     val df = graft.operators.CoreQueries.q01PricingSummary(spark, sf0001)
