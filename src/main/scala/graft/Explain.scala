@@ -90,15 +90,16 @@ object Explain {
       // d13: batch⋈history candidates on the narrow cell key, exact
       // verify, per-batch-doc rollup — never batch × history
       "d13_incremental_neardup" -> Seq("HashAggregate"),
-      // t14: the NFC map is a narrow object pipeline over a PRUNED
-      // 2-column scan (text must be the only payload read); no
-      // shuffle except the final presentation sort
-      "t14_normalize" -> Seq("DeserializeToObject",
+      // t14: NFC runs as the NATIVE expression inside one codegen'd
+      // projection over a PRUNED 2-column scan (text must be the
+      // only payload read); no object pipeline, no shuffle except
+      // the final presentation sort
+      "t14_normalize" -> Seq("nfcnormalize",
         "ReadSchema: struct<doc_id:bigint,text:string>"),
       // p01: the five curation stages fuse into ONE plan — the
-      // normalize object pipeline, the digest-keyed dedup rank
+      // native-NFC normalize projection, the digest-keyed dedup rank
       // window, the map-side-combining gram join and the anti-join
-      "p01_curation_pipeline" -> Seq("DeserializeToObject", "Window",
+      "p01_curation_pipeline" -> Seq("nfcnormalize", "Window",
         "HashAggregate", "LeftAnti"))
 
     val sb = new StringBuilder

@@ -38,17 +38,12 @@ import graft.sources.Tables
 object PipelineQueries {
 
   /** Stage 1 — t14's normalize keeping `lang` for the sample stage
-    * (shared NFC kernel + shared whitespace collapse). */
-  private def normStage(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id"), col("lang"), col("text"))
-      .as[(Long, String, String)]
-      .map { case (id, lang, t) => (id, lang, TextQueries.nfcForm(t)) }
-      .toDF("doc_id", "lang", "nfc")
-      .select(col("doc_id"), col("lang"),
-        TextQueries.collapseWs(col("nfc")).as("text"))
-  }
+    * (the native graft_nfc expression + the shared whitespace
+    * collapse — one codegen'd projection, no object pipeline). */
+  private def normStage(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      TextQueries.collapseWs(
+        org.apache.spark.sql.graft.NfcNormalize.nfcCol(col("text"))).as("text"))
 
   /** The STATELESS curation subset (stages 1, 2, 5) as one per-row
     * pass — normalize, quality band, stratified sample are each pure

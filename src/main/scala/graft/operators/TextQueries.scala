@@ -389,23 +389,21 @@ object TextQueries {
     * silently treats equal texts as distinct. NFC (UAX #15) +
     * whitespace-run collapse + trim + code-point recount.
     *
-    * NFC has no Spark builtin, so it runs as a narrow typed map
-    * (java.text.Normalizer implements the same UAX #15 tables
-    * DuckDB's nfc_normalize does, so the engines agree exactly) with
-    * an isNormalized fast path — the common already-NFC case is a
-    * zero-allocation scan. The collapse/trim/length stay codegen'd
-    * column expressions. Scan-speed narrow map, zero shuffle —
-    * linear at 100 TB. */
+    * NFC has no Spark builtin, so it runs as the NATIVE graft_nfc
+    * expression (NfcNormalize — java.text.Normalizer implements the
+    * same UAX #15 tables DuckDB's nfc_normalize does, so the engines
+    * agree exactly) with an isNormalized fast path that returns the
+    * input UTF8String unchanged for already-NFC text. The whole
+    * operator is one codegen'd projection over a pruned scan, zero
+    * shuffle — linear at 100 TB. */
   def t14Normalize(spark: SparkSession, dir: String): DataFrame =
     normalize(Tables.documents(spark, dir))
 
-  /** The ONE NFC rule t14 and p01 share (a drift here would let the
-    * pipeline hash texts the standalone normalizer considers equal). */
-  private[operators] def nfcForm(t: String): String = {
-    import java.text.Normalizer
-    if (Normalizer.isNormalized(t, Normalizer.Form.NFC)) t
-    else Normalizer.normalize(t, Normalizer.Form.NFC)
-  }
+  /** The ONE NFC rule t14 and p01 share — delegates to the native
+    * expression's kernel (NfcNormalize), so plan-side (graft_nfc)
+    * and any JVM-kernel use normalize identically. */
+  private[operators] def nfcForm(t: String): String =
+    org.apache.spark.sql.graft.NfcNormalize.nfcString(t)
 
   /** Whitespace-run collapse shared by t14/p01 and their oracles — an
     * EXPLICIT ASCII class, not `\s`: Java's `\s` matches U+000B
@@ -419,17 +417,16 @@ object TextQueries {
   private[operators] def collapseWs(c: org.apache.spark.sql.Column) =
     trim(regexp_replace(c, WsRun, " "))
 
-  /** General form over any (doc_id, text) frame. */
-  def normalize(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, t) => (id, nfcForm(t)) }
-      .toDF("doc_id", "nfc")
-      .select(col("doc_id"), collapseWs(col("nfc")).as("norm_text"))
+  /** General form over any (doc_id, text) frame. NFC runs as the
+    * native graft_nfc expression (NfcNormalize), so the whole
+    * normalize is ONE codegen'd projection over the scan — no
+    * object pipeline, no stage split. */
+  def normalize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        collapseWs(org.apache.spark.sql.graft.NfcNormalize.nfcCol(col("text")))
+          .as("norm_text"))
       .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
       .orderBy("doc_id")
-  }
 
   type Q = (SparkSession, String) => DataFrame
 

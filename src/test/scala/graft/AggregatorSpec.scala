@@ -95,6 +95,15 @@ class AggregatorSpec extends SparkSpec {
     assert(r == 32.0)
   }
 
+  test("graft_nfc is callable from plain SQL and folds decomposed accents") {
+    // 'e' + U+0301 COMBINING ACUTE must normalize to precomposed é
+    val r = spark.sql("SELECT graft_nfc('Cafe\u0301') AS t").head().getString(0)
+    assert(r == "Caf\u00e9" && r.length == 4)
+    // null-safe + already-NFC identity
+    assert(spark.sql("SELECT graft_nfc(CAST(NULL AS STRING))").head().isNullAt(0))
+    assert(spark.sql("SELECT graft_nfc('plain ascii')").head().getString(0) == "plain ascii")
+  }
+
   test("Misra-Gries FreqSketch keeps every item above n/k at any parallelism") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -39,6 +39,12 @@ class ScaleSwapSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "v08 plans a BNLJ")
   }
 
+  test("t14: native NFC keeps normalize inside whole-stage codegen (no object pipeline)") {
+    val plan = physicalPlan(graft.operators.TextQueries.t14Normalize(spark, sf001))
+    assert(!plan.contains("DeserializeToObject"), "t14 fell back to a typed map")
+    assert(plan.contains("nfcnormalize"), "native graft_nfc missing from the plan")
+  }
+
   test("d13: plan has no cartesian / BNLJ (candidates stay on the band-cell key)") {
     // The Explain needle (HashAggregate) would stay green even if
     // the candidate join degraded to batch × history — this NEGATIVE
