@@ -116,16 +116,26 @@ object DedupQueries {
   private def minhashTables(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     minhashTablesOf(Tables.documents(spark, dir))
 
-  /** The banded-signature stage over ANY (doc_id, text) frame —
-    * private[graft] so SketchIndex can persist the history side as
-    * the d13 cell-index artifact with the SAME banding rule. Both
-    * returned frames are cached; callers that persist-and-discard
-    * must unpersist them. */
-  private[graft] def minhashTablesOf(docs: DataFrame): (DataFrame, DataFrame) = {
+  /** Band-cell projection of a signature frame — split out so the
+    * SketchIndex builder can derive cells from a PERSISTED signature
+    * pass (hashing once) with the SAME banding rule the inline
+    * operators use. */
+  private[graft] def bandCells(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => expr(s"mh[${b * RowsPerBand + r}]"))
+      struct(lit(b).as("band"), concat_ws(":", rows: _*).as("sig"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("cell"))
+  }
+
+  /** The UNCACHED signature stage over ANY (doc_id, text) frame:
+    * (doc_id, shingles, mh) — the one expensive pass (wordShingles +
+    * NumHashes universal hashes per doc). */
+  private[graft] def minhashSigs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val params = hashParams(NumHashes, seed = 7L)
-    val sigs = docs
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .as[(Long, Array[String])]
       .map { case (id, ws) =>
@@ -142,15 +152,17 @@ object DedupQueries {
       // no division.
       .filter(_._2.nonEmpty)
       .toDF("doc_id", "shingles", "mh")
-    val bandCols = (0 until Bands).map { b =>
-      val rows = (0 until RowsPerBand).map(r => expr(s"mh[${b * RowsPerBand + r}]"))
-      struct(lit(b).as("band"), concat_ws(":", rows: _*).as("sig"))
-    }
+  }
+
+  /** The banded-signature pair over ANY (doc_id, text) frame — the
+    * multi-read inline form (d02/d13): both frames cached because
+    * the candidate self-join and the verify step each re-read them.
+    * Write-once callers (SketchIndex.buildCellIndex) use minhashSigs
+    * + bandCells directly and persist instead of caching. */
+  private[graft] def minhashTablesOf(docs: DataFrame): (DataFrame, DataFrame) = {
+    val sigs = minhashSigs(docs)
     val docShingles = sigs.select(col("doc_id"), col("shingles")).cache()
-    val cells = sigs.select(col("doc_id"),
-      explode(array(bandCols: _*)).as("cell"))
-      .cache()
-    (cells, docShingles)
+    (bandCells(sigs).cache(), docShingles)
   }
 
   /** Exact-Jaccard verification of a candidate pair set (columns
@@ -164,9 +176,19 @@ object DedupQueries {
     * sf0.1). */
   private[graft] def verifyJaccard(candidates: DataFrame, docShingles: DataFrame,
       a: String, b: String): DataFrame =
+    verifyJaccard2(candidates, docShingles, docShingles, a, b)
+
+  /** Two-sided form: side `a` and side `b` resolve their shingle
+    * payloads from DIFFERENT tables (batch vs persisted history in
+    * SketchIndex.checkBatchNeardup — joining a union there would
+    * scan the 100 TB history side for batch ids too, and would
+    * double-count a re-ingested doc_id present in both). */
+  private[graft] def verifyJaccard2(candidates: DataFrame,
+      aShingles: DataFrame, bShingles: DataFrame,
+      a: String, b: String): DataFrame =
     candidates
-      .join(docShingles.select(col("doc_id").as(a), col("shingles").as("sa")), a)
-      .join(docShingles.select(col("doc_id").as(b), col("shingles").as("sb")), b)
+      .join(aShingles.select(col("doc_id").as(a), col("shingles").as("sa")), a)
+      .join(bShingles.select(col("doc_id").as(b), col("shingles").as("sb")), b)
       .withColumn("j", round(
         size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb"))), 4))

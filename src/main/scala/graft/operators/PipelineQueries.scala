@@ -13,7 +13,7 @@ import graft.sources.Tables
   *   (d01) → eval-set decontamination (t09) → stratified sample (t10)
   *
   * Each stage calls its standalone operator's SHARED builder
-  * (nfcForm/collapseWs, withQualityCols/qualityBand,
+  * (graft_nfc/collapseWs, withQualityCols/qualityBand,
   * wordGramRows/ContamGram, samplePredicate/sampleCaseSql), so an
   * edit to a stage's rule reaches the pipeline and the standalone
   * operator together — there is no second copy to drift. The whole

@@ -261,15 +261,19 @@ object TextQueries {
   val SampleThresholds: Map[String, String] =
     Map("en" -> "c", "de" -> "8", "es" -> "6", "zh" -> "4", "fr" -> "2")
 
-  /** The ONE sampling predicate t10/p01 share (needs doc_id + lang),
-    * with its oracle CASE expression alongside so the two cannot
-    * drift independently. */
-  private[operators] def samplePredicate: org.apache.spark.sql.Column = {
-    val th = SampleThresholds.foldLeft(lit("1")) { case (acc, (l, t)) =>
+  /** The ONE sampling rule t10/p01 share (threshold fold, the bucket
+    * coin, the assembled predicate, and the oracle CASE expression —
+    * all alongside so none can drift independently). */
+  private[operators] def sampleThresholdCol: org.apache.spark.sql.Column =
+    SampleThresholds.foldLeft(lit("1")) { case (acc, (l, t)) =>
       when(col("lang") === l, lit(t)).otherwise(acc)
     }
-    substring(md5(col("doc_id").cast("string")), 1, 1) < th
-  }
+
+  private[operators] def sampleBucketCol: org.apache.spark.sql.Column =
+    substring(md5(col("doc_id").cast("string")), 1, 1)
+
+  private[operators] def samplePredicate: org.apache.spark.sql.Column =
+    sampleBucketCol < sampleThresholdCol
 
   private[operators] def sampleCaseSql: String =
     SampleThresholds.toSeq.sorted
@@ -277,8 +281,11 @@ object TextQueries {
 
   def t10StratifiedSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 1))
-      .filter(samplePredicate)
+      .withColumn("bucket", sampleBucketCol)
+      // filter on the COLUMN so the md5 coin evaluates once per row
+      // (the raw predicate references only doc_id/lang and would be
+      // pushed below the projection, hashing every row twice)
+      .filter(col("bucket") < sampleThresholdCol)
       .select("doc_id", "lang", "bucket")
       .orderBy("doc_id")
 
@@ -398,12 +405,6 @@ object TextQueries {
     * shuffle — linear at 100 TB. */
   def t14Normalize(spark: SparkSession, dir: String): DataFrame =
     normalize(Tables.documents(spark, dir))
-
-  /** The ONE NFC rule t14 and p01 share — delegates to the native
-    * expression's kernel (NfcNormalize), so plan-side (graft_nfc)
-    * and any JVM-kernel use normalize identically. */
-  private[operators] def nfcForm(t: String): String =
-    org.apache.spark.sql.graft.NfcNormalize.nfcString(t)
 
   /** Whitespace-run collapse shared by t14/p01 and their oracles — an
     * EXPLICIT ASCII class, not `\s`: Java's `\s` matches U+000B

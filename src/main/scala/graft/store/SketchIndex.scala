@@ -108,16 +108,17 @@ object SketchIndex {
     val fs = p(live).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p(tmp)) && !fs.delete(p(tmp), true))
       throw new java.io.IOException(s"buildCellIndex: could not clear stale tmp $tmp")
-    val (cells, shingles) = DedupQueries.minhashTablesOf(docs)
-    try {
-      cells.write.mode(SaveMode.Overwrite).parquet(s"$tmp/cells")
-      shingles.write.mode(SaveMode.Overwrite).parquet(s"$tmp/shingles")
-    } finally {
-      // minhashTablesOf caches both frames for its usual multi-read
-      // callers; a build-and-discard must release them (the v09
-      // cache-leak lesson).
-      cells.unpersist(); shingles.unpersist()
-    }
+    // Hash ONCE: the signature pass (the dominant cost) persists to
+    // a scratch dir, and both artifacts derive from the PARQUET —
+    // no caches to leak, no second hashing pass (cells and shingles
+    // written from cached-but-unmaterialized frames would each
+    // rematerialize the signature map).
+    DedupQueries.minhashSigs(docs).write.mode(SaveMode.Overwrite).parquet(s"$tmp/_sigs")
+    val sigs = spark.read.parquet(s"$tmp/_sigs")
+    DedupQueries.bandCells(sigs).write.mode(SaveMode.Overwrite).parquet(s"$tmp/cells")
+    sigs.select("doc_id", "shingles").write.mode(SaveMode.Overwrite).parquet(s"$tmp/shingles")
+    if (!fs.delete(p(s"$tmp/_sigs"), true))
+      throw new java.io.IOException(s"buildCellIndex: could not remove scratch $tmp/_sigs")
     val cDocs = spark.read.parquet(s"$tmp/cells").select("doc_id").distinct()
     val sDocs = spark.read.parquet(s"$tmp/shingles").select("doc_id").distinct()
     val n = sDocs.count()
@@ -136,17 +137,30 @@ object SketchIndex {
     * rollup. Output contract identical to d13IncrementalNeardup. */
   def checkBatchNeardup(spark: SparkSession, dir: String, batchDocs: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val (bCells, bShingles) = DedupQueries.minhashTablesOf(batchDocs)
-    val candidates = bCells.select(col("doc_id").as("batch_doc"), col("cell"))
-      .join(spark.read.parquet(s"$dir/cell_index/cells")
-        .select(col("doc_id").as("hist_doc"), col("cell")), "cell")
-      .select("batch_doc", "hist_doc").distinct()
-    DedupQueries.verifyJaccard(candidates,
-        bShingles.unionByName(spark.read.parquet(s"$dir/cell_index/shingles")),
-        "batch_doc", "hist_doc")
-      .groupBy("batch_doc")
-      .agg(count(lit(1)).as("n_hist_dups"), max("j").as("best_j"))
-      .orderBy("batch_doc")
+    // The batch signatures feed BOTH the candidate join and the
+    // verify step — cache for the duration of this call only and
+    // return the (batch-bounded) result MATERIALIZED, so repeated
+    // per-micro-batch calls leak nothing (the v09 cache lesson).
+    val bSigs = DedupQueries.minhashSigs(batchDocs).cache()
+    try {
+      val candidates = DedupQueries.bandCells(bSigs)
+        .select(col("doc_id").as("batch_doc"), col("cell"))
+        .join(spark.read.parquet(s"$dir/cell_index/cells")
+          .select(col("doc_id").as("hist_doc"), col("cell")), "cell")
+        .select("batch_doc", "hist_doc").distinct()
+      // Two-sided verify: batch ids resolve from the in-memory batch
+      // shingles, history ids from the persisted table — the history
+      // parquet is probed once, and a re-ingested doc_id present in
+      // both worlds cannot double-count.
+      DedupQueries.verifyJaccard2(candidates,
+          bSigs.select("doc_id", "shingles"),
+          spark.read.parquet(s"$dir/cell_index/shingles"),
+          "batch_doc", "hist_doc")
+        .groupBy("batch_doc")
+        .agg(count(lit(1)).as("n_hist_dups"), max("j").as("best_j"))
+        .orderBy("batch_doc")
+        .localCheckpoint()
+    } finally bSigs.unpersist()
   }
 
   /** Atomic live/backup directory swap shared by the index builders

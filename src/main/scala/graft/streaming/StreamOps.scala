@@ -418,10 +418,10 @@ object StreamOps {
     * quality band → stratified sample) on an ingest stream, by
     * CALLING the pipeline's own builder: batch and stream forms are
     * one function, so parity holds by construction, not by test
-    * alone. Every stage is a pure row function — the NFC typed map,
-    * the quality predicate and the md5-coin sample fuse into one
-    * stateless per-row pass (no watermark, no state store, no
-    * shuffle): an always-on ingest curates at scan speed and leaves
+    * alone. Every stage is a pure row function — the native NFC
+    * expression, the quality predicate and the md5-coin sample fuse
+    * into one stateless codegen'd pass (no watermark, no state
+    * store, no shuffle): an always-on ingest curates at scan speed and leaves
     * the stateful stages — dedup, decontamination — to st04/st06/
     * st08 downstream (composed via foreachBatch like st03). */
   def curationStream(docs: DataFrame): DataFrame =
