@@ -74,6 +74,12 @@ object Demo {
       .d05EmbedNeardup(spark, dir).queryExecution.executedPlan.toString
     println(s"[demo] d05 WholeStageCodegen spans: ${"WholeStageCodegen".r.findAllIn(plan).length}")
     println(s"[demo] d05 plan uses native dotproduct: ${plan.toLowerCase.contains("dotproduct")}")
+
+    // The end-to-end curation pipeline + the native NFC expression
+    val curated = graft.operators.PipelineQueries.p01CurationPipeline(spark, dir)
+    println(s"[demo] p01 curation pipeline survivors: ${curated.count()} docs")
+    val folded = spark.sql("SELECT graft_nfc('Cafe\u0301') = 'Caf\u00e9' AS ok").head().getBoolean(0)
+    println(s"[demo] SQL graft_nfc folds decomposed accents: $folded")
     spark.stop()
   }
 }
