@@ -20,6 +20,25 @@ class LoadersSpec extends SparkSpec {
     f.getAbsolutePath
   }
 
+  test("gzip corpora load transparently (real dumps ship as .jsonl.gz / .txt.gz)") {
+    import java.util.zip.GZIPOutputStream
+    val dir = Files.createTempDirectory("graft-gz").toFile
+    dir.deleteOnExit()
+    def gz(name: String, content: String): Unit = {
+      val out = new GZIPOutputStream(new java.io.FileOutputStream(new java.io.File(dir, name)))
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    gz("a.jsonl.gz",
+      """{"text": "compressed jsonl row one", "lang": "en"}
+        |{"text": "compressed jsonl row two"}""".stripMargin)
+    gz("b.txt.gz", "a whole compressed document")
+    val jsonl = Loaders.loadJsonl(spark, s"$dir/*.jsonl.gz")
+    assert(jsonl.count() == 2)
+    assert(jsonl.columns.toSeq == Seq("doc_id", "text", "lang", "source", "n_chars"))
+    val txt = Loaders.loadText(spark, s"$dir/*.txt.gz").collect()
+    assert(txt.length == 1 && txt.head.getString(1) == "a whole compressed document")
+  }
+
   test("loadWikipediaDump: 3 pages, canonical documents schema + title") {
     val df = Loaders.loadWikipediaDump(spark, dump)
     assert(df.columns.toSeq ==
