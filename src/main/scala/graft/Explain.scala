@@ -100,7 +100,11 @@ object Explain {
       // native-NFC normalize projection, the digest-keyed dedup rank
       // window, the map-side-combining gram join and the anti-join
       "p01_curation_pipeline" -> Seq("nfcnormalize", "Window",
-        "HashAggregate", "LeftAnti"))
+        "HashAggregate", "LeftAnti"),
+      // t15: bigram vocab + prefix totals partial-aggregate
+      // map-side; scoring joins keyed by gram (never assumed
+      // broadcast — a production bigram vocab is billions of rows)
+      "t15_bigram_logprob" -> Seq("HashAggregate"))
 
     val sb = new StringBuilder
     sb.append(s"# Plan audit @ $dir\n\n")

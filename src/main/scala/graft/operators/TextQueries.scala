@@ -336,6 +336,37 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t15: BIGRAM LOG-PROBABILITY scoring — one step up the
+    * perplexity-filter ladder from t12's unigram LM (CCNet filters
+    * on a 5-gram KenLM; the bigram conditional P(w₂|w₁) =
+    * c(w₁w₂)/c(w₁·) is the smallest model that sees word ORDER, so
+    * shuffled-token soup scores low here while passing t12). Trained
+    * on the corpus itself like t12, so every scored bigram has
+    * count ≥ 1 and no smoothing mass is needed; per doc the score is
+    * mean ln P over its bigrams. Sub-2-token docs have no bigrams
+    * and are absent (the t12 empty-doc convention).
+    *
+    * Shape at 100 TB: bigrams explode via the SHARED wordGramRows
+    * kernel (one tokenization rule with t08/t09/st06); the bigram
+    * vocab is one map-side-combining groupBy; the prefix totals
+    * c(w₁·) derive from the (already reduced) vocab, not from the
+    * corpus; scoring joins KEYED BY GRAM (a production bigram vocab
+    * is billions of rows — never assume broadcast) and reduces per
+    * doc map-side. Linear, nothing collected. */
+  def t15BigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val big = wordGramRows(Tables.documents(spark, dir), 2, Seq(col("doc_id")))
+    val vocab = big.groupBy("gram").agg(count(lit(1)).as("cb"))
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+    val prefix = vocab.groupBy("w1").agg(sum("cb").as("cw"))
+    big
+      .join(vocab, "gram")
+      .join(prefix, "w1")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("cb") / col("cw"))), 4).as("logprob"))
+      .orderBy("doc_id")
+  }
+
   /** t11: SEQUENCE PACKING — the concat-and-chunk step that turns a
     * tokenized corpus into fixed-length training sequences (GPT-style
     * packing: documents concatenated in doc_id order, sliced every
@@ -445,6 +476,7 @@ object TextQueries {
     "t10_stratified_sample" -> (t10StratifiedSample _),
     "t11_pack_sequences" -> (t11PackSequences _),
     "t12_unigram_logprob" -> (t12UnigramLogprob _),
+    "t15_bigram_logprob" -> (t15BigramLogprob _),
     "t13_lang_report" -> (t13LangReport _))
 
   private[operators] def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
@@ -603,6 +635,21 @@ object TextQueries {
          |  CAST((cum - 1) // $SeqBudget AS BIGINT) AS last_seq,
          |  CAST((cum - 1) // $SeqBudget - (cum - n_tokens) // $SeqBudget + 1 AS BIGINT) AS n_seqs
          |FROM c ORDER BY doc_id""".stripMargin,
+    "t15_bigram_logprob" ->
+      """WITH big AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+        |    i -> array_to_string(list_slice(ts, CAST(i AS INT), CAST(i AS INT) + 1), ' '))) AS gram
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ts
+        |        FROM documents)
+        |  WHERE len(ts) >= 2),
+        |vocab AS (
+        |  SELECT gram, count(*) AS cb, string_split(gram, ' ')[1] AS w1
+        |  FROM big GROUP BY 1),
+        |prefix AS (SELECT w1, sum(cb) AS cw FROM vocab GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln(cb / CAST(cw AS DOUBLE))), 4) AS logprob
+        |FROM big JOIN vocab USING (gram) JOIN prefix USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t12_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w != '')) AS token

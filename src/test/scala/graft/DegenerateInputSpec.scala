@@ -36,6 +36,20 @@ class DegenerateInputSpec extends SparkSpec {
     assert(byId(3L).getInt(1) == 32)
   }
 
+  test("t15 bigram scoring: sub-2-token docs absent; word ORDER moves the score") {
+    import spark.implicits._
+    val rows = TextQueries.t15BigramLogprob(spark, dir).collect()
+    // empty (0) and 1-token (1) docs have no bigrams -> absent
+    assert(rows.map(_.getLong(0)).toSet == Set(2L, 3L))
+    // doc 3 cycles one 8-word phrase 4x: corpus-wide every first
+    // word determines its successor, so every P(w2|w1)=1 and the mean
+    // ln P is exactly 0 — maximal order-predictability, the signal
+    // t12's bag-of-words scoring cannot see
+    val d3 = rows.find(_.getLong(0) == 3L).get
+    assert(d3.getLong(1) == 31L) // 32 tokens -> 31 bigrams
+    assert(d3.getDouble(2) == 0.0, s"fully predictive doc scored ${d3.getDouble(2)}")
+  }
+
   test("t09/d10/t12: sub-gram docs drop out instead of failing") {
     // doc 0 is the eval slice and is EMPTY — no grams, no matches.
     assert(TextQueries.t09Decontaminate(spark, dir).collect().isEmpty)
