@@ -135,20 +135,11 @@ object PipelineQueries {
            |    FROM filt) WHERE rk = 1),
            |train AS (SELECT * FROM dedup WHERE doc_id % 100 != 0),
            |ev AS (
-           |  SELECT DISTINCT unnest(list_transform(range(1, len(ts) - ${g - 2}),
-           |    i -> array_to_string(list_slice(ts, CAST(i AS INT),
-           |      CAST(i AS INT) + ${g - 1}), ' '))) AS gram
-           |  FROM (SELECT list_filter(string_split(text, ' '), w -> w != '') AS ts
-           |        FROM norm WHERE doc_id % 100 = 0)
-           |  WHERE len(ts) >= $g),
+           |  SELECT DISTINCT gram FROM (
+           |  ${TextQueries.gramSql(g, "norm WHERE doc_id % 100 = 0", "")})),
            |bad AS (
            |  SELECT DISTINCT t.doc_id FROM (
-           |    SELECT doc_id, unnest(list_transform(range(1, len(ts) - ${g - 2}),
-           |      i -> array_to_string(list_slice(ts, CAST(i AS INT),
-           |        CAST(i AS INT) + ${g - 1}), ' '))) AS gram
-           |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ts
-           |          FROM train)
-           |    WHERE len(ts) >= $g) t
+           |  ${TextQueries.gramSql(g, "train", "doc_id")}) t
            |  JOIN ev USING (gram))
            |SELECT doc_id, lang, n_tokens, stop_ratio, quality
            |FROM train

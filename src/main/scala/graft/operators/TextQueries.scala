@@ -483,6 +483,21 @@ object TextQueries {
   private[operators] def sqlCount(wsList: String) =
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($wsList))) AS INT)"
 
+  /** The ONE SQL restatement of wordGramRows (tokenize + n-word-gram
+    * explode), shared by every gram-shaped oracle (t08/t09/t15 here,
+    * p01 in PipelineQueries) — wordGramRows declares tokenization
+    * "the ONE rule"; its SQL mirror must be one rule too. `src` is
+    * any relation (optionally with a WHERE clause) carrying a `text`
+    * column; `keep` is an optional projected column. */
+  private[operators] def gramSql(n: Int, src: String, keep: String): String = {
+    val k = if (keep.isEmpty) "" else s"$keep, "
+    s"""SELECT ${k}unnest(list_transform(range(1, len(ts) - ${n - 2}),
+       |    i -> array_to_string(list_slice(ts, CAST(i AS INT), CAST(i AS INT) + ${n - 1}), ' '))) AS gram
+       |  FROM (SELECT ${k}list_filter(string_split(text, ' '), w -> w != '') AS ts
+       |        FROM $src)
+       |  WHERE len(ts) >= $n""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "t14_normalize" ->
       s"""SELECT doc_id,
@@ -567,7 +582,7 @@ object TextQueries {
         |WHERE token != ''
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "t08_repetition" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ts
         |  FROM documents),
         |base AS (
@@ -575,13 +590,9 @@ object TextQueries {
         |         CAST(len(list_distinct(ts)) AS INT) AS n_distinct
         |  FROM toks),
         |g2 AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
-        |    i -> array_to_string(list_slice(ts, CAST(i AS INT), CAST(i AS INT) + 1), ' '))) AS gram
-        |  FROM toks WHERE len(ts) >= 2),
+        |  ${gramSql(2, "documents", "doc_id")}),
         |g3 AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
-        |    i -> array_to_string(list_slice(ts, CAST(i AS INT), CAST(i AS INT) + 2), ' '))) AS gram
-        |  FROM toks WHERE len(ts) >= 3),
+        |  ${gramSql(3, "documents", "doc_id")}),
         |t2 AS (SELECT doc_id, max(c) AS top2_n FROM (
         |  SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
         |t3 AS (SELECT doc_id, max(c) AS top3_n FROM (
@@ -602,12 +613,7 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin,
     "t09_decontaminate" ->
       s"""WITH grams AS (
-         |  SELECT doc_id, unnest(list_transform(range(1, len(ts) - ${ContamGram - 2}),
-         |    i -> array_to_string(list_slice(ts, CAST(i AS INT),
-         |      CAST(i AS INT) + ${ContamGram - 1}), ' '))) AS gram
-         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ts
-         |        FROM documents)
-         |  WHERE len(ts) >= $ContamGram),
+         |  ${gramSql(ContamGram, "documents", "doc_id")}),
          |ev AS (SELECT DISTINCT doc_id AS eval_doc, gram FROM grams WHERE doc_id % 100 = 0)
          |SELECT g.doc_id,
          |  CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared_grams,
@@ -636,12 +642,8 @@ object TextQueries {
          |  CAST((cum - 1) // $SeqBudget - (cum - n_tokens) // $SeqBudget + 1 AS BIGINT) AS n_seqs
          |FROM c ORDER BY doc_id""".stripMargin,
     "t15_bigram_logprob" ->
-      """WITH big AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
-        |    i -> array_to_string(list_slice(ts, CAST(i AS INT), CAST(i AS INT) + 1), ' '))) AS gram
-        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS ts
-        |        FROM documents)
-        |  WHERE len(ts) >= 2),
+      s"""WITH big AS (
+        |  ${gramSql(2, "documents", "doc_id")}),
         |vocab AS (
         |  SELECT gram, count(*) AS cb, string_split(gram, ' ')[1] AS w1
         |  FROM big GROUP BY 1),

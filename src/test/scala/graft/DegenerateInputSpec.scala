@@ -37,7 +37,6 @@ class DegenerateInputSpec extends SparkSpec {
   }
 
   test("t15 bigram scoring: sub-2-token docs absent; word ORDER moves the score") {
-    import spark.implicits._
     val rows = TextQueries.t15BigramLogprob(spark, dir).collect()
     // empty (0) and 1-token (1) docs have no bigrams -> absent
     assert(rows.map(_.getLong(0)).toSet == Set(2L, 3L))

@@ -23,9 +23,11 @@ class LoadersSpec extends SparkSpec {
   test("gzip corpora load transparently (real dumps ship as .jsonl.gz / .txt.gz)") {
     import java.util.zip.GZIPOutputStream
     val dir = Files.createTempDirectory("graft-gz").toFile
-    dir.deleteOnExit()
+    dir.deleteOnExit() // only effective once the files below register too
     def gz(name: String, content: String): Unit = {
-      val out = new GZIPOutputStream(new java.io.FileOutputStream(new java.io.File(dir, name)))
+      val f = new java.io.File(dir, name)
+      f.deleteOnExit()
+      val out = new GZIPOutputStream(new java.io.FileOutputStream(f))
       try out.write(content.getBytes("UTF-8")) finally out.close()
     }
     gz("a.jsonl.gz",
