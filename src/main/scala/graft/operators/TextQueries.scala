@@ -353,17 +353,27 @@ object TextQueries {
     * corpus; scoring joins KEYED BY GRAM (a production bigram vocab
     * is billions of rows — never assume broadcast) and reduces per
     * doc map-side. Linear, nothing collected. */
-  def t15BigramLogprob(spark: SparkSession, dir: String): DataFrame = {
-    val big = wordGramRows(Tables.documents(spark, dir), 2, Seq(col("doc_id")))
-    val vocab = big.groupBy("gram").agg(count(lit(1)).as("cb"))
+  /** The bigram LM trained on `docs`: (gram, ln P(w₂|w₁)) — t15's
+    * model stage, shared with the streaming scorer (st10) so batch
+    * and ingest-time scoring use ONE estimation rule. Two map-side-
+    * combining aggs; the prefix totals reduce the already-small
+    * vocab, never the corpus. */
+  private[graft] def bigramModel(docs: DataFrame): DataFrame = {
+    val vocab = wordGramRows(docs, 2, Seq.empty)
+      .groupBy("gram").agg(count(lit(1)).as("cb"))
       .withColumn("w1", split(col("gram"), " ").getItem(0))
     val prefix = vocab.groupBy("w1").agg(sum("cb").as("cw"))
-    big
-      .join(vocab, "gram")
-      .join(prefix, "w1")
+    vocab.join(prefix, "w1")
+      .select(col("gram"), log(col("cb") / col("cw")).as("lp"))
+  }
+
+  def t15BigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    wordGramRows(docs, 2, Seq(col("doc_id")))
+      .join(bigramModel(docs), "gram")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(log(col("cb") / col("cw"))), 4).as("logprob"))
+        round(avg(col("lp")), 4).as("logprob"))
       .orderBy("doc_id")
   }
 

@@ -427,6 +427,45 @@ object StreamOps {
   def curationStream(docs: DataFrame): DataFrame =
     graft.operators.PipelineQueries.curateStateless(docs)
 
+  /** st10: STREAMING bigram quality scoring — t15's signal at ingest
+    * time, scored against a STATIC history LM rather than the batch
+    * itself (an always-on pipeline cannot retrain per micro-batch;
+    * it scores arrivals against the corpus LM and refreshes the
+    * model per corpus version, the SketchIndex cadence). The model
+    * comes from the SHARED TextQueries.bigramModel, so batch and
+    * stream scoring use one estimation rule; the stream side is the
+    * shared wordGramRows explode + a stream-static LEFT join
+    * (stateless on the stream side — the d02/st06 precedent) and a
+    * watermark-finalized per-doc reduction.
+    *
+    * Unlike the self-trained t15, a history LM has OOV bigrams:
+    * unmatched grams are EXCLUDED from the mean (avg ignores nulls)
+    * and surfaced as n_bigrams vs n_known — novelty is a signal of
+    * its own (high OOV = out-of-domain or garbled), and the
+    * downstream filter policy decides with both numbers visible.
+    * Works unchanged under read and readStream (spec proves exact
+    * batch/stream parity).
+    *
+    * Watermark caveat (shared with st06, same root cause as st08):
+    * wordGramRows' size filter is pushed below the watermark node,
+    * so a micro-batch consisting ENTIRELY of sub-2-token documents
+    * does not advance the watermark; finalization waits for the
+    * next batch carrying a gram-bearing document. */
+  def bigramScoreStream(docs: DataFrame, model: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.operators.TextQueries.wordGramRows
+    wordGramRows(
+        docs.withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", watermark),
+        2, Seq(col("ts"), col("doc_id")))
+      .join(model, Seq("gram"), "left")
+      .groupBy(col("ts"), col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("lp")).as("n_known"),
+        round(avg(col("lp")), 4).as("logprob"))
+      .select("doc_id", "n_bigrams", "n_known", "logprob", "ts")
+  }
+
   /** Flush helper for specs/batch use: ALL sessions (incl. the
     * still-open last one per user), with the same start-time-derived
     * session ids the streaming form emits. */

@@ -329,6 +329,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("st10 streaming bigram scoring == batch form; OOV bigrams excluded but counted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // history LM: a cyclic phrase, fully predictive
+    val hist = Seq((100L, "alpha beta gamma alpha beta gamma alpha beta"))
+      .toDF("doc_id", "text")
+    val model = graft.operators.TextQueries.bigramModel(hist).cache()
+    // batch arrivals: one in-domain doc, one with a NOVEL bigram
+    val arrivals = Seq(
+      (t0, 1L, "alpha beta gamma alpha"),  // 3 bigrams, all known
+      (t0, 2L, "alpha beta zeta alpha"))   // "beta zeta"/"zeta alpha" OOV
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    stream.addData(arrivals)
+    val q = StreamOps.bigramScoreStream(
+        stream.toDF().toDF("ts", "doc_id", "text"), model)
+      .writeStream.format("memory").queryName("st10_out")
+      .outputMode("append").start()
+    try {
+      // advance the watermark so t0's rows finalize in append mode —
+      // the advancing doc needs >= 2 tokens: wordGramRows' size
+      // filter is pushed BELOW the watermark node (the st08 lesson),
+      // so a sub-gram doc would never reach the event-time stats
+      stream.addData(Seq((java.sql.Timestamp.valueOf("2024-01-01 03:00:00"), 9L, "late probe")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("st10_out")
+      .select("doc_id", "n_bigrams", "n_known", "logprob").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: P(beta|alpha)=1, P(gamma|beta)=1, P(alpha|gamma)=1 -> mean ln P = 0
+    assert(got(1L) == ((3L, 3L, 0.0)))
+    // doc 2: 3 bigrams, only "alpha beta" known (ln 1 = 0); 2 OOV excluded
+    assert(got(2L) == ((3L, 1L, 0.0)))
+    // exact batch/stream parity: same function over the same rows
+    val batch = StreamOps.bigramScoreStream(
+        arrivals.toDF("ts", "doc_id", "text"), model)
+      .select("doc_id", "n_bigrams", "n_known", "logprob").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(batch == got)
+    model.unpersist()
+  }
+
   test("st07 streaming stratified sample == batch t10 predicate on same docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
