@@ -23,7 +23,8 @@ object SparkEntry {
       Map[String, (SparkSession, String) => DataFrame](
         "e02_kmeans" -> (graft.operators.KMeans.e02Kmeans _),
         "e03_cluster_sample" -> (graft.operators.KMeans.e03ClusterSample _),
-        "v09_ann_pq" -> (graft.operators.Pq.v09AnnPq _))
+        "v09_ann_pq" -> (graft.operators.Pq.v09AnnPq _),
+        "v10_ann_ivfpq" -> (graft.operators.IvfPq.v10AnnIvfPq _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

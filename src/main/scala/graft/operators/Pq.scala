@@ -41,7 +41,7 @@ object Pq {
   val K = 16       // centroids per subspace (4-bit codes)
   val Rerank = 8   // candidate pool = Rerank × k, re-ranked exactly
 
-  private def argmin(cb: Array[Array[Double]], v: Array[Double], off: Int): Int = {
+  private[operators] def argmin(cb: Array[Array[Double]], v: Array[Double], off: Int): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < cb.length) {
@@ -155,10 +155,18 @@ object Pq {
       .toDF("vec_id", "approx_cos")
       .orderBy(col("approx_cos").desc, col("vec_id"))
       .limit(rerank * k)
-    // The query vector is already on the driver (qv) — rebuild it as
-    // a literal column instead of re-filtering `emb`, which on the
-    // persisted serving path would cost a SECOND full embeddings
-    // scan per query just to re-fetch one row.
+    exactRerank(pool, emb, qv, k)
+  }
+
+  /** The exact re-rank tail shared by every ADC pipeline (flat PQ
+    * here, IVFADC in [[IvfPq]]): equi-join the bounded pool back to
+    * the embeddings by vec_id and order by TRUE cosine. The query
+    * vector is already on the driver (qv) — rebuilt as a literal
+    * column instead of re-filtering `emb`, which on the persisted
+    * serving path would cost a SECOND full embeddings scan per query
+    * just to re-fetch one row. */
+  private[operators] def exactRerank(pool: DataFrame, emb: DataFrame,
+      qv: Array[Double], k: Int): DataFrame = {
     val qCol = array(qv.toIndexedSeq.map(lit): _*)
     pool.join(emb.select(col("vec_id"), col("v")), "vec_id")
       .select(col("vec_id"), cosineNative6(col("v"), qCol).as("cos"))

@@ -185,6 +185,36 @@ class HippoDbSpec extends SparkSpec {
     assert(byVec == got)
   }
 
+  test("VectorIndex IVFADC: build -> persist -> query == in-memory; probe prunes partitions; pool is top-k") {
+    import graft.functions.VectorFunctions._
+    import graft.operators.{IvfPq, Pq}
+    import graft.store.VectorIndex
+    val dir = Files.createTempDirectory("ivfpqindex").toString
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    VectorIndex.buildIvfPq(spark, e, dir)
+    // artifact shapes: one code row per vector with M codes, the
+    // directory partitioned by coarse cell, metadata echo present
+    val codes = spark.read.parquet(s"$dir/ivfpq_codes")
+    assert(codes.count() == e.count())
+    assert(codes.select(max(size(col("codes")))).head().getInt(0) == Pq.M)
+    assert(Files.readString(java.nio.file.Paths.get(s"$dir/ivfpq.json"))
+      .contains("graft-ivfpq-v1"))
+    // the serving query: partition-pruned scan + bounded ADC pool
+    val fromIndex = VectorIndex.annIvfPq(spark, dir, e, queryVecId = 0, k = 10)
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"IVFADC probe must prune partitions, plan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ADC pool must be top-k, never a full sort, plan:\n$plan")
+    // persisted == in-memory (KMeans + Pq.train are deterministic and
+    // both paths score through IvfPq.adcCellTopK)
+    val got = fromIndex.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inMemory = IvfPq.annIvfPq(spark, e, queryVecId = 0, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == inMemory, s"index: $got vs in-memory: $inMemory")
+  }
+
   test("SketchIndex: persisted span bloom reproduces the inline d12 output") {
     import graft.operators.DedupQueries
     import graft.store.SketchIndex

@@ -131,4 +131,44 @@ class VectorSpec extends SparkSpec {
     assert(codes.forall(c => c.length == Pq.M && c.forall(x => x >= 0 && x < Pq.K)))
     assert(enc.count() == n)
   }
+
+  test("IVFADC: all-probe full-pool == brute force; default probes keep recall; residual codes cover the corpus") {
+    import graft.operators.IvfPq
+    import graft.operators.Pq
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val brute = VectorQueries.v01KnnFacts(spark, sf0001)
+      .collect().map(_.getLong(0))
+    // Probing every cell with a corpus-sized pool degenerates to
+    // exact brute force: the coarse routing loses nothing and the
+    // exact re-rank erases quantization error — pins the whole
+    // residual + cell-offset arithmetic at once (a wrong q·c(cell)
+    // offset or residual table would mis-steer SOME pool).
+    val n = e.count().toInt
+    val full = IvfPq.annIvfPq(spark, e, queryVecId = 0, k = 10,
+        nProbe = IvfPq.Cells, rerank = n / 10 + 1)
+      .collect().map(_.getLong(0))
+    assert(full.sameElements(brute), "all-probe full-pool IVFADC differs from brute force")
+    // Defaults (4/16 cells probed, pool Rerank×k): both pruning
+    // levers on — recall floor matches the component indexes'.
+    val ann = IvfPq.v10AnnIvfPq(spark, sf0001).collect().map(_.getLong(0)).toSet
+    val recall = brute.toSet.intersect(ann).size.toDouble / brute.length
+    info(s"IVFADC recall@10 (probe ${IvfPq.Probe}/${IvfPq.Cells}, pool ${Pq.Rerank}x10) = $recall")
+    assert(recall >= 0.5, s"recall $recall too low")
+    // Encoding contract: every corpus vector carries M in-range codes
+    // and its ORIGINAL norm (not the residual's — cosine needs |v|).
+    val (assigned, centroids, _) =
+      graft.operators.KMeans.fit(spark, e, IvfPq.Cells, 2, trackInertia = false)
+    val res = IvfPq.residuals(spark, e, assigned, centroids)
+    val enc = IvfPq.encodeResiduals(spark, res, Pq.train(spark, res))
+    assert(enc.count() == n)
+    val rows = enc.select("vec_id", "codes", "norm").collect()
+    assert(rows.forall(r => r.getSeq[Int](1).length == Pq.M &&
+      r.getSeq[Int](1).forall(x => x >= 0 && x < Pq.K)))
+    val norms = e.select(col("vec_id"),
+        sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)).as("n2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.forall(r => math.abs(r.getDouble(2) - norms(r.getLong(0))) < 1e-9),
+      "stored norm must be the original vector's, not the residual's")
+  }
 }
