@@ -187,6 +187,49 @@ object GraphQueries {
       .orderBy("entity")
   }
 
+  val CommIters = 3
+
+  /** h11: COMMUNITY DETECTION — synchronous label propagation
+    * (Raghavan et al. 2007) over the same entity co-occurrence graph
+    * h10 ranks. The complement of PageRank for a graph memory:
+    * rank says which entities matter, communities say which belong
+    * TOGETHER (topic clusters for retrieval scoping, candidate
+    * blocks for entity resolution). Each entity starts as its own
+    * label; each round it adopts the most frequent label among its
+    * neighbours, ties broken by the lexicographically smallest label
+    * — that tie-break makes synchronous LPA fully deterministic, so
+    * the DuckDB oracle (the same rounds unrolled with a row_number
+    * pick) hash-matches exactly, no floats involved.
+    *
+    * Scale shape: pair generation is h02's bounded fact-keyed
+    * self-join; each round is one edge-keyed join plus two keyed
+    * aggs with map-side partials (the per-(node,label) count, then
+    * the per-node argmax via min(struct(-cnt, label)) — no window,
+    * no skew pile-up on one task). Labels live in a DataFrame, never
+    * on the driver; a fixed small round count (3, the h10
+    * convention) keeps the linear plan growth under the
+    * no-lineage-cut threshold the d07 rule sets for fixpoint loops. */
+  def h11Communities(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val g = e.select(col("fact_id"), col("entity").as("src"))
+      .join(e.select(col("fact_id"), col("entity").as("dst")), "fact_id")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+      .cache()
+    var lab = g.select(col("src").as("entity")).distinct()
+      .withColumn("label", col("entity"))
+    for (_ <- 0 until CommIters) {
+      lab = g.join(lab.withColumnRenamed("entity", "dst"), "dst")
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("src")
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("src").as("entity"), col("m.l").as("label"))
+    }
+    lab.select(col("entity"), col("label").as("community"))
+      .orderBy("entity")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -199,7 +242,8 @@ object GraphQueries {
     "h07_integrity_check" -> (h07IntegrityCheck _),
     "h08_neighbour_facts" -> (h08NeighbourFacts _),
     "h09_khop_neighbours" -> (h09KhopNeighbours _),
-    "h10_entity_rank" -> (h10EntityRank _))
+    "h10_entity_rank" -> (h10EntityRank _),
+    "h11_communities" -> (h11Communities _))
 
   private val probeList = ProbeUnion.map(e => s"'$e'").mkString(", ")
 
@@ -289,5 +333,34 @@ object GraphQueries {
          |       FROM g JOIN r2 ON g.src = r2.entity JOIN deg ON g.src = deg.src
          |       GROUP BY g.dst)
          |SELECT entity, round(rank, 6) AS rank FROM r3
+         |ORDER BY entity""".stripMargin,
+    // h11: the SAME three label-propagation rounds unrolled; the
+    // row_number pick (cnt DESC, label ASC) is exactly Spark's
+    // min(struct(-cnt, label)) argmax — pure strings/ints, so the
+    // hash compare is float-free.
+    "h11_communities" ->
+      s"""WITH e AS ($edgesSql),
+         |g AS (SELECT DISTINCT a.entity AS src, b.entity AS dst
+         |      FROM e a JOIN e b ON a.fact_id = b.fact_id AND a.entity <> b.entity),
+         |l0 AS (SELECT src AS entity, src AS label FROM (SELECT DISTINCT src FROM g)),
+         |c1 AS (SELECT g.src, l0.label, count(*) AS cnt
+         |       FROM g JOIN l0 ON g.dst = l0.entity GROUP BY 1, 2),
+         |l1 AS (SELECT src AS entity, label FROM (
+         |         SELECT src, label, row_number() OVER (
+         |           PARTITION BY src ORDER BY cnt DESC, label) AS rn FROM c1)
+         |       WHERE rn = 1),
+         |c2 AS (SELECT g.src, l1.label, count(*) AS cnt
+         |       FROM g JOIN l1 ON g.dst = l1.entity GROUP BY 1, 2),
+         |l2 AS (SELECT src AS entity, label FROM (
+         |         SELECT src, label, row_number() OVER (
+         |           PARTITION BY src ORDER BY cnt DESC, label) AS rn FROM c2)
+         |       WHERE rn = 1),
+         |c3 AS (SELECT g.src, l2.label, count(*) AS cnt
+         |       FROM g JOIN l2 ON g.dst = l2.entity GROUP BY 1, 2),
+         |l3 AS (SELECT src AS entity, label FROM (
+         |         SELECT src, label, row_number() OVER (
+         |           PARTITION BY src ORDER BY cnt DESC, label) AS rn FROM c3)
+         |       WHERE rn = 1)
+         |SELECT entity, label AS community FROM l3
          |ORDER BY entity""".stripMargin)
 }
