@@ -377,6 +377,89 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** SQL-ntile bucket for 0-based rank r of n rows into k buckets:
+    * first n%k buckets take ⌈n/k⌉ rows, the rest ⌊n/k⌋ — the exact
+    * ntile() rule both engines implement. */
+  private def ntileOf(r: Long, n: Long, k: Int): Int = {
+    val base = n / k; val rem = n % k
+    val b =
+      if (base == 0) r + 1
+      else if (r < rem * (base + 1)) r / (base + 1) + 1
+      else rem + (r - rem * (base + 1)) / base + 1
+    b.toInt
+  }
+
+  /** t16: PERPLEXITY BUCKETING — CCNet's head/middle/tail split
+    * (Wenzek et al. 2020 §4.3): within each language, rank documents
+    * by LM score and cut into terciles; curation then keeps "head"
+    * (most in-distribution), samples "middle", drops or down-weights
+    * "tail". The score is the shared t15 bigram-LM kernel
+    * (bigramModel — one estimation rule with t15/st10), ROUNDED to
+    * the oracle precision BEFORE ranking so both engines order
+    * identical doubles (t15's green hash gate is what licenses
+    * this); ties break by doc_id. Sub-2-token docs have no bigrams
+    * and are absent, the t12/t15 convention.
+    *
+    * The scale-defining choice: exact per-lang ntile WITHOUT
+    * `Window.partitionBy(lang)` — that window funnels each
+    * language's whole corpus through ONE task (the q13 buffer
+    * lesson; a real corpus is 40% one language). Instead the t11
+    * two-pass prefix machinery, generalized per-group:
+    * range-repartition by the rank key (lang, -logprob, doc_id),
+    * pass 1 reduces each partition to per-lang counts (O(partitions
+    * × langs) driver traffic), pass 2 streams each partition once
+    * with broadcast rank offsets and emits the position-exact ntile
+    * bucket. Per-row work is O(1), no per-lang funnel, and the
+    * result is partitioning-invariant because range partitions are
+    * ordered and disjoint. */
+  def t16PplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val rows = wordGramRows(docs, 2, Seq(col("doc_id")))
+      .join(bigramModel(docs), "gram")
+      .groupBy("doc_id")
+      .agg(round(avg(col("lp")), 4).as("logprob"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("logprob"))
+      .repartitionByRange(col("lang"), col("logprob").desc, col("doc_id"))
+      .sortWithinPartitions(col("lang"), col("logprob").desc, col("doc_id"))
+      .as[(Long, String, Double)]
+    // Both passes share ONE RDD object: the range-partitioner bounds
+    // are sampled once, so pass-2 rows sit exactly where pass 1
+    // counted them (the t11 invariant).
+    val rdd = rows.rdd
+    val partCounts = rdd.mapPartitionsWithIndex { (i, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (_, lang, _) => m.update(lang, m.getOrElse(lang, 0L) + 1L) }
+      Iterator((i, m.toMap))
+    }.collect().sortBy(_._1).map(_._2)
+    val running = scala.collection.mutable.Map.empty[String, Long]
+    val offsets = partCounts.map { m =>
+      val snap = running.toMap
+      m.foreach { case (l, c) => running.update(l, running.getOrElse(l, 0L) + c) }
+      snap
+    }
+    val totals = running.toMap
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcTot = spark.sparkContext.broadcast(totals)
+    rdd.mapPartitionsWithIndex { (i, it) =>
+      val off = bcOff.value(i)
+      var curLang: String = null
+      var r = 0L
+      it.map { case (id, lang, lp) =>
+        if (lang != curLang) { curLang = lang; r = off.getOrElse(lang, 0L) }
+        val b = ntileOf(r, bcTot.value(lang), 3)
+        r += 1
+        (id, lang, lp, b)
+      }
+    }.toDF("doc_id", "lang", "logprob", "b")
+      .withColumn("bucket",
+        when(col("b") === 1, "head").when(col("b") === 2, "middle")
+          .otherwise("tail"))
+      .select("doc_id", "lang", "logprob", "bucket")
+      .orderBy("doc_id")
+  }
+
   /** t11: SEQUENCE PACKING — the concat-and-chunk step that turns a
     * tokenized corpus into fixed-length training sequences (GPT-style
     * packing: documents concatenated in doc_id order, sliced every
@@ -487,6 +570,7 @@ object TextQueries {
     "t11_pack_sequences" -> (t11PackSequences _),
     "t12_unigram_logprob" -> (t12UnigramLogprob _),
     "t15_bigram_logprob" -> (t15BigramLogprob _),
+    "t16_ppl_buckets" -> (t16PplBuckets _),
     "t13_lang_report" -> (t13LangReport _))
 
   private[operators] def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
@@ -662,6 +746,26 @@ object TextQueries {
         |  round(avg(ln(cb / CAST(cw AS DOUBLE))), 4) AS logprob
         |FROM big JOIN vocab USING (gram) JOIN prefix USING (w1)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // t16: ntile over the ROUND-4 t15 score — both engines rank the
+    // same rounded doubles (t15's hash gate licenses the rounding),
+    // ties broken by doc_id; ntile's first-buckets-larger rule is
+    // what ntileOf mirrors.
+    "t16_ppl_buckets" ->
+      s"""WITH big AS (
+        |  ${gramSql(2, "documents", "doc_id")}),
+        |vocab AS (
+        |  SELECT gram, count(*) AS cb, string_split(gram, ' ')[1] AS w1
+        |  FROM big GROUP BY 1),
+        |prefix AS (SELECT w1, sum(cb) AS cw FROM vocab GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, round(avg(ln(cb / CAST(cw AS DOUBLE))), 4) AS logprob
+        |  FROM big JOIN vocab USING (gram) JOIN prefix USING (w1)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, lang, logprob,
+        |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY logprob DESC, doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM scored JOIN documents USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "t12_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w != '')) AS token

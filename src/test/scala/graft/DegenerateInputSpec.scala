@@ -99,6 +99,30 @@ class DegenerateInputSpec extends SparkSpec {
     assert(DedupQueries.d13IncrementalNeardup(spark, tmp).collect().isEmpty)
   }
 
+  test("t16 buckets: singleton langs are head; distributed ntile is partitioning-invariant") {
+    // degenerate corpus: each scoreable doc is alone in its lang →
+    // n=1 per lang, ntile puts it in bucket 1 (head); sub-2-token
+    // docs are absent (the t15 convention)
+    val degen = TextQueries.t16PplBuckets(spark, dir).collect()
+    assert(degen.map(_.getLong(0)).toSet == Set(2L, 3L))
+    assert(degen.forall(_.getString(3) == "head"))
+    // the two-pass rank must not depend on how the range shuffle
+    // splits: same rows under a different partition count
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val a = TextQueries.t16PplBuckets(spark, sf0001).collect().map(_.toSeq).toSeq
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", 7)
+      val b = TextQueries.t16PplBuckets(spark, sf0001).collect().map(_.toSeq).toSeq
+      assert(a == b, "t16 result varies with shuffle partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    // tercile balance: per lang, bucket sizes differ by at most 1
+    val sizes = a.groupBy(r => (r(1), r(3))).view.mapValues(_.size).toMap
+    a.map(_(1)).distinct.foreach { lang =>
+      val s = Seq("head", "middle", "tail").map(b => sizes.getOrElse((lang, b), 0))
+      assert(s.max - s.min <= 1, s"unbalanced terciles for $lang: $s")
+    }
+  }
+
   test("t11 packing: zero-token docs occupy no sequence and shift nothing") {
     val rows = TextQueries.t11PackSequences(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
