@@ -40,24 +40,38 @@ object IvfPq {
   val Cells = VectorQueries.IvfCells // coarse cells (16)
   val Probe = VectorQueries.IvfProbe // cells probed per query (4)
 
-  /** Residual rows (vec_id, cluster, v = v − c(cluster), norm = |v|):
-    * the training/encoding input. One narrow typed map over the
-    * assigned corpus — the centroid model rides in as a broadcast.
-    * The stored norm is the ORIGINAL vector's (cosine needs |v|; the
-    * residual's norm is useless after reconstruction). */
-  private[graft] def residuals(spark: SparkSession, e: DataFrame,
-      assigned: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+  /** Assign + residual in ONE narrow typed map against frozen coarse
+    * centroids: (vec_id, cluster, v = v − c(cluster), norm = |v|).
+    * This is THE assignment rule — shared by the initial build, the
+    * one-shot operator, and APPEND (VectorIndex.appendIvfPq encodes
+    * new arrivals against frozen models, so the rule must depend on
+    * the model alone, never on a training run's internal state):
+    * argmin cell by full L2, ties to the lowest cell id. The stored
+    * norm is the ORIGINAL vector's (cosine needs |v|; the residual's
+    * norm is useless after reconstruction). */
+  private[graft] def assignResiduals(spark: SparkSession, e: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(centroids)
-    e.join(assigned, "vec_id")
-      .select(col("vec_id"), col("cluster"), col("v"))
-      .as[(Long, Int, Array[Double])]
-      .map { case (id, cell, v) =>
-        val c = bc.value(cell)
+    e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val cs = bc.value
+        require(v.length == cs(0).length,
+          s"vector dim ${v.length} != index dim ${cs(0).length}")
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          val cc = cs(c)
+          var d = 0.0; var j = 0
+          while (j < cc.length) { val t = v(j) - cc(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val cc = cs(best)
         val r = new Array[Double](v.length)
         var n2 = 0.0; var j = 0
-        while (j < v.length) { n2 += v(j) * v(j); r(j) = v(j) - c(j); j += 1 }
-        (id, cell, r, math.sqrt(n2))
+        while (j < v.length) { n2 += v(j) * v(j); r(j) = v(j) - cc(j); j += 1 }
+        (id, best, r, math.sqrt(n2))
       }
       .toDF("vec_id", "cluster", "v", "norm")
   }
@@ -145,9 +159,9 @@ object IvfPq {
       nCent: Int = Pq.K, rerank: Int = Pq.Rerank): DataFrame = {
     val cached = e.select(col("vec_id"), col("v")).cache()
     try {
-      val (assigned, centroids, _) =
+      val (_, centroids, _) =
         KMeans.fit(spark, cached, nCells, 2, trackInertia = false)
-      val res = residuals(spark, cached, assigned, centroids).cache()
+      val res = assignResiduals(spark, cached, centroids).cache()
       try {
         val cb = Pq.train(spark, res, m, nCent)
         val enc = encodeResiduals(spark, res, cb)

@@ -179,9 +179,9 @@ object VectorIndex {
       coarseIters: Int = 2, pqIters: Int = 3): Unit = {
     val cached = e.select(col("vec_id"), col("v")).cache()
     try {
-      val (assigned, centroids, _) =
+      val (_, centroids, _) =
         KMeans.fit(spark, cached, nCells, coarseIters, trackInertia = false)
-      val res = IvfPq.residuals(spark, cached, assigned, centroids).cache()
+      val res = IvfPq.assignResiduals(spark, cached, centroids).cache()
       try {
         val cb = Pq.train(spark, res, m, k, pqIters)
         IvfPq.encodeResiduals(spark, res, cb)
@@ -202,12 +202,18 @@ object VectorIndex {
     * centroids, scoring is the shared IvfPq.adcCellTopK kernel, so
     * the only index read is the partition-pruned code scan. `emb` is
     * touched solely for the exact re-rank of the bounded pool. */
+  /** The frozen driver-side models (residual codebooks, coarse
+    * centroids) back from their flat rows — KBs either way. */
+  def loadIvfPqModels(spark: SparkSession, dir: String)
+      : (Array[Array[Array[Double]]], Array[Array[Double]]) =
+    (loadCodebookAt(spark, s"$dir/ivfpq_codebook"),
+      loadCentroidsAt(spark, s"$dir/ivfpq_centroids"))
+
   def annIvfPq(spark: SparkSession, dir: String, emb: DataFrame,
       queryVec: Array[Double], k: Int, nProbe: Int = IvfPq.Probe,
       excludeVecId: Option[Long] = None,
       rerank: Int = Pq.Rerank): DataFrame = {
-    val cb = loadCodebookAt(spark, s"$dir/ivfpq_codebook")
-    val centroids = loadCentroidsAt(spark, s"$dir/ivfpq_centroids")
+    val (cb, centroids) = loadIvfPqModels(spark, dir)
     val enc = spark.read.parquet(s"$dir/ivfpq_codes")
     IvfPq.adcCellTopK(spark, enc, cb, centroids,
       emb.select(col("vec_id"), col("v")), queryVec, excludeVecId, k,
@@ -221,5 +227,37 @@ object VectorIndex {
     val qv = emb.filter(col("vec_id") === queryVecId)
       .select("v").head().getSeq[Double](0).toArray
     annIvfPq(spark, dir, emb, qv, k, excludeVecId = Some(queryVecId))
+  }
+
+  /** APPEND a batch of new vectors into the persisted IVFADC index
+    * WITHOUT retraining: assign each to its coarse cell and encode
+    * its residual against the FROZEN centroid/codebook models, then
+    * append the code rows into the partitioned layout — the
+    * maintenance story that makes the index a living artifact at
+    * 100 TB (retraining per arrival batch would re-stream the
+    * corpus; frozen-model encode touches only the batch, the
+    * SketchIndex cadence: refresh models per corpus VERSION, append
+    * between versions). Returns the appended row count.
+    *
+    * Quantization drift caveat: residuals are coded against
+    * centroids trained on the ORIGINAL corpus, so if the arrival
+    * distribution shifts, per-vector code error grows — recall
+    * degrades gracefully (the exact re-rank still orders the pool
+    * truly) until the next rebuild. Delivery contract: append is
+    * at-least-once under a replayed micro-batch; run it inside a
+    * CHECKPOINTED foreachBatch (StreamOps.ivfPqIngestStream) so the
+    * streaming engine never re-delivers a committed batch. */
+  def appendIvfPq(spark: SparkSession, dir: String, batch: DataFrame): Long = {
+    val (cb, centroids) = loadIvfPqModels(spark, dir)
+    val res = IvfPq.assignResiduals(spark,
+      batch.select(col("vec_id"), col("v")), centroids)
+    val enc = IvfPq.encodeResiduals(spark, res, cb).cache()
+    try {
+      val n = enc.count()
+      if (n > 0)
+        enc.write.mode(SaveMode.Append).partitionBy("cluster")
+          .parquet(s"$dir/ivfpq_codes")
+      n
+    } finally enc.unpersist()
   }
 }

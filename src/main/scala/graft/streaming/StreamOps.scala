@@ -466,6 +466,36 @@ object StreamOps {
       .select("doc_id", "n_bigrams", "n_known", "logprob", "ts")
   }
 
+  /** st11: STREAMING ANN INDEX INGEST — the persisted IVFADC index
+    * (graft.store.VectorIndex) maintained by an always-on embedding
+    * stream: each micro-batch is assigned + residual-encoded against
+    * the FROZEN centroid/codebook models and appended into the
+    * cell-partitioned code layout (VectorIndex.appendIvfPq). The
+    * st03/SketchIndex division of labor, applied to ANN serving:
+    * models refresh per corpus VERSION (a rebuild), arrivals append
+    * between versions — per batch the work is one narrow typed map
+    * over the batch, never a corpus re-stream, and queries see new
+    * vectors as soon as their micro-batch commits.
+    *
+    * Pass `checkpoint` in production: foreachBatch under a
+    * checkpoint gives effectively-once appends across restarts
+    * (appendIvfPq itself is at-least-once under replay). Empty
+    * batches never touch the artifact. */
+  def ivfPqIngestStream(emb: DataFrame, dir: String,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = emb.writeStream.outputMode(OutputMode.Append)
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val n = graft.store.VectorIndex.appendIvfPq(
+            batch.sparkSession, dir, batch)
+          System.err.println(s"[st11] batch $batchId appended $n vectors")
+        }
+      }
+      .start()
+  }
+
   /** Flush helper for specs/batch use: ALL sessions (incl. the
     * still-open last one per user), with the same start-time-derived
     * session ids the streaming form emits. */

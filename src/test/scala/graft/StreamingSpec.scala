@@ -429,4 +429,47 @@ class StreamingSpec extends SparkSpec {
     assert(got == mirror,
       s"streamed user-1 sessions $got differ from the batch mirror $mirror")
   }
+
+  test("st11: streamed appends serve identically to built vectors (frozen-model encode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.VectorFunctions.toDouble
+    import graft.operators.IvfPq
+    import graft.store.VectorIndex
+    val dir = java.nio.file.Files.createTempDirectory("st11").toString
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val n = e.count()
+    val half = n / 2
+    VectorIndex.buildIvfPq(spark, e.filter(col("vec_id") < half), dir)
+    // stream the second half of the corpus in three micro-batches
+    val rest = e.filter(col("vec_id") >= half).as[(Long, Seq[Double])].collect()
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = StreamOps.ivfPqIngestStream(stream.toDF().toDF("vec_id", "v"), dir)
+    try {
+      rest.grouped(rest.length / 3 + 1).foreach { g =>
+        stream.addData(g.toSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val codes = spark.read.parquet(s"$dir/ivfpq_codes")
+    assert(codes.count() == n, "appended index must cover the whole corpus")
+    assert(codes.select(countDistinct(col("vec_id"))).head().getLong(0) == n)
+    // Persisted queries == the SAME frozen models applied in memory
+    // to the full corpus: an appended row is indistinguishable from
+    // a built one. Query id n-1 lives in the STREAMED half — serving
+    // it proves appends are immediately queryable.
+    for (qid <- Seq(0L, n - 1)) {
+      val got = VectorIndex.annIvfPq(spark, dir, e, queryVecId = qid, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val (cb, centroids) = VectorIndex.loadIvfPqModels(spark, dir)
+      val enc = IvfPq.encodeResiduals(spark,
+        IvfPq.assignResiduals(spark, e, centroids), cb)
+      val qv = e.filter(col("vec_id") === qid)
+        .select("v").head().getSeq[Double](0).toArray
+      val want = IvfPq.adcCellTopK(spark, enc, cb, centroids, e, qv,
+          Some(qid), k = 10, nProbe = IvfPq.Probe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == want, s"query $qid: persisted $got != frozen-model in-memory $want")
+    }
+  }
 }

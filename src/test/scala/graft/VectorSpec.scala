@@ -157,9 +157,9 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
     // Encoding contract: every corpus vector carries M in-range codes
     // and its ORIGINAL norm (not the residual's — cosine needs |v|).
-    val (assigned, centroids, _) =
+    val (_, centroids, _) =
       graft.operators.KMeans.fit(spark, e, IvfPq.Cells, 2, trackInertia = false)
-    val res = IvfPq.residuals(spark, e, assigned, centroids)
+    val res = IvfPq.assignResiduals(spark, e, centroids)
     val enc = IvfPq.encodeResiduals(spark, res, Pq.train(spark, res))
     assert(enc.count() == n)
     val rows = enc.select("vec_id", "codes", "norm").collect()
