@@ -104,7 +104,21 @@ object Explain {
       // t15: bigram vocab + prefix totals partial-aggregate
       // map-side; scoring joins keyed by gram (never assumed
       // broadcast — a production bigram vocab is billions of rows)
-      "t15_bigram_logprob" -> Seq("HashAggregate"))
+      "t15_bigram_logprob" -> Seq("HashAggregate"),
+      // v10: like v09, the one-shot entry materializes its k rows on
+      // the driver (cache-release contract); the serving plan —
+      // partition-pruned code scan + TakeOrderedAndProject pool — is
+      // pinned on the persisted path by HippoDbSpec's IVFADC test
+      "v10_ann_ivfpq" -> Seq("LocalTableScan"),
+      // h11: each propagation round is one edge-keyed equi-join plus
+      // two map-side-combining aggs (the per-(node,label) count and
+      // the min-struct argmax) — no window, no driver-side labels
+      "h11_communities" -> Seq("HashAggregate"),
+      // t16: per-lang ntile runs as the RDD two-pass rank over ONE
+      // range shuffle (no Window.partitionBy(lang) funnel) — the t11
+      // plan shape: the scoring aggs live inside the RDD lineage, so
+      // the printed plan shows the offset-adjusted partition scan
+      "t16_ppl_buckets" -> Seq("MapPartitionsRDD", "rangepartitioning"))
 
     val sb = new StringBuilder
     sb.append(s"# Plan audit @ $dir\n\n")
