@@ -118,7 +118,19 @@ object Explain {
       // range shuffle (no Window.partitionBy(lang) funnel) — the t11
       // plan shape: the scoring aggs live inside the RDD lineage, so
       // the printed plan shows the offset-adjusted partition scan
-      "t16_ppl_buckets" -> Seq("MapPartitionsRDD", "rangepartitioning"))
+      "t16_ppl_buckets" -> Seq("MapPartitionsRDD", "rangepartitioning"),
+      // q14: Spark expands the three grouping sets in ONE Expand node
+      // feeding one hash aggregation — never a per-set rescan of the
+      // fact table
+      "q14_grouping_sets" -> Seq("Expand", "HashAggregate"),
+      // h12: each BFS round is an edge-keyed equi-join, a visited-set
+      // anti-join and a map-side-combining min(path) agg — frontiers
+      // never collect to the driver, nothing cartesian
+      "h12_path_bfs" -> Seq("LeftAnti", "HashAggregate"),
+      // t17: tf/df are map-side-combining aggs; the top-3 rank must
+      // push into the window operator (WindowGroupLimit) so tasks
+      // emit at most 3 rows per doc; scoring join keyed by term
+      "t17_tfidf" -> Seq("WindowGroupLimit", "HashAggregate"))
 
     val sb = new StringBuilder
     sb.append(s"# Plan audit @ $dir\n\n")

@@ -152,8 +152,30 @@ object CoreQueries {
       .agg(round(avg("k"), 4).as("avg_k"), max("k").as("max_k"), count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** q14: GROUPING SETS — the grouping-set shape ROLLUP cannot
+    * express (two independent single-column slices plus the grand
+    * total, WITHOUT the combined (status, priority) cell), plus the
+    * `grouping()` indicator that disambiguates a grouped-out NULL
+    * from a data NULL. Like q07, Spark expands the sets in a single
+    * Expand + one shuffle on a tiny key space — no per-set rescan of
+    * the fact table, which is the property that matters when the
+    * fact table is 100 TB. */
+  def q14GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 4).as("total_price"))
+      .orderBy(col("g_status"), col("g_prio"),
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
+    "q14_grouping_sets" -> (q14GroupingSets _),
     "q02_region_revenue" -> (q02RegionRevenue _),
     "q03_top_orders" -> (q03TopOrders _),
     "q04_window_rank" -> (q04WindowRank _),
@@ -165,6 +187,16 @@ object CoreQueries {
     "q10_events_json" -> (q10EventsJson _))
 
   val oracles: Map[String, String] = Map(
+    "q14_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio,
+        |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,

@@ -1000,10 +1000,69 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  val SemDedupClusters = 8
+
+  /** d15: SemDeDup (Abbas et al. 2023) — SEMANTIC deduplication by
+    * clustering the embedding space first and comparing pairs ONLY
+    * within a cluster: k-means routes each vector to a cell, within-
+    * cell pairs above the cosine threshold mark the later vector a
+    * duplicate, the earliest (lowest vec_id) of each near-dup
+    * relation survives. The paper's insight is that near-dups are
+    * semantically close, so cross-cluster pairs can be skipped
+    * entirely — the pair budget drops from n² to Σ n_c², and k is
+    * the dial (the paper runs k≈11k on LAION; the test corpus uses
+    * k=8 so cells stay non-trivial at sf0.01).
+    *
+    * Keep rule: the paper keeps a pseudo-random member per dup
+    * relation (footnote: low-centroid-distance works equally); we
+    * keep the LOWEST vec_id — the d01/d09 keep-first convention,
+    * deterministic and engine-independent. Verification reuses d05's
+    * exact-cosine kernel and threshold (raw prefilter with 1e-6
+    * slack, round(6) on survivors), so a d15 duplicate always has a
+    * d05-witness in its own cluster (DedupSpec asserts this).
+    *
+    * Shape at 100 TB: assignment is the KMeans narrow map (model
+    * broadcast as literals); the pair join is an equi-join keyed on
+    * cluster — with production k (thousands), cells are small and
+    * the shuffle spreads over k keys; nothing all-pairs, nothing
+    * collected but the k×dim model. *rows-only* (k-means is not
+    * SQL-expressible; DedupSpec pins the planted-dup/witness/volume
+    * properties). */
+  def d15SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    semDedup(spark, e, SemDedupClusters)
+  }
+
+  /** d15 kernel over any (vec_id, v) relation — the spec plants
+    * corpora through this. Returns (vec_id, cluster, is_dup). */
+  def semDedup(spark: SparkSession, e: DataFrame, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val (assign, _, _) =
+      KMeans.fit(spark, e, k = k, iters = 3, trackInertia = false)
+    val withC = e.join(assign, "vec_id")
+      .withColumn("nv", normNative(col("v")))
+    val dropped = withC.as("l")
+      .join(withC.as("r"),
+        col("l.cluster") === col("r.cluster") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("r.vec_id").as("vec_id"),
+        cosinePreRaw(col("l.v"), col("r.v"), col("l.nv"), col("r.nv")).as("rawcos"))
+      .filter(col("rawcos") >= CosineThreshold - 1e-6)
+      .filter(round(col("rawcos"), 6) >= CosineThreshold)
+      .select("vec_id").distinct()
+    withC
+      .join(dropped.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("dup"), lit(false)).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
+    "d15_semdedup" -> (d15SemDedup _),
     "d02_minhash_lsh" -> (d02MinhashLsh _),
     "d03_simhash" -> (d03Simhash _),
     "d04_ngram_jaccard" -> (d04NgramJaccard _),

@@ -230,6 +230,58 @@ object GraphQueries {
       .orderBy("entity")
   }
 
+  val PathHops = 3
+
+  /** h12: SHORTEST PATHS with WITNESS — BFS from the probe entity over
+    * the co-occurrence graph, emitting for every entity within
+    * `PathHops` hops its hop distance AND one concrete shortest path
+    * (the lexicographically least, as a '>'-joined entity chain). The
+    * graph-memory "how is X related to Y" query: h09 says WHICH
+    * entities are near, this says WHY — the witness chain a retrieval
+    * layer surfaces as provenance.
+    *
+    * Determinism: per frontier round each newly reached entity keeps
+    * min(path). That per-round min composes to the global min because
+    * all candidate paths in a round have the same hop count and the
+    * separator '>' (0x3E) sorts below every entity character
+    * (entities are [a-z]+, checked by the corpus; a same-hop prefix
+    * pair like "x>a" / "x>ab" then still orders the same after the
+    * common suffix is appended) — so the DuckDB oracle's unrolled
+    * min() agrees exactly, no floats anywhere.
+    *
+    * Scale shape: frontier expansion is one edge-keyed join + one
+    * map-side-combining min agg per round (path strings are bounded
+    * at hops×max-entity-length); visited-set exclusion is a left-anti
+    * join on the entity key. Fixed small round count (3, the h09/h10
+    * convention) keeps the linear plan growth under the d07
+    * lineage-cut threshold. The frontier is small relative to the
+    * edge table, so AQE broadcasts it into each expansion join. */
+  def h12PathBfs(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val g = e.select(col("fact_id"), col("entity").as("src"))
+      .join(e.select(col("fact_id"), col("entity").as("dst")), "fact_id")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+      .cache()
+    var visited = spark.range(1)
+      .select(lit(ProbeEntity).as("entity"), lit(0).as("hops"),
+        lit(ProbeEntity).as("path"))
+    var frontier = visited
+    for (h <- 1 to PathHops) {
+      frontier = g
+        .join(frontier.select(col("entity").as("src"), col("path")), "src")
+        .select(col("dst").as("entity"),
+          concat(col("path"), lit(">"), col("dst")).as("path"))
+        .join(visited.select(col("entity").as("seen")),
+          col("entity") === col("seen"), "left_anti")
+        .groupBy("entity")
+        .agg(min("path").as("path"))
+        .select(col("entity"), lit(h).as("hops"), col("path"))
+      visited = visited.union(frontier)
+    }
+    visited.orderBy("hops", "entity")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -243,7 +295,8 @@ object GraphQueries {
     "h08_neighbour_facts" -> (h08NeighbourFacts _),
     "h09_khop_neighbours" -> (h09KhopNeighbours _),
     "h10_entity_rank" -> (h10EntityRank _),
-    "h11_communities" -> (h11Communities _))
+    "h11_communities" -> (h11Communities _),
+    "h12_path_bfs" -> (h12PathBfs _))
 
   private val probeList = ProbeUnion.map(e => s"'$e'").mkString(", ")
 
@@ -362,5 +415,27 @@ object GraphQueries {
          |           PARTITION BY src ORDER BY cnt DESC, label) AS rn FROM c3)
          |       WHERE rn = 1)
          |SELECT entity, label AS community FROM l3
-         |ORDER BY entity""".stripMargin)
+         |ORDER BY entity""".stripMargin,
+    "h12_path_bfs" ->
+      s"""WITH e AS ($edgesSql),
+         |g AS (SELECT DISTINCT a.entity AS src, b.entity AS dst
+         |      FROM e a JOIN e b ON a.fact_id = b.fact_id AND a.entity <> b.entity),
+         |v0 AS (SELECT '$ProbeEntity' AS entity, 0 AS hops, '$ProbeEntity' AS path),
+         |f1 AS (SELECT g.dst AS entity, 1 AS hops,
+         |         min(v0.path || '>' || g.dst) AS path
+         |       FROM g JOIN v0 ON g.src = v0.entity
+         |       WHERE g.dst NOT IN (SELECT entity FROM v0) GROUP BY g.dst),
+         |v1 AS (SELECT * FROM v0 UNION ALL SELECT entity, hops, path FROM f1),
+         |f2 AS (SELECT g.dst AS entity, 2 AS hops,
+         |         min(f1.path || '>' || g.dst) AS path
+         |       FROM g JOIN f1 ON g.src = f1.entity
+         |       WHERE g.dst NOT IN (SELECT entity FROM v1) GROUP BY g.dst),
+         |v2 AS (SELECT * FROM v1 UNION ALL SELECT entity, hops, path FROM f2),
+         |f3 AS (SELECT g.dst AS entity, 3 AS hops,
+         |         min(f2.path || '>' || g.dst) AS path
+         |       FROM g JOIN f2 ON g.src = f2.entity
+         |       WHERE g.dst NOT IN (SELECT entity FROM v2) GROUP BY g.dst),
+         |v3 AS (SELECT * FROM v2 UNION ALL SELECT entity, hops, path FROM f3)
+         |SELECT entity, hops, path FROM v3
+         |ORDER BY hops, entity""".stripMargin)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -336,6 +337,43 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** t17: TF-IDF KEYWORD EXTRACTION — the classic per-document
+    * salient-term signal (Salton & Buckley 1988): score(t, d) =
+    * tf(t,d) · ln(N / df(t)), top 3 terms per document. What a
+    * curation pipeline uses for topic tagging, cluster naming and
+    * domain-mix reporting — the inverse of t07's corpus-global view
+    * (t07 finds what's common everywhere; t17 finds what makes each
+    * document DIFFERENT from everywhere).
+    *
+    * Shape at 100 TB: tf is one map-side-combining groupBy over the
+    * token explosion; df derives from the already-reduced tf relation
+    * (never a second corpus pass); N is a lazy 1-row broadcast (the
+    * t12 convention); scoring joins KEYED BY TERM (a web-scale vocab
+    * is billions of terms — never assumed broadcast); the top-3 is a
+    * row_number window partitioned by doc_id — high-cardinality key,
+    * and the rank<=3 filter lets Spark run it as WindowGroupLimit so
+    * map-side tasks emit at most 3 rows per doc. Scores are ROUNDED
+    * BEFORE ranking (the t16 lesson: both engines must order
+    * identical doubles), ties by term. */
+  def t17Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), " "), w => w =!= "")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir)
+      .groupBy().agg(count(lit(1)).cast("double").as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n") / col("df")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "term", "rnk", "tfidf")
+      .orderBy("doc_id", "rnk")
+  }
+
   /** t15: BIGRAM LOG-PROBABILITY scoring — one step up the
     * perplexity-filter ladder from t12's unigram LM (CCNet filters
     * on a 5-gram KenLM; the bigram conditional P(w₂|w₁) =
@@ -571,6 +609,7 @@ object TextQueries {
     "t12_unigram_logprob" -> (t12UnigramLogprob _),
     "t15_bigram_logprob" -> (t15BigramLogprob _),
     "t16_ppl_buckets" -> (t16PplBuckets _),
+    "t17_tfidf" -> (t17Tfidf _),
     "t13_lang_report" -> (t13LangReport _))
 
   private[operators] def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
@@ -766,6 +805,24 @@ object TextQueries {
         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM scored JOIN documents USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // t17: scores rounded BEFORE ranking (the t16 rule), ties by
+    // term; df from the reduced tf relation, exactly as the Spark
+    // side derives it.
+    "t17_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w != '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |s AS (SELECT doc_id, term,
+        |        round(tf * ln(n.n / df.df), 4) AS tfidf
+        |      FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tfidf, CAST(row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rnk
+        |      FROM s)
+        |SELECT doc_id, term, rnk, tfidf FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
     "t12_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w != '')) AS token

@@ -165,4 +165,44 @@ class DedupSpec extends SparkSpec {
     assert(winnowSelect(junk(200), g, w).toSet.intersect(
       winnowSelect(junk(200), g, w).toSet).isEmpty)
   }
+
+  test("d15 semdedup flags planted within-cluster copies, keeps the earliest") {
+    import spark.implicits._
+    // 12 mutually-orthogonal one-hot base vectors (pairwise cos 0,
+    // far below the 0.45 threshold) + two near-identical copies of
+    // vector 0 at later ids (cos ≈ 1 with it and each other).
+    val dim = 16
+    def oneHot(i: Int, eps: Double = 0.0): Seq[Double] =
+      Seq.tabulate(dim)(d => (if (d == i) 1.0 else 0.0) + (if (d == i + 1) eps else 0.0))
+    val base = (0 until 12).map(i => (i.toLong, oneHot(i)))
+    val copies = Seq((100L, oneHot(0, 0.01)), (101L, oneHot(0, 0.02)))
+    val e = (base ++ copies).toDF("vec_id", "v")
+    val out = DedupQueries.semDedup(spark, e, k = 4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(out.size == 14)
+    // the planted copies are the ONLY duplicates, and the original
+    // (lowest vec_id of the relation) survives
+    assert(out(100L)._2 && out(101L)._2, s"copies not flagged: $out")
+    assert(out.filter(_._2._2).keySet == Set(100L, 101L))
+    // near-identical vectors landed in one cell (the SemDeDup premise)
+    assert(Set(out(0L)._1, out(100L)._1, out(101L)._1).size == 1)
+  }
+
+  test("d15 semdedup == d05 exact pairs restricted to within-cluster, on the real corpus") {
+    val out = DedupQueries.d15SemDedup(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    val cluster = out.view.mapValues(_._1).toMap
+    val flagged = out.collect { case (id, (_, true)) => id }.toSet
+    // d05 is the independent exact all-pairs computation; d15's
+    // definition says: b is a duplicate iff some exact pair (a, b),
+    // a < b, has cluster(a) == cluster(b). Check both directions.
+    val withinClusterLater = DedupQueries.d05EmbedNeardup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => cluster(a) == cluster(b) }
+      .map(_._2).toSet
+    assert(flagged == withinClusterLater,
+      s"flag set diverges: extra=${flagged -- withinClusterLater} missing=${withinClusterLater -- flagged}")
+    // clustering is genuinely partitioning the corpus (more than one cell)
+    assert(out.values.map(_._1).toSet.size > 1)
+  }
 }
