@@ -119,15 +119,142 @@ object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  val PhashSegments = 64
+  val PhashBandBits = 16 // 4 bands of 16 bits
+  val PhashMaxHamming = 3 // pigeonhole: <= 3 flips always share a band
+
+  /** m05: PERCEPTUAL HASH — the average-hash (aHash) of the image-
+    * dedup literature computed over the stub-decoded payload: the
+    * code-point stream splits into 64 equal segments, each bit says
+    * whether its segment's mean intensity exceeds the global mean,
+    * and the 64 bits ship as 4×16-bit bands — the blocking keys of
+    * the near-dup pair join (pigeonhole: two hashes within Hamming
+    * distance 3 agree on at least one of 4 bands, so the band
+    * equi-join is LOSSLESS for the dedup threshold). The multimodal
+    * twin of d03's SimHash: robust to small local edits because
+    * segment MEANS, not positions, carry the signature.
+    *
+    * Engine-exactness: the mean comparison is the integer
+    * cross-multiply ssum·n > tot·scnt — no doubles anywhere, so the
+    * DuckDB oracle hash-matches bit-for-bit. Segments index as
+    * (cpIdx·64)/n in integer division over CODE POINTS (the
+    * m03/m04 convention — DuckDB's string functions are code-point
+    * functions). Narrow map, one row per doc; the pair join
+    * (phashPairs, MultimodalSpec) blocks on band values and never
+    * goes all-pairs. */
+  def m05Phash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val b = phashBands(text)
+        (id, b(0), b(1), b(2), b(3))
+      })
+      .toDF("doc_id", "b0", "b1", "b2", "b3")
+      .orderBy("doc_id")
+  }
+
+  /** The aHash kernel: 4×16-bit bands of segment-mean bits. */
+  private[graft] def phashBands(text: String): Array[Long] = {
+    val bands = new Array[Long](PhashSegments / PhashBandBits)
+    val n = text.codePointCount(0, text.length).toLong
+    if (n == 0) return bands
+    val segSum = new Array[Long](PhashSegments)
+    val segCnt = new Array[Long](PhashSegments)
+    var i = 0; var cpIdx = 0L; var tot = 0L
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      val s = ((cpIdx * PhashSegments) / n).toInt
+      segSum(s) += cp; segCnt(s) += 1; tot += cp
+      cpIdx += 1; i += Character.charCount(cp)
+    }
+    var s = 0
+    while (s < PhashSegments) {
+      // segment mean > global mean, as an exact integer cross-multiply
+      if (segSum(s) * n > tot * segCnt(s))
+        bands(s / PhashBandBits) |= 1L << (s % PhashBandBits)
+      s += 1
+    }
+    bands
+  }
+
+  /** Band-blocked perceptual near-dup pairs over any (doc_id, text)
+    * relation: candidates share at least one band (an equi-join on
+    * (band_idx, value) — lossless for hamming <= PhashMaxHamming by
+    * pigeonhole, never all-pairs), then verify with the exact
+    * 64-bit Hamming distance (codegen'd bit_count over the band
+    * xors). MultimodalSpec proves the blocking equals brute force at
+    * the threshold. */
+  def phashPairs(spark: SparkSession, docs: DataFrame, maxHamming: Int = PhashMaxHamming): DataFrame = {
+    import spark.implicits._
+    val sigs = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, phashBands(t)) })
+      .toDF("doc_id", "bands")
+    val byBand = sigs.select(col("doc_id"), col("bands"),
+      posexplode(col("bands")).as(Seq("band_idx", "bval")))
+    byBand.as("l")
+      .join(byBand.as("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+          col("l.bval") === col("r.bval") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.bands").as("ba"), col("r.bands").as("bb"))
+      .distinct() // a close pair may collide in several bands
+      .select(col("doc_a"), col("doc_b"),
+        expr("aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (acc, h) -> acc + h)")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "m01_media_meta" -> (m01MediaMeta _),
+    "m05_phash" -> (m05Phash _),
     "m02_frame_sample" -> (m02FrameSample _),
     "m03_resize" -> (m03Resize _),
     "m04_features" -> (m04Features _))
 
   val oracles: Map[String, String] = Map(
+    // m05: the segment-mean bits via the SAME integer cross-multiply
+    // (ssum*tcnt > tsum*scnt) — float-free, so the compare is exact;
+    // docs shorter than 64 cps leave their missing segments at bit 0
+    // on both sides (absent group rows contribute nothing to the
+    // band sum); empty docs left-join back as all-zero bands.
+    "m05_phash" ->
+      s"""WITH cps AS (
+         |  SELECT doc_id,
+         |    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)) AS l
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, CAST(len(l) AS BIGINT) AS n, CAST(i AS BIGINT) AS i,
+         |    l[CAST(i AS INT) + 1] AS cp
+         |  FROM cps CROSS JOIN unnest(range(0, len(l))) AS t(i)),
+         |segs AS (
+         |  SELECT doc_id, (i * $PhashSegments) // n AS s,
+         |    sum(cp) AS ssum, count(*) AS scnt
+         |  FROM pos GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, sum(cp) AS tsum, count(*) AS tcnt FROM pos GROUP BY 1),
+         |bits AS (
+         |  SELECT segs.doc_id, segs.s,
+         |    CASE WHEN segs.ssum * tot.tcnt > tot.tsum * segs.scnt
+         |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+         |  FROM segs JOIN tot USING (doc_id)),
+         |bands AS (
+         |  SELECT doc_id, s // $PhashBandBits AS band,
+         |    sum(bit << CAST(s % $PhashBandBits AS INT)) AS bval
+         |  FROM bits GROUP BY 1, 2)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(max(CASE WHEN band = 0 THEN bval END), 0) AS BIGINT) AS b0,
+         |  CAST(coalesce(max(CASE WHEN band = 1 THEN bval END), 0) AS BIGINT) AS b1,
+         |  CAST(coalesce(max(CASE WHEN band = 2 THEN bval END), 0) AS BIGINT) AS b2,
+         |  CAST(coalesce(max(CASE WHEN band = 3 THEN bval END), 0) AS BIGINT) AS b3
+         |FROM documents d LEFT JOIN bands USING (doc_id)
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // The stub decoder's metadata formulas, restated over the utf-8
     // source text (bytes == ascii chars for this corpus).
     // First-char hash = CODE POINT on both engines (Stubs.scala

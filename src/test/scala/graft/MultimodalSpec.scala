@@ -89,4 +89,41 @@ class MultimodalSpec extends SparkSpec {
       assert(m04(id)._2.split(",").map(_.toLong).sum == n, s"doc $id bin sum")
     }
   }
+
+  test("m05 phash: band blocking equals brute force at the hamming threshold") {
+    import spark.implicits._
+    import MultimodalQueries.{phashBands, phashPairs, PhashMaxHamming}
+    val rnd = new scala.util.Random(11)
+    def randText(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // planted: an exact copy (hamming 0) and a lightly edited copy of
+    // doc 0; the rest independent random docs
+    val base = randText(800)
+    val edited = base.updated(100, 'z').updated(500, 'q')
+    val docs = Seq((0L, base), (1L, base), (2L, edited)) ++
+      (3L until 40L).map(i => (i, randText(700 + rnd.nextInt(200))))
+    val df = docs.toDF("doc_id", "text")
+
+    val pairs = phashPairs(spark, df)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // the exact copy collides at hamming 0
+    assert(pairs.get((0L, 1L)).contains(0), s"copy pair missing: $pairs")
+
+    // pigeonhole exactness: blocked pairs == brute-force pairs at the
+    // threshold (computed independently from the kernel signatures)
+    def ham(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val sigs = docs.map { case (id, t) => id -> phashBands(t) }
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = ham(sa, sb) if h <= PhashMaxHamming
+    } yield (ia, ib) -> h).toMap
+    assert(pairs == brute,
+      s"blocking diverges from brute: extra=${pairs.keySet -- brute.keySet} missing=${brute.keySet -- pairs.keySet}")
+    // the signature separates: random pairs sit far above the threshold
+    val randHams = for { (ia, sa) <- sigs.drop(3); (ib, sb) <- sigs.drop(3) if ia < ib }
+      yield ham(sa, sb)
+    val avg = randHams.sum.toDouble / randHams.size
+    info(s"planted-copy hamming 0, edited ${ham(phashBands(base), phashBands(edited))}, random avg $avg")
+    assert(avg > 4 * PhashMaxHamming, s"random pairs too close: $avg")
+  }
 }
