@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.store.ZOrder
+
+/** The layout operator's effect is measurable, not aspirational: the
+  * same box predicate over the same rows must read FEWER rows out of
+  * the parquet scan (row-group min/max pruning) when the table is
+  * z-ordered than when it is written in arrival order. */
+class ZOrderSpec extends SparkSpec {
+
+  /** Rows the scan emitted = rows in row groups that survived
+    * pushed min/max pruning (record-level filtering is off by
+    * default, so the post-scan Filter does the rest). */
+  private def scanRows(df: DataFrame): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect { case s: FileSourceScanExec => s.metrics("numOutputRows").value }.sum
+  }
+
+  test("z-order layout prunes row groups on a 2-D box; arrival order does not") {
+    val ev = graft.sources.Tables.events(spark, sf001)
+      .select("event_id", "user_id", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+
+    ZOrder.writeZOrdered(ev, Seq("user_id", "value"), s"$tmp/z", numFiles = 32)
+    ev.withColumn("__o", col("event_id"))
+      .repartitionByRange(32, col("__o")).sortWithinPartitions("__o").drop("__o")
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/linear")
+
+    // a ~4% box in the middle of both dimensions, bounds from data
+    val q = ev.stat.approxQuantile(Array("user_id", "value"),
+      Array(0.4, 0.6), 0.001)
+    // long bounds for the bigint column: a double literal would wrap
+    // user_id in a cast and block its pushdown entirely
+    val (uLo, uHi) = (q(0)(0).toLong, q(0)(1).toLong)
+    val (vLo, vHi) = (q(1)(0), q(1)(1))
+    def box(df: DataFrame) = df.filter(
+      col("user_id").between(uLo, uHi) && col("value").between(vLo, vHi))
+
+    // correctness first: the layout must not change the answer
+    def keys(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val expected = keys(box(ev))
+    assert(expected.nonEmpty, "empty box — bad quantile bounds")
+    assert(keys(box(spark.read.parquet(s"$tmp/z"))) == expected)
+    assert(keys(box(spark.read.parquet(s"$tmp/linear"))) == expected)
+
+    // the filters actually reach the scan on both layouts
+    val zPlan = box(spark.read.parquet(s"$tmp/z")).queryExecution.executedPlan.toString
+    assert(zPlan.contains("PushedFilters") && zPlan.contains("GreaterThanOrEqual(user_id"),
+      s"box filter not pushed:\n$zPlan")
+
+    // the point: z-ordered row groups prune, arrival-ordered don't
+    val zRows = scanRows(box(spark.read.parquet(s"$tmp/z")))
+    val lRows = scanRows(box(spark.read.parquet(s"$tmp/linear")))
+    val total = ev.count()
+    info(s"scan rows: z-ordered $zRows vs linear $lRows (table $total, box ${expected.size})")
+    assert(zRows * 2 <= lRows,
+      s"z-order pruned nothing: $zRows vs $lRows of $total")
+    assert(lRows == total,
+      s"arrival-order unexpectedly pruned ($lRows of $total) — test premise broken")
+  }
+}
