@@ -130,7 +130,10 @@ object Explain {
       // t17: tf/df are map-side-combining aggs; the top-3 rank must
       // push into the window operator (WindowGroupLimit) so tasks
       // emit at most 3 rows per doc; scoring join keyed by term
-      "t17_tfidf" -> Seq("WindowGroupLimit", "HashAggregate"))
+      "t17_tfidf" -> Seq("WindowGroupLimit", "HashAggregate"),
+      // h13: wedges close against the forward edge set via a
+      // LeftSemi equi-join; per-vertex counts explode + partial-agg
+      "h13_triangles" -> Seq("LeftSemi", "HashAggregate"))
 
     val sb = new StringBuilder
     sb.append(s"# Plan audit @ $dir\n\n")

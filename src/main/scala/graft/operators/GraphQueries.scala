@@ -282,6 +282,62 @@ object GraphQueries {
     visited.orderBy("hops", "entity")
   }
 
+  /** h13: TRIANGLES and CLUSTERING COEFFICIENT per entity — the
+    * cohesion signal of the co-occurrence graph (a high-coefficient
+    * entity lives in one tight topic clique; a low one bridges
+    * contexts — the complement of h10's importance and h11's
+    * membership). coeff = 2·tri / (deg·(deg−1)), rounded; deg < 2
+    * pins 0.
+    *
+    * Scale shape: edges orient FORWARD by the (degree, entity) order
+    * — the classic skew cure (Suri & Vassilvitskii 2011): every
+    * vertex's forward-degree is O(√m) regardless of how hot the
+    * vertex is, so the wedge join (fwd ⋈ fwd on the pivot) never
+    * explodes on a celebrity entity the way an id-ordered orientation
+    * does. Wedges close against a third fwd edge via one more
+    * equi-join; per-vertex counts are one explode + map-side-
+    * combining agg. The ORIENTATION is internal — the triangle SET
+    * is orientation-independent, so the DuckDB oracle uses the plain
+    * id order and must agree exactly (float-free until the final
+    * rounded division). */
+  def h13Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val und = e.select(col("fact_id"), col("entity").as("u"))
+      .join(e.select(col("fact_id"), col("entity").as("v")), "fact_id")
+      .filter(col("u") < col("v"))
+      .select("u", "v").distinct()
+    val deg = und.select(col("u").as("entity"))
+      .union(und.select(col("v").as("entity")))
+      .groupBy("entity").agg(count(lit(1)).as("deg"))
+    // orient u→v iff (deg(u), u) < (deg(v), v)
+    val fwd = und
+      .join(deg.select(col("entity").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("entity").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("dst"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("dv"))
+          .otherwise(col("du")).as("ddst"))
+    val wedges = fwd.select(col("src"), col("dst").as("b"), col("ddst").as("db"))
+      .join(fwd.select(col("src"), col("dst").as("c"), col("ddst").as("dc")), "src")
+      .filter(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+    val tris = wedges
+      .join(fwd.select(col("dst").as("c"), col("src").as("b")), Seq("b", "c"), "left_semi")
+      .select(col("src").as("a"), col("b"), col("c"))
+    val perVertex = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("entity"))
+      .groupBy("entity").agg(count(lit(1)).as("n_tri"))
+    deg.join(perVertex, Seq("entity"), "left")
+      .select(col("entity"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") < 2, lit(0.0))
+          .otherwise(round(coalesce(col("n_tri"), lit(0L)) * 2.0 /
+            (col("deg") * (col("deg") - 1)), 6)).as("coeff"))
+      .orderBy("entity")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -296,7 +352,8 @@ object GraphQueries {
     "h09_khop_neighbours" -> (h09KhopNeighbours _),
     "h10_entity_rank" -> (h10EntityRank _),
     "h11_communities" -> (h11Communities _),
-    "h12_path_bfs" -> (h12PathBfs _))
+    "h12_path_bfs" -> (h12PathBfs _),
+    "h13_triangles" -> (h13Triangles _))
 
   private val probeList = ProbeUnion.map(e => s"'$e'").mkString(", ")
 
@@ -437,5 +494,30 @@ object GraphQueries {
          |       WHERE g.dst NOT IN (SELECT entity FROM v2) GROUP BY g.dst),
          |v3 AS (SELECT * FROM v2 UNION ALL SELECT entity, hops, path FROM f3)
          |SELECT entity, hops, path FROM v3
-         |ORDER BY hops, entity""".stripMargin)
+         |ORDER BY hops, entity""".stripMargin,
+    // h13 oracle: plain id-ordered triangle join — the triangle SET
+    // is orientation-independent, so it must equal the Spark side's
+    // degree-ordered computation exactly.
+    "h13_triangles" ->
+      s"""WITH e AS ($edgesSql),
+         |und AS (SELECT DISTINCT a.entity AS u, b.entity AS v
+         |        FROM e a JOIN e b ON a.fact_id = b.fact_id AND a.entity < b.entity),
+         |deg AS (SELECT entity, count(*) AS deg FROM (
+         |          SELECT u AS entity FROM und UNION ALL SELECT v AS entity FROM und)
+         |        GROUP BY 1),
+         |tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+         |        FROM und ab JOIN und bc ON ab.v = bc.u
+         |        JOIN und ac ON ac.u = ab.u AND ac.v = bc.v),
+         |pv AS (SELECT entity, count(*) AS n_tri FROM (
+         |         SELECT a AS entity FROM tri
+         |         UNION ALL SELECT b AS entity FROM tri
+         |         UNION ALL SELECT c AS entity FROM tri)
+         |       GROUP BY 1)
+         |SELECT deg.entity, deg.deg,
+         |  CAST(coalesce(pv.n_tri, 0) AS BIGINT) AS n_tri,
+         |  CASE WHEN deg.deg < 2 THEN 0.0
+         |    ELSE round(coalesce(pv.n_tri, 0) * 2.0 / (deg.deg * (deg.deg - 1)), 6)
+         |  END AS coeff
+         |FROM deg LEFT JOIN pv USING (entity)
+         |ORDER BY entity""".stripMargin)
 }
