@@ -163,6 +163,79 @@ object SketchIndex {
     } finally bSigs.unpersist()
   }
 
+  /** Build + persist the m05 PERCEPTUAL-HASH index under
+    * `dir/phash_index/`: `cells` (doc_id, band_idx, bval — the
+    * blocking keys) + `sigs` (doc_id, bands — the exact-verify
+    * side). Same co-dependency story as the minhash cell index
+    * (cells must band exactly the signatures verify re-reads), so
+    * the same hash-once scratch write, read-back doc-set check and
+    * atomic swap. Returns the number of indexed documents. */
+  def buildPhashIndex(spark: SparkSession, docs: DataFrame, dir: String): Long = {
+    import org.apache.spark.sql.functions._
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val live = s"$dir/phash_index"
+    val tmp = s"$dir/phash_index_tmp"
+    val bak = s"$dir/phash_index_bak"
+    val fs = p(live).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p(tmp)) && !fs.delete(p(tmp), true))
+      throw new java.io.IOException(s"buildPhashIndex: could not clear stale tmp $tmp")
+    phashSigs(spark, docs).write.mode(SaveMode.Overwrite).parquet(s"$tmp/sigs")
+    val sigs = spark.read.parquet(s"$tmp/sigs")
+    sigs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "bval")))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/cells")
+    val cDocs = spark.read.parquet(s"$tmp/cells").select("doc_id").distinct()
+    val sDocs = spark.read.parquet(s"$tmp/sigs").select("doc_id").distinct()
+    val n = sDocs.count()
+    if (cDocs.count() != n || cDocs.except(sDocs).count() != 0)
+      throw new java.io.IOException(
+        s"buildPhashIndex: persisted cells/sigs at $tmp disagree on their doc set — live artifact untouched")
+    atomicDirSwap(fs, p(live), p(tmp), p(bak), "buildPhashIndex")
+    n
+  }
+
+  private def phashSigs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id, graft.operators.MultimodalQueries.phashBands(t))
+      })
+      .toDF("doc_id", "bands")
+  }
+
+  /** Which NEW media documents perceptually near-duplicate the
+    * indexed history: batch bands ⋈ history cells on the narrow
+    * (band_idx, bval) key (pigeonhole-lossless at the Hamming
+    * threshold, never batch × history), exact 64-bit Hamming verify
+    * against the persisted signatures, bounded per-batch-doc rollup
+    * (n_hist_dups, best_hamming). The d13 contract for media. */
+  def checkBatchPhash(spark: SparkSession, dir: String, batchDocs: DataFrame,
+      maxHamming: Int = graft.operators.MultimodalQueries.PhashMaxHamming): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val bSigs = phashSigs(spark, batchDocs).cache()
+    try {
+      val candidates = bSigs
+        .select(col("doc_id").as("batch_doc"),
+          posexplode(col("bands")).as(Seq("band_idx", "bval")))
+        .join(spark.read.parquet(s"$dir/phash_index/cells")
+          .select(col("doc_id").as("hist_doc"), col("band_idx"), col("bval")),
+          Seq("band_idx", "bval"))
+        .select("batch_doc", "hist_doc").distinct()
+      candidates
+        .join(bSigs.select(col("doc_id").as("batch_doc"), col("bands").as("ba")), "batch_doc")
+        .join(spark.read.parquet(s"$dir/phash_index/sigs")
+          .select(col("doc_id").as("hist_doc"), col("bands").as("bb")), "hist_doc")
+        .withColumn("hamming",
+          expr("aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (acc, h) -> acc + h)"))
+        .filter(col("hamming") <= maxHamming)
+        .groupBy("batch_doc")
+        .agg(count(lit(1)).as("n_hist_dups"), min("hamming").as("best_hamming"))
+        .orderBy("batch_doc")
+        .localCheckpoint() // batch-bounded rows; release bSigs safely
+    } finally bSigs.unpersist()
+  }
+
   /** Atomic live/backup directory swap shared by the index builders
     * (the HippoDb.verifiedSwap recipe at directory granularity):
     * `tmp` must already hold the complete, verified artifact; every

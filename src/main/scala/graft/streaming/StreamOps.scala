@@ -496,6 +496,30 @@ object StreamOps {
       .start()
   }
 
+  /** st12: STREAMING MEDIA NEAR-DUP — m05's perceptual-hash check on
+    * an always-on media ingest: each micro-batch phash-encodes ONLY
+    * ITSELF (a narrow typed map) and pays a band-keyed equi-join +
+    * exact Hamming verify against the PERSISTED phash index
+    * (SketchIndex.buildPhashIndex — built once per corpus version,
+    * the d13/st08 division of labor), never re-hashing history.
+    * Per-batch results append under `outDir` tagged by batch id;
+    * foreachBatch under a checkpoint gives effectively-once appends.
+    * The multimodal twin of st08's span dedup. */
+  def phashCheckStream(docs: DataFrame, indexDir: String, outDir: String,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream.outputMode(OutputMode.Append)
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.store.SketchIndex.checkBatchPhash(batch.sparkSession, indexDir, batch)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+        }
+      }
+      .start()
+  }
+
   /** Flush helper for specs/batch use: ALL sessions (incl. the
     * still-open last one per user), with the same start-time-derived
     * session ids the streaming form emits. */

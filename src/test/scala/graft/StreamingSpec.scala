@@ -472,4 +472,46 @@ class StreamingSpec extends SparkSpec {
       assert(got == want, s"query $qid: persisted $got != frozen-model in-memory $want")
     }
   }
+
+  test("st12: streaming phash check matches the batch API and phashPairs truth") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.MultimodalQueries
+    import graft.store.SketchIndex
+    val dir = java.nio.file.Files.createTempDirectory("st12").toString
+    val rnd = new scala.util.Random(23)
+    def randText(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // history: 30 docs; arrivals: 2 perceptual dups of history docs
+    // (one exact, one lightly edited) + 8 fresh randoms
+    val hist = (0L until 30L).map(i => (i, randText(600 + rnd.nextInt(100))))
+    val arrivals = Seq((100L, hist(4)._2), (101L, hist(7)._2.updated(50, 'z'))) ++
+      (102L until 110L).map(i => (i, randText(650)))
+    val nIndexed = SketchIndex.buildPhashIndex(spark, hist.toDF("doc_id", "text"), dir)
+    assert(nIndexed == 30)
+
+    // batch API answer
+    val batchWant = SketchIndex.checkBatchPhash(spark, dir, arrivals.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    // ground truth from the lossless pair kernel over history + arrivals
+    val truth = MultimodalQueries.phashPairs(spark,
+        (hist ++ arrivals).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter { case (a, b, _) => a < 100 && b >= 100 } // history × arrival only
+      .groupBy(_._2).map { case (bd, ps) => (bd, ps.length.toLong, ps.map(_._3).min) }
+      .toSeq.sorted
+    assert(batchWant == truth, s"batch check $batchWant != pair truth $truth")
+    assert(batchWant.map(_._1).toSet == Set(100L, 101L), s"planted dups: $batchWant")
+
+    // the stream in two micro-batches must emit exactly the same rows
+    val out = java.nio.file.Files.createTempDirectory("st12out").toString
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.phashCheckStream(stream.toDF().toDF("doc_id", "text"), dir, out)
+    try {
+      arrivals.grouped(5).foreach { g => stream.addData(g.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("batch_doc", "n_hist_dups", "best_hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(streamed == batchWant, s"stream $streamed != batch $batchWant")
+  }
 }
