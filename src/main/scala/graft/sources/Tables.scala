@@ -19,22 +19,29 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and floor-divide to micros
-    * (same truncation DuckDB applies), yielding TIMESTAMP_NTZ.
+  /** events.ts is parquet TIMESTAMP(NANOS). How Spark surfaces that
+    * column changed across versions, so the conversion is DTYPE-
+    * CONDITIONAL rather than version-pinned:
     *
-    * nanosAsLong is a SESSION-level flag (Spark has no per-read
-    * option for it) consulted at execution, not just schema
-    * resolution, so it cannot be restored after the read. Setting it
-    * here is one-way but behavior-neutral for every other table: the
-    * flag only changes how TIMESTAMP(NANOS) parquet columns read, and
-    * events is the sole nanos table in this layout. Documented rather
-    * than scoped — a save/restore would break this read's own
-    * execution. */
+    *  - Spark ≤ 4.0: the vectorized reader rejects NANOS unless
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`, which reads the
+    *    raw nanos as BIGINT → we floor-divide to micros (the same
+    *    truncation DuckDB applies) and cast to TIMESTAMP_NTZ.
+    *  - Spark 4.1+: NANOS reads natively as TIMESTAMP_NTZ (micros
+    *    precision, nanos truncated — identical values to the DIV
+    *    1000 path) and the legacy flag is ignored → use as-is.
+    *
+    * The flag is still set first (a no-op on 4.1+) because on older
+    * Sparks it must be in effect at schema resolution. It is SESSION-
+    * level and one-way, but behavior-neutral for every other table:
+    * events is the sole nanos column in this layout. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+    val raw = table(spark, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+    else raw
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
