@@ -197,9 +197,50 @@ object ExtendedQueries {
       .orderBy("vec_id")
   }
 
+  /** Proximity window for q15 (microseconds): 5 seconds. */
+  val ProximityUs = 5000000L
+
+  /** q15: TIME-PROXIMITY SELF-JOIN — all ordered pairs of same-type
+    * events within 5 seconds of each other (burst/correlation
+    * detection: rapid-fire clicks, error storms). Spark has no native
+    * band/range join, and the naive `a.ts < b.ts <= a.ts + Δ`
+    * condition on a self-join degenerates to a per-type nested loop —
+    * quadratic within each event_type, a cartesian at 100 TB.
+    *
+    * Re-expressed as the classic BUCKETIZED range join: quantize time
+    * into Δ-width buckets; a pair within Δ necessarily lands in the
+    * same or adjacent bucket, so the left side emits (bucket, bucket+1)
+    * keys and the join becomes a narrow EQUI-join on
+    * (event_type, bucket) — shuffle-partitioned by key, no nested
+    * loop, intermediate volume 2·|events| + true pairs. The exact Δ
+    * predicate then filters the candidates. Spark picks SortMergeJoin
+    * on the composite key; at 100 TB the per-key groups stay bounded
+    * by Δ·rate, not by table size. */
+  def q15TimeProximityJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      // ts is TIMESTAMP_NTZ (unix_micros takes TIMESTAMP only); the
+      // session TZ is pinned UTC, so the cast is value-stable
+      .select(col("event_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    val left = e.withColumn("bucket",
+        explode(array(floor(col("us") / ProximityUs), floor(col("us") / ProximityUs) + 1)))
+      .select(col("event_type"), col("bucket"),
+        col("event_id").as("a_id"), col("us").as("a_us"))
+    val right = e.select(col("event_type"), floor(col("us") / ProximityUs).as("bucket"),
+      col("event_id").as("b_id"), col("us").as("b_us"))
+    left.join(right, Seq("event_type", "bucket"))
+      .filter(col("b_us") > col("a_us") && col("b_us") <= col("a_us") + ProximityUs)
+      // no dedup needed: floor(b_us/Δ) is a single value, so a pair
+      // matches exactly one of the left side's two emitted keys
+      .select(col("event_type"), col("a_id"), col("b_id"),
+        (col("b_us") - col("a_us")).as("gap_us"))
+      .orderBy("event_type", "a_id", "b_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "q15_time_proximity" -> (q15TimeProximityJoin _),
     "q11_asof_join" -> (q11AsofJoin _),
     "q12_pivot" -> (q12Pivot _),
     "q13_group_stats" -> (q13GroupStats _),
@@ -208,6 +249,16 @@ object ExtendedQueries {
     "e01b_knn_classify_ann" -> (e01bKnnClassifyAnn _))
 
   val oracles: Map[String, String] = Map(
+    // q15 oracle: the naive band self-join DuckDB executes as an
+    // IEJoin — same pair set the bucketized equi-join produces.
+    "q15_time_proximity" ->
+      s"""SELECT a.event_type, a.event_id AS a_id, b.event_id AS b_id,
+         |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+         |FROM events a JOIN events b
+         |  ON a.event_type = b.event_type
+         | AND epoch_us(b.ts) > epoch_us(a.ts)
+         | AND epoch_us(b.ts) <= epoch_us(a.ts) + $ProximityUs
+         |ORDER BY a.event_type, a_id, b_id""".stripMargin,
     "q13_group_stats" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,

@@ -338,9 +338,54 @@ object GraphQueries {
       .orderBy("entity")
   }
 
+  /** h14 dials: a pair must share ≥ MinSharedFacts facts to be scored
+    * (1-fact co-occurrence is noise at corpus scale) and clear a
+    * Jaccard floor to be emitted (bounds output to genuinely similar
+    * pairs). */
+  val MinSharedFacts = 2
+  val MinJaccard = 0.2
+
+  /** h14: ENTITY SIMILARITY by fact-set Jaccard — J(a,b) =
+    * |facts(a) ∩ facts(b)| / |facts(a) ∪ facts(b)|. The
+    * set-similarity complement of h02's raw co-occurrence counts:
+    * two entities are SIMILAR when they appear in mostly the SAME
+    * facts, not merely when a hot entity appears everywhere (the
+    * normalization h02 lacks). The entity-resolution candidate signal
+    * (Graft.resolveEntities uses name-LSH; this is the structural
+    * alternative).
+    *
+    * Scale shape: candidates generate ONLY from co-occurrence — the
+    * self-join is keyed by fact_id, and a fact holds at most
+    * ChunkSize/MinEntityLen entities, so per-key fan-out is a small
+    * constant (≤ ~17² here) and total candidate volume is linear in
+    * facts — never |entities|² and never keyed by a hot entity. The
+    * pair count and both degree joins are map-side-combining
+    * hash-aggs on high-cardinality keys; |union| derives from the
+    * inclusion-exclusion identity da + db − shared, so the union set
+    * is never materialized. Float appears only in the final rounded
+    * division (the h13 convention). */
+  def h14EntityJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val deg = e.groupBy("entity").agg(count(lit(1)).as("deg"))
+    val pairs = e.select(col("fact_id"), col("entity").as("a"))
+      .join(e.select(col("fact_id"), col("entity").as("b")), "fact_id")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedFacts)
+    pairs
+      .join(deg.select(col("entity").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("entity").as("b"), col("deg").as("db")), "b")
+      .withColumn("jaccard",
+        round(col("n_shared") / (col("da") + col("db") - col("n_shared")), 6))
+      .filter(col("jaccard") >= MinJaccard)
+      .select("a", "b", "n_shared", "jaccard")
+      .orderBy("a", "b")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "h14_entity_jaccard" -> (h14EntityJaccard _),
     "h01_fact_entity_edges" -> (h01Edges _),
     "h02_entity_neighbours" -> (h02EntityNeighbours _),
     "h03_facts_union" -> (h03FactsUnion _),
@@ -358,6 +403,22 @@ object GraphQueries {
   private val probeList = ProbeUnion.map(e => s"'$e'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // h14: inclusion-exclusion Jaccard over fact sets; DOUBLE cast
+    // before the division (DuckDB int/int is DOUBLE, but explicit
+    // beats depending on it), round-then-filter in the same order as
+    // the Spark side.
+    "h14_entity_jaccard" ->
+      s"""WITH e AS ($edgesSql),
+         |deg AS (SELECT entity, count(*) AS deg FROM e GROUP BY entity),
+         |p AS (SELECT e1.entity AS a, e2.entity AS b, count(*) AS n_shared
+         |      FROM e e1 JOIN e e2 ON e1.fact_id = e2.fact_id AND e1.entity < e2.entity
+         |      GROUP BY 1, 2 HAVING count(*) >= $MinSharedFacts),
+         |j AS (SELECT a, b, n_shared,
+         |        round(CAST(n_shared AS DOUBLE) / (da.deg + db.deg - n_shared), 6) AS jaccard
+         |      FROM p JOIN deg da ON p.a = da.entity JOIN deg db ON p.b = db.entity)
+         |SELECT a, b, n_shared, jaccard FROM j
+         |WHERE jaccard >= $MinJaccard
+         |ORDER BY a, b""".stripMargin,
     "h01_fact_entity_edges" ->
       s"""SELECT fact_id, entity FROM ($edgesSql)
          |ORDER BY fact_id, entity""".stripMargin,

@@ -591,9 +591,45 @@ object TextQueries {
       .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
       .orderBy("doc_id")
 
+  /** t18 ranks fitted: the Zipf regression uses the top-R tokens per
+    * language (the law holds in the head; the tail is lexicon noise). */
+  val ZipfTopRanks = 50
+
+  /** t18: ZIPF FIT per language — regress ln(freq) on ln(rank) over
+    * each language's top-[[ZipfTopRanks]] tokens: slope ≈ −1 is
+    * healthy natural text (Zipf 1949), a flat slope flags synthetic /
+    * shuffled / template corpora and a cliff flags boilerplate
+    * floods. The corpus-health dashboard number next to t13's volume
+    * report and t16's perplexity terciles.
+    *
+    * Scale shape: token frequencies are one map-side-combining
+    * explode+groupBy (the t07 kernel, keyed per lang); the per-lang
+    * top-R is a row_number window whose rank<=R filter runs as
+    * WindowGroupLimit — map-side tasks emit at most R rows per lang
+    * BEFORE the shuffle, so the low-cardinality lang key never
+    * funnels a language's full vocabulary through one task (the t17
+    * pattern; a real corpus is ~40% one language). The regression
+    * reduces ≤ R rows per lang with regr_slope/regr_r2 — builtin
+    * declarative aggs, map-side combined, no collect. */
+  def t18ZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("lang"),
+        explode(filter(split(col("text"), " "), w => w =!= "")).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token"))
+    tf.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= ZipfTopRanks)
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("int").as("n_top"),
+        round(regr_slope(log(col("cnt")), log(col("rk"))), 4).as("zipf_slope"),
+        round(regr_r2(log(col("cnt")), log(col("rk"))), 4).as("zipf_r2"))
+      .orderBy("lang")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "t18_zipf_fit" -> (t18ZipfFit _),
     "t14_normalize" -> (t14Normalize _),
     "t01_lang_id" -> (t01LangId _),
     "t02_quality_score" -> (t02QualityScore _),
@@ -632,6 +668,21 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t18: same top-R-per-lang rank (count desc, token ties), same
+    // regr_slope/regr_r2 regression of ln(cnt) on ln(rank).
+    "t18_zipf_fit" ->
+      s"""WITH tf AS (
+         |  SELECT lang, token, count(*) AS cnt
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+         |  WHERE token != '' GROUP BY 1, 2),
+         |r AS (SELECT lang, cnt,
+         |        row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rk
+         |      FROM tf)
+         |SELECT lang, CAST(count(*) AS INT) AS n_top,
+         |  round(regr_slope(ln(cnt), ln(rk)), 4) AS zipf_slope,
+         |  round(regr_r2(ln(cnt), ln(rk)), 4) AS zipf_r2
+         |FROM r WHERE rk <= $ZipfTopRanks
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "t14_normalize" ->
       s"""SELECT doc_id,
          |  $NormTextSql AS norm_text,
