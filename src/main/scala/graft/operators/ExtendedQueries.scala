@@ -200,6 +200,14 @@ object ExtendedQueries {
   /** Proximity window for q15 (microseconds): 5 seconds. */
   val ProximityUs = 5000000L
 
+  /** q15 burst guard: a (event_type, Δ-bucket) key holding more than
+    * this many events is a BURST — its pairs are inherently quadratic
+    * (10⁵ same-type events inside 5s ⇒ ~10¹⁰ pair rows on ONE join
+    * key), so the key degrades to a single rollup row instead of
+    * pairs. Real test data peaks at 3 events per key (sf0.1), three
+    * orders of magnitude under the dial. */
+  val BurstThreshold = 1000L
+
   /** q15: TIME-PROXIMITY SELF-JOIN — all ordered pairs of same-type
     * events within 5 seconds of each other (burst/correlation
     * detection: rapid-fire clicks, error storms). Spark has no native
@@ -215,26 +223,57 @@ object ExtendedQueries {
     * loop, intermediate volume 2·|events| + true pairs. The exact Δ
     * predicate then filters the candidates. Spark picks SortMergeJoin
     * on the composite key; at 100 TB the per-key groups stay bounded
-    * by Δ·rate, not by table size. */
+    * by Δ·rate, not by table size.
+    *
+    * BURST-SKEW GUARD (the d10 treatment): "bounded by Δ·rate" fails
+    * exactly when rate spikes — an error storm puts a quadratic pair
+    * set on one shuffle key. A first linear pass counts events per
+    * (event_type, bucket); keys over [[BurstThreshold]] are pulled
+    * OUT of the pair join entirely (both endpoints — a broadcast
+    * anti-join, so no pair touching a burst bucket is ever generated)
+    * and each surfaces as ONE rollup row `(event_type, bucket,
+    * n_events)` with null pair columns. Per-key join output is then
+    * ≤ 2·T² by construction, independent of burst size. The oracle
+    * mirrors the guard exactly, and SkewCorpusSpec plants a 10⁴-event
+    * storm asserting bounded output. */
   def q15TimeProximityJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       // ts is TIMESTAMP_NTZ (unix_micros takes TIMESTAMP only); the
       // session TZ is pinned UTC, so the cast is value-stable
       .select(col("event_id"), col("event_type"), col("ts"),
         unix_micros(col("ts").cast("timestamp")).as("us"))
-    val left = e.withColumn("bucket",
-        explode(array(floor(col("us") / ProximityUs), floor(col("us") / ProximityUs) + 1)))
+      // integer DIV, not floor(us/Δ): post-epoch us is positive so
+      // DIV == floor, with no double round-trip to diverge from the
+      // oracle's integer `//`
+      .withColumn("bucket", expr(s"us DIV $ProximityUs"))
+    // Linear pre-pass: per-key population, partial-agg before the
+    // shuffle. Burst keys are few by construction (≤ |events|/T), so
+    // the anti-joins below broadcast.
+    val heavy = e.groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") > BurstThreshold)
+    val light = e.join(
+      broadcast(heavy.select("event_type", "bucket")),
+      Seq("event_type", "bucket"), "left_anti")
+    val left = light.withColumn("bucket",
+        explode(array(col("bucket"), col("bucket") + 1)))
       .select(col("event_type"), col("bucket"),
         col("event_id").as("a_id"), col("us").as("a_us"))
-    val right = e.select(col("event_type"), floor(col("us") / ProximityUs).as("bucket"),
+    val right = light.select(col("event_type"), col("bucket"),
       col("event_id").as("b_id"), col("us").as("b_us"))
-    left.join(right, Seq("event_type", "bucket"))
+    val nullLong = lit(null).cast("long")
+    val pairs = left.join(right, Seq("event_type", "bucket"))
       .filter(col("b_us") > col("a_us") && col("b_us") <= col("a_us") + ProximityUs)
       // no dedup needed: floor(b_us/Δ) is a single value, so a pair
       // matches exactly one of the left side's two emitted keys
       .select(col("event_type"), col("a_id"), col("b_id"),
-        (col("b_us") - col("a_us")).as("gap_us"))
-      .orderBy("event_type", "a_id", "b_id")
+        (col("b_us") - col("a_us")).as("gap_us"),
+        nullLong.as("bucket"), nullLong.as("n_events"))
+    val rollups = heavy.select(col("event_type"),
+      nullLong.as("a_id"), nullLong.as("b_id"), nullLong.as("gap_us"),
+      col("bucket"), col("n_events"))
+    pairs.unionAll(rollups)
+      .orderBy("event_type", "a_id", "b_id", "bucket")
   }
 
   type Q = (SparkSession, String) => DataFrame
@@ -250,15 +289,31 @@ object ExtendedQueries {
 
   val oracles: Map[String, String] = Map(
     // q15 oracle: the naive band self-join DuckDB executes as an
-    // IEJoin — same pair set the bucketized equi-join produces.
+    // IEJoin — same pair set the bucketized equi-join produces — with
+    // the burst guard mirrored exactly: pairs touching a heavy
+    // (event_type, Δ-bucket) are excluded, each heavy key becomes one
+    // rollup row.
     "q15_time_proximity" ->
-      s"""SELECT a.event_type, a.event_id AS a_id, b.event_id AS b_id,
-         |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
-         |FROM events a JOIN events b
+      s"""WITH ev AS (
+         |  SELECT event_id, event_type, epoch_us(ts) AS us,
+         |         epoch_us(ts) // $ProximityUs AS bucket
+         |  FROM events),
+         |heavy AS (
+         |  SELECT event_type, bucket, count(*) AS n_events
+         |  FROM ev GROUP BY 1, 2 HAVING count(*) > $BurstThreshold)
+         |SELECT a.event_type, a.event_id AS a_id, b.event_id AS b_id,
+         |  b.us - a.us AS gap_us,
+         |  CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS BIGINT) AS n_events
+         |FROM ev a JOIN ev b
          |  ON a.event_type = b.event_type
-         | AND epoch_us(b.ts) > epoch_us(a.ts)
-         | AND epoch_us(b.ts) <= epoch_us(a.ts) + $ProximityUs
-         |ORDER BY a.event_type, a_id, b_id""".stripMargin,
+         | AND b.us > a.us AND b.us <= a.us + $ProximityUs
+         |WHERE NOT EXISTS (SELECT 1 FROM heavy h
+         |        WHERE h.event_type = a.event_type AND h.bucket = a.bucket)
+         |  AND NOT EXISTS (SELECT 1 FROM heavy h
+         |        WHERE h.event_type = b.event_type AND h.bucket = b.bucket)
+         |UNION ALL
+         |SELECT event_type, NULL, NULL, NULL, bucket, n_events FROM heavy
+         |ORDER BY event_type, a_id, b_id, bucket""".stripMargin,
     "q13_group_stats" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,

@@ -25,11 +25,16 @@ object Tables {
     *
     *  - Spark ≤ 4.0: the vectorized reader rejects NANOS unless
     *    `spark.sql.legacy.parquet.nanosAsLong=true`, which reads the
-    *    raw nanos as BIGINT → we floor-divide to micros (the same
-    *    truncation DuckDB applies) and cast to TIMESTAMP_NTZ.
+    *    raw nanos as BIGINT → we FLOOR-divide to micros (the same
+    *    floor truncation DuckDB's epoch_us and Spark 4.1's native
+    *    read apply — `DIV` alone truncates toward zero, which would
+    *    diverge by 1us on pre-1970 timestamps with sub-micro nanos)
+    *    and cast to TIMESTAMP_NTZ. The floor is computed in integer
+    *    arithmetic, not FLOOR(ts/1000.0): nanos exceed 2^53, so the
+    *    double round-trip would lose precision.
     *  - Spark 4.1+: NANOS reads natively as TIMESTAMP_NTZ (micros
-    *    precision, nanos truncated — identical values to the DIV
-    *    1000 path) and the legacy flag is ignored → use as-is.
+    *    precision, nanos floor-truncated — identical values to the
+    *    legacy path) and the legacy flag is ignored → use as-is.
     *
     * The flag is still set first (a no-op on 4.1+) because on older
     * Sparks it must be in effect at schema resolution. It is SESSION-
@@ -40,7 +45,10 @@ object Tables {
     val raw = table(spark, dir, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts",
-        org.apache.spark.sql.functions.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+        org.apache.spark.sql.functions.expr(
+          // integer floor division: ts DIV 1000, minus 1 when a
+          // negative ts has a nonzero remainder (toward-zero → floor)
+          "CAST(timestamp_micros((ts DIV 1000) - CASE WHEN ts < 0 AND ts % 1000 != 0 THEN 1 ELSE 0 END) AS TIMESTAMP_NTZ)"))
     else raw
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GraphQueries, TextQueries}
+
+/** Planted-corpus property specs for the round-8 trio that landed with
+  * oracle entries but no ScalaTest coverage: h14 fact-Jaccard entity
+  * similarity and t18 Zipf fit. (q15's planted-burst spec lives in
+  * SkewCorpusSpec with the other skew guards.)
+  *
+  * Each corpus is CONSTRUCTED so the expected output is derivable by
+  * hand — similar/dissimilar entity pairs straddling both h14 dials,
+  * and a Zipfian vs a near-uniform token distribution whose fitted
+  * slopes must separate.
+  */
+class CorpusStatsSpec extends SparkSpec {
+
+  // ---------------------------------------------------------------- h14
+
+  /** Entity corpus: one genuinely similar pair (5 shared facts of 6
+    * each, J = 5/7), one pair under the MinSharedFacts dial (1 shared
+    * fact), one pair under the MinJaccard floor (2 shared facts but
+    * degree 12 each, J = 2/22). Docs stay under one ChunkSize so each
+    * is a single fact; "pad" is below MinEntityLen(5) and never
+    * becomes an entity. */
+  private lazy val dirH: String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("h14corpus").toString
+    val texts =
+      Seq.fill(5)("simaa simbb pad") ++ Seq("simaa pad", "simbb pad") ++
+        Seq("disaa disbb pad") ++ Seq.fill(3)("disaa pad") ++ Seq.fill(3)("disbb pad") ++
+        Seq.fill(2)("lowaa lowbb pad") ++ Seq.fill(10)("lowaa pad") ++ Seq.fill(10)("lowbb pad")
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "planted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("h14: emits exactly the genuinely-similar pair, with exact Jaccard") {
+    val rows = GraphQueries.h14EntityJaccard(spark, dirH).collect()
+    assert(rows.length == 1, s"both dial-failing pairs must be excluded: ${rows.mkString("; ")}")
+    val r = rows.head
+    assert(r.getString(0) == "simaa" && r.getString(1) == "simbb")
+    assert(r.getLong(2) == 5L, s"n_shared: $r")
+    // J = shared / (da + db - shared) = 5 / (6 + 6 - 5), rounded to 6
+    assert(r.getDouble(3) == math.rint(5.0 / 7.0 * 1e6) / 1e6, s"jaccard: $r")
+  }
+
+  test("h14: the MinSharedFacts dial excludes 1-fact co-occurrence noise") {
+    // Rerun the kernel without the dial filters to show both planted
+    // negative pairs DO co-occur (the spec would be vacuous if the
+    // corpus never generated them as candidates).
+    import graft.plans.HippoGraph
+    val e = HippoGraph.edges(spark, dirH)
+    val cand = e.select(col("fact_id"), col("entity").as("a"))
+      .join(e.select(col("fact_id"), col("entity").as("b")), "fact_id")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cand(("disaa", "disbb")) == 1L, "the noise pair co-occurs exactly once")
+    assert(cand(("lowaa", "lowbb")) == 2L, "the low-J pair clears MinSharedFacts")
+    assert(cand.keySet == Set(("simaa", "simbb"), ("disaa", "disbb"), ("lowaa", "lowbb")))
+  }
+
+  // ---------------------------------------------------------------- t18
+
+  /** Token corpus: lang "zz" draws 50 tokens with cnt(r) = ⌊600/r⌋ —
+    * an exact-by-construction Zipf head — and lang "uu" draws 60
+    * near-uniform tokens (one extra occurrence on the first, so the
+    * regression's y-variance is nonzero). Token text is spread over
+    * 10 docs per language; t18's per-lang frequency agg is split-
+    * invariant. */
+  private lazy val dirT: String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("t18corpus").toString
+    val r = new scala.util.Random(7)
+    def spread(lang: String, tokens: Seq[String]): Seq[(String, String)] = {
+      val shuffled = r.shuffle(tokens)
+      val per = math.max(1, shuffled.length / 10)
+      shuffled.grouped(per).map(g => (lang, g.mkString(" "))).toSeq
+    }
+    val zipf = (1 to 50).flatMap(rank => Seq.fill(600 / rank)(f"zipf$rank%03d"))
+    val unif = (0 until 60).flatMap(i => Seq.fill(if (i == 0) 21 else 20)(f"unif$i%03d"))
+    val docs = spread("zz", zipf) ++ spread("uu", unif)
+    docs.zipWithIndex
+      .map { case ((lang, t), i) => (i.toLong, t, lang, "planted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("t18: Zipfian corpus fits slope ≈ −1 with high r², uniform corpus fits flat") {
+    val rows = TextQueries.t18ZipfFit(spark, dirT).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rows.keySet == Set("zz", "uu"))
+    val (nZ, slopeZ, r2Z) = rows("zz")
+    assert(nZ == 50, s"full top-R head: $nZ")
+    assert(slopeZ > -1.15 && slopeZ < -0.85, s"Zipf slope must sit near −1: $slopeZ")
+    assert(r2Z > 0.95, s"the planted power law must fit tightly: $r2Z")
+    val (nU, slopeU, r2U) = rows("uu")
+    assert(nU == 50, "top-R caps the 60-token uniform vocabulary")
+    assert(math.abs(slopeU) < 0.05, s"uniform corpus must fit flat: $slopeU")
+    assert(slopeZ < slopeU - 0.5, "the fit separates natural-shaped from synthetic corpora")
+    assert(r2U >= 0.0 && r2U <= 1.0, s"r2 well-defined on near-constant y: $r2U")
+  }
+}

@@ -269,6 +269,64 @@ class SkewCorpusSpec extends SparkSpec {
     assert(kept == (Set(0L) ++ (100L until 120L)), s"survivors: $kept")
   }
 
+  // ---------------------------------------------------------------- q15
+
+  /** Corpus D: an ERROR STORM for q15 — 10⁴ same-type events inside
+    * one 5s bucket (uncapped pairs ≈ 5·10⁷ on one join key), flanked
+    * by light same-type neighbours and an unrelated type with known
+    * exact pairs. */
+  private lazy val dirD: String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("skewD").toString
+    val base = 10000000000L // bucket 2000 boundary (base / 5e6 = 2000)
+    val events: Seq[(Long, Long, String)] =
+      // clicks: pairs (1,2) (1,3) (2,3) (3,4) — (3,4) crosses buckets
+      Seq((1L, 0L, "click"), (2L, 1000000L, "click"), (3L, 3000000L, "click"),
+        (4L, 7000000L, "click"), (5L, 20000000L, "click"),
+        // light errs in bucket 1999: pairs (100,101) (100,102) (101,102)
+        (100L, base - 3000L, "err"), (101L, base - 2000L, "err"), (102L, base - 1000L, "err"),
+        // light errs in bucket 2001: pair (200,201); 102→200 gap is
+        // 5001500us > Δ, so no cross pair survives on time alone
+        (200L, base + 5000500L, "err"), (201L, base + 5001500L, "err")) ++
+      // the storm: 10⁴ errs inside bucket 2000
+      (0 until 10000).map(i => ((1000 + i).toLong, base + i * 100L, "err"))
+    events.toDF("event_id", "us", "event_type")
+      .select(col("event_id"), expr("timestamp_micros(us)").as("ts"),
+        col("event_type"))
+      .write.parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  test("q15: a 10⁴-event burst degrades to ONE rollup row, light pairs exact") {
+    val rows = graft.operators.ExtendedQueries.q15TimeProximityJoin(spark, dirD).collect()
+    assert(rows.length == 9,
+      s"guarded output must stay bounded (8 light pairs + 1 rollup), got ${rows.length}")
+    val rollups = rows.filter(!_.isNullAt(5))
+    assert(rollups.length == 1, "exactly one burst rollup row")
+    val r = rollups.head
+    assert(r.getString(0) == "err" && r.getLong(4) == 2000L && r.getLong(5) == 10000L,
+      s"rollup must name the burst key and its population: $r")
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3), "rollup has null pair columns")
+    val pairs = rows.filter(_.isNullAt(5))
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSet
+    val expected = Set(
+      ("click", 1L, 2L, 1000000L), ("click", 1L, 3L, 3000000L),
+      ("click", 2L, 3L, 2000000L), ("click", 3L, 4L, 4000000L),
+      ("err", 100L, 101L, 1000L), ("err", 100L, 102L, 2000L),
+      ("err", 101L, 102L, 1000L), ("err", 200L, 201L, 1000L))
+    assert(pairs == expected, s"exact light pairs: $pairs")
+  }
+
+  test("q15: the burst guard is NOT binding on the driver corpus (no rollup rows)") {
+    import org.apache.spark.sql.functions.col
+    // sf0.01: the smallest SF where same-type events actually fall
+    // within 5s of each other (sf0.001's 1000 events are too sparse)
+    val out = graft.operators.ExtendedQueries.q15TimeProximityJoin(spark, sf001)
+    assert(out.filter(col("n_events").isNotNull).count() == 0,
+      "real test data peaks at 3 events per (type, bucket) — far under the dial")
+    assert(out.count() > 0)
+  }
+
   test("d13: mega-cluster rollup stays bounded by the batch, not the pair count") {
     // batch members of the 100-identical cluster: ids 0,10,...,90 —
     // each duplicates all 90 history members (J = 1.0), which would
