@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Embedder, Grammars, HashEmbedder, LlmBackend, NliModel, HeuristicNli, Prompts, TemplateLlm, TextHelpers, VectorFunctions}
-import graft.operators.{DedupQueries, Splitters, VectorQueries}
+import graft.operators.{DedupQueries, GraphQueries, Splitters, VectorQueries}
 import graft.store.HippoDb
 
 /** User-facing facade — the complete hippollm surface, Spark-first.
@@ -247,8 +247,22 @@ final class Graft(
     *     agg; O(component diameter) rounds, 32-round runaway guard);
     *  5. rewrite edges onto canonical entities.
     *
-    * Returns (entity, canonical) — identity rows included. */
-  def resolveEntities(entities: DataFrame): DataFrame = {
+    * Returns (entity, canonical) — identity rows included.
+    *
+    * `structuralEdges`: optionally a (fact_id, entity) adjacency —
+    * when given, FACT-JACCARD similarity (the h14 kernel,
+    * GraphQueries.entityJaccardPairs) proposes candidates ALONGSIDE
+    * name-LSH. The two signals are complementary: LSH sees token
+    * overlap in stored reprs but is blind to a renamed entity
+    * ("einstein" vs "albert einstein" with disjoint descriptions),
+    * while fact-Jaccard sees that both names hang off the same facts
+    * regardless of wording. Candidates from either source still pass
+    * the same NLI confirmation gate, so the union can only improve
+    * recall, never precision. Scale shape unchanged: the Jaccard
+    * kernel is fact_id-keyed (bounded per-key fan-out, linear in
+    * facts) and its dial-filtered pairs are few. */
+  def resolveEntities(entities: DataFrame,
+      structuralEdges: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val emb = embedder
     val nliLocal = nli
@@ -287,10 +301,18 @@ final class Graft(
       .filter(col("cos") >= 0.5)
       .select("a", "b")
       .distinct()
+    // Structural candidates: fact-set Jaccard pairs over the supplied
+    // adjacency, unioned with the LSH pairs (both emit a < b).
+    val allCand = structuralEdges.fold(cand) { ed =>
+      val structural = GraphQueries.entityJaccardPairs(
+          ed.select(col("fact_id"), col("entity")).distinct())
+        .select("a", "b")
+      cand.unionAll(structural).distinct()
+    }
     // NLI confirmation (the stub stands in for NLI classify + LLM
     // equivalence): either direction suffices, as the reference takes
     // the first yes among top matches.
-    val confirmed = cand.as[(String, String)]
+    val confirmed = allCand.as[(String, String)]
       .filter { case (a, b) =>
         nliLocal.entails(a.toLowerCase, b.toLowerCase) ||
           nliLocal.entails(b.toLowerCase, a.toLowerCase)
@@ -315,10 +337,14 @@ final class Graft(
   }
 
   /** annotate + entity resolution applied: edges rewritten onto
-    * canonical entities, the entity dim collapsed to canonicals. */
-  def annotateResolved(docs: DataFrame, chunkSize: Int = 100): HippoDb = {
+    * canonical entities, the entity dim collapsed to canonicals.
+    * `structural = true` additionally feeds the store's own adjacency
+    * to the fact-Jaccard candidate source. */
+  def annotateResolved(docs: DataFrame, chunkSize: Int = 100,
+      structural: Boolean = false): HippoDb = {
     val full = annotate(docs, chunkSize)
-    val mapping = resolveEntities(full.entities)
+    val mapping = resolveEntities(full.entities,
+      if (structural) Some(full.edges) else None)
     val edges = full.edges
       .join(mapping, "entity")
       .select(col("fact_id"), col("canonical").as("entity"))

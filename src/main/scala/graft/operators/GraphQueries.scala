@@ -364,8 +364,16 @@ object GraphQueries {
     * inclusion-exclusion identity da + db − shared, so the union set
     * is never materialized. Float appears only in the final rounded
     * division (the h13 convention). */
-  def h14EntityJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir)
+  def h14EntityJaccard(spark: SparkSession, dir: String): DataFrame =
+    entityJaccardPairs(edges(spark, dir)).orderBy("a", "b")
+
+  /** The h14 kernel on an arbitrary (fact_id, entity) adjacency —
+    * rows must be distinct per (fact, entity), as HippoGraph.edges
+    * and HippoDb stores guarantee. Shared with
+    * Graft.resolveEntities' structural candidate strategy, where
+    * fact-set similarity proposes merge candidates that name-LSH
+    * cannot see (a renamed entity shares facts, not tokens). */
+  def entityJaccardPairs(e: DataFrame): DataFrame = {
     val deg = e.groupBy("entity").agg(count(lit(1)).as("deg"))
     val pairs = e.select(col("fact_id"), col("entity").as("a"))
       .join(e.select(col("fact_id"), col("entity").as("b")), "fact_id")
@@ -379,7 +387,6 @@ object GraphQueries {
         round(col("n_shared") / (col("da") + col("db") - col("n_shared")), 6))
       .filter(col("jaccard") >= MinJaccard)
       .select("a", "b", "n_shared", "jaccard")
-      .orderBy("a", "b")
   }
 
   type Q = (SparkSession, String) => DataFrame

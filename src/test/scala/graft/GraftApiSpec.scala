@@ -98,6 +98,50 @@ class GraftApiSpec extends SparkSpec {
     assert(resolved.edges.select("entity").distinct().count() == ents.size)
   }
 
+  test("structural candidates resolve a renamed entity that name-LSH misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // A renamed entity: the two names share ONE token buried in
+    // disjoint multi-token descriptions, so their stored-repr
+    // embeddings sit far apart (cosine << 0.5) and name-LSH never
+    // proposes the pair — but they hang off the SAME three facts, so
+    // fact-Jaccard (J = 1.0) does. NLI then confirms ("albert
+    // einstein" covers 100% of "einstein"'s content tokens).
+    val entities = Seq(
+      ("albert einstein", "relativity physics nobel laureate patent clerk"),
+      ("einstein", "quantum photon papers brownian motion heuristics"),
+      ("gravity", "universal attraction between masses curvature"))
+      .toDF("entity", "description")
+    val edges = Seq(
+      (1L, "albert einstein"), (1L, "einstein"),
+      (2L, "albert einstein"), (2L, "einstein"),
+      (3L, "albert einstein"), (3L, "einstein"), (3L, "gravity"))
+      .toDF("fact_id", "entity")
+    // Baseline: LSH-only resolution leaves every entity its own
+    // canonical (the planted miss is real, not vacuous).
+    val lshOnly = api.resolveEntities(entities)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lshOnly("einstein") == "einstein" &&
+      lshOnly("albert einstein") == "albert einstein",
+      s"name-LSH alone must miss the renamed pair: $lshOnly")
+    // With the structural source the pair resolves onto the
+    // lexicographic-min canonical; the 1-shared-fact neighbour does
+    // not (under MinSharedFacts — and NLI would reject it anyway).
+    val both = api.resolveEntities(entities, Some(edges))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(both("einstein") == "albert einstein" &&
+      both("albert einstein") == "albert einstein",
+      s"fact-Jaccard + NLI must merge the renamed entity: $both")
+    assert(both("gravity") == "gravity")
+    // The same union strategy through the store-level entry point.
+    val docs = Seq((1L, "alberta einsteinia alberta einsteinia theory"),
+      (2L, "alberta einsteinia alberta einsteinia papers")).toDF("doc_id", "text")
+    val resolved = api.annotateResolved(docs, structural = true)
+    assert(resolved.edges.join(resolved.entities.select("entity"),
+      Seq("entity"), "left_anti").count() == 0,
+      "every rewritten edge points at a canonical entity")
+  }
+
   test("hybrid retrieval with k > candidates returns ALL candidates unranked") {
     val candidates = api.factsByEntities(db, Seq("window"), union = true).count()
     val all = api.closestFactsWithEntities(db, "query", Seq("window"),
