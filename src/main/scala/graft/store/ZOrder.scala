@@ -62,18 +62,48 @@ object ZOrder {
     * filter on the original columns; the layout alone carries the
     * benefit). Bounds come from one tiny agg (table-stats stand-in). */
   def writeZOrdered(df: DataFrame, zCols: Seq[String], path: String,
+      numFiles: Int = 32): Unit =
+    writeZOrderedExprs(df, zCols.map(col), path, numFiles)
+
+  /** [[writeZOrdered]] over arbitrary numeric EXPRESSIONS of the
+    * row — the form non-numeric dimensions need (a timestamp's
+    * epoch micros, a categorical's hash). The expressions are
+    * transient like the z-value: computed, interleaved, sorted by,
+    * dropped — the persisted schema is `df`'s own, so the layout is
+    * a DROP-IN replacement for the original files. */
+  def writeZOrderedExprs(df: DataFrame, dims: Seq[Column], path: String,
       numFiles: Int = 32): Unit = {
-    val bounds = df.select(
-      zCols.flatMap(c => Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))): _*)
+    val tagged = df.select(col("*") +:
+      dims.zipWithIndex.map { case (c, i) => c.as(s"__zd$i") }: _*)
+    val bounds = tagged.select(
+      dims.indices.flatMap(i => Seq(
+        min(col(s"__zd$i")).cast("double"), max(col(s"__zd$i")).cast("double"))): _*)
       .head() // 2 * nDims doubles — table-stats scale, not data scale
-    val scaledCols = zCols.zipWithIndex.map { case (c, i) =>
-      scaled(col(c), bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+    val scaledCols = dims.indices.map { i =>
+      scaled(col(s"__zd$i"), bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
     }
-    df.withColumn("__z", mortonCode(scaledCols))
+    tagged.withColumn("__z", mortonCode(scaledCols))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__z")
+      .drop(dims.indices.map(i => s"__zd$i") :+ "__z": _*)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(path)
+  }
+
+  /** The events-table layout: z-order by (ts × event_type) — the two
+    * columns every operational query boxes on (q08's windows, q15's
+    * proximity buckets, dashboard slices). ts interleaves as epoch
+    * micros; the categorical interleaves as its crc32 (any stable
+    * numeric works — Morton locality only needs equal values to
+    * cluster, which is what parquet's string min/max stats prune
+    * by). Writes `outDir/events.parquet`, so `outDir` is a DROP-IN
+    * sf dir: every events query runs unchanged against it and a
+    * (ts, event_type) box skips most row groups at the scan. */
+  def zOrderEvents(spark: org.apache.spark.sql.SparkSession, dir: String,
+      outDir: String, numFiles: Int = 32): Unit = {
+    val ev = graft.sources.Tables.events(spark, dir)
+    writeZOrderedExprs(ev,
+      Seq(unix_micros(col("ts").cast("timestamp")), crc32(col("event_type"))),
+      s"$outDir/events.parquet", numFiles)
   }
 }
