@@ -9,6 +9,75 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.Demo [sfDir]
   */
 object Demo {
+
+  /** One end-to-end run's observable outcomes — what the DemoSpec
+    * user-acceptance test asserts on and main prints. */
+  final case class Story(
+      nLoaded: Long, nCurated: Long,
+      nFacts: Long, nEntities: Long, integrity: (Long, Long, Long),
+      annFactIds: Seq[Long], bruteFactIds: Seq[Long],
+      hybridRows: Long, viewJson: String)
+
+  /** THE FULL USER STORY as one callable tour — load → curate →
+    * annotate (store build + save/load round-trip) → index (persisted
+    * IVF over the fact embeddings) → retrieve (ANN serving path AND
+    * the hybrid entity-filtered form) → GraftView JSON payload.
+    * Every stage runs the same public surface a user would; the spec
+    * treats this as the user-acceptance test. */
+  def fullStory(spark: SparkSession, dir: String,
+      query: String = "stream processing window"): Story = {
+    import org.apache.spark.sql.functions._
+    val api = new graft.api.Graft(spark)
+
+    // LOAD: the corpus as the loaders surface it.
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val nLoaded = docs.count()
+
+    // CURATE: the five-stage pipeline picks the training slice; the
+    // survivors join back to full docs (p01 emits scores, not text).
+    val survivors = graft.operators.PipelineQueries
+      .p01CurationPipeline(spark, dir).select("doc_id")
+    val curated = docs.join(survivors, "doc_id")
+    val nCurated = curated.count()
+
+    // ANNOTATE: curated docs → graph+vector store, persisted and
+    // reloaded (the serving processes are not the build process).
+    val built = api.annotate(curated)
+    val storeDir = java.nio.file.Files.createTempDirectory("story_store").toString
+    built.save(storeDir)
+    val db = graft.store.HippoDb.load(spark, storeDir)
+
+    // INDEX: a persisted IVF over the fact embeddings — probes are
+    // partition-pruned scans, no retrain per query.
+    val idxDir = java.nio.file.Files.createTempDirectory("story_idx").toString
+    val nCells = 8
+    graft.store.VectorIndex.buildIvf(spark,
+      db.factEmb.select(col("fact_id").as("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v")),
+      idxDir, nCells = nCells, iters = 2)
+
+    // RETRIEVE: the ANN serving path (query vector against the
+    // persisted index; all cells probed here so the result is
+    // exactly the brute ranking)...
+    val qv = new graft.functions.HashEmbedder(64).embed(query).map(_.toDouble)
+    val annFactIds = graft.store.VectorIndex
+      .annIvf(spark, idxDir, qv, k = 3, nProbe = nCells, excludeVecId = None)
+      .collect().map(_.getLong(0)).toSeq
+    val bruteFactIds = api.closestFacts(db, query, k = 3)
+      .collect().map(_.getLong(0)).toSeq
+    // ...and the hybrid entity-filtered form.
+    val hybridRows = api.closestFactsWithEntities(
+      db, query, Seq(graft.operators.GraphQueries.ProbeEntity),
+      union = true, k = 5).count()
+
+    // VIEW: the hippoview payload over the same store.
+    val view = new graft.api.GraftView(spark, api)
+    val viewJson = view.toJson(db, view.entityGraph(db, query, k = 2, depth = 1))
+
+    Story(nLoaded, nCurated, db.facts.count(), db.entities.count(),
+      db.integrity, annFactIds, bruteFactIds, hybridRows, viewJson)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -80,6 +149,12 @@ object Demo {
     println(s"[demo] p01 curation pipeline survivors: ${curated.count()} docs")
     val folded = spark.sql("SELECT graft_nfc('Cafe\u0301') = 'Caf\u00e9' AS ok").head().getBoolean(0)
     println(s"[demo] SQL graft_nfc folds decomposed accents: $folded")
+
+    val story = fullStory(spark, dir)
+    println(s"[demo] full story: ${story.nLoaded} loaded -> ${story.nCurated} curated -> " +
+      s"${story.nFacts} facts / ${story.nEntities} entities (integrity ${story.integrity})")
+    println(s"[demo] full story: ANN top-3 ${story.annFactIds} == brute ${story.bruteFactIds}; " +
+      s"hybrid rows ${story.hybridRows}; view payload ${story.viewJson.length} chars")
     spark.stop()
   }
 }

@@ -1,0 +1,38 @@
+package graft
+
+/** User-acceptance smoke: the FULL story — load → curate → annotate
+  * (save/load round-trip) → persisted-index build → ANN + hybrid
+  * retrieval → view payload — runs end-to-end on real test data and
+  * every stage's outcome is sane. This is the closest thing to "a
+  * user switched their whole workflow onto the library and it
+  * worked". */
+class DemoSpec extends SparkSpec {
+
+  test("the full user story runs end-to-end at sf0.001") {
+    val s = Demo.fullStory(spark, sf0001)
+
+    // curation kept a meaningful, strictly-proper slice
+    assert(s.nCurated > 0 && s.nCurated < s.nLoaded,
+      s"curation must filter: ${s.nCurated} of ${s.nLoaded}")
+
+    // the store round-tripped consistent
+    assert(s.nFacts > 0 && s.nEntities > 0)
+    val (nF, nE, missing) = s.integrity
+    assert(nF == s.nFacts && nF == nE && missing == 0,
+      s"store integrity after save/load: $nF facts, $nE embeddings, $missing missing")
+
+    // the persisted-index serving path, probing ALL cells, must equal
+    // the brute ranking exactly (same rounding, same tiebreak)
+    assert(s.annFactIds.length == 3 && s.annFactIds == s.bruteFactIds,
+      s"all-probe ANN must match brute: ${s.annFactIds} vs ${s.bruteFactIds}")
+
+    // hybrid retrieval bounded by k and nonempty
+    assert(s.hybridRows > 0 && s.hybridRows <= 5)
+
+    // the view payload is real JSON with the D3 contract's shape
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(s.viewJson)
+    assert(root.has("nodes") && root.has("links"), s.viewJson.take(200))
+    assert(root.get("nodes").size() > 0, "entity graph must seed nodes")
+  }
+}
