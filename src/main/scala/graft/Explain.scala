@@ -133,20 +133,98 @@ object Explain {
       "t17_tfidf" -> Seq("WindowGroupLimit", "HashAggregate"),
       // h13: wedges close against the forward edge set via a
       // LeftSemi equi-join; per-vertex counts explode + partial-agg
-      "h13_triangles" -> Seq("LeftSemi", "HashAggregate"))
+      "h13_triangles" -> Seq("LeftSemi", "HashAggregate"),
+      // q15: the bucketized range join MUST be an EQUI-join keyed
+      // (event_type, bucket) with the Δ predicate as residual — at
+      // sf0.01 stats pick BroadcastHashJoin, at scale SortMergeJoin;
+      // the audit pins the KEYS, not the strategy — and the naive
+      // per-type nested loop must never appear; the burst guard's
+      // heavy-key exclusion runs as a broadcast anti-join
+      "q15_time_proximity" -> Seq("Left keys [2]: [event_type", "LeftAnti",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // h14: candidates generate ONLY from the fact_id-keyed
+      // self-join (bounded per-key fan-out); pair counts and both
+      // degree sides partial-aggregate map-side; nothing all-pairs
+      "h14_entity_jaccard" -> Seq("HashAggregate", "partial_count",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // t18: the per-lang top-R rank must push into the window
+      // operator (WindowGroupLimit, the t17 pattern) so map tasks
+      // emit at most R rows per language before the shuffle
+      "t18_zipf_fit" -> Seq("WindowGroupLimit", "HashAggregate"),
+      // m05 (oracle entry = per-doc band signatures): one typed map
+      // over a PRUNED 2-column scan; the pair join is audited
+      // separately below (m05_phash_pairs) on the phashPairs surface
+      "m05_phash" -> Seq("ReadSchema: struct<doc_id:bigint,text:string>",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin"))
 
     val sb = new StringBuilder
     sb.append(s"# Plan audit @ $dir\n\n")
     var failures = 0
-    audits.foreach { case (name, needles) =>
-      val df = SparkEntry.queries(name)(spark, dir)
+    def audit(name: String, df: org.apache.spark.sql.DataFrame,
+        needles: Seq[String]): Unit = {
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      val missing = needles.filterNot(plan.contains)
+      // a "!"-prefixed needle asserts ABSENCE (no cartesian, no BNLJ)
+      val (neg, pos) = needles.partition(_.startsWith("!"))
+      val missing = pos.filterNot(plan.contains) ++
+        neg.filter(n => plan.contains(n.drop(1))).map(n => s"unexpected ${n.drop(1)}")
       val status = if (missing.isEmpty) "OK" else { failures += 1; s"MISSING ${missing.mkString("; ")}" }
       println(s"[explain] $name: $status")
       sb.append(s"## $name — $status\n\n```\n$plan\n```\n\n")
     }
+    audits.foreach { case (name, needles) =>
+      audit(name, SparkEntry.queries(name)(spark, dir), needles)
+    }
+    // m05's PAIR path (not an oracle entry — it takes a docs frame):
+    // candidates MUST block on the 16-bit band equi-key (lossless at
+    // Hamming <= 3), the distinct dedup partial-aggregates, and no
+    // all-pairs shape may appear anywhere.
+    audit("m05_phash_pairs",
+      graft.operators.MultimodalQueries.phashPairs(
+        spark, graft.sources.Tables.documents(spark, dir)),
+      Seq("band_idx", "HashAggregate",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin"))
+
+    // Layout evidence: the events z-order drop-in, measured here so
+    // the audit file regenerates its own numbers — scan rows
+    // surviving row-group pruning for a one-type ~10%-time box on
+    // arrival-ordered vs z-ordered layouts of the same table.
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      plan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+    }
+    import org.apache.spark.sql.functions._
+    val ztmp = java.nio.file.Files.createTempDirectory("explain_z").toString
+    graft.store.ZOrder.zOrderEvents(spark, dir, s"$ztmp/zdir", numFiles = 32)
+    val ev = graft.sources.Tables.events(spark, dir)
+    ev.withColumn("__o", col("event_id"))
+      .repartitionByRange(32, col("__o")).sortWithinPartitions("__o").drop("__o")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$ztmp/linear/events.parquet")
+    val q = ev.select(unix_micros(col("ts").cast("timestamp")).as("us"))
+      .stat.approxQuantile("us", Array(0.45, 0.55), 0.001)
+    def ntz(us: Long) = java.time.LocalDateTime.ofEpochSecond(
+      us / 1000000L, ((us % 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+    def box(d: String) = graft.sources.Tables.events(spark, d)
+      .filter(col("event_type") === "click" &&
+        col("ts") >= lit(ntz(q(0).toLong)) && col("ts") <= lit(ntz(q(1).toLong)))
+      .select("event_id")
+    val (zRows, lRows) = (scanRows(box(s"$ztmp/zdir")), scanRows(box(s"$ztmp/linear")))
+    val zStatus = if (zRows * 2 <= lRows) "OK" else { failures += 1; "MISSING pruning" }
+    println(s"[explain] events_zorder_layout: $zStatus ($zRows vs $lRows scan rows)")
+    sb.append(s"## events_zorder_layout — $zStatus\n\n")
+    sb.append("One-type ~10%-time box over events, identical results both " +
+      s"layouts: **z-ordered scans $zRows rows, arrival-ordered scans $lRows** " +
+      "(row-group min/max pruning from the pushed filters alone; " +
+      "ZOrderSpec asserts the same bound in CI).\n\n")
+
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
     println(s"[explain] wrote $out; $failures failures")
     spark.stop()
