@@ -151,6 +151,17 @@ object Explain {
       // operator (WindowGroupLimit, the t17 pattern) so map tasks
       // emit at most R rows per language before the shuffle
       "t18_zipf_fit" -> Seq("WindowGroupLimit", "HashAggregate"),
+      // q16: every funnel stage reduces BEFORE it joins (min-agg per
+      // user, then a user_id-keyed join against one-row-per-user) —
+      // partial aggregation map-side, nothing event × event
+      "q16_event_funnel" -> Seq("HashAggregate", "partial_min",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // h15: the h14 candidate shape + a broadcast 1-row total — the
+      // scalar attaches as a BNLJ against a SINGLE-ROW broadcast (the
+      // t12 lazy-total convention; benign by construction), so only
+      // the cartesian is forbidden
+      "h15_entity_pmi" -> Seq("HashAggregate", "partial_count",
+        "!CartesianProduct"),
       // m05 (oracle entry = per-doc band signatures): one typed map
       // over a PRUNED 2-column scan; the pair join is audited
       // separately below (m05_phash_pairs) on the phashPairs surface

@@ -173,7 +173,39 @@ object CoreQueries {
       .orderBy(col("g_status"), col("g_prio"),
         col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** q16: CONVERSION FUNNEL — users reaching each ordered stage
+    * view → click → purchase, where each stage must happen strictly
+    * AFTER the user's first event of the previous stage (the product
+    * analytics primitive behind every "where do users drop off"
+    * dashboard).
+    *
+    * Scale shape: each stage is one map-side-combining min-agg on
+    * the HIGH-cardinality user_id key, and each stage join is
+    * user_id-keyed against the already-REDUCED previous stage (one
+    * row per surviving user, never event × event) — three
+    * co-partitioned shuffles on the same key, so the exchanges
+    * reuse; the final stage tally is a 3-row agg. Nothing funnels
+    * through a low-cardinality key until the last 3-row step. */
+  def q16EventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    def stage(typ: String, prev: DataFrame, prevT: String, outT: String) =
+      e.filter(col("event_type") === typ)
+        .join(prev, "user_id")
+        .filter(col("ts") > col(prevT))
+        .groupBy("user_id").agg(min("ts").as(outT))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = stage("click", v, "t_view", "t_click")
+    val p = stage("purchase", c, "t_click", "t_purchase")
+    v.select(lit("1_view").as("stage"))
+      .unionAll(c.select(lit("2_click").as("stage")))
+      .unionAll(p.select(lit("3_purchase").as("stage")))
+      .groupBy("stage").agg(count(lit(1)).as("users"))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q16_event_funnel" -> (q16EventFunnel _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q14_grouping_sets" -> (q14GroupingSets _),
     "q02_region_revenue" -> (q02RegionRevenue _),
@@ -187,6 +219,21 @@ object CoreQueries {
     "q10_events_json" -> (q10EventsJson _))
 
   val oracles: Map[String, String] = Map(
+    // q16: the same strictly-after min-chaining; counts only, so the
+    // compare is integer-exact.
+    "q16_event_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+        |SELECT '1_view' AS stage, count(*) AS users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM c
+        |UNION ALL SELECT '3_purchase', count(*) FROM p
+        |ORDER BY stage""".stripMargin,
     "q14_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,

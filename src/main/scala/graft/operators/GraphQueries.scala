@@ -389,9 +389,48 @@ object GraphQueries {
       .select("a", "b", "n_shared", "jaccard")
   }
 
+  /** h15: CO-OCCURRENCE PMI — pointwise mutual information per
+    * entity pair, ln(n_shared · N / (da · db)) (Church & Hanks
+    * 1990): h14's Jaccard asks "how much do these entities overlap",
+    * PMI asks "is this overlap MORE than chance given how common
+    * both are" — the association measure that stays meaningful when
+    * degrees are wildly skewed (a rare pair sharing 2 of 3 facts
+    * scores high; two stopword-like hub entities sharing hundreds
+    * scores near 0). The edge-weighting signal for the h10/h11
+    * graph algorithms and a collocation detector on the text side.
+    *
+    * Scale shape: identical to h14 (fact_id-keyed candidates,
+    * map-side-combining degree/pair aggs) plus ONE scalar — the
+    * distinct fact count — carried as a broadcast 1-row cross join
+    * (the t12 lazy-total convention, never collected). The products
+    * run in DOUBLE (bigint would overflow at corpus scale:
+    * n_shared·N can pass 2⁶³ when N ~ 10¹²); both engines execute
+    * the same IEEE ops in the same order, so round-6 compares
+    * exactly. */
+  def h15EntityPmi(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val n = e.select(countDistinct("fact_id").as("n_facts"))
+    val deg = e.groupBy("entity").agg(count(lit(1)).as("deg"))
+    val pairs = e.select(col("fact_id"), col("entity").as("a"))
+      .join(e.select(col("fact_id"), col("entity").as("b")), "fact_id")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedFacts)
+    pairs
+      .join(deg.select(col("entity").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("entity").as("b"), col("deg").as("db")), "b")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi",
+        round(log((col("n_shared").cast("double") * col("n_facts")) /
+          (col("da").cast("double") * col("db"))), 6))
+      .select("a", "b", "n_shared", "pmi")
+      .orderBy("a", "b")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "h15_entity_pmi" -> (h15EntityPmi _),
     "h14_entity_jaccard" -> (h14EntityJaccard _),
     "h01_fact_entity_edges" -> (h01Edges _),
     "h02_entity_neighbours" -> (h02EntityNeighbours _),
@@ -410,6 +449,23 @@ object GraphQueries {
   private val probeList = ProbeUnion.map(e => s"'$e'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // h15: same candidate/degree CTEs as h14; the ratio is computed
+    // in the SAME IEEE op order as the Spark side (double·int
+    // product each side, one division, then ln) so both engines
+    // round identical doubles.
+    "h15_entity_pmi" ->
+      s"""WITH e AS ($edgesSql),
+         |n AS (SELECT count(DISTINCT fact_id) AS n_facts FROM e),
+         |deg AS (SELECT entity, count(*) AS deg FROM e GROUP BY entity),
+         |p AS (SELECT e1.entity AS a, e2.entity AS b, count(*) AS n_shared
+         |      FROM e e1 JOIN e e2 ON e1.fact_id = e2.fact_id AND e1.entity < e2.entity
+         |      GROUP BY 1, 2 HAVING count(*) >= $MinSharedFacts)
+         |SELECT a, b, n_shared,
+         |  round(ln((CAST(n_shared AS DOUBLE) * n_facts) /
+         |           (CAST(da.deg AS DOUBLE) * db.deg)), 6) AS pmi
+         |FROM p JOIN deg da ON p.a = da.entity JOIN deg db ON p.b = db.entity
+         |CROSS JOIN n
+         |ORDER BY a, b""".stripMargin,
     // h14: inclusion-exclusion Jaccard over fact sets; DOUBLE cast
     // before the division (DuckDB int/int is DOUBLE, but explicit
     // beats depending on it), round-then-filter in the same order as

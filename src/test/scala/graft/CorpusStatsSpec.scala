@@ -64,6 +64,53 @@ class CorpusStatsSpec extends SparkSpec {
     assert(cand.keySet == Set(("simaa", "simbb"), ("disaa", "disbb"), ("lowaa", "lowbb")))
   }
 
+  // ---------------------------------------------------------------- h15
+
+  test("h15: PMI separates above-chance from below-chance co-occurrence exactly") {
+    val rows = GraphQueries.h15EntityPmi(spark, dirH).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // N = 36 single-fact docs. simaa/simbb: 5 shared, deg 6 each →
+    // PMI = ln(5·36/36) = ln 5. lowaa/lowbb: 2 shared, deg 12 each →
+    // ln(2·36/144) = ln 0.5 — BELOW chance, which Jaccard-floored h14
+    // drops but PMI must surface as a negative association.
+    assert(rows.keySet == Set(("simaa", "simbb"), ("lowaa", "lowbb")),
+      s"MinSharedFacts still gates candidates: ${rows.keySet}")
+    val (nSim, pmiSim) = rows(("simaa", "simbb"))
+    assert(nSim == 5L && pmiSim == math.rint(math.log(5.0) * 1e6) / 1e6, s"$pmiSim")
+    val (nLow, pmiLow) = rows(("lowaa", "lowbb"))
+    assert(nLow == 2L && pmiLow == math.rint(math.log(0.5) * 1e6) / 1e6, s"$pmiLow")
+  }
+
+  // ---------------------------------------------------------------- q16
+
+  /** Funnel corpus: five users with known stage progressions —
+    * including the strictly-after trap (u4 clicks BEFORE their first
+    * view, which must not count as funnel progress). */
+  private lazy val dirF: String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q16funnel").toString
+    val events = Seq(
+      (1L, 1L, 1000000L, "view"), (2L, 1L, 2000000L, "click"), (3L, 1L, 3000000L, "purchase"),
+      (4L, 2L, 1000000L, "view"), (5L, 2L, 2000000L, "click"),
+      (6L, 3L, 1000000L, "view"),
+      (7L, 4L, 1000000L, "click"), (8L, 4L, 2000000L, "view"), (9L, 4L, 3000000L, "purchase"),
+      (10L, 5L, 1000000L, "click"), (11L, 5L, 2000000L, "purchase"))
+    events.toDF("event_id", "user_id", "us", "event_type")
+      .select(col("event_id"), col("user_id"),
+        expr("timestamp_micros(us)").as("ts"), col("event_type"))
+      .write.parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  test("q16: funnel counts users per stage with strictly-after semantics") {
+    val rows = graft.operators.CoreQueries.q16EventFunnel(spark, dirF).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // u1..u4 view; u1,u2 click after first view (u4's click precedes
+    // their view); only u1 completes. u4's purchase does not count —
+    // there is no qualifying click before it. u5 never views.
+    assert(rows == Map("1_view" -> 4L, "2_click" -> 2L, "3_purchase" -> 1L), rows.toString)
+  }
+
   // ---------------------------------------------------------------- t18
 
   /** Token corpus: lang "zz" draws 50 tokens with cnt(r) = ⌊600/r⌋ —
