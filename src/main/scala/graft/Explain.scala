@@ -151,6 +151,11 @@ object Explain {
       // operator (WindowGroupLimit, the t17 pattern) so map tasks
       // emit at most R rows per language before the shuffle
       "t18_zipf_fit" -> Seq("WindowGroupLimit", "HashAggregate"),
+      // q17: first-event min and the user-week dedup both
+      // partial-aggregate map-side; the cohort join is user_id-keyed
+      // against a reduced side — nothing event × event
+      "q17_cohort_retention" -> Seq("HashAggregate", "partial_min",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin"),
       // q16: every funnel stage reduces BEFORE it joins (min-agg per
       // user, then a user_id-keyed join against one-row-per-user) —
       // partial aggregation map-side, nothing event × event

@@ -204,7 +204,37 @@ object CoreQueries {
       .orderBy("stage")
   }
 
+  /** q17: COHORT RETENTION — users bucketed by the week of their
+    * FIRST event (the cohort), each cohort's distinct active users
+    * counted per week offset since then (the retention matrix every
+    * growth dashboard draws; week 0 = cohort size).
+    *
+    * Scale shape: the first-event min is a map-side-combining agg on
+    * the high-cardinality user_id; per-user-week activity dedups on
+    * (user, week) BEFORE anything joins (one row per user-week, not
+    * per event); the cohort join hits the reduced one-row-per-user
+    * side; the matrix agg groups a (user, cohort, offset)-distinct
+    * relation down to the tiny (cohort × offset) grid. Week
+    * arithmetic stays on date_trunc boundaries so the offset
+    * division is exact in both engines. */
+  def q17CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+    val cohort = e.groupBy("user_id").agg(min("week").as("cohort_week"))
+    e.distinct()
+      .join(cohort, "user_id")
+      .select(col("cohort_week").cast("date").as("cohort_week"),
+        (datediff(col("week").cast("date"), col("cohort_week").cast("date")) / 7)
+          .cast("int").as("week_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q17_cohort_retention" -> (q17CohortRetention _),
     "q16_event_funnel" -> (q16EventFunnel _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q14_grouping_sets" -> (q14GroupingSets _),
@@ -219,6 +249,18 @@ object CoreQueries {
     "q10_events_json" -> (q10EventsJson _))
 
   val oracles: Map[String, String] = Map(
+    // q17: same week-truncated min/distinct chain; date_trunc('week')
+    // is Monday-based in both engines and offsets divide exactly on
+    // week boundaries, so the compare is integer-exact.
+    "q17_cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |              CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+        |cohort AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1)
+        |SELECT c.cohort_week, CAST((uw.week - c.cohort_week) / 7 AS INT) AS week_offset,
+        |       count(DISTINCT uw.user_id) AS n_users
+        |FROM uw JOIN cohort c ON uw.user_id = c.user_id
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     // q16: the same strictly-after min-chaining; counts only, so the
     // compare is integer-exact.
     "q16_event_funnel" ->

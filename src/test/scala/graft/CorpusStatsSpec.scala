@@ -111,6 +111,31 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows == Map("1_view" -> 4L, "2_click" -> 2L, "3_purchase" -> 1L), rows.toString)
   }
 
+  // ---------------------------------------------------------------- q17
+
+  test("q17: the retention matrix is exact on a planted two-cohort corpus") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q17cohort").toString
+    def at(day: String) = s"$day 12:00:00"
+    // Mondays: W0 = 2026-01-05, W1 = -12, W3 = -26. u1,u2 cohort W0
+    // (u1 returns in W1); u3 cohorts in W1 and returns in W3. Two
+    // same-week events for u1 must not double-count.
+    val events = Seq(
+      (1L, 1L, at("2026-01-05"), "view"), (2L, 1L, at("2026-01-07"), "click"),
+      (3L, 1L, at("2026-01-13"), "view"),
+      (4L, 2L, at("2026-01-06"), "view"),
+      (5L, 3L, at("2026-01-14"), "view"), (6L, 3L, at("2026-01-27"), "view"))
+    events.toDF("event_id", "user_id", "s", "event_type")
+      .select(col("event_id"), col("user_id"),
+        col("s").cast("timestamp").as("ts"), col("event_type"))
+      .write.parquet(s"$tmp/events.parquet")
+    val rows = graft.operators.CoreQueries.q17CohortRetention(spark, tmp).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(rows == Map(
+      ("2026-01-05", 0) -> 2L, ("2026-01-05", 1) -> 1L,
+      ("2026-01-12", 0) -> 1L, ("2026-01-12", 2) -> 1L), rows.toString)
+  }
+
   // ---------------------------------------------------------------- t18
 
   /** Token corpus: lang "zz" draws 50 tokens with cnt(r) = ⌊600/r⌋ —
