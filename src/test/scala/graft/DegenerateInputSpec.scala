@@ -135,6 +135,45 @@ class DegenerateInputSpec extends SparkSpec {
     assert(rows(1L)._4 >= 1 && rows(3L)._4 >= 1)
   }
 
+  test("q16/q17: an events corpus with no views neither crashes nor invents stages") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("degen_ev").toString
+    // only clicks and purchases — the funnel's first stage never opens
+    Seq((1L, 7L, 1000000L, "click"), (2L, 7L, 2000000L, "purchase"))
+      .toDF("event_id", "user_id", "us", "event_type")
+      .select(col("event_id"), col("user_id"),
+        expr("timestamp_micros(us)").as("ts"), col("event_type"))
+      .write.parquet(s"$tmp/events.parquet")
+    assert(graft.operators.CoreQueries.q16EventFunnel(spark, tmp).count() == 0,
+      "no view stage -> an EMPTY funnel, not phantom later stages")
+    // retention still works: one user, one week, week-0 cell only
+    val ret = graft.operators.CoreQueries.q17CohortRetention(spark, tmp).collect()
+    assert(ret.length == 1 && ret.head.getInt(1) == 0 && ret.head.getLong(2) == 1L)
+  }
+
+  test("h14/h15: a corpus with no co-occurring entities is empty, not a crash") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("degen_solo").toString
+    // one >=5-char entity per doc (facts never share entities)
+    Seq((0L, "alpha1 is a", "en", "s", 11L), (1L, "bravo2 is b", "en", "s", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    assert(graft.operators.GraphQueries.h14EntityJaccard(spark, tmp).count() == 0)
+    assert(graft.operators.GraphQueries.h15EntityPmi(spark, tmp).count() == 0)
+  }
+
+  test("t18: a single-token language fits no slope (null), not a crash") {
+    val rows = TextQueries.t18ZipfFit(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // lang "en" holds docs 0 ("") and 1 ("one"): vocabulary = {one}
+    // -> one point, undefined regression -> guarded null
+    val en = rows("en")
+    assert(en.getInt(1) == 1 && en.isNullAt(2), s"1-point fit must be null: $en")
+    // the healthy lang still fits: doc 3 repeats 8 tokens uniformly,
+    // so the fit exists (near-flat) and r2 is well-defined
+    assert(rows.contains("es") && !rows("es").isNullAt(2))
+  }
+
   test("t10 sampling ignores text entirely (works on the degenerate corpus)") {
     val s = TextQueries.t10StratifiedSample(spark, dir).collect()
     assert(s.forall(r => r.getString(2) < "d")) // below every threshold char used
