@@ -186,8 +186,16 @@ object CoreQueries {
     * co-partitioned shuffles on the same key, so the exchanges
     * reuse; the final stage tally is a 3-row agg. Nothing funnels
     * through a low-cardinality key until the last 3-row step. */
-  def q16EventFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+  def q16EventFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelStageRows(Tables.events(spark, dir).select("user_id", "event_type", "ts"))
+      .groupBy("stage").agg(count(lit(1)).as("users"))
+      .orderBy("stage")
+
+  /** The per-user stage-reach relation q16 aggregates — one row per
+    * (user, stage reached) with the reach timestamp. SHARED KERNEL
+    * with st12's streaming funnel parity spec (the drift-proofing
+    * convention: stream and batch compare against the same rows). */
+  def funnelStageRows(e: DataFrame): DataFrame = {
     def stage(typ: String, prev: DataFrame, prevT: String, outT: String) =
       e.filter(col("event_type") === typ)
         .join(prev, "user_id")
@@ -197,11 +205,9 @@ object CoreQueries {
       .groupBy("user_id").agg(min("ts").as("t_view"))
     val c = stage("click", v, "t_view", "t_click")
     val p = stage("purchase", c, "t_click", "t_purchase")
-    v.select(lit("1_view").as("stage"))
-      .unionAll(c.select(lit("2_click").as("stage")))
-      .unionAll(p.select(lit("3_purchase").as("stage")))
-      .groupBy("stage").agg(count(lit(1)).as("users"))
-      .orderBy("stage")
+    v.select(col("user_id"), lit("1_view").as("stage"), col("t_view").as("ts"))
+      .unionAll(c.select(col("user_id"), lit("2_click").as("stage"), col("t_click").as("ts")))
+      .unionAll(p.select(col("user_id"), lit("3_purchase").as("stage"), col("t_purchase").as("ts")))
   }
 
   /** q17: COHORT RETENTION — users bucketed by the week of their

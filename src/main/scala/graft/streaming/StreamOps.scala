@@ -520,6 +520,80 @@ object StreamOps {
       .start()
   }
 
+  final case class FEv(user_id: Long, ts: Timestamp, event_type: String)
+  /** stage: -1 = nothing yet, 0 = view, 1 = click, 2 = purchase;
+    * stageTs = event-time ms of the stage-reaching event. */
+  final case class FunnelState(stage: Int, stageTs: Long)
+  final case class FunnelOut(user_id: Long, stage: String, ts: Timestamp)
+
+  private val FunnelStages = Vector("1_view", "2_click", "3_purchase")
+  private val FunnelTypes = Vector("view", "click", "purchase")
+  /** Funnel state horizon: a user idle this long (event time) can no
+    * longer progress; their state evicts. */
+  val FunnelHorizonMs: Long = 7L * 24 * 3600 * 1000
+
+  /** st13: STREAMING CONVERSION FUNNEL — q16's strictly-after
+    * view → click → purchase as per-user state on an always-on
+    * stream: a row is EMITTED THE MOMENT a user reaches a new stage
+    * (batch q16 only ever sees completed history), so the live stage
+    * counts are one downstream `groupBy(stage)` away.
+    *
+    * State is two numbers per in-horizon user (stage index + its
+    * event-time), evicted via EVENT-time timeout once the watermark
+    * passes stageTs + [[FunnelHorizonMs]]. COMPLETED funnels keep
+    * their state until that horizon too — evicting on completion
+    * would let a later view open a second funnel and re-emit stages
+    * the batch kernel counts once per user (the parity spec caught
+    * exactly that); after the horizon a returning user legitimately
+    * starts a fresh funnel. Micro-batches sort by (ts, stage-order)
+    * so same-batch disorder is repaired and an equal-timestamp next
+    * stage correctly fails the STRICTLY-after check.
+    *
+    * Ordering contract (the st02 convention, stricter): exact parity
+    * with the batch kernel (CoreQueries.funnelStageRows — the SAME
+    * rows q16 aggregates, asserted by StreamingSpec) holds when each
+    * user's CROSS-batch arrival respects event-time order; the
+    * watermark bounds and drops older disorder. A replayed/backfill
+    * source belongs on the batch mirror — funnel progress is
+    * forward-only state, and an old view arriving after a dropped
+    * click cannot resurrect it. */
+  def funnelStream(spark: SparkSession, events: Dataset[FEv],
+      watermarkDelay: String = "30 minutes"): Dataset[FunnelOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[FEv], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = evs.toSeq
+              .sortBy(e => (e.ts.getTime, FunnelTypes.indexOf(e.event_type)))
+            var st = state.getOption.getOrElse(FunnelState(-1, Long.MinValue))
+            val out = scala.collection.mutable.ListBuffer.empty[FunnelOut]
+            sorted.foreach { e =>
+              val idx = FunnelTypes.indexOf(e.event_type)
+              if (idx == st.stage + 1 &&
+                  (st.stage == -1 || e.ts.getTime > st.stageTs)) {
+                st = FunnelState(idx, e.ts.getTime)
+                out += FunnelOut(user, FunnelStages(idx), e.ts)
+              }
+            }
+            // COMPLETED state stays (until the horizon evicts it):
+            // removing it would let a later view open a SECOND funnel
+            // and re-emit stages the batch kernel counts once per
+            // user — the parity spec caught exactly that.
+            if (st.stage >= 0 || state.exists) {
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(
+                st.stageTs + FunnelHorizonMs, state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Flush helper for specs/batch use: ALL sessions (incl. the
     * still-open last one per user), with the same start-time-derived
     * session ids the streaming form emits. */

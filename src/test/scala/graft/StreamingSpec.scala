@@ -160,6 +160,64 @@ class StreamingSpec extends SparkSpec {
     assert(texts.toSet == Set("alpha text", "beta text", "gamma text"))
   }
 
+  test("st13 streaming funnel == batch q16 stage rows on same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = eventsBatch
+      .select(col("user_id"), col("ts").cast("timestamp"), col("event_type"))
+      .as[StreamOps.FEv].collect().toSeq.sortBy(_.ts.getTime)
+
+    val stream = MemoryStream[StreamOps.FEv]
+    // two chunks: funnel progress must survive the cross-batch state
+    // round-trip, not just a single-batch replay
+    val (first, second) = evs.splitAt(evs.length / 2)
+    stream.addData(first)
+    val q = StreamOps.funnelStream(spark, stream.toDS())
+      .writeStream.format("memory").queryName("st13_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(second)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("st13_out").select("user_id", "stage", "ts")
+    val batch = graft.operators.CoreQueries.funnelStageRows(
+      eventsBatch.select(col("user_id"), col("event_type"), col("ts").cast("timestamp")))
+    val extra = streamed.exceptAll(batch).collect()
+    val missing = batch.exceptAll(streamed).collect()
+    assert(extra.isEmpty && missing.isEmpty,
+      s"streamed=${streamed.count()} batch=${batch.count()} " +
+      s"dupGroups=${streamed.groupBy("user_id", "stage").count().filter(col("count") > 1).count()} " +
+      s"stream-only rows: ${extra.take(5).mkString("; ")} | batch-only rows: ${missing.take(5).mkString("; ")}")
+    // all three stages occur, and stages per user arrive at most once
+    assert(streamed.select("stage").distinct().count() == 3)
+    assert(streamed.groupBy("user_id", "stage").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("st13 same-batch disorder repairs; an equal-ts next stage does NOT advance") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val stream = MemoryStream[StreamOps.FEv]
+    // u1 arrives shuffled within one batch (click before view) but
+    // event-times order view(10) < click(20) < purchase(30): all
+    // three stages must emit. u2's click shares the view's timestamp
+    // -> strictly-after fails, funnel stalls at 1_view.
+    stream.addData(Seq(
+      StreamOps.FEv(1L, ts(20), "click"), StreamOps.FEv(1L, ts(10), "view"),
+      StreamOps.FEv(1L, ts(30), "purchase"),
+      StreamOps.FEv(2L, ts(10), "view"), StreamOps.FEv(2L, ts(10), "click")))
+    val q = StreamOps.funnelStream(spark, stream.toDS())
+      .writeStream.format("memory").queryName("st13_edge")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("st13_edge").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "1_view"), (1L, "2_click"), (1L, "3_purchase"),
+      (2L, "1_view")), rows.toString)
+  }
+
   test("st02 stateful sessionization == batch lag-window q09 on same users") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
