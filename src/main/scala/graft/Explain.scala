@@ -151,6 +151,11 @@ object Explain {
       // operator (WindowGroupLimit, the t17 pattern) so map tasks
       // emit at most R rows per language before the shuffle
       "t18_zipf_fit" -> Seq("WindowGroupLimit", "HashAggregate"),
+      // d16: (source, gram) dedups map-side BEFORE the gram-keyed
+      // self-join (per-key fan-out bounded by the source dim);
+      // totals/pair counts partial-aggregate
+      "d16_source_overlap" -> Seq("HashAggregate", "partial_count",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin"),
       // q17: first-event min and the user-week dedup both
       // partial-aggregate map-side; the cohort join is user_id-keyed
       // against a reduced side — nothing event × event

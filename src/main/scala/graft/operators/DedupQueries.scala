@@ -1058,9 +1058,44 @@ object DedupQueries {
       .orderBy("vec_id")
   }
 
+  /** d16 gram length: longer than t09's 3-gram contamination probe —
+    * source-level governance wants to see real shared PASSAGES, not
+    * common phrases. */
+  val SourceGram = 5
+
+  /** d16: CROSS-SOURCE OVERLAP MATRIX — for every source pair, the
+    * count and Jaccard of shared distinct [[SourceGram]]-word-grams:
+    * the training-data governance view (which crawls/feeds duplicate
+    * each other, where a source is a repackage of another) that
+    * decides what to drop WHOLESALE before document-level dedup even
+    * runs. Uses the ONE wordGramRows tokenization rule.
+    *
+    * Scale shape: grams dedup to (source, gram) map-side BEFORE the
+    * self-join; the join is keyed by the high-cardinality gram and
+    * its per-key fan-out is bounded by the SOURCE dim (≤ sources²
+    * rows per gram, sources is a tiny dimension); per-source totals
+    * and pair counts are map-side-combining aggs; |union| by
+    * inclusion-exclusion — the union gram set never materializes. */
+  def d16SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("source"), col("text"))
+    val g = TextQueries.wordGramRows(d, SourceGram, Seq(col("source"))).distinct()
+    val per = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    g.select(col("gram"), col("source").as("src_a"))
+      .join(g.select(col("gram"), col("source").as("src_b")), "gram")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      .join(per.select(col("source").as("src_a"), col("n_grams").as("ga")), "src_a")
+      .join(per.select(col("source").as("src_b"), col("n_grams").as("gb")), "src_b")
+      .withColumn("jaccard",
+        round(col("n_shared") / (col("ga") + col("gb") - col("n_shared")), 6))
+      .select("src_a", "src_b", "n_shared", "jaccard")
+      .orderBy("src_a", "src_b")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "d16_source_overlap" -> (d16SourceOverlap _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d15_semdedup" -> (d15SemDedup _),
     "d02_minhash_lsh" -> (d02MinhashLsh _),
@@ -1077,6 +1112,19 @@ object DedupQueries {
     "d13_incremental_neardup" -> (d13IncrementalNeardup _))
 
   val oracles: Map[String, String] = Map(
+    // d16: the shared gramSql rule + the h14-style inclusion-
+    // exclusion Jaccard, integer counts with one rounded division.
+    "d16_source_overlap" ->
+      s"""WITH g AS (SELECT DISTINCT source, gram FROM (
+         |  ${TextQueries.gramSql(SourceGram, "documents", "source")})),
+         |per AS (SELECT source, count(*) AS n_grams FROM g GROUP BY 1),
+         |s AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+         |      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / (pa.n_grams + pb.n_grams - n_shared), 6) AS jaccard
+         |FROM s JOIN per pa ON s.src_a = pa.source JOIN per pb ON s.src_b = pb.source
+         |ORDER BY src_a, src_b""".stripMargin,
     "d01_exact_dedup" ->
       s"""SELECT fact_text, count(*) AS n, min(fact_id) AS canonical_id
          |FROM (${HippoGraph.factsSql})

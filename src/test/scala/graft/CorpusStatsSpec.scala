@@ -111,6 +111,28 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows == Map("1_view" -> 4L, "2_click" -> 2L, "3_purchase" -> 1L), rows.toString)
   }
 
+  // ---------------------------------------------------------------- d16
+
+  test("d16: the source-overlap matrix is exact on a planted repackaged source") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("d16src").toString
+    // srcB repackages srcA's 7-token passage (3 shared 5-grams) and
+    // adds one 6-token doc of its own (2 grams); srcC is disjoint.
+    val a = "one two three four five six seven"
+    val docs = Seq(
+      (0L, a, "en", "srcA", a.length.toLong),
+      (1L, a, "en", "srcB", a.length.toLong),
+      (2L, "eight nine ten eleven twelve thirteen", "en", "srcB", 37L),
+      (3L, "alpha beta gamma delta epsilon zeta", "en", "srcC", 35L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = graft.operators.DedupQueries.d16SourceOverlap(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // only the repackaging pair appears: 3 shared of |A|=3, |B|=5
+    assert(rows.keySet == Set(("srcA", "srcB")), rows.toString)
+    assert(rows(("srcA", "srcB")) == ((3L, 0.6)), rows.toString)
+  }
+
   // ---------------------------------------------------------------- q17
 
   test("q17: the retention matrix is exact on a planted two-cohort corpus") {
