@@ -151,6 +151,16 @@ object Explain {
       // operator (WindowGroupLimit, the t17 pattern) so map tasks
       // emit at most R rows per language before the shuffle
       "t18_zipf_fit" -> Seq("WindowGroupLimit", "HashAggregate"),
+      // q18: the 4-cell hop replication is ONE Expand feeding the
+      // same map-side-combining agg as q08 — constant fan-out, no
+      // join, never a per-window rescan
+      "q18_events_sliding" -> Seq("Expand", "HashAggregate",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // v11: the v01 scan shape (single query row broadcast via BNLJ
+      // — benign by construction) with the radius filter in the same
+      // codegen'd pass; no top-k limit, so a Sort presents
+      "v11_range_search" -> Seq("BroadcastNestedLoopJoin",
+        "!CartesianProduct"),
       // d16: (source, gram) dedups map-side BEFORE the gram-keyed
       // self-join (per-key fan-out bounded by the source dim);
       // totals/pair counts partial-aggregate

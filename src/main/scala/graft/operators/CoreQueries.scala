@@ -122,6 +122,24 @@ object CoreQueries {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
       .orderBy("hour", "event_type")
 
+  /** q18: SLIDING (hopping) window agg — 1h windows every 15min, the
+    * smoothing/alerting view q08's tumbling hours cannot give (a
+    * spike straddling an hour boundary halves in both tumbling
+    * cells; the hop sees it whole). Uses Spark's native `window()`
+    * slide form: each event replicates into length/slide = 4 cells
+    * map-side (a constant fan-out, not a join), then the same
+    * map-side-combining agg as q08 — the batch mirror of st01's
+    * streaming shape. Oracle unnests the 4 hop offsets per event
+    * with epoch-microsecond arithmetic, so window starts are
+    * integer-exact in both engines. */
+  def q18EventsSliding(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("win_start", "event_type")
+
   /** Sessionization: 30-min-gap sessions via lag window; partitioned
     * by user_id (high-cardinality at scale). Batch mirror of st02
     * (flatMapGroupsWithState). */
@@ -251,6 +269,7 @@ object CoreQueries {
     "q06_selective_filter" -> (q06SelectiveFilter _),
     "q07_rollup" -> (q07Rollup _),
     "q08_events_tumbling" -> (q08EventsTumbling _),
+    "q18_events_sliding" -> (q18EventsSliding _),
     "q09_events_sessionize" -> (q09EventsSessionize _),
     "q10_events_json" -> (q10EventsJson _))
 
@@ -359,6 +378,17 @@ object CoreQueries {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
+    // q18: every event lands in exactly length/slide = 4 hop cells
+    // (start = floor-to-slide minus i slides); epoch-us arithmetic,
+    // naive-timestamp reconstruction — no timezone in play.
+    "q18_events_sliding" ->
+      """SELECT TIMESTAMP '1970-01-01 00:00:00'
+        |    + to_microseconds((epoch_us(ts) // 900000000 - i) * 900000000)
+        |    AS win_start,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events CROSS JOIN unnest(range(0, 4)) AS t(i)
+        |GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin,
     "q09_events_sessionize" ->
       """WITH lagged AS (
         |  SELECT user_id, event_id, ts,

@@ -42,6 +42,32 @@ object VectorQueries {
       .limit(10)
   }
 
+  /** v11 radius: chosen above the random-cosine noise floor of the
+    * synthetic embeddings (top-1 cosine ≈ 0.33–0.41 across SFs) so
+    * the result set is nonempty yet selective at every SF. */
+  val RangeTau = 0.25
+
+  /** v11: RANGE (radius) SEARCH — every corpus vector with cosine ≥
+    * [[RangeTau]] to the query, the "ALL sufficiently similar" form
+    * top-k cannot express (dedup thresholds, compliance sweeps,
+    * near-dup audits want the whole ball, and its size is
+    * data-dependent). Same scan shape as v01: the one query row
+    * broadcasts, the corpus never shuffles, and the threshold
+    * filter runs in the same codegen'd pass as the native cosine —
+    * output rows are the only thing the predicate's selectivity
+    * changes. For selective τ at 100 TB the ANN escape is the same
+    * as top-k's: LSH/IVF cells bound the candidates (v05/v07),
+    * then this exact predicate verifies. */
+  def v11RangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosineNative6(col("v"), col("qv")).as("cos"))
+      .filter(col("cos") >= RangeTau)
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
   /** v02: batch k-NN — every label-0 vector gets its top-3 neighbours.
     *
     * CONTRACT: the query side must be a BOUNDED batch (it is
@@ -446,11 +472,21 @@ object VectorQueries {
     "v05_ann_lsh" -> (v05AnnLsh _),
     "v06_knn_agg" -> (v06KnnAgg _),
     "v07_ann_ivf" -> (v07AnnIvf _),
-    "v08_knn_batch_ann" -> (v08KnnBatchAnn _))
+    "v08_knn_batch_ann" -> (v08KnnBatchAnn _),
+    "v11_range_search" -> (v11RangeSearch _))
 
   private val probeList = GraphQueries.ProbeUnion.map(e => s"'$e'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // v11: threshold instead of LIMIT — the round-6 cosine is the
+    // SAME value both engines filter on, so the ball is identical.
+    "v11_range_search" ->
+      s"""WITH e AS ($embSql),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cos
+         |FROM e, q WHERE vec_id <> 0
+         |  AND round(list_cosine_similarity(v, qv), 6) >= $RangeTau
+         |ORDER BY cos DESC, vec_id""".stripMargin,
     "v01_knn_facts" ->
       s"""WITH e AS ($embSql),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
