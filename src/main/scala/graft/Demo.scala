@@ -141,7 +141,10 @@ object Demo {
 
     val plan = graft.operators.DedupQueries
       .d05EmbedNeardup(spark, dir).queryExecution.executedPlan.toString
-    println(s"[demo] d05 WholeStageCodegen spans: ${"WholeStageCodegen".r.findAllIn(plan).length}")
+    // codegen stages print as "*(n)" prefixes in the plan string;
+    // count DISTINCT stage ids
+    println(s"[demo] d05 WholeStageCodegen spans: ${
+      "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size}")
     println(s"[demo] d05 plan uses native dotproduct: ${plan.toLowerCase.contains("dotproduct")}")
 
     // The end-to-end curation pipeline + the native NFC expression
