@@ -236,7 +236,14 @@ object ExtendedQueries {
     * ≤ 2·T² by construction, independent of burst size. The oracle
     * mirrors the guard exactly, and SkewCorpusSpec plants a 10⁴-event
     * storm asserting bounded output. */
-  def q15TimeProximityJoin(spark: SparkSession, dir: String): DataFrame = {
+  def q15TimeProximityJoin(spark: SparkSession, dir: String): DataFrame =
+    q15TimeProximityJoinGuarded(spark, dir, BurstThreshold)
+
+  /** q15 with the guard dial exposed (the d10WinnowPairsCapped
+    * convention): the oracle pins the default; specs turn the dial
+    * to prove the guard — not the corpus — bounds the output. */
+  def q15TimeProximityJoinGuarded(spark: SparkSession, dir: String,
+      burstThreshold: Long): DataFrame = {
     val e = Tables.events(spark, dir)
       // ts is TIMESTAMP_NTZ (unix_micros takes TIMESTAMP only); the
       // session TZ is pinned UTC, so the cast is value-stable
@@ -251,7 +258,7 @@ object ExtendedQueries {
     // the anti-joins below broadcast.
     val heavy = e.groupBy("event_type", "bucket")
       .agg(count(lit(1)).as("n_events"))
-      .filter(col("n_events") > BurstThreshold)
+      .filter(col("n_events") > burstThreshold)
     val light = e.join(
       broadcast(heavy.select("event_type", "bucket")),
       Seq("event_type", "bucket"), "left_anti")

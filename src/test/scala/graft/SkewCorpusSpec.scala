@@ -317,6 +317,25 @@ class SkewCorpusSpec extends SparkSpec {
     assert(pairs == expected, s"exact light pairs: $pairs")
   }
 
+  test("q15: the guard DIAL, not the corpus, bounds the output (d10 symmetry)") {
+    import spark.implicits._
+    // a 200-event mini-burst under the default dial: unguarded emits
+    // the full quadratic pair set, a tightened dial rolls it up
+    val tmp = java.nio.file.Files.createTempDirectory("skewD2").toString
+    (0 until 200).map(i => ((1000 + i).toLong, 10000000000L + i * 100L, "err"))
+      .toDF("event_id", "us", "event_type")
+      .select(col("event_id"), expr("timestamp_micros(us)").as("ts"), col("event_type"))
+      .write.parquet(s"$tmp/events.parquet")
+    val unguarded = graft.operators.ExtendedQueries
+      .q15TimeProximityJoinGuarded(spark, tmp, Long.MaxValue).count()
+    assert(unguarded == 200L * 199 / 2,
+      s"without the guard every ordered pair materializes: $unguarded")
+    val guarded = graft.operators.ExtendedQueries
+      .q15TimeProximityJoinGuarded(spark, tmp, 50L).collect()
+    assert(guarded.length == 1 && guarded.head.getLong(5) == 200L,
+      s"the tightened dial must collapse the burst to one rollup: ${guarded.length}")
+  }
+
   test("q15: the burst guard is NOT binding on the driver corpus (no rollup rows)") {
     import org.apache.spark.sql.functions.col
     // sf0.01: the smallest SF where same-type events actually fall
