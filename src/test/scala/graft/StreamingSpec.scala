@@ -218,6 +218,31 @@ class StreamingSpec extends SparkSpec {
       (2L, "1_view")), rows.toString)
   }
 
+  test("st13 late-data contract: events older than the watermark DROP, in-horizon progress continues") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new Timestamp(min * 60000)
+    val stream = MemoryStream[StreamOps.FEv]
+    // batch 1: u1's view at t=100min pushes the watermark to 70min
+    stream.addData(Seq(StreamOps.FEv(1L, ts(100), "view")))
+    val q = StreamOps.funnelStream(spark, stream.toDS())
+      .writeStream.format("memory").queryName("st13_late")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: u2's view at t=30min is behind the 70min watermark
+      // (dropped per the documented contract — replay belongs on the
+      // batch mirror); u1's click at t=101min is live and advances
+      stream.addData(Seq(
+        StreamOps.FEv(2L, ts(30), "view"), StreamOps.FEv(1L, ts(101), "click")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("st13_late").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "1_view"), (1L, "2_click")),
+      s"late view must drop, live progress must emit: $rows")
+  }
+
   test("st02 stateful sessionization == batch lag-window q09 on same users") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
