@@ -357,6 +357,33 @@ final class Graft(
   private def queryVec(text: String) =
     array(embedder.embed(text).map(x => lit(x.toDouble)): _*)
 
+  /** Build the persisted IVF serving index over a store's fact
+    * embeddings (store.VectorIndex layout: cell-partitioned vectors
+    * + centroid rows). Build once per corpus version; queries then
+    * pay a partition-pruned scan instead of the full-corpus cosine
+    * pass [[closestFacts]] makes. */
+  def buildFactIndex(db: HippoDb, indexDir: String,
+      nCells: Int = VectorQueries.IvfCells): Unit =
+    graft.store.VectorIndex.buildIvf(spark,
+      db.factEmb.select(col("fact_id").as("vec_id"),
+        VectorFunctions.toDouble(col("embedding")).as("v")),
+      indexDir, nCells = nCells)
+
+  /** Top-k facts via the PERSISTED index — the serving-path twin of
+    * [[closestFacts]]: the query embeds driver-side, probe cells are
+    * chosen against the loaded centroids, and the only corpus read
+    * is the `cluster IN (...)` partition-pruned scan. With nProbe =
+    * nCells the ranking equals [[closestFacts]] exactly (same
+    * rounding, same tiebreak — DemoSpec pins it); fewer probes trade
+    * recall for reading ~nProbe/nCells of the index. */
+  def closestFactsIndexed(db: HippoDb, indexDir: String, query: String,
+      k: Int = 5, nProbe: Int = VectorQueries.IvfProbe): DataFrame =
+    graft.store.VectorIndex.annIvf(spark, indexDir,
+        embedder.embed(query).map(_.toDouble), k, nProbe, excludeVecId = None)
+      .withColumnRenamed("vec_id", "fact_id")
+      .join(db.facts, "fact_id")
+      .orderBy(col("cos").desc, col("fact_id"))
+
   /** Top-k facts by cosine to a natural-language query. */
   def closestFacts(db: HippoDb, query: String, k: Int = 5): DataFrame =
     db.factEmb

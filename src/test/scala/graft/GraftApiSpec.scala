@@ -98,6 +98,25 @@ class GraftApiSpec extends SparkSpec {
     assert(resolved.edges.select("entity").distinct().count() == ents.size)
   }
 
+  test("indexed retrieval: all-probe equals brute closestFacts; partial probe stays ranked") {
+    import org.apache.spark.sql.functions.col
+    val idx = java.nio.file.Files.createTempDirectory("api_ivf").toString
+    api.buildFactIndex(db, idx, nCells = 8)
+    val brute = api.closestFacts(db, "spark window join", k = 5)
+      .select("fact_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = api.closestFactsIndexed(db, idx, "spark window join", k = 5, nProbe = 8)
+      .select("fact_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == brute, s"all-probe serving must equal brute: $served vs $brute")
+    // partial probe: still k rows, ranked, carrying fact payloads
+    val partial = api.closestFactsIndexed(db, idx, "spark window join", k = 5, nProbe = 2)
+      .collect()
+    assert(partial.length == 5)
+    val scores = partial.map(_.getAs[Double]("cos"))
+    assert(scores.sameElements(scores.sorted.reverse))
+    assert(partial.forall(r => r.getAs[String]("fact_text") != null))
+  }
+
   test("structural candidates resolve a renamed entity that name-LSH misses") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
