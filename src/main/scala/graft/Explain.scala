@@ -151,6 +151,12 @@ object Explain {
       // operator (WindowGroupLimit, the t17 pattern) so map tasks
       // emit at most R rows per language before the shuffle
       "t18_zipf_fit" -> Seq("WindowGroupLimit", "HashAggregate"),
+      // h16: the pair relation is the h14 fact_id-keyed shape; the
+      // fixpoint legs are localCheckpoint-materialized (the
+      // assembled plan scans their RDDs — lineage cut per round by
+      // design); nothing all-pairs
+      "h16_components" -> Seq("HashAggregate", "Scan ExistingRDD",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin"),
       // q18: the 4-cell hop replication is ONE Expand feeding the
       // same map-side-combining agg as q08 — constant fan-out, no
       // join, never a per-window rescan

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.plans.HippoGraph
+import graft.operators.{DedupQueries => DQ}
 
 /** Graph-store queries (SURVEY.md §2 h01–h07) — the EntityStore graph
   * surface of the reference re-expressed as declarative DataFrame ops.
@@ -427,9 +428,41 @@ object GraphQueries {
       .orderBy("a", "b")
   }
 
+  /** h16: CONNECTED COMPONENTS of the entity co-occurrence graph —
+    * every entity labelled with its component's lexicographic-min
+    * member, singletons their own label. The partition-of-the-graph
+    * view beside h11's communities (LPA finds dense sub-groups
+    * INSIDE a component; this finds the hard reachability islands —
+    * disconnected knowledge-base fragments, per-domain shards).
+    *
+    * Scale shape: the pair relation is the h14 fact_id-keyed
+    * candidate shape; the fixpoint is the ONE shared
+    * min-label-propagation kernel (DedupQueries.connectedComponents:
+    * pointer jumping, O(log diameter) rounds, per-round
+    * localCheckpoint lineage cuts) — nothing iterates on the driver.
+    * The oracle re-derives the same partition with a recursive CTE
+    * (label-reachability closure + min per entity), so the
+    * iterated-to-fixpoint kernel is for the first time ORACLE-pinned
+    * end-to-end, not just spec'd. */
+  def h16Components(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val pairs = e.select(col("fact_id"), col("entity").as("a"))
+      .join(e.select(col("fact_id"), col("entity").as("b")), "fact_id")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val comp = DQ.connectedComponents(pairs)
+      .withColumnsRenamed(Map("id" -> "entity", "comp" -> "component"))
+    e.select("entity").distinct()
+      .join(comp, Seq("entity"), "left")
+      .select(col("entity"),
+        coalesce(col("component"), col("entity")).as("component"))
+      .orderBy("entity")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "h16_components" -> (h16Components _),
     "h15_entity_pmi" -> (h15EntityPmi _),
     "h14_entity_jaccard" -> (h14EntityJaccard _),
     "h01_fact_entity_edges" -> (h01Edges _),
@@ -449,6 +482,22 @@ object GraphQueries {
   private val probeList = ProbeUnion.map(e => s"'$e'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // h16: label-reachability closure via WITH RECURSIVE (the d07
+    // precedent): labels flow across symmetric co-occurrence edges,
+    // UNION dedups, min per entity = the component's lexicographic
+    // min — the same partition the Spark fixpoint computes.
+    "h16_components" ->
+      s"""WITH RECURSIVE e AS ($edgesSql),
+         |pairs AS (SELECT DISTINCT e1.entity AS a, e2.entity AS b
+         |          FROM e e1 JOIN e e2
+         |            ON e1.fact_id = e2.fact_id AND e1.entity <> e2.entity),
+         |reach(entity, label) AS (
+         |  SELECT entity, entity FROM (SELECT DISTINCT entity FROM e)
+         |  UNION
+         |  SELECT p.a, r.label FROM reach r JOIN pairs p ON r.entity = p.b
+         |  WHERE r.label < p.a)
+         |SELECT entity, min(label) AS component FROM reach
+         |GROUP BY entity ORDER BY entity""".stripMargin,
     // h15: same candidate/degree CTEs as h14; the ratio is computed
     // in the SAME IEEE op order as the Spark side (double·int
     // product each side, one division, then ln) so both engines

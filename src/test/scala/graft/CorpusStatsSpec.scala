@@ -111,6 +111,27 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows == Map("1_view" -> 4L, "2_click" -> 2L, "3_purchase" -> 1L), rows.toString)
   }
 
+  // ---------------------------------------------------------------- h16
+
+  test("h16: disjoint islands keep distinct components; singletons self-label") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("h16isl").toString
+    // island red{a,b,c} chained over two facts, island blu{x,y} in
+    // one fact, solozz alone ("pad" is sub-MinEntityLen filler)
+    val texts = Seq("redaa redbb pad", "redbb redcc pad",
+      "bluxx bluyy pad", "solozz pad")
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "planted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = GraphQueries.h16Components(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows == Map(
+      "redaa" -> "redaa", "redbb" -> "redaa", "redcc" -> "redaa",
+      "bluxx" -> "bluxx", "bluyy" -> "bluxx",
+      "solozz" -> "solozz"), rows.toString)
+  }
+
   // ---------------------------------------------------------------- d16
 
   test("d16: the source-overlap matrix is exact on a planted repackaged source") {
