@@ -133,12 +133,17 @@ object CoreQueries {
     * with epoch-microsecond arithmetic, so window starts are
     * integer-exact in both engines. */
   def q18EventsSliding(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
-      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+    slidingCells(events(spark, dir)).orderBy("win_start", "event_type")
+
+  /** The q18 hop-cell aggregation on an arbitrary events relation —
+    * SHARED KERNEL with st14's streaming form (the funnelStageRows
+    * convention: one expression tree, so batch/stream parity cannot
+    * drift). Works unchanged under readStream + watermark. */
+  def slidingCells(e: DataFrame): DataFrame =
+    e.groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
       .select(col("w.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
-      .orderBy("win_start", "event_type")
 
   /** Sessionization: 30-min-gap sessions via lag window; partitioned
     * by user_id (high-cardinality at scale). Batch mirror of st02
@@ -257,7 +262,68 @@ object CoreQueries {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** q19 dials: trailing window length (buckets), minimum history
+    * before a z-score is emitted, and the |z| anomaly threshold. */
+  val AnomalyWindow = 24
+  val AnomalyMinHist = 12
+  val AnomalyZ = 3.0
+
+  /** q19: ROLLING-WINDOW ANOMALY DETECTION — per (event_type, hour)
+    * event counts scored against the trailing [[AnomalyWindow]]
+    * observed buckets' mean/stddev (the window EXCLUDES the current
+    * row, so a spike cannot suppress its own z-score), flagging
+    * |z| ≥ [[AnomalyZ]]. The ops-dashboard primitive behind every
+    * "error rate just tripled" alert — the batch mirror of what a
+    * monitoring stream computes continuously.
+    *
+    * Scale shape: the REDUCE-BEFORE-WINDOW rule — raw events reduce
+    * to the (type × hour) grid with one map-side-combining agg, and
+    * only the GRID (O(types·hours), bounded by calendar time, not
+    * corpus size) enters the window. partitionBy(event_type) is safe
+    * here precisely because the windowed relation is that grid: a
+    * type's partition holds one row per hour, never per event (the
+    * t16 low-cardinality-funnel caveat applies to windows over RAW
+    * rows, not over a time-bounded grid).
+    *
+    * Float parity: the rolling aggregates are INTEGER sums (Σn, Σn²,
+    * count) — exact under any summation order, unlike windowed
+    * avg/stddev whose segment-tree accumulation order differs across
+    * engines — and the float math (mean, unbiased variance via
+    * Σn² − c·mean², sqrt, z) is the same IEEE op sequence on both
+    * sides. A flat history (variance 0, clamped at 0 against FP
+    * drift) yields a NULL z: no variability means no z-score, not an
+    * infinite one. Buckets are OBSERVED hours — an hour with zero
+    * events is absent from the grid, so the window spans the last 24
+    * active buckets (a gap-filled calendar variant would add a
+    * sequence() expand; same plan shape). */
+  def q19RollingAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val grid = events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-AnomalyWindow, -1)
+    val c = count(lit(1)).over(w)
+    val mean = sum(col("n")).over(w).cast("double") / c
+    val varr = (sum(col("n") * col("n")).over(w).cast("double") - c * mean * mean) /
+      (c - 1)
+    val std = sqrt(greatest(varr, lit(0.0)))
+    grid
+      .withColumn("hist_n", c)
+      .withColumn("mean24", mean)
+      .withColumn("std24", std)
+      .filter(col("hist_n") >= AnomalyMinHist)
+      .withColumn("z", when(col("std24") > 0,
+        round((col("n") - col("mean24")) / col("std24"), 4)))
+      .select(col("event_type"), col("hour"), col("n"), col("hist_n"),
+        round(col("mean24"), 4).as("mean24"),
+        round(col("std24"), 4).as("std24"),
+        col("z"),
+        (abs(coalesce(col("z"), lit(0.0))) >= AnomalyZ).cast("int").as("is_anomaly"))
+      .orderBy("event_type", "hour")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q19_rolling_anomaly" -> (q19RollingAnomaly _),
     "q17_cohort_retention" -> (q17CohortRetention _),
     "q16_event_funnel" -> (q16EventFunnel _),
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -274,6 +340,40 @@ object CoreQueries {
     "q10_events_json" -> (q10EventsJson _))
 
   val oracles: Map[String, String] = Map(
+    // q19: same grid, same ROWS frame (24 PRECEDING .. 1 PRECEDING),
+    // same integer rolling sums — DuckDB's windowed sum() returns
+    // HUGEINT, so both sums cast before the (identical-order) float
+    // math; variance clamps at 0 and a flat history yields NULL z on
+    // both engines.
+    "q19_rolling_anomaly" ->
+      s"""WITH grid AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |win AS (
+         |  SELECT event_type, hour, n,
+         |    count(*) OVER w AS hist_n,
+         |    CAST(sum(n) OVER w AS BIGINT) AS s1,
+         |    CAST(sum(n * n) OVER w AS BIGINT) AS s2
+         |  FROM grid
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+         |               ROWS BETWEEN $AnomalyWindow PRECEDING AND 1 PRECEDING)),
+         |st AS (
+         |  SELECT event_type, hour, n, hist_n,
+         |    CAST(s1 AS DOUBLE) / hist_n AS mean,
+         |    sqrt(greatest(
+         |      (CAST(s2 AS DOUBLE) - hist_n * (CAST(s1 AS DOUBLE) / hist_n)
+         |         * (CAST(s1 AS DOUBLE) / hist_n)) / (hist_n - 1),
+         |      0.0)) AS std
+         |  FROM win WHERE hist_n >= $AnomalyMinHist),
+         |z AS (
+         |  SELECT event_type, hour, n, hist_n,
+         |    round(mean, 4) AS mean24, round(std, 4) AS std24,
+         |    CASE WHEN std > 0 THEN round((n - mean) / std, 4) END AS z
+         |  FROM st)
+         |SELECT event_type, hour, n, hist_n, mean24, std24, z,
+         |  CAST(abs(coalesce(z, 0.0)) >= $AnomalyZ AS INT) AS is_anomaly
+         |FROM z
+         |ORDER BY event_type, hour""".stripMargin,
     // q17: same week-truncated min/distinct chain; date_trunc('week')
     // is Monday-based in both engines and offsets divide exactly on
     // week boundaries, so the compare is integer-exact.

@@ -459,9 +459,72 @@ object GraphQueries {
       .orderBy("entity")
   }
 
+  /** h17 dials: pivots (common neighbours) with degree above
+    * [[AaHubCap]] are excluded from wedge generation — their per-wedge
+    * weight is already ≤ 1/ln(cap) and their fan-out is deg², so the
+    * cap is both the skew guard and a documented recall dial (weak
+    * hub evidence is dropped, strong rare evidence kept — the
+    * standard practice for Adamic-Adar at scale). [[AaMinScore]]
+    * bounds the emitted pair set to predictions with real evidence
+    * (≥ one rare witness or several weak ones), the h14 MinJaccard
+    * convention. */
+  val AaHubCap = 64L
+  val AaMinScore = 0.5
+
+  /** h17: LINK PREDICTION by Adamic-Adar — for entity pairs NOT yet
+    * co-occurring in any fact, score = Σ_z 1/ln(deg(z)) over their
+    * common neighbours z (Adamic & Adar 2003; Liben-Nowell &
+    * Kleinberg 2003 established it as the strongest simple
+    * common-neighbour predictor). The FORWARD-looking complement of
+    * h14/h15: those score pairs that already share facts; this ranks
+    * the missing edges a knowledge graph should expect next — which
+    * entities an annotation pipeline will likely connect, which
+    * retrieval expansions are structurally plausible. Rare shared
+    * neighbours count more than hubs (1/ln damping), which is what
+    * separates it from raw common-neighbour counting.
+    *
+    * Scale shape: wedges generate from the PIVOT side — g(z→a) ⋈
+    * g(z→b) keyed by z — so per-key fan-out is deg(z)², bounded by
+    * [[AaHubCap]]² through the hub exclusion (the d10/q15 guard
+    * family: a celebrity entity would otherwise put a quadratic
+    * wedge set on one join key; its evidence value per wedge is the
+    * lowest in the graph, so the guard drops the least information
+    * per row of any cap). Degree attach, pair agg and the
+    * adjacency anti-join are all map-side-combining hash operations
+    * on high-cardinality keys; the float sum appears only inside
+    * bounded per-pair groups (the h10 precedent), rounded then
+    * floored in the same order on both engines. */
+  def h17AdamicAdar(spark: SparkSession, dir: String): DataFrame =
+    adamicAdarPairs(edges(spark, dir), AaHubCap).orderBy("a", "b")
+
+  /** The h17 kernel on an arbitrary (fact_id, entity) adjacency —
+    * rows distinct per (fact, entity), the entityJaccardPairs
+    * contract. `hubCap` exposed for the SkewCorpusSpec dial proof. */
+  def adamicAdarPairs(e: DataFrame, hubCap: Long): DataFrame = {
+    val g = e.select(col("fact_id"), col("entity").as("src"))
+      .join(e.select(col("fact_id"), col("entity").as("dst")), "fact_id")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val deg = g.groupBy("src").agg(count(lit(1)).as("deg"))
+    val piv = deg.filter(col("deg") <= hubCap)
+    val gw = g.join(piv, "src")
+    val wedges = gw.select(col("src").as("z"), col("dst").as("a"), col("deg"))
+      .join(gw.select(col("src").as("z"), col("dst").as("b")), "z")
+      .filter(col("a") < col("b"))
+    val und = g.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    wedges.groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"),
+        round(sum(lit(1.0) / log(col("deg"))), 6).as("aa_score"))
+      .join(und, Seq("a", "b"), "left_anti")
+      .filter(col("aa_score") >= AaMinScore)
+      .select("a", "b", "n_common", "aa_score")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "h17_adamic_adar" -> (h17AdamicAdar _),
     "h16_components" -> (h16Components _),
     "h15_entity_pmi" -> (h15EntityPmi _),
     "h14_entity_jaccard" -> (h14EntityJaccard _),
@@ -482,6 +545,26 @@ object GraphQueries {
   private val probeList = ProbeUnion.map(e => s"'$e'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // h17: same pivot-keyed wedge generation with the hub cap and
+    // score floor mirrored; NOT EXISTS on the symmetric g relation =
+    // the left-anti adjacency exclusion; round-then-floor in the
+    // same order as the Spark side.
+    "h17_adamic_adar" ->
+      s"""WITH e AS ($edgesSql),
+         |g AS (SELECT DISTINCT a.entity AS src, b.entity AS dst
+         |      FROM e a JOIN e b ON a.fact_id = b.fact_id AND a.entity <> b.entity),
+         |deg AS (SELECT src, count(*) AS deg FROM g GROUP BY src),
+         |piv AS (SELECT src, deg FROM deg WHERE deg <= $AaHubCap),
+         |w AS (SELECT g1.dst AS a, g2.dst AS b, p.deg
+         |      FROM piv p JOIN g g1 ON g1.src = p.src JOIN g g2 ON g2.src = p.src
+         |      WHERE g1.dst < g2.dst),
+         |s AS (SELECT a, b, count(*) AS n_common,
+         |        round(sum(1.0 / ln(deg)), 6) AS aa_score
+         |      FROM w GROUP BY a, b)
+         |SELECT a, b, n_common, aa_score FROM s
+         |WHERE aa_score >= $AaMinScore
+         |  AND NOT EXISTS (SELECT 1 FROM g WHERE g.src = s.a AND g.dst = s.b)
+         |ORDER BY a, b""".stripMargin,
     // h16: label-reachability closure via WITH RECURSIVE (the d07
     // precedent): labels flow across symmetric co-occurrence edges,
     // UNION dedups, min per entity = the component's lexicographic

@@ -626,9 +626,50 @@ object TextQueries {
       .orderBy("lang")
   }
 
+  /** t19: TOKEN-DISTRIBUTION ENTROPY per document — Shannon entropy
+    * of the doc's unigram distribution, H = ln(T) − (Σ c·ln c)/T,
+    * plus the [0,1]-normalized form H/ln(D) (D = distinct tokens).
+    * The lexical-diversity quality signal that catches what t08's
+    * top-gram fractions don't: a doc cycling through a 3-word
+    * template scores high on distinctness ratios while its entropy
+    * stays pinned near ln(3) — low entropy flags templated/spammy
+    * text, maximal entropy (norm ≈ 1) flags uniform token soup, and
+    * natural prose sits in between. A standard corpus-filter feature
+    * beside perplexity (t15) in data-quality stacks.
+    *
+    * Scale shape: one explode → (doc_id, token) map-side-combining
+    * count, one doc-keyed reduction of ≤ D rows per doc — linear,
+    * no joins wider than the per-doc token table, same as t08. Float
+    * parity: H computed as ln(T) − (Σ c·ln c)/T in the SAME op
+    * order both engines (integer counts, one double sum inside the
+    * bounded per-doc group — the h10 convention); single-token docs
+    * (D ≤ 1) pin H = 0.0 exactly rather than risk a ±1-ulp −0.0
+    * crossing the round-6 boundary. Token-less docs keep a row with
+    * zeros via the left join (the t08 empty-doc convention). */
+  def t19TokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val cnt = d
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), " "), w => w =!= "")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    val stats = cnt.groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(col("c") * log(col("c"))).as("sclc"))
+    val hRaw = log(col("n_tokens")) - col("sclc") / col("n_tokens")
+    d.select("doc_id").join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(col("n_distinct") > 1, round(hRaw, 6)).otherwise(0.0).as("entropy"),
+        when(col("n_distinct") > 1, round(hRaw / log(col("n_distinct")), 6))
+          .otherwise(0.0).as("norm_entropy"))
+      .orderBy("doc_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "t19_token_entropy" -> (t19TokenEntropy _),
     "t18_zipf_fit" -> (t18ZipfFit _),
     "t14_normalize" -> (t14Normalize _),
     "t01_lang_id" -> (t01LangId _),
@@ -668,6 +709,31 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t19: same tokenization (the t07 kernel), same H = ln(T) −
+    // (Σ c·ln c)/T op order, same D ≤ 1 and token-less pins;
+    // DuckDB's sum over BIGINT is HUGEINT → cast.
+    "t19_token_entropy" ->
+      """WITH cnt AS (
+        |  SELECT doc_id, token, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  WHERE token != '' GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_distinct,
+        |    sum(c * ln(c)) AS sclc
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(s.n_tokens, 0) AS n_tokens,
+        |  coalesce(s.n_distinct, 0) AS n_distinct,
+        |  CASE WHEN s.n_distinct > 1
+        |    THEN round(ln(s.n_tokens) - s.sclc / s.n_tokens, 6)
+        |    ELSE 0.0 END AS entropy,
+        |  CASE WHEN s.n_distinct > 1
+        |    THEN round((ln(s.n_tokens) - s.sclc / s.n_tokens) / ln(s.n_distinct), 6)
+        |    ELSE 0.0 END AS norm_entropy
+        |FROM documents d LEFT JOIN stats s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // t18: same top-R-per-lang rank (count desc, token ties), same
     // regr_slope/regr_r2 regression of ln(cnt) on ln(rank).
     "t18_zipf_fit" ->

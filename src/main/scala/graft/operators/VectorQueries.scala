@@ -462,9 +462,75 @@ object VectorQueries {
       when(dot(v, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** v12 dials: candidate-pool size (the distributed top-P cut),
+    * picks, and the relevance weight λ. μ is its OWN literal, not
+    * 1−λ: `1 - 0.7` is 0.30000000000000004 in IEEE — writing `0.3`
+    * on both engines is what keeps the scores bit-identical. */
+  val MmrPool = 16
+  val MmrK = 5
+  val MmrLambda = 0.7
+  val MmrMu = 0.3
+
+  /** v12: DIVERSIFIED top-k via MAXIMAL MARGINAL RELEVANCE
+    * (Carbonell & Goldstein 1998) — greedily pick k results
+    * maximizing λ·rel(d) − μ·max_{s∈picked} sim(d, s): the
+    * fix for top-k's redundancy failure (a plain cosine top-5 over
+    * a corpus with near-duplicates returns five copies of the same
+    * fact; a RAG context window wants coverage). The standard
+    * re-rank between retrieval and prompt assembly.
+    *
+    * Scale shape: the DISTRIBUTED stage is the pool cut — the v01
+    * scan shape (query broadcast, corpus streams, round-6 cosine,
+    * TakeOrderedAndProject) reduces 100 TB to [[MmrPool]] rows; the
+    * greedy is inherently sequential in k but touches only the
+    * bounded pool (P rows + P² round-6 sims — driver-side like the
+    * PQ ADC tables, never O(corpus)). Parity: pool relevances and
+    * pairwise sims are round-6 BY SPARK/DuckDB respectively
+    * (identical doubles), selection compares the raw λ/μ
+    * combination of those identical inputs (same IEEE op order, ties
+    * to the smaller vec_id), and the emitted score is round-6 of the
+    * identical raw — the oracle unrolls the same k greedy steps as
+    * chained CTEs. */
+  def v12Mmr(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val pool = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("v"), cosineNative6(col("v"), col("qv")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(MmrPool)
+      .cache()
+    try {
+      // bounded collects: P (vec_id, rel) rows + P·(P−1) sims
+      val rels = pool.select("vec_id", "rel").orderBy(col("rel").desc, col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val sims = pool.select(col("vec_id").as("a"), col("v").as("va"))
+        .join(pool.select(col("vec_id").as("b"), col("v").as("vb")), col("a") =!= col("b"))
+        .select(col("a"), col("b"), cosineNative6(col("va"), col("vb")).as("s"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+      var remaining = rels.toList
+      while (picked.size < MmrK && remaining.nonEmpty) {
+        val scored = remaining.map { case (id, rel) =>
+          val ms = if (picked.isEmpty) 0.0
+            else picked.map { case (_, s, _, _) => sims((id, s)) }.max
+          (id, rel, MmrLambda * rel - MmrMu * ms)
+        }
+        val (id, rel, raw) = scored.minBy { case (id, _, sc) => (-sc, id) }
+        picked += ((picked.size + 1, id, rel, raw))
+        remaining = remaining.filterNot(_._1 == id)
+      }
+      spark.createDataFrame(picked.toSeq).toDF("rk", "vec_id", "rel", "raw")
+        .select(col("rk"), col("vec_id"), col("rel"),
+          round(col("raw"), 6).as("mmr_score"))
+        .orderBy("rk")
+    } finally { pool.unpersist(); () }
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "v12_mmr" -> (v12Mmr _),
     "v01_knn_facts" -> (v01KnnFacts _),
     "v02_knn_batch" -> (v02KnnBatch _),
     "v03_hybrid_union" -> (v03HybridUnion _),
@@ -477,7 +543,54 @@ object VectorQueries {
 
   private val probeList = GraphQueries.ProbeUnion.map(e => s"'$e'").mkString(", ")
 
+  /** One MMR greedy step as SQL: candidates = pool minus `sel`,
+    * scored 0.7·rel − 0.3·max(sim to sel), argmax with vec_id ties.
+    * The same raw-score-selection / round-on-emit split as the Spark
+    * side. */
+  private def mmrStepSql(cand: String, sel: String): String =
+    s"""$cand AS (SELECT p.vec_id, p.rel,
+       |    $MmrLambda * p.rel - $MmrMu * max(s.s) AS raw
+       |  FROM pool p JOIN sim s ON s.a = p.vec_id
+       |  WHERE s.b IN (SELECT vec_id FROM picked)
+       |    AND p.vec_id NOT IN (SELECT vec_id FROM picked)
+       |  GROUP BY p.vec_id, p.rel)""".stripMargin
+      .replace("picked", sel)
+
   val oracles: Map[String, String] = Map(
+    // v12: the same greedy unrolled — pool and pairwise sims are
+    // round-6 (identical doubles to the Spark side), each step
+    // selects on the RAW λ/μ combination, and only the emitted
+    // score rounds.
+    "v12_mmr" ->
+      s"""WITH e AS ($embSql),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |pool AS (SELECT vec_id, v, round(list_cosine_similarity(v, qv), 6) AS rel
+         |         FROM e, q WHERE vec_id <> 0
+         |         ORDER BY rel DESC, vec_id LIMIT $MmrPool),
+         |sim AS (SELECT a.vec_id AS a, b.vec_id AS b,
+         |          round(list_cosine_similarity(a.v, b.v), 6) AS s
+         |        FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+         |s1 AS (SELECT vec_id, rel, $MmrLambda * rel AS raw FROM pool
+         |       ORDER BY raw DESC, vec_id LIMIT 1),
+         |${mmrStepSql("c2", "s1")},
+         |s2 AS (SELECT vec_id, rel, raw FROM c2 ORDER BY raw DESC, vec_id LIMIT 1),
+         |p2 AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2),
+         |${mmrStepSql("c3", "p2")},
+         |s3 AS (SELECT vec_id, rel, raw FROM c3 ORDER BY raw DESC, vec_id LIMIT 1),
+         |p3 AS (SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM s3),
+         |${mmrStepSql("c4", "p3")},
+         |s4 AS (SELECT vec_id, rel, raw FROM c4 ORDER BY raw DESC, vec_id LIMIT 1),
+         |p4 AS (SELECT vec_id FROM p3 UNION ALL SELECT vec_id FROM s4),
+         |${mmrStepSql("c5", "p4")},
+         |s5 AS (SELECT vec_id, rel, raw FROM c5 ORDER BY raw DESC, vec_id LIMIT 1)
+         |SELECT CAST(rk AS INT) AS rk, vec_id, rel, round(raw, 6) AS mmr_score
+         |FROM (
+         |  SELECT 1 AS rk, * FROM s1
+         |  UNION ALL SELECT 2, * FROM s2
+         |  UNION ALL SELECT 3, * FROM s3
+         |  UNION ALL SELECT 4, * FROM s4
+         |  UNION ALL SELECT 5, * FROM s5)
+         |ORDER BY rk""".stripMargin,
     // v11: threshold instead of LIMIT — the round-6 cosine is the
     // SAME value both engines filter on, so the ball is identical.
     "v11_range_search" ->

@@ -29,6 +29,21 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
+  /** st14: SLIDING (hopping) window counts — q18's streaming form,
+    * the continuous smoothing/alerting view (1h windows every 15min;
+    * a boundary-straddling spike that tumbling st01 halves shows
+    * whole in the hop). Calls q18's OWN cell kernel
+    * (CoreQueries.slidingCells — parity by construction); the only
+    * streaming additions are the watermark and the 4× state fan-out:
+    * each event updates its length/slide = 4 open hop cells, so the
+    * state store holds 4 rows per (active window, type) — still
+    * bounded by the watermark horizon, and the per-event Expand is
+    * map-side constant work exactly as in batch. */
+  def slidingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    graft.operators.CoreQueries.slidingCells(
+      events.withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark))
+
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
   /** Open session per user, plus an optional still-open PRE-session
     * chain (in-horizon events older than the open session by more

@@ -81,6 +81,151 @@ class CorpusStatsSpec extends SparkSpec {
     assert(nLow == 2L && pmiLow == math.rint(math.log(0.5) * 1e6) / 1e6, s"$pmiLow")
   }
 
+  // ---------------------------------------------------------------- h17
+
+  /** Adamic-Adar corpus: a 2-star (hubpp→leftt/rightt: one predicted
+    * pair, weight 1/ln 2), a 3-star (midpp: three pairs at 1/ln 3,
+    * gone when the hub-cap dial drops below 3), a triangle (every
+    * pair ADJACENT — wedges exist but the anti-join must eat them),
+    * and an 8-star (wekpp: pair weight 1/ln 8 ≈ 0.481 — under the
+    * 0.5 score floor). */
+  private lazy val dirAa: String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("h17corpus").toString
+    val wk = Seq("wkaaa", "wkbbb", "wkccc", "wkddd", "wkeee", "wkfff", "wkggg", "wkhhh")
+    val texts =
+      Seq("hubpp leftt pad", "hubpp rightt pad",
+        "midpp aaone pad", "midpp aatwo pad", "midpp aathree pad",
+        "adjaa adjbb pad", "adjaa adjcc pad", "adjbb adjcc pad") ++
+        wk.map(w => s"wekpp $w pad")
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "planted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("h17: predicts exactly the non-adjacent wedge pairs above the floor, exact scores") {
+    val rows = GraphQueries.h17AdamicAdar(spark, dirAa).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    def w(deg: Int) = math.rint(1.0 / math.log(deg.toDouble) * 1e6) / 1e6
+    // triangle pairs are adjacent (excluded despite their wedges);
+    // wekpp's 28 pairs sit under the 0.5 floor at 1/ln 8.
+    assert(rows.keySet == Set(("leftt", "rightt"),
+      ("aaone", "aathree"), ("aaone", "aatwo"), ("aathree", "aatwo")), rows.keySet.toString)
+    assert(rows(("leftt", "rightt")) == ((1L, w(2))), rows.toString)
+    assert(rows(("aaone", "aatwo")) == ((1L, w(3))), rows.toString)
+  }
+
+  test("h17: the hub-cap dial removes wedges pivoting on entities above it") {
+    import graft.plans.HippoGraph
+    val rows = GraphQueries.adamicAdarPairs(HippoGraph.edges(spark, dirAa), hubCap = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("leftt", "rightt")),
+      s"deg-3 midpp must stop pivoting under cap 2: $rows")
+  }
+
+  // ---------------------------------------------------------------- t19
+
+  test("t19: entropy is exact on planted uniform/constant/skewed/empty docs") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("t19corpus").toString
+    val docs = Seq(
+      (0L, "aa bb cc dd"),  // uniform: H = ln 4, norm = 1
+      (1L, "xx xx xx xx"),  // single token: pinned 0, 0
+      (2L, ""),             // token-less: zeros via the left join
+      (3L, "yy yy zz zz"),  // two evens: H = ln 2, norm = 1
+      (4L, "pp pp pp qq"))  // skewed: H = ln 4 − (3 ln 3)/4, norm < 1
+    docs.map { case (i, t) => (i, t, "en", "planted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = TextQueries.t19TokenEntropy(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(rows(0L) == ((4L, 4L, r6(math.log(4)), 1.0)), rows(0L).toString)
+    assert(rows(1L) == ((4L, 1L, 0.0, 0.0)), rows(1L).toString)
+    assert(rows(2L) == ((0L, 0L, 0.0, 0.0)), rows(2L).toString)
+    val h3 = math.log(4) - (2 * math.log(2) + 2 * math.log(2)) / 4
+    assert(rows(3L) == ((4L, 2L, r6(h3), r6(h3 / math.log(2)))), rows(3L).toString)
+    val h4 = math.log(4) - 3 * math.log(3) / 4
+    assert(rows(4L)._3 == r6(h4) && rows(4L)._4 < 1.0, rows(4L).toString)
+    // the quality signal orders: templated < skewed < uniform
+    assert(rows(1L)._3 < rows(4L)._3 && rows(4L)._3 < rows(0L)._3)
+  }
+
+  // ---------------------------------------------------------------- q19
+
+  /** Anomaly corpus: type "tickk" alternates 8/12 events per hour for
+    * 30 hours (nonzero history variance) then spikes to 30 in hour
+    * 30; type "flatt" holds a constant 10 — a flat history has NO
+    * z-score (std 0 → NULL), not an infinite one. */
+  test("q19: the planted spike is the only anomaly; flat history yields NULL z") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q19anom").toString
+    val base = 1700000000000000L // epoch micros
+    def hours(typ: String, counts: Seq[Int]): Seq[(String, Long)] =
+      counts.zipWithIndex.flatMap { case (n, h) =>
+        (0 until n).map(i => (typ, base + h * 3600000000L + i * 1000000L))
+      }
+    val tick = hours("tickk", (0 until 30).map(h => if (h % 2 == 0) 12 else 8) :+ 30)
+    val flat = hours("flatt", Seq.fill(31)(10))
+    (tick ++ flat).zipWithIndex
+      .map { case ((typ, us), i) => (i.toLong, i.toLong % 7, us, typ, 1.0, "{}") }
+      .toDF("event_id", "user_id", "us", "event_type", "value", "props")
+      .select(col("event_id"), col("user_id"),
+        expr("timestamp_micros(us)").as("ts"), col("event_type"),
+        col("value"), col("props"))
+      .write.parquet(s"$tmp/events.parquet")
+    val rows = graft.operators.CoreQueries.q19RollingAnomaly(spark, tmp).collect()
+    val byType = rows.groupBy(_.getString(0))
+    // warm-up: nothing emits before AnomalyMinHist buckets of history
+    assert(rows.forall(_.getLong(3) >= graft.operators.CoreQueries.AnomalyMinHist))
+    assert(byType("tickk").length == 31 - graft.operators.CoreQueries.AnomalyMinHist)
+    val anomalies = rows.filter(_.getInt(7) == 1)
+    assert(anomalies.length == 1, s"only the spike flags: ${anomalies.mkString("; ")}")
+    val spike = anomalies.head
+    assert(spike.getString(0) == "tickk" && spike.getLong(2) == 30L)
+    assert(spike.getDouble(6) > 9.0, s"spike z: $spike") // (30−10)/2.043 ≈ 9.8
+    // flat history: std 0 → z NULL on every emitted flatt row
+    assert(byType("flatt").forall(r => r.isNullAt(6) && r.getInt(7) == 0))
+    // steady rows score |z| ≈ 1 — far under the threshold
+    assert(byType("tickk").filter(_.getLong(2) < 30L).forall(r => math.abs(r.getDouble(6)) < 1.2))
+  }
+
+  // ---------------------------------------------------------------- v12
+
+  /** MMR corpus: the query axis e0; a1 = e0+e1 and its near-copy a2;
+    * b = e0+e2 equally relevant but diverse (sim to a1 = 0.5); d = e3
+    * irrelevant; f = −e0 anti-relevant. Plain top-2 is {a1, a2}; MMR
+    * must pick the diverse b second, the near-copy third. */
+  test("v12: MMR picks the diverse candidate over the near-duplicate") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("v12mmr").toString
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val v = Array.fill(64)(0.0f); parts.foreach { case (i, x) => v(i) = x }; v
+    }
+    val vecs = Seq(
+      (0L, vec(0 -> 1.0f), 0),            // query
+      (1L, vec(0 -> 1.0f, 1 -> 1.0f), 1), // a1
+      (2L, vec(0 -> 1.0f, 1 -> 1.001f), 1), // a2: sim(a1,a2) ≈ 0.99997
+      (3L, vec(0 -> 1.0f, 2 -> 1.0f), 1), // b: rel ties a1, id breaks to a1
+      (4L, vec(3 -> 1.0f), 1),            // d: orthogonal, rel 0
+      (5L, vec(0 -> -1.0f), 1))           // f: anti-relevant
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val rows = graft.operators.VectorQueries.v12Mmr(spark, tmp).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.map(t => (t._1, t._2)).toSeq ==
+      Seq((1, 1L), (2, 3L), (3, 2L), (4, 4L), (5, 5L)),
+      s"greedy order: ${rows.mkString("; ")}")
+    // rank-2 diversity beat: b's margin score must exceed what the
+    // near-copy a2 scored when it was finally picked
+    assert(rows(1)._3 > rows(2)._3, rows.mkString("; "))
+    // a near-perfect duplicate at λ=0.7 scores ≈ 0.7·rel − 0.3·1
+    assert(math.abs(rows(2)._3 - (0.7 * 0.706764 - 0.3 * 0.999965)) < 1e-3)
+  }
+
   // ---------------------------------------------------------------- q16
 
   /** Funnel corpus: five users with known stage progressions —

@@ -39,6 +39,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("st14 streaming sliding-window counts == batch q18 kernel on same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventsBatch
+      .select(col("ts").cast("timestamp"), col("event_type"), col("value"))
+      .as[(Timestamp, String, Double)].collect().toSeq
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(rows)
+    val sdf = stream.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.slidingCounts(sdf)
+      .writeStream.format("memory").queryName("st14_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val cols = Seq("win_start", "event_type", "n", "total_value")
+    val streamed = spark.table("st14_out").select(cols.map(col): _*)
+    val batch = StreamOps.slidingCounts(eventsBatch).select(cols.map(col): _*)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streaming and batch sliding-window counts differ")
+    // every event lands in exactly length/slide = 4 hop cells
+    val nEvents = eventsBatch.count()
+    val cellTotal = streamed.agg(sum("n")).head().getLong(0)
+    assert(cellTotal == 4 * nEvents,
+      s"hop fan-out: expected ${4 * nEvents} cell-events, got $cellTotal")
+  }
+
   test("st01 watermark drops events later than 1 hour behind the max ts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
