@@ -188,6 +188,26 @@ object Explain {
       // the cartesian is forbidden
       "h15_entity_pmi" -> Seq("HashAggregate", "partial_count",
         "!CartesianProduct"),
+      // q19: REDUCE-BEFORE-WINDOW — raw events partial-aggregate
+      // map-side into the (type × hour) grid, and only the grid
+      // enters the rolling-frame Window; nothing joins at all
+      "q19_rolling_anomaly" -> Seq("Window", "HashAggregate", "partial_count",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // h17: wedges generate from pivot-keyed equi-joins with the
+      // hub-cap filter upstream; pair scores partial-aggregate
+      // map-side; the adjacency exclusion is a LeftAnti — nothing
+      // all-pairs anywhere
+      "h17_adamic_adar" -> Seq("LeftAnti", "HashAggregate", "partial_count",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // t19: one explode → map-side-combining (doc, token) count →
+      // doc-keyed reduction; the docs re-attach is an equi left join
+      "t19_token_entropy" -> Seq("Generate", "HashAggregate",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // v12: like v09/v10 the entry materializes its k greedy picks
+      // on the driver (bounded P-row pool); the DISTRIBUTED stage is
+      // the pool cut, which is exactly v01's audited scan shape
+      // (single-row broadcast BNLJ + TakeOrderedAndProject)
+      "v12_mmr" -> Seq("LocalTableScan"),
       // m05 (oracle entry = per-doc band signatures): one typed map
       // over a PRUNED 2-column scan; the pair join is audited
       // separately below (m05_phash_pairs) on the phashPairs surface
