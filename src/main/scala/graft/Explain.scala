@@ -203,6 +203,17 @@ object Explain {
       // doc-keyed reduction; the docs re-attach is an equi left join
       "t19_token_entropy" -> Seq("Generate", "HashAggregate",
         "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // d14: (doc, gram) dedup + df-band + candidate pairing + the
+      // full-set recount all partial-aggregate on narrow gram/pair
+      // keys; nothing all-pairs, nothing broadcast-O(corpus)
+      "d14_containment" -> Seq("HashAggregate", "partial_count",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // t20: the md5 fold + A-ES key is scan-speed codegen over a
+      // PRUNED 3-column scan (text never read); the top-k is
+      // TakeOrderedAndProject — no shuffle, no corpus sort
+      "t20_weighted_sample" -> Seq("TakeOrderedAndProject",
+        "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>",
+        "!Exchange", "!CartesianProduct"),
       // v12: like v09/v10 the entry materializes its k greedy picks
       // on the driver (bounded P-row pool); the DISTRIBUTED stage is
       // the pool cut, which is exactly v01's audited scan shape

@@ -394,6 +394,24 @@ final class Graft(
       .select("fact_id", "fact_text", "cos")
       .orderBy(col("cos").desc, col("fact_id"))
 
+  /** Top-k facts by MAXIMAL MARGINAL RELEVANCE — [[closestFacts]]
+    * with v12's diversification: a store grown by annotate-with-dedup
+    * still holds near-paraphrase facts, and a RAG context window
+    * wants coverage, not five copies of the strongest match. The
+    * pool cut is the same distributed scan shape as closestFacts;
+    * the greedy re-rank runs on the bounded pool via the SHARED
+    * VectorQueries.mmrTopK kernel (entry and facade cannot drift). */
+  def closestFactsDiverse(db: HippoDb, query: String, k: Int = 5,
+      pool: Int = VectorQueries.MmrPool): DataFrame =
+    VectorQueries.mmrTopK(spark,
+        db.factEmb.select(col("fact_id").as("vec_id"),
+          toDouble(col("embedding")).as("v"), queryVec(query).as("qv")),
+        pool, k)
+      .withColumnRenamed("vec_id", "fact_id")
+      .join(db.facts.select("fact_id", "fact_text"), "fact_id")
+      .select("rk", "fact_id", "fact_text", "rel", "mmr_score")
+      .orderBy("rk")
+
   /** Top-k entities by cosine of their STORED-repr embedding — the
     * unconditional "name (description)" text add_entity writes to
     * the vector collection (storage.py:191), "name ()" when the

@@ -296,8 +296,15 @@ object CoreQueries {
     * events is absent from the grid, so the window spans the last 24
     * active buckets (a gap-filled calendar variant would add a
     * sequence() expand; same plan shape). */
-  def q19RollingAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    val grid = events(spark, dir)
+  def q19RollingAnomaly(spark: SparkSession, dir: String): DataFrame =
+    rollingAnomaly(events(spark, dir)).orderBy("event_type", "hour")
+
+  /** The q19 grid + rolling-score kernel on an arbitrary events
+    * relation — SHARED semantics contract with st15's streaming form
+    * (the parity spec asserts the stream's closed-bucket rows equal
+    * these, bit for bit including the rounding). */
+  def rollingAnomaly(e: DataFrame): DataFrame = {
+    val grid = e
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("event_type").orderBy("hour")
@@ -319,7 +326,6 @@ object CoreQueries {
         round(col("std24"), 4).as("std24"),
         col("z"),
         (abs(coalesce(col("z"), lit(0.0))) >= AnomalyZ).cast("int").as("is_anomaly"))
-      .orderBy("event_type", "hour")
   }
 
   val queries: Map[String, Q] = Map(

@@ -1092,9 +1092,73 @@ object DedupQueries {
       .orderBy("src_a", "src_b")
   }
 
+  /** d14 dials: word-gram length (the d16 passage convention); the
+    * pairing doc-frequency band [2, [[ContainDfCap]]] (a gram in ONE
+    * doc pairs nothing; a gram in hundreds is boilerplate whose
+    * posting list would put an F² pair set on one join key — the d10
+    * cap, mirrored in the oracle: a pair sharing ONLY out-of-band
+    * grams is invisible by design); and the containment floor. */
+  val ContainGram = 5
+  val ContainDfCap = 64L
+  val ContainTau = 0.8
+
+  /** d14: CONTAINMENT near-dup pairs — C = |A∩B| / min(|A|,|B|) ≥
+    * [[ContainTau]] over distinct word-gram sets (Broder 1997's
+    * containment next to his resemblance): the ASYMMETRIC duplication
+    * whole-doc Jaccard is blind to. A 200-word article quoted whole
+    * inside a 10k-word page has J ≈ 0.02 — d02/d04 never flag it —
+    * but containment 1.0; exactly the partial-copy/quotation/
+    * aggregation case a training-corpus dedup wants surfaced (the
+    * small doc duplicates the big one's content).
+    *
+    * Scale shape: (doc, gram) rows dedup map-side (the ONE
+    * wordGramRows rule); CANDIDATES pair only through grams inside
+    * the df band — posting lists bounded at [[ContainDfCap]], so no
+    * join key explodes (the d10 argument); the EXACT shared-gram
+    * count then re-joins the full gram sets against the tiny
+    * candidate-pair relation (the d04 payload re-attach — AQE
+    * broadcasts the pairs, never the corpus), so emitted containment
+    * values are exact over the FULL sets even though pairing was
+    * df-banded. Sizes come from the already-reduced per-doc counts;
+    * one rounded division at the end (the h13 float convention). */
+  def d14Containment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      ContainDfCap)
+      .orderBy("a", "b")
+
+  /** The d14 kernel over (doc_id, text) rows with the df-band dial
+    * exposed (the d10WinnowPairsCapped convention: the oracle pins
+    * the default; specs turn the dial to prove the band — not the
+    * corpus — bounds the pairing). */
+  def containmentPairs(d: DataFrame, dfCap: Long): DataFrame = {
+    val g = TextQueries.wordGramRows(d, ContainGram, Seq(col("doc_id"))).distinct()
+    val per = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val banded = g.join(
+      g.groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2L, dfCap)).select("gram"),
+      "gram")
+    val cand = banded.select(col("gram"), col("doc_id").as("a"))
+      .join(banded.select(col("gram"), col("doc_id").as("b")), "gram")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(g.select(col("doc_id").as("a"), col("gram")), "a")
+      .join(g.select(col("doc_id").as("b"), col("gram")), Seq("b", "gram"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      .join(per.select(col("doc_id").as("a"), col("n_grams").as("ga")), "a")
+      .join(per.select(col("doc_id").as("b"), col("n_grams").as("gb")), "b")
+      .withColumn("containment",
+        round(col("n_shared") / least(col("ga"), col("gb")), 6))
+      .filter(col("containment") >= ContainTau)
+      .select("a", "b", "n_shared", "containment")
+      .orderBy("a", "b")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "d14_containment" -> (d14Containment _),
     "d16_source_overlap" -> (d16SourceOverlap _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d15_semdedup" -> (d15SemDedup _),
@@ -1112,6 +1176,32 @@ object DedupQueries {
     "d13_incremental_neardup" -> (d13IncrementalNeardup _))
 
   val oracles: Map[String, String] = Map(
+    // d14: same gram rule, same df-banded candidate generation
+    // (mirrored exactly — out-of-band-only pairs are invisible on
+    // both sides), exact shared counts over the FULL sets, one
+    // rounded division, round-then-floor in the Spark order.
+    "d14_containment" ->
+      s"""WITH g AS (SELECT DISTINCT doc_id, gram FROM (
+         |  ${TextQueries.gramSql(ContainGram, "documents", "doc_id")})),
+         |per AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+         |df AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+         |       WHERE df BETWEEN 2 AND $ContainDfCap),
+         |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |         FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |         JOIN df ON df.gram = a.gram),
+         |s AS (SELECT c.a, c.b, count(*) AS n_shared
+         |      FROM cand c
+         |      JOIN g ga ON ga.doc_id = c.a
+         |      JOIN g gb ON gb.doc_id = c.b AND gb.gram = ga.gram
+         |      GROUP BY 1, 2),
+         |j AS (SELECT s.a, s.b, s.n_shared,
+         |        round(CAST(s.n_shared AS DOUBLE) /
+         |              least(pa.n_grams, pb.n_grams), 6) AS containment
+         |      FROM s JOIN per pa ON s.a = pa.doc_id
+         |             JOIN per pb ON s.b = pb.doc_id)
+         |SELECT a, b, n_shared, containment FROM j
+         |WHERE containment >= $ContainTau
+         |ORDER BY a, b""".stripMargin,
     // d16: the shared gramSql rule + the h14-style inclusion-
     // exclusion Jaccard, integer counts with one rounded division.
     "d16_source_overlap" ->

@@ -666,9 +666,65 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** A deterministic 32-bit uniform in (0,1) from md5(doc_id): the
+    * first 8 hex nibbles fold into an exact integer via ascii
+    * arithmetic (no hex-parse builtin, no libm — both engines execute
+    * the identical integer fold), then ONE division. The weighted
+    * extension of t10's md5-nibble coin; `md5UniformSql` is its
+    * one-rule SQL mirror. */
+  private[operators] def md5UniformCol: org.apache.spark.sql.Column = {
+    val hx = md5(col("doc_id").cast("string"))
+    def nibVal(i: Int) = {
+      val c = substring(hx, i, 1)
+      ascii(c) - when(c <= "9", 48).otherwise(87)
+    }
+    val h = (2 to 8).foldLeft(nibVal(1).cast("long"))((acc, i) => acc * 16 + nibVal(i))
+    (h.cast("double") + 0.5) / 4294967296.0
+  }
+
+  private[operators] def md5UniformSql: String = {
+    def nib(i: Int) =
+      s"(ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - CASE WHEN " +
+        s"substr(md5(CAST(doc_id AS VARCHAR)), $i, 1) <= '9' THEN 48 ELSE 87 END)"
+    val h = (2 to 8).foldLeft(s"CAST(${nib(1)} AS BIGINT)")(
+      (acc, i) => s"($acc * 16 + ${nib(i)})")
+    s"((CAST($h AS DOUBLE) + 0.5) / 4294967296.0)"
+  }
+
+  val WeightedSampleK = 50
+
+  /** t20: WEIGHTED sampling without replacement — top-[[WeightedSampleK]]
+    * documents by the Efraimidis-Spirakis key u^(1/w) (A-ES,
+    * Efraimidis & Spirakis 2006), weight w = n_chars: each document's
+    * inclusion probability is proportional to its SIZE, the "sample
+    * tokens, not documents" correction every corpus-mixing recipe
+    * needs (a uniform doc sample over-represents short documents by
+    * orders of magnitude). Ranked in the ln form ln(u)/w — the same
+    * ordering, no pow() (whose libm rounding differs across
+    * platforms).
+    *
+    * Scale shape: u is the scan-speed md5 fold (shared rule with
+    * t10's stratified coin — reproducible across engines, clusters
+    * and reruns with NO stored random state), the weight is a stored
+    * column, and the top-k is TakeOrderedAndProject over a pruned
+    * 3-column scan: no shuffle, no sort of the corpus, k rows to the
+    * driver. Composable with t10 (stratify, then weight within
+    * stratum). Zero-length docs carry zero weight and are excluded
+    * (1/w undefined), mirrored in the oracle. */
+  def t20WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (log(md5UniformCol) / col("n_chars")).as("raw"))
+      .orderBy(col("raw").desc, col("doc_id"))
+      .limit(WeightedSampleK)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("raw"), 9).as("es_key"))
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "t20_weighted_sample" -> (t20WeightedSample _),
     "t19_token_entropy" -> (t19TokenEntropy _),
     "t18_zipf_fit" -> (t18ZipfFit _),
     "t14_normalize" -> (t14Normalize _),
@@ -709,6 +765,14 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t20: the identical integer md5 fold (md5UniformSql), the same
+    // ln(u)/w ranking with doc_id ties, round-9 on emit only.
+    "t20_weighted_sample" ->
+      s"""SELECT doc_id, lang, n_chars,
+         |  round(ln($md5UniformSql) / n_chars, 9) AS es_key
+         |FROM documents WHERE n_chars > 0
+         |ORDER BY ln($md5UniformSql) / n_chars DESC, doc_id
+         |LIMIT $WeightedSampleK""".stripMargin,
     // t19: same tokenization (the t07 kernel), same H = ln(T) −
     // (Σ c·ln c)/T op order, same D ≤ 1 and token-less pins;
     // DuckDB's sum over BIGINT is HUGEINT → cast.

@@ -494,11 +494,19 @@ object VectorQueries {
   def v12Mmr(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
-    val pool = e.filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(q))
+    mmrTopK(spark,
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q)), MmrPool, MmrK)
+  }
+
+  /** The v12 kernel over (vec_id, v, qv) rows — SHARED with
+    * `Graft.closestFactsDiverse` (the serving-path form over a
+    * store's fact embeddings) so entry and facade cannot drift. */
+  def mmrTopK(spark: SparkSession, scored: DataFrame,
+      poolSize: Int, k: Int): DataFrame = {
+    val pool = scored
       .select(col("vec_id"), col("v"), cosineNative6(col("v"), col("qv")).as("rel"))
       .orderBy(col("rel").desc, col("vec_id"))
-      .limit(MmrPool)
+      .limit(poolSize)
       .cache()
     try {
       // bounded collects: P (vec_id, rel) rows + P·(P−1) sims
@@ -510,7 +518,7 @@ object VectorQueries {
         .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
       val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
       var remaining = rels.toList
-      while (picked.size < MmrK && remaining.nonEmpty) {
+      while (picked.size < k && remaining.nonEmpty) {
         val scored = remaining.map { case (id, rel) =>
           val ms = if (picked.isEmpty) 0.0
             else picked.map { case (_, s, _, _) => sims((id, s)) }.max

@@ -44,6 +44,101 @@ object StreamOps {
       events.withColumn("ts", col("ts").cast("timestamp"))
         .withWatermark("ts", watermark))
 
+  final case class AEv(event_type: String, ts: Timestamp)
+  /** Per-type anomaly state: open (not-yet-watermark-closed) hour
+    * buckets and the trailing CLOSED bucket history (≤ AnomalyWindow
+    * entries) — a few dozen longs per event type, regardless of
+    * rate. openH/openN are parallel arrays (Spark's state encoder
+    * handles flat product types; a Map would need a custom codec). */
+  final case class AnomState(openH: Seq[Long], openN: Seq[Long],
+      histH: Seq[Long], histN: Seq[Long])
+  final case class AnomOut(event_type: String, hour: Timestamp, n: Long,
+      hist_n: Long, mean24: Double, std24: Double, z: Option[Double],
+      is_anomaly: Int)
+
+  private val HourMs = 3600000L
+
+  /** Spark's round() semantics (BigDecimal HALF_UP over the
+    * canonical decimal rendering) — the stream must round exactly as
+    * the batch kernel's round() does or parity breaks on the last
+    * digit. */
+  private def roundLikeSpark(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** st15: STREAMING ROLLING-ANOMALY DETECTION — q19's always-on
+    * form, the "error rate just tripled" alert computed as events
+    * arrive instead of in a nightly batch. Keyed by event_type via
+    * flatMapGroupsWithState: state = open hour buckets + the trailing
+    * ≤ 24 CLOSED bucket counts; a bucket CLOSES when the watermark
+    * passes its end (event-time timeout), at which point it scores
+    * against the history exactly as the batch kernel scores a grid
+    * row against its trailing window — same integer sums, same IEEE
+    * float sequence, same HALF_UP rounding — and then joins the
+    * history itself. Emission at close is what makes the alert
+    * exact: an in-flight bucket's count is still growing, so scoring
+    * it early would alert on partial data (the watermark is the
+    * alert latency dial).
+    *
+    * Scale shape: state per key is O(AnomalyWindow) longs — bounded
+    * regardless of event rate — and Spark drops behind-watermark
+    * events before the operator (the st02 late-data contract). The
+    * event_type key is low-cardinality, so each type's micro-batch
+    * slice funnels through one task: at extreme per-type rates,
+    * pre-aggregate (type, hour) partial counts upstream in the same
+    * micro-batch (the batch kernel's reduce-before-window rule);
+    * the state machine is unchanged. */
+  def anomalyStream(spark: SparkSession, events: Dataset[AEv],
+      watermarkDelay: String = "1 hour"): Dataset[AnomOut] = {
+    import spark.implicits._
+    import graft.operators.CoreQueries.{AnomalyMinHist, AnomalyWindow, AnomalyZ}
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomState, AnomOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, evs: Iterator[AEv], state: GroupState[AnomState]) =>
+          val st = state.getOption.getOrElse(AnomState(Nil, Nil, Nil, Nil))
+          val open = scala.collection.mutable.SortedMap.empty[Long, Long]
+          st.openH.zip(st.openN).foreach { case (h, n) => open(h) = n }
+          var hist = st.histH.zip(st.histN).toVector
+          val out = scala.collection.mutable.ListBuffer.empty[AnomOut]
+
+          if (!state.hasTimedOut)
+            evs.foreach { e =>
+              val hr = e.ts.getTime - java.lang.Math.floorMod(e.ts.getTime, HourMs)
+              open(hr) = open.getOrElse(hr, 0L) + 1L
+            }
+
+          val wm = state.getCurrentWatermarkMs()
+          // close every open bucket the watermark has passed, in hour
+          // order — each scores against the history BEFORE it joins it
+          // (the batch window's "current row excluded" frame)
+          open.keys.toSeq.filter(_ + HourMs <= wm).foreach { hr =>
+            val n = open.remove(hr).get
+            val tail = hist.takeRight(AnomalyWindow)
+            val c = tail.length.toLong
+            if (c >= AnomalyMinHist) {
+              val s1 = tail.map(_._2).sum
+              val s2 = tail.map(t => t._2 * t._2).sum
+              val mean = s1.toDouble / c
+              val varr = (s2.toDouble - c * mean * mean) / (c - 1)
+              val std = math.sqrt(math.max(varr, 0.0))
+              val z = if (std > 0) Some(roundLikeSpark((n - mean) / std, 4)) else None
+              out += AnomOut(typ, new Timestamp(hr), n, c,
+                roundLikeSpark(mean, 4), roundLikeSpark(std, 4), z,
+                if (math.abs(z.getOrElse(0.0)) >= AnomalyZ) 1 else 0)
+            }
+            hist = (hist :+ (hr, n)).takeRight(AnomalyWindow)
+          }
+
+          state.update(AnomState(open.keys.toSeq, open.values.toSeq,
+            hist.map(_._1), hist.map(_._2)))
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(math.max(open.firstKey + HourMs, wm + 1L))
+          out.iterator
+      }
+  }
+
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
   /** Open session per user, plus an optional still-open PRE-session
     * chain (in-horizon events older than the open session by more

@@ -226,6 +226,73 @@ class CorpusStatsSpec extends SparkSpec {
     assert(math.abs(rows(2)._3 - (0.7 * 0.706764 - 0.3 * 0.999965)) < 1e-3)
   }
 
+  // ---------------------------------------------------------------- t20
+
+  test("t20: size-weighted sampling is exact vs an independent A-ES reimplementation") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("t20wsamp").toString
+    // 100 short docs (w=10), one whale (w=10⁹, its ln(u)/w ≈ −1e−8
+    // beats every short doc's ≈ −0.1 key), one zero-length doc
+    // (excluded: zero weight has no A-ES key)
+    val docs = (0L until 100L).map(i => (i, "short", "en", "planted", 10L)) ++
+      Seq((100L, "whale", "en", "planted", 1000000000L),
+        (101L, "", "en", "planted", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = TextQueries.t20WeightedSample(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(rows.length == TextQueries.WeightedSampleK)
+    // independent reimplementation of the key: java MessageDigest md5
+    // → first 8 nibbles folded → (h+0.5)/2³² → ln(u)/w, HALF_UP round
+    def esKey(docId: Long, w: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val h = hex.foldLeft(0L)((acc, c) => acc * 16 +
+        (if (c <= '9') c - '0' else c - 'a' + 10))
+      val u = (h.toDouble + 0.5) / 4294967296.0
+      BigDecimal(math.log(u) / w).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = ((0L until 100L).map(i => (i, esKey(i, 10L))) :+
+      ((100L, esKey(100L, 1000000000L))))
+      .sortBy { case (id, k) => (-k, id) }.take(TextQueries.WeightedSampleK)
+    assert(rows.toSeq == expected.toSeq,
+      s"first diff: ${rows.zip(expected).find(p => p._1 != p._2)}")
+    // the whale's size dominates: it must rank first
+    assert(rows.head._1 == 100L, rows.take(3).mkString("; "))
+    // the zero-weight doc never appears
+    assert(!rows.exists(_._1 == 101L))
+  }
+
+  // ---------------------------------------------------------------- d14
+
+  test("d14: containment flags the quoted-inside pair Jaccard misses; the df band caps boilerplate") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("d14cont").toString
+    val a = "alpha beta gamma delta epsilon zeta eta theta" // 4 five-grams
+    val b = a + " " + (1 to 12).map(i => f"extra$i%02d").mkString(" ") // contains all of A
+    val c = "gamma delta epsilon zeta eta theta iota kappa" // shares 2 of A's grams
+    val boiler = "common token run repeated everywhere" // ONE gram, df = 67
+    val docs = Seq((0L, a), (1L, b), (2L, c)) ++
+      (10L until 77L).map(i => (i, boiler))
+    docs.map { case (i, t) => (i, t, "en", "planted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = graft.operators.DedupQueries.d14Containment(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // only the quoted-whole pair clears τ: C(A,B) = 4/min(4,16) = 1.0
+    // (its Jaccard is 4/16 = 0.25 — d02/d04's resemblance threshold
+    // never fires); the 0.5-containment overlap pair is a candidate
+    // but floors out; the 67-doc boilerplate sits outside the df band
+    assert(rows == Map((0L, 1L) -> ((4L, 1.0))), rows.toString)
+    // dial proof: widening the band makes the boilerplate pairs (an
+    // exact-dup clique — d01's job, not d14's) explode back in
+    val wide = graft.operators.DedupQueries.containmentPairs(
+      spark.read.parquet(s"$tmp/documents.parquet").select("doc_id", "text"),
+      dfCap = 100L).count()
+    assert(wide == 67L * 66 / 2 + 1, s"uncapped pairing: $wide")
+  }
+
   // ---------------------------------------------------------------- q16
 
   /** Funnel corpus: five users with known stage progressions —

@@ -178,4 +178,18 @@ class DegenerateInputSpec extends SparkSpec {
     val s = TextQueries.t10StratifiedSample(spark, dir).collect()
     assert(s.forall(r => r.getString(2) < "d")) // below every threshold char used
   }
+
+  test("d14/t19/t20 degenerate: sub-gram docs pair nothing, zero weights never sample") {
+    // no doc reaches the 5-token gram size except doc 3, and a pair
+    // needs TWO docs sharing a gram -> empty, not a crash
+    assert(DedupQueries.d14Containment(spark, dir).count() == 0)
+    // t19 keeps a zero row for the empty doc (left-join contract)
+    val ent = TextQueries.t19TokenEntropy(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ent(0L) == 0L && ent.size == 4)
+    // t20 excludes the zero-length doc (zero weight has no A-ES key)
+    // and emits every weighted doc when k exceeds the corpus
+    val sampled = TextQueries.t20WeightedSample(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(sampled == Set(1L, 2L, 3L), sampled.toString)
+  }
 }

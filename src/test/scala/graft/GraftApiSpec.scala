@@ -312,4 +312,43 @@ class GraftApiSpec extends SparkSpec {
       .distinct()
     assert(db.edges.exceptAll(heuristic).isEmpty && heuristic.exceptAll(db.edges).isEmpty)
   }
+
+  test("closestFactsDiverse: MMR coverage where closestFacts returns near-copies") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // query embeds to e0; planted fact embeddings control the
+    // geometry exactly (the v12 planted corpus at the facade level):
+    // f1/f2 near-copies of the best match, f3 equally relevant but
+    // diverse, f4 orthogonal, f5 anti-relevant
+    val qEmb = new graft.functions.Embedder {
+      def dim: Int = 64
+      def embed(text: String): Array[Float] = {
+        val v = Array.fill(64)(0.0f); v(0) = 1.0f; v
+      }
+    }
+    def vec(parts: (Int, Float)*) = {
+      val v = Array.fill(64)(0.0f); parts.foreach { case (i, x) => v(i) = x }; v
+    }
+    val facts = Seq((1L, 10L, "copy one"), (2L, 10L, "copy two"),
+      (3L, 11L, "diverse"), (4L, 12L, "orthogonal"), (5L, 13L, "anti"))
+      .toDF("fact_id", "doc_id", "fact_text")
+    val fe = Seq(
+      (1L, vec(0 -> 1f, 1 -> 1f)), (2L, vec(0 -> 1f, 1 -> 0.999f)),
+      (3L, vec(0 -> 1f, 2 -> 1f)), (4L, vec(3 -> 1f)), (5L, vec(0 -> -1f)))
+      .toDF("fact_id", "embedding")
+    val db2 = graft.store.HippoDb(facts,
+      Seq((1L, "alpha")).toDF("fact_id", "entity"),
+      Seq(("alpha", "")).toDF("entity", "description"), fe)
+    val g = new Graft(spark, embedder = qEmb)
+    // plain top-2: both near-copies (f2's slightly smaller norm wins)
+    val plain = g.closestFacts(db2, "q", k = 2).collect().map(_.getLong(0)).toSet
+    assert(plain == Set(1L, 2L), s"plain top-2: $plain")
+    // diverse top-2: the second pick is the coverage fact, not the copy
+    val div = g.closestFactsDiverse(db2, "q", k = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    assert(div.toSeq == Seq((1, 2L, "copy two"), (2, 3L, "diverse")), div.mkString("; "))
+    // full greedy order, and k past the pool emits what exists
+    val all = g.closestFactsDiverse(db2, "q", k = 9).collect().map(_.getLong(1))
+    assert(all.toSeq == Seq(2L, 3L, 1L, 4L, 5L), all.mkString(","))
+  }
 }

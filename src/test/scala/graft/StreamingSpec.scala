@@ -66,6 +66,54 @@ class StreamingSpec extends SparkSpec {
       s"hop fan-out: expected ${4 * nEvents} cell-events, got $cellTotal")
   }
 
+  test("st15 streaming anomaly rows == batch q19 kernel, bit-exact incl. rounding") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // alternating 8/12 events per hour for 14 hours, then a 30-event
+    // spike; a far-future sentinel type advances the watermark so
+    // every real bucket closes (the sentinel's own bucket stays open
+    // and emits nothing on either side: its history is empty)
+    val base = 1700002800000L // hour-aligned epoch ms
+    def hour(h: Int, i: Int) = new Timestamp(base + h * 3600000L + i * 1000L)
+    def bucket(h: Int, n: Int) = (0 until n).map(i => StreamOps.AEv("tickk", hour(h, i)))
+    val counts = (0 until 14).map(h => if (h % 2 == 0) 12 else 8) :+ 30
+    val evs = counts.zipWithIndex.flatMap { case (n, h) => bucket(h, n) }
+    val sentinel = StreamOps.AEv("zzmark", hour(50, 0))
+
+    val stream = MemoryStream[StreamOps.AEv]
+    val q = StreamOps.anomalyStream(spark, stream.toDS())
+      .writeStream.format("memory").queryName("st15_out")
+      .outputMode("append").start()
+    try {
+      val (c1, c2) = evs.splitAt(evs.length / 2)
+      stream.addData(c1); q.processAllAvailable()
+      stream.addData(c2 :+ sentinel); q.processAllAvailable()
+      // one more batch so the sentinel-advanced watermark fires timeouts
+      stream.addData(Seq(StreamOps.AEv("zzmark", hour(51, 0)))); q.processAllAvailable()
+    } finally q.stop()
+
+    def key(typ: String, ms: Long) = (typ, ms)
+    val streamed = spark.table("st15_out").collect().map { r =>
+      key(r.getString(0), r.getTimestamp(1).getTime) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6)), r.getInt(7)))
+    }.toMap
+    val batchDf = (evs :+ sentinel).toDS()
+      .select(col("event_type"), col("ts"))
+    val batch = CoreQueries.rollingAnomaly(batchDf).collect().map { r =>
+      key(r.getString(0), r.getTimestamp(1).getTime) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6)), r.getInt(7)))
+    }.toMap
+    assert(streamed == batch,
+      s"stream vs batch anomaly rows:\n$streamed\nvs\n$batch")
+    // the planted spike is present, flagged, and the only anomaly
+    val spike = streamed(key("tickk", base + 14 * 3600000L))
+    assert(spike._1 == 30L && spike._6 == 1, spike.toString)
+    assert(streamed.values.count(_._6 == 1) == 1)
+    assert(streamed.nonEmpty && streamed.keys.forall(_._1 == "tickk"))
+  }
+
   test("st01 watermark drops events later than 1 hour behind the max ts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
