@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CoreQueries, DedupQueries, ExtendedQueries, GraphQueries, MultimodalQueries, PipelineQueries, SplitterQueries, TextQueries, VectorQueries}
+import graft.operators.{AnalyticsQueries, CoreQueries, DedupQueries, ExtendedQueries, GraphQueries, MultimodalQueries, PipelineQueries, QualityQueries, SplitterQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -19,7 +19,8 @@ object SparkEntry {
     CoreQueries.queries ++ GraphQueries.queries ++ VectorQueries.queries ++
       SplitterQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       MultimodalQueries.queries ++ ExtendedQueries.queries ++
-      PipelineQueries.queries ++
+      PipelineQueries.queries ++ AnalyticsQueries.queries ++
+      QualityQueries.queries ++
       Map[String, (SparkSession, String) => DataFrame](
         "e02_kmeans" -> (graft.operators.KMeans.e02Kmeans _),
         "e03_cluster_sample" -> (graft.operators.KMeans.e03ClusterSample _),
@@ -32,5 +33,6 @@ object SparkEntry {
     CoreQueries.oracles ++ GraphQueries.oracles ++ VectorQueries.oracles ++
       SplitterQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
       MultimodalQueries.oracles ++ ExtendedQueries.oracles ++
-      PipelineQueries.oracles
+      PipelineQueries.oracles ++ AnalyticsQueries.oracles ++
+      QualityQueries.oracles
 }

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Product/path analytics + data-profiling primitives (SURVEY.md §2,
+  * q20–q22). These widen the OLAP surface past the reference's query
+  * set into what a training-data/ops team runs daily over an event
+  * lake and a 100 TB table catalog.
+  *
+  * Scale notes:
+  *  - q20 windows partition by user_id (high-cardinality → the lead()
+  *    parallelizes); everything after the first aggregation lives on
+  *    the tiny (from_type, to_type) key space.
+  *  - q21 computes its bucket key map-side (one scan, one shuffle on
+  *    ~B buckets); the cumulative window runs over B rows, not data.
+  *  - q22 unpivots with ONE Expand (stack) feeding one shuffle — a
+  *    per-column UNION of scans would read the 100 TB table C times.
+  */
+object AnalyticsQueries {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q20: Markov transition matrix over per-user event paths — the
+    * "what do users do next" primitive behind path/flow diagrams.
+    *
+    * Per user, events ordered by (ts, event_id); each adjacent pair
+    * (A→B) is one transition. Output: counts + row-normalized
+    * probability per source state. The lead() window partitions on
+    * user_id (high-cardinality — no single-partition window); the
+    * transition tally is a map-side-combining count on a key space of
+    * |event_type|² (~25), and the per-source normalization window
+    * runs over those ≤25 aggregated rows only. */
+  def q20PathTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = transitionRows(events(spark, dir))
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy("from_type")
+    pairs
+      .withColumn("p", round(col("n").cast("double") / sum("n").over(byFrom), 6))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** THE per-user adjacent-transition kernel q20 aggregates and st16
+    * mirrors on a stream (one row per transition: user, from, to, and
+    * the arrival ts of the destination event). Adjacency is by
+    * (ts, event_id) — the same tie-break the streaming state applies
+    * within a micro-batch, so batch/stream parity is by construction. */
+  private[graft] def transitionRows(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .withColumn("to_ts", lead("ts", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        col("to_type"), col("to_ts"))
+  }
+
+  /** q21: fixed-width histogram of lineitem.l_extendedprice — the
+    * numeric-distribution profile (bucket counts, per-bucket mean,
+    * share, cumulative count). Bucket id is integer floor(price/W)
+    * computed map-side; the only shuffle is the ~11-bucket agg, and
+    * the share/cumulative windows run over those B rows. */
+  val HistWidth = 10000.0
+  def q21ValueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val b = lineitem(spark, dir)
+      .select(floor(col("l_extendedprice") / HistWidth).cast("long").as("bucket"),
+        col("l_extendedprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), round(avg("l_extendedprice"), 4).as("mean_price"))
+    val all = Window.partitionBy()
+    val cum = Window.partitionBy().orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.withColumn("share", round(col("n").cast("double") / sum("n").over(all), 6))
+      .withColumn("cum_n", sum("n").over(cum))
+      .orderBy("bucket")
+  }
+
+  /** q22: one-pass per-column data profile of orders (row count, null
+    * count, exact distinct count) — the data-quality sweep run before
+    * any pipeline trusts a new 100 TB drop. The unpivot is ONE
+    * `stack` Expand over a single scan (a per-column UNION would
+    * rescan the table C times); casts to string are injective per
+    * column, so distinct-of-cast == distinct-of-value. Exact distinct
+    * is the oracle anchor; at 100 TB swap `countDistinct` for
+    * `approx_count_distinct` (same plan shape minus the distinct
+    * expand) or the HllSketch partial-merge path. */
+  def q22DataProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val stackArgs = cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
+    orders(spark, dir)
+      .select(expr(s"stack(${cols.length}, $stackArgs) AS (col_name, val)"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("val"))).as("n_null"),
+        countDistinct(col("val")).as("n_distinct"))
+      .orderBy("col_name")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q20_path_transitions" -> (q20PathTransitions _),
+    "q21_value_histogram" -> (q21ValueHistogram _),
+    "q22_data_profile" -> (q22DataProfile _))
+
+  val oracles: Map[String, String] = Map(
+    "q20_path_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT event_type AS from_type, to_type, count(*) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM pairs ORDER BY from_type, to_type""".stripMargin,
+    "q21_value_histogram" ->
+      s"""WITH b AS (
+         |  SELECT CAST(floor(l_extendedprice / $HistWidth) AS BIGINT) AS bucket,
+         |    count(*) AS n, round(avg(l_extendedprice), 4) AS mean_price
+         |  FROM lineitem GROUP BY 1)
+         |SELECT bucket, n, mean_price,
+         |  round(n * 1.0 / sum(n) OVER (), 6) AS share,
+         |  CAST(sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+         |FROM b ORDER BY bucket""".stripMargin,
+    "q22_data_profile" ->
+      Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        .map(c => s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+                     |  count(*) - count($c) AS n_null,
+                     |  count(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))
+}

@@ -704,6 +704,65 @@ object StreamOps {
       }
   }
 
+  // ------------------------------------------------------------ st16
+
+  final case class TEv(user_id: Long, event_id: Long, ts: Timestamp,
+    event_type: String)
+  final case class TransState(lastTs: Long, lastId: Long, lastType: String)
+  final case class TransOut(user_id: Long, from_type: String,
+    to_type: String, to_ts: Timestamp)
+
+  /** How long a user's last-event state outlives its event time
+    * before eviction (the FunnelHorizonMs convention: 7 days). A
+    * destination event arriving after the horizon starts a fresh
+    * path — by design, and the ONLY divergence from the batch
+    * kernel, which sees completed history and has no horizon; parity
+    * holds for per-user gaps under the horizon. */
+  val TransHorizonMs: Long = 7L * 24 * 3600 * 1000
+
+  /** st16: STREAMING PATH TRANSITIONS — q20's adjacent-pair kernel
+    * as per-user state on an always-on stream: each arriving event
+    * emits the (from → to) edge from the user's previous event, so
+    * the live Markov matrix is one downstream `groupBy(from, to)`
+    * away. State is THREE scalars per in-horizon user (last event's
+    * ts, id, type), evicted via event-time timeout once the
+    * watermark passes lastTs + [[TransHorizonMs]].
+    *
+    * Micro-batches sort by (ts, event_id) — the batch kernel's
+    * EXACT tie-break (AnalyticsQueries.transitionRows), so parity
+    * with q20 is by construction when cross-batch arrival respects
+    * per-user event-time order (the st13 ordering contract; replay/
+    * backfill belongs on the batch mirror). */
+  def transitionStream(spark: SparkSession, events: Dataset[TEv],
+      watermarkDelay: String = "30 minutes",
+      horizonMs: Long = TransHorizonMs): Dataset[TransOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[TEv], state: GroupState[TransState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ListBuffer.empty[TransOut]
+            sorted.foreach { e =>
+              if (st != null)
+                out += TransOut(user, st.lastType, e.event_type, e.ts)
+              st = TransState(e.ts.getTime, e.event_id, e.event_type)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(
+                st.lastTs + horizonMs, state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Flush helper for specs/batch use: ALL sessions (incl. the
     * still-open last one per user), with the same start-time-derived
     * session ids the streaming form emits. */

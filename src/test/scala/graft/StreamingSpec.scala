@@ -672,4 +672,92 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
     assert(streamed == batchWant, s"stream $streamed != batch $batchWant")
   }
+
+  test("st16 streaming transitions == batch q20 kernel rows on same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = eventsBatch
+      .select(col("user_id"), col("event_id"), col("ts").cast("timestamp"),
+        col("event_type"))
+      .as[StreamOps.TEv].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+
+    val stream = MemoryStream[StreamOps.TEv]
+    // two chunks: the last-event state must survive the cross-batch
+    // round-trip, emitting the transition that straddles the split
+    val (first, second) = evs.splitAt(evs.length / 2)
+    stream.addData(first)
+    val q = StreamOps.transitionStream(spark, stream.toDS())
+      .writeStream.format("memory").queryName("st16_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(second)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("st16_out")
+      .select("user_id", "from_type", "to_type", "to_ts")
+    val batch = graft.operators.AnalyticsQueries.transitionRows(
+      eventsBatch.select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp"), col("event_type")))
+    val extra = streamed.exceptAll(batch).collect()
+    val missing = batch.exceptAll(streamed).collect()
+    assert(extra.isEmpty && missing.isEmpty,
+      s"streamed=${streamed.count()} batch=${batch.count()} " +
+      s"stream-only: ${extra.take(5).mkString("; ")} | batch-only: ${missing.take(5).mkString("; ")}")
+  }
+
+  test("st16 same-batch disorder repairs; equal-ts pairs break on event_id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val stream = MemoryStream[StreamOps.TEv]
+    // u1 arrives shuffled (click before view) but event-time orders
+    // view(10) < click(20) < purchase(30): path must repair to
+    // view→click→purchase. u2's two events share ts=10 — event_id
+    // 7 < 8 orders signup→error, exactly the batch lead() tie-break.
+    stream.addData(Seq(
+      StreamOps.TEv(1L, 2L, ts(20), "click"), StreamOps.TEv(1L, 1L, ts(10), "view"),
+      StreamOps.TEv(1L, 3L, ts(30), "purchase"),
+      StreamOps.TEv(2L, 8L, ts(10), "error"), StreamOps.TEv(2L, 7L, ts(10), "signup")))
+    val q = StreamOps.transitionStream(spark, stream.toDS())
+      .writeStream.format("memory").queryName("st16_edge")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("st16_edge").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((1L, "view", "click"), (1L, "click", "purchase"),
+      (2L, "signup", "error")), rows.toString)
+  }
+
+  test("st16 horizon eviction: a post-horizon event starts a FRESH path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new Timestamp(min * 60000)
+    val stream = MemoryStream[StreamOps.TEv]
+    val q = {
+      // 60-minute horizon so the corpus's own gaps exercise eviction
+      val s = StreamOps.transitionStream(spark, stream.toDS(),
+        watermarkDelay = "1 minute", horizonMs = 60L * 60000)
+      s.writeStream.format("memory").queryName("st16_evict")
+        .outputMode("append").start()
+    }
+    try {
+      // u1: view at t=0; u2's event at t=100 drives the watermark to
+      // 99min, past u1's 60min timeout → u1's state evicts
+      stream.addData(Seq(StreamOps.TEv(1L, 1L, ts(0), "view"),
+        StreamOps.TEv(2L, 2L, ts(100), "view")))
+      q.processAllAvailable()
+      // u1 returns at t=110: beyond the horizon — NO view→click edge,
+      // the click opens a fresh path; its next event pairs normally
+      stream.addData(Seq(StreamOps.TEv(1L, 3L, ts(110), "click")))
+      q.processAllAvailable()
+      stream.addData(Seq(StreamOps.TEv(1L, 4L, ts(115), "purchase")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("st16_evict").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((1L, "click", "purchase")),
+      s"pre-eviction view must NOT pair with the post-horizon click: $rows")
+  }
 }
