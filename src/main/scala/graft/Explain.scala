@@ -223,7 +223,39 @@ object Explain {
       // over a PRUNED 2-column scan; the pair join is audited
       // separately below (m05_phash_pairs) on the phashPairs surface
       "m05_phash" -> Seq("ReadSchema: struct<doc_id:bigint,text:string>",
-        "!CartesianProduct", "!BroadcastNestedLoopJoin"))
+        "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // q20: the lead() window partitions on HIGH-CARDINALITY user_id
+      // (never a single-partition window over the event stream); the
+      // transition tally partial-aggregates onto the tiny type² key
+      // space — nothing joins
+      "q20_path_transitions" -> Seq("Window", "HashAggregate", "partial_count",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // q21: the bucket key computes map-side over a PRUNED 1-column
+      // scan; one shuffle onto ~B bucket keys, windows over B rows
+      "q21_value_histogram" -> Seq("ReadSchema: struct<l_extendedprice:double>",
+        "HashAggregate", "partial_count",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // q22: the per-column unpivot is ONE stack Generate over ONE
+      // scan (a per-column UNION would rescan the 100 TB table C
+      // times); the distinct-count dedups on (col, val) keys with a
+      // map-side partial BEFORE its shuffle
+      "q22_data_profile" -> Seq("Generate", "HashAggregate", "partial_count",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin", "!Union"),
+      // t21: every Gopher signal is a higher-order function inside
+      // one projection over the PRUNED 2-column scan — no explode
+      // (word rows never materialize), no join, no UDF object pipeline
+      "t21_gopher_quality" -> Seq("ReadSchema: struct<doc_id:bigint,text:string>",
+        "!Generate", "!CartesianProduct", "!BroadcastNestedLoopJoin",
+        "!DeserializeToObject"),
+      // t22: one explode → per-doc distinct + gram-keyed min both
+      // partial-aggregate map-side; the re-attach is a gram-keyed
+      // equi-join — nothing all-pairs
+      "t22_gram_novelty" -> Seq("Generate", "HashAggregate", "partial_min",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // v13: like v09/v10 the one-shot entry materializes its k rows
+      // on the driver (cache-release contract); the serving shape is
+      // pinned by VectorSpec (full-pool == brute, byte-code bounds)
+      "v13_ann_sq8" -> Seq("LocalTableScan"))
 
     val sb = new StringBuilder
     sb.append(s"# Plan audit @ $dir\n\n")

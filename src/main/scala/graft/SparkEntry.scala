@@ -25,7 +25,8 @@ object SparkEntry {
         "e02_kmeans" -> (graft.operators.KMeans.e02Kmeans _),
         "e03_cluster_sample" -> (graft.operators.KMeans.e03ClusterSample _),
         "v09_ann_pq" -> (graft.operators.Pq.v09AnnPq _),
-        "v10_ann_ivfpq" -> (graft.operators.IvfPq.v10AnnIvfPq _))
+        "v10_ann_ivfpq" -> (graft.operators.IvfPq.v10AnnIvfPq _),
+        "v13_ann_sq8" -> (graft.operators.Sq.v13AnnSq _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -132,6 +132,46 @@ class VectorSpec extends SparkSpec {
     assert(enc.count() == n)
   }
 
+  test("SQ8 ANN: full-pool re-rank == brute force; default pool recall beats PQ's floor; codes bounded; constant dim exact") {
+    import graft.operators.Sq
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val brute = VectorQueries.v01KnnFacts(spark, sf0001)
+      .collect().map(_.getLong(0))
+    val n = e.count().toInt
+    // Pool = whole corpus → exact re-rank degenerates to brute force
+    // regardless of quantization error (pins the shared re-rank tail).
+    val full = Sq.annSq(spark, e, queryVecId = 0, k = 10, rerank = n / 10 + 1)
+      .collect().map(_.getLong(0))
+    assert(full.sameElements(brute), "full-pool SQ8 differs from brute force")
+    // Default pool (Rerank × k, SMALLER than PQ's): a byte per dim is
+    // accurate enough that recall must clear a HIGHER floor than the
+    // 4-bit/8-dim PQ codes get with twice the pool.
+    val ann = Sq.v13AnnSq(spark, sf0001).collect().map(_.getLong(0)).toSet
+    val recall = brute.toSet.intersect(ann).size.toDouble / brute.length
+    info(s"SQ8 recall@10 (pool ${Sq.Rerank}×10 of $n) = $recall")
+    assert(recall >= 0.9, s"recall $recall below the SQ8 floor")
+    // Compression contract: dim codes per vector, each within [0,255].
+    val (mins, maxs) = Sq.train(spark, e)
+    val enc = Sq.encode(spark, e, mins, maxs)
+    val codes = enc.select("codes").collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == mins.length && c.forall(x => x >= 0 && x <= 255)))
+    assert(enc.count() == n)
+    // Degenerate dimension: constant value trains max == min, encodes
+    // 0, decodes exactly — and an out-of-range append value clamps.
+    import spark.implicits._
+    val tiny = Seq((0L, Array(1.5, -2.0)), (1L, Array(1.5, 2.0)),
+      (2L, Array(1.5, 0.0))).toDF("vec_id", "v")
+    val (tmn, tmx) = Sq.train(spark, tiny)
+    assert(tmn(0) == 1.5 && tmx(0) == 1.5)
+    val tcodes = Sq.encode(spark, tiny, tmn, tmx).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(tcodes(0L)(0) == 0 && tcodes(0L)(1) == 0 && tcodes(1L)(1) == 255)
+    val appended = Seq((9L, Array(99.0, 99.0))).toDF("vec_id", "v")
+    val ac = Sq.encode(spark, appended, tmn, tmx).collect().head.getSeq[Int](1)
+    assert(ac(0) == 0 && ac(1) == 255, s"out-of-range appends must clamp: $ac")
+  }
+
   test("IVFADC: all-probe full-pool == brute force; default probes keep recall; residual codes cover the corpus") {
     import graft.operators.IvfPq
     import graft.operators.Pq
