@@ -252,6 +252,12 @@ object Explain {
       // equi-join — nothing all-pairs
       "t22_gram_novelty" -> Seq("Generate", "HashAggregate", "partial_min",
         "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // q22b: the scale form — the distinct computes as a PARTIAL
+      // HLL++ sketch map-side (no (col,val) dedup shuffle exists in
+      // this plan; partials merge as fixed-size sketches)
+      "q22b_data_profile_approx" -> Seq("Generate",
+        "partial_approx_count_distinct",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin", "!Union"),
       // v13: like v09/v10 the one-shot entry materializes its k rows
       // on the driver (cache-release contract); the serving shape is
       // pinned by VectorSpec (full-pool == brute, byte-code bounds)

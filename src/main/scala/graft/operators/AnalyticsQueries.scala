@@ -102,10 +102,30 @@ object AnalyticsQueries {
       .orderBy("col_name")
   }
 
+  /** q22b (*rows-only*; AnalyticsSpec pins ≤ 2% relative error vs
+    * q22): the 100 TB form of the profile — `approx_count_distinct`
+    * (HLL++, rsd 0.01) replaces the exact distinct, removing the
+    * (col, val)-keyed dedup shuffle entirely: partials merge as
+    * fixed-size sketches, so the whole profile is ONE map-side
+    * -combining pass regardless of column cardinality. */
+  def q22bDataProfileApprox(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val stackArgs = cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
+    orders(spark, dir)
+      .select(expr(s"stack(${cols.length}, $stackArgs) AS (col_name, val)"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("val"))).as("n_null"),
+        approx_count_distinct(col("val"), 0.01).as("n_distinct_approx"))
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, Q] = Map(
     "q20_path_transitions" -> (q20PathTransitions _),
     "q21_value_histogram" -> (q21ValueHistogram _),
-    "q22_data_profile" -> (q22DataProfile _))
+    "q22_data_profile" -> (q22DataProfile _),
+    "q22b_data_profile_approx" -> (q22bDataProfileApprox _))
 
   val oracles: Map[String, String] = Map(
     "q20_path_transitions" ->

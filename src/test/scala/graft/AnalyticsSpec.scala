@@ -106,6 +106,20 @@ class AnalyticsSpec extends SparkSpec {
       "o_orderpriority" -> ((4L, 0L, 2L))), s"got $m")
   }
 
+  test("q22b: approx profile ≤2% relative distinct error vs exact, same null/row counts") {
+    val exact = AnalyticsQueries.q22DataProfile(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val approx = AnalyticsQueries.q22bDataProfileApprox(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (c, (n, nn, dApprox)) =>
+      val (en, enn, dExact) = exact(c)
+      assert(n == en && nn == enn, s"$c: row/null counts must stay exact")
+      val rel = math.abs(dApprox - dExact).toDouble / math.max(dExact, 1L)
+      assert(rel <= 0.02, s"$c: approx distinct $dApprox vs exact $dExact (rel $rel)")
+    }
+  }
+
   // ---------------------------------------------------------------- t21
 
   private def docsDf(texts: Seq[String]) = {
