@@ -252,6 +252,12 @@ object Explain {
       // equi-join — nothing all-pairs
       "t22_gram_novelty" -> Seq("Generate", "HashAggregate", "partial_min",
         "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // d17: d02's banded candidates + exact verify unchanged; the
+      // per-doc argmax must push into the window operator
+      // (WindowGroupLimit — one surviving row per doc leaves the map
+      // side), and nothing all-pairs may appear
+      "d17_nearest_dup" -> Seq("WindowGroupLimit", "HashAggregate",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin"),
       // q22b: the scale form — the distinct computes as a PARTIAL
       // HLL++ sketch map-side (no (col,val) dedup shuffle exists in
       // this plan; partials merge as fixed-size sketches)

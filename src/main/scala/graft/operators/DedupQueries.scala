@@ -209,6 +209,28 @@ object DedupQueries {
     verifyJaccard(candidates, docShingles, "doc_a", "doc_b")
   }
 
+  /** d17: NEAREST-DUPLICATE REPORT — for every document in a ≥ 0.8
+    * near-dup pair, its single STRONGEST partner (argmax exact J,
+    * ties to the lowest partner id). The dedup-explainability view:
+    * d07 says "these 40 docs are one cluster", d09 says "drop these";
+    * d17 answers the reviewer's question "duplicate OF WHAT?" one
+    * row per affected doc. Reuses d02's banded candidates + exact
+    * verify unchanged; the per-doc argmax pushes into the window
+    * operator (WindowGroupLimit — tasks emit one row per doc), so
+    * the addition over d02 is one narrow rank on the bounded pair
+    * set. Output is bounded by the number of AFFECTED docs even when
+    * a k-member boilerplate cluster holds k·(k−1)/2 pairs. */
+  def d17NearestDup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = d02Pairs(spark, dir)
+    val sym = p.select(col("doc_a").as("doc_id"), col("doc_b").as("partner"), col("j"))
+      .unionAll(p.select(col("doc_b").as("doc_id"), col("doc_a").as("partner"), col("j")))
+    val w = Window.partitionBy("doc_id").orderBy(col("j").desc, col("partner"))
+    sym.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+      .orderBy("doc_id")
+  }
+
   /** d13: INCREMENTAL near-dup — d02's semantics for the [history
     * corpus, new ingest batch] split (the d12 incremental pattern at
     * whole-document granularity): which NEW documents are ≥ 0.8-
@@ -1173,7 +1195,8 @@ object DedupQueries {
     "d10_winnow_pairs" -> (d10WinnowPairs _),
     "d11_span_dedup_apply" -> (d11SpanDedupApply _),
     "d12_bloom_span_incremental" -> (d12BloomSpanIncremental _),
-    "d13_incremental_neardup" -> (d13IncrementalNeardup _))
+    "d13_incremental_neardup" -> (d13IncrementalNeardup _),
+    "d17_nearest_dup" -> (d17NearestDup _))
 
   val oracles: Map[String, String] = Map(
     // d14: same gram rule, same df-banded candidate generation
@@ -1220,6 +1243,26 @@ object DedupQueries {
          |FROM (${HippoGraph.factsSql})
          |GROUP BY fact_text HAVING count(*) > 1
          |ORDER BY canonical_id""".stripMargin,
+    // d17: per-doc argmax over the EXACT all-pairs ≥ 0.8 pair set —
+    // the d02 oracle bar extended one step (banding must not lose a
+    // doc's strongest partner either)
+    "d17_nearest_dup" ->
+      s"""WITH g AS (SELECT doc_id, $wordShinglesSql AS grams FROM documents),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+         |          len(list_distinct(a.grams || b.grams)), 4) AS j
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |  WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+         |        len(list_distinct(a.grams || b.grams)), 4) >= $WordJaccardThreshold),
+         |sym AS (
+         |  SELECT doc_a AS doc_id, doc_b AS partner, j FROM p
+         |  UNION ALL
+         |  SELECT doc_b AS doc_id, doc_a AS partner, j FROM p)
+         |SELECT doc_id, partner, j FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY j DESC, partner) AS rk
+         |  FROM sym) WHERE rk = 1
+         |ORDER BY doc_id""".stripMargin,
     "d02_minhash_lsh" -> // oracle = EXACT all-pairs Jaccard (LSH must not lose pairs >= 0.8)
       s"""WITH g AS (SELECT doc_id, $wordShinglesSql AS grams FROM documents)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

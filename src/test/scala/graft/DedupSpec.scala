@@ -29,6 +29,28 @@ class DedupSpec extends SparkSpec {
       s"simhash does not separate: $avgDup vs $avgRand")
   }
 
+  test("d17: each affected doc reports its STRONGEST partner, ties to the lowest id") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("d17corpus").toString
+    val base = (1 to 12).map(i => s"w$i").mkString(" ") // 10 word-3-shingles
+    val texts = Seq(
+      base,                                             // 0
+      base,                                             // 1: exact copy, J(0,1)=1
+      (1 to 11).map(i => s"w$i").mkString(" ") + " zz", // 2: J(2,0)=J(2,1)=9/11≈0.8182
+      "totally different words that never overlap")     // 3: no pair
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "planted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = DedupQueries.d17NearestDup(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L), s"doc 3 must be absent: $rows")
+    assert(rows(0L) == ((1L, 1.0)), "0's copy outranks the 9/11 partner")
+    assert(rows(1L) == ((0L, 1.0)))
+    // J(2,0) == J(2,1) == round(9/11, 4): the tie must break to doc 0
+    assert(rows(2L) == ((0L, math.rint(9.0 / 11.0 * 1e4) / 1e4)), s"${rows(2L)}")
+  }
+
   test("d06 ANN-blocked near-dup recalls >= 0.9 of d05's exact pairs") {
     val exact = DedupQueries.d05EmbedNeardup(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
