@@ -252,6 +252,16 @@ object Explain {
       // equi-join — nothing all-pairs
       "t22_gram_novelty" -> Seq("Generate", "HashAggregate", "partial_min",
         "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // s05: one codegen'd HOF projection + one explode over the
+      // PRUNED 2-column scan — no join, no aggregation anywhere
+      "s05_split_token_window" -> Seq("Generate",
+        "ReadSchema: struct<doc_id:bigint,text:string>",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin", "!HashAggregate"),
+      // h18: entity-keyed degree agg then the tiny degree histogram,
+      // both partial-aggregating; the regression is a scalar agg over
+      // <= max_degree rows — nothing wider than h05
+      "h18_degree_powerlaw" -> Seq("HashAggregate", "partial_count",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin"),
       // d17: d02's banded candidates + exact verify unchanged; the
       // per-doc argmax must push into the window operator
       // (WindowGroupLimit — one surviving row per doc leaves the map

@@ -521,9 +521,29 @@ object GraphQueries {
       .select("a", "b", "n_common", "aa_score")
   }
 
+  /** h18: DEGREE-DISTRIBUTION POWER-LAW FIT — is the entity graph
+    * scale-free? Histogram n(d) of entity fact-degrees, then the
+    * t18 machinery (regr_slope/regr_r2 builtins over ln n vs ln d):
+    * slope ≈ −γ with high r² says hub-dominated (plan h10's damping
+    * and h17's hub cap accordingly); flat/low-r² says homogeneous.
+    * Two map-side-combining aggs (entity-keyed, then the tiny
+    * degree-keyed histogram) + a scalar regression over ≤ max_degree
+    * rows — nothing wider than h05 anywhere. */
+  def h18DegreePowerlaw(spark: SparkSession, dir: String): DataFrame = {
+    val deg = edges(spark, dir)
+      .groupBy("entity").agg(countDistinct("fact_id").as("deg"))
+    deg.groupBy("deg").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).cast("int").as("n_degrees"),
+        sum("n").as("n_entities"),
+        max("deg").as("max_degree"),
+        round(regr_slope(log(col("n")), log(col("deg"))), 4).as("plaw_slope"),
+        round(regr_r2(log(col("n")), log(col("deg"))), 4).as("plaw_r2"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "h18_degree_powerlaw" -> (h18DegreePowerlaw _),
     "h17_adamic_adar" -> (h17AdamicAdar _),
     "h16_components" -> (h16Components _),
     "h15_entity_pmi" -> (h15EntityPmi _),
@@ -545,6 +565,17 @@ object GraphQueries {
   private val probeList = ProbeUnion.map(e => s"'$e'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // h18: same histogram + the same ln/ln regression builtins
+    "h18_degree_powerlaw" ->
+      s"""WITH e AS ($edgesSql),
+         |deg AS (SELECT entity, count(DISTINCT fact_id) AS deg FROM e GROUP BY entity),
+         |h AS (SELECT deg, count(*) AS n FROM deg GROUP BY deg)
+         |SELECT CAST(count(*) AS INT) AS n_degrees,
+         |  CAST(sum(n) AS BIGINT) AS n_entities,
+         |  max(deg) AS max_degree,
+         |  round(regr_slope(ln(n), ln(deg)), 4) AS plaw_slope,
+         |  round(regr_r2(ln(n), ln(deg)), 4) AS plaw_r2
+         |FROM h""".stripMargin,
     // h17: same pivot-keyed wedge generation with the hub cap and
     // score floor mirrored; NOT EXISTS on the symmetric g relation =
     // the left-anti adjacency exclusion; round-then-floor in the

@@ -432,4 +432,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(slopeZ < slopeU - 0.5, "the fit separates natural-shaped from synthetic corpora")
     assert(r2U >= 0.0 && r2U <= 1.0, s"r2 well-defined on near-constant y: $r2U")
   }
+
+  // ---------------------------------------------------------------- h18
+
+  test("h18: a constructed two-point degree histogram fits slope −2, r² = 1 exactly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("h18corpus").toString
+    // 8 entities of fact-degree 1 (one single-fact doc each) and 2 of
+    // degree 2 (two docs each): n(1)=8, n(2)=2 → the two-point ln/ln
+    // fit is EXACT: slope = ln(2/8)/ln 2 = −2, r² = 1. "pad" stays
+    // under MinEntityLen and never becomes an entity.
+    val texts = (1 to 8).map(i => s"only${i}xx pad") ++
+      Seq("twiceaa pad", "twiceaa pad", "twicebb pad", "twicebb pad")
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "planted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val r = GraphQueries.h18DegreePowerlaw(spark, tmp).collect().head
+    assert(r.getInt(0) == 2 && r.getLong(1) == 10L && r.getLong(2) == 2L, s"$r")
+    assert(r.getDouble(3) == -2.0, s"slope: $r")
+    assert(r.getDouble(4) == 1.0, s"r2: $r")
+  }
 }
