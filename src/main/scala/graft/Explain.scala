@@ -252,6 +252,20 @@ object Explain {
       // equi-join — nothing all-pairs
       "t22_gram_novelty" -> Seq("Generate", "HashAggregate", "partial_min",
         "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // q23: q09's two session windows + q20's lead, ALL keyed on
+      // high-cardinality user_id; tally and normalization on the
+      // tiny type² space — nothing joins
+      "q23_session_paths" -> Seq("Window", "HashAggregate", "partial_count",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // t23: history reduces to DISTINCT grams BEFORE the gram-keyed
+      // anti-join (at scale a persisted artifact); per-batch-doc
+      // rollup partial-aggregates — never a history rescan per doc
+      "t23_incremental_novelty" -> Seq("Generate", "LeftAnti", "HashAggregate",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // e04: one narrow typed map over broadcast centroids + the
+      // k-keyed agg — the corpus is never collected
+      "e04_silhouette" -> Seq("DeserializeToObject", "HashAggregate",
+        "!CartesianProduct"),
       // s05: one codegen'd HOF projection + one explode over the
       // PRUNED 2-column scan — no join, no aggregation anywhere
       "s05_split_token_window" -> Seq("Generate",

@@ -24,6 +24,7 @@ object SparkEntry {
       Map[String, (SparkSession, String) => DataFrame](
         "e02_kmeans" -> (graft.operators.KMeans.e02Kmeans _),
         "e03_cluster_sample" -> (graft.operators.KMeans.e03ClusterSample _),
+        "e04_silhouette" -> (graft.operators.KMeans.e04Silhouette _),
         "v09_ann_pq" -> (graft.operators.Pq.v09AnnPq _),
         "v10_ann_ivfpq" -> (graft.operators.IvfPq.v10AnnIvfPq _),
         "v13_ann_sq8" -> (graft.operators.Sq.v13AnnSq _))

@@ -102,6 +102,38 @@ object AnalyticsQueries {
       .orderBy("col_name")
   }
 
+  /** q23: SESSION-SCOPED path transitions — q20 restricted to
+    * within-session adjacency (q09's 30-minute-gap rule): correct
+    * path analysis must not bridge a Tuesday logout to a Friday
+    * login as a "transition", which q20's whole-history adjacency
+    * does by design (q20 answers lifecycle ordering; q23 answers
+    * in-session flow). Same two windows as q09 (lag-gap →
+    * cumulative-sum session id) plus q20's lead — all three
+    * partition on high-cardinality user_id; the tally and the
+    * normalization stay on the tiny type² key space. */
+  def q23SessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        lag("ts", 1).over(byUser).as("prev_ts"))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTE"), 1).otherwise(0))
+      .withColumn("session_id", sum("new_session").over(cum))
+    val bySession = Window.partitionBy("user_id", "session_id")
+      .orderBy("ts", "event_id")
+    val pairs = sess
+      .withColumn("to_type", lead("event_type", 1).over(bySession))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy("from_type")
+    pairs
+      .withColumn("p", round(col("n").cast("double") / sum("n").over(byFrom), 6))
+      .orderBy("from_type", "to_type")
+  }
+
   /** q22b (*rows-only*; AnalyticsSpec pins ≤ 2% relative error vs
     * q22): the 100 TB form of the profile — `approx_count_distinct`
     * (HLL++, rsd 0.01) replaces the exact distinct, removing the
@@ -125,7 +157,8 @@ object AnalyticsQueries {
     "q20_path_transitions" -> (q20PathTransitions _),
     "q21_value_histogram" -> (q21ValueHistogram _),
     "q22_data_profile" -> (q22DataProfile _),
-    "q22b_data_profile_approx" -> (q22bDataProfileApprox _))
+    "q22b_data_profile_approx" -> (q22bDataProfileApprox _),
+    "q23_session_paths" -> (q23SessionPaths _))
 
   val oracles: Map[String, String] = Map(
     "q20_path_transitions" ->
@@ -133,6 +166,27 @@ object AnalyticsQueries {
         |  SELECT user_id, event_type,
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
         |  FROM events),
+        |pairs AS (
+        |  SELECT event_type AS from_type, to_type, count(*) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM pairs ORDER BY from_type, to_type""".stripMargin,
+    "q23_session_paths" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |sess AS (
+        |  SELECT *, sum(CASE WHEN prev_ts IS NULL
+        |      OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM s),
+        |seq AS (
+        |  SELECT event_type, lead(event_type) OVER (
+        |    PARTITION BY user_id, session_id ORDER BY ts, event_id) AS to_type
+        |  FROM sess),
         |pairs AS (
         |  SELECT event_type AS from_type, to_type, count(*) AS n
         |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)

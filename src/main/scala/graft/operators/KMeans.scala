@@ -82,6 +82,52 @@ object KMeans {
     assign.orderBy("vec_id")
   }
 
+  /** Simplified (centroid-based) SILHOUETTE per cluster — the
+    * clustering-quality diagnostic that says whether e02's k was
+    * sane before e03/d15 build curation decisions on the clusters:
+    * s(x) = (b − a) / max(a, b) with a = |x − c_own| and b = min
+    * over OTHER centroids |x − c_k| (the O(n·k) centroid form MLlib's
+    * ClusteringEvaluator also uses — the classic O(n²) pairwise form
+    * is the exact anchor this approximates, intractable at 100 TB by
+    * design, not implementation). One narrow map over broadcast
+    * centroids + one k-keyed agg; nothing corpus-sized collected. */
+  def silhouette(spark: SparkSession, assigned: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    require(centroids.length >= 2, "silhouette needs k >= 2")
+    val bc = spark.sparkContext.broadcast(centroids)
+    assigned.select(col("vec_id"), col("cluster").cast("int"), col("v"))
+      .as[(Long, Int, Array[Double])]
+      .map { case (_, own, v) =>
+        val cs = bc.value
+        var a = 0.0; var b = Double.MaxValue
+        var i = 0
+        while (i < cs.length) {
+          val c = cs(i)
+          var d = 0.0; var j = 0
+          while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+          val dist = math.sqrt(d)
+          if (i == own) a = dist else if (dist < b) b = dist
+          i += 1
+        }
+        val s = if (math.max(a, b) > 0) (b - a) / math.max(a, b) else 0.0
+        (own, s)
+      }
+      .toDF("cluster", "s")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), round(avg("s"), 6).as("mean_s"))
+      .orderBy("cluster")
+  }
+
+  /** e04 entry (*rows-only*; KMeansSpec: planted separated clusters
+    * score near 1, exact two-point case, overlap scores lower). */
+  def e04Silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val (assign, centroids, _) = fit(spark, e, k = 8, iters = 5, trackInertia = false)
+    silhouette(spark, assign.join(e, "vec_id"), centroids)
+  }
+
   val SampleClusters = 8
   val ClusterQuota = 40
 

@@ -85,8 +85,10 @@ object QualityQueries {
     * Per-doc gram dedup happens before the gram-keyed min-agg (both
     * map-side combining); the re-attach is a gram-keyed equi-join —
     * nothing all-pairs, nothing broadcast-O(corpus). */
-  def t22GramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
+  /** THE distinct (doc_id, word-3-gram) kernel t22 and t23 share —
+    * one formula, one oracle mirror. */
+  private[graft] def gramRows(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(w) < 3 THEN array()
@@ -94,6 +96,9 @@ object QualityQueries {
           |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
           |END""".stripMargin)).as("gram"))
       .distinct()
+
+  def t22GramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = gramRows(Tables.documents(spark, dir))
     val first = grams.groupBy("gram").agg(min("doc_id").as("first_doc"))
     grams.join(first, "gram")
       .groupBy("doc_id")
@@ -103,9 +108,35 @@ object QualityQueries {
       .orderBy("doc_id")
   }
 
+  /** t23: INCREMENTAL novelty — t22's question for the [history
+    * corpus, new ingest batch] split (the d13 convention: history =
+    * doc_id%10≠0, batch = doc_id%10=0): what share of each NEW doc's
+    * grams has the corpus never seen. The per-batch freshness gate an
+    * ingest pipeline runs before accepting a crawl drop (mean
+    * novelty collapsing ⇒ the new feed repackages the corpus). The
+    * history side reduces to DISTINCT grams before the anti-join —
+    * at 100 TB that gram set is a persisted artifact built once per
+    * corpus version (the SketchIndex precedent), so each batch pays
+    * its own grams + one gram-keyed anti-join sliver, never a
+    * history rescan per doc. */
+  def t23IncrementalNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val hist = gramRows(docs.filter(col("doc_id") % 10 =!= 0))
+      .select("gram").distinct()
+    val batch = gramRows(docs.filter(col("doc_id") % 10 === 0))
+    val fresh = batch.join(hist, Seq("gram"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_new"))
+    batch.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(fresh, Seq("doc_id"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("novelty", round(col("n_new").cast("double") / col("n_grams"), 4))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t21_gopher_quality" -> (t21GopherQuality _),
-    "t22_gram_novelty" -> (t22GramNovelty _))
+    "t22_gram_novelty" -> (t22GramNovelty _),
+    "t23_incremental_novelty" -> (t23IncrementalNovelty _))
 
   val oracles: Map[String, String] = Map(
     "t21_gopher_quality" -> {
@@ -140,6 +171,21 @@ object QualityQueries {
          |   AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3) AS pass
          |FROM sig ORDER BY doc_id""".stripMargin
     },
+    "t23_incremental_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+        |  FROM toks, unnest(range(1, len(w) - 1)) AS r(i)
+        |  WHERE len(w) >= 3),
+        |hist AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 != 0),
+        |batch AS (SELECT doc_id, gram FROM grams WHERE doc_id % 10 = 0)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN gram NOT IN (SELECT gram FROM hist)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  round(sum(CASE WHEN gram NOT IN (SELECT gram FROM hist)
+        |    THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS novelty
+        |FROM batch GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t22_gram_novelty" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

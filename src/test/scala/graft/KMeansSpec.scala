@@ -44,6 +44,39 @@ class KMeansSpec extends SparkSpec {
     assert(sample.map(_._1).toSet.subsetOf(all.map(_._1).toSet))
   }
 
+  test("e04 silhouette: exact on a planted 2-cluster case, near 1 when separated, lower when merged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Two tight planted clusters far apart: centroids (0,0)/(10,0),
+    // each point at distance 1 from its own centroid and ~sqrt(82)
+    // ... use exact coordinates so s is hand-derivable.
+    val pts = Seq(
+      (0L, Array(1.0, 0.0), 0), (1L, Array(-1.0, 0.0), 0),
+      (2L, Array(11.0, 0.0), 1), (3L, Array(9.0, 0.0), 1))
+    val df = pts.map { case (id, v, c) => (id, v, c) }.toDF("vec_id", "v", "cluster")
+    val centroids = Array(Array(0.0, 0.0), Array(10.0, 0.0))
+    val rows = KMeans.silhouette(spark, df, centroids).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // cluster 0: point 0 has a=1, b=9 -> s=8/9; point 1 a=1, b=11 -> 10/11
+    val want0 = math.rint((8.0 / 9 + 10.0 / 11) / 2 * 1e6) / 1e6
+    assert(rows(0) == ((2L, want0)), s"${rows(0)} vs $want0")
+    assert(rows(1)._1 == 2L && rows(1)._2 == want0, "symmetric layout scores equal")
+
+    // Separated beats merged: the same points against one far and
+    // one ON-TOP centroid pair must score lower than the true split.
+    val bad = Array(Array(0.0, 0.0), Array(0.5, 0.0))
+    val badAssign = df.withColumn("cluster",
+      when(col("vec_id") < 2, 0).otherwise(1))
+    val badMean = KMeans.silhouette(spark, badAssign, bad).collect()
+      .map(_.getDouble(2)).sum / 2
+    assert(badMean < want0, s"merged centroids must score lower: $badMean")
+
+    // The corpus entry returns one row per cluster with valid range.
+    val e04 = KMeans.e04Silhouette(spark, sf0001).collect()
+    assert(e04.length == 8 && e04.forall(r =>
+      r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
+  }
+
   test("loadText reads a directory of files into the documents schema") {
     val tmp = java.nio.file.Files.createTempDirectory("docs")
     java.nio.file.Files.writeString(tmp.resolve("a.txt"), "hello spark world")
