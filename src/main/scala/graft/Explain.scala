@@ -252,6 +252,11 @@ object Explain {
       // equi-join — nothing all-pairs
       "t22_gram_novelty" -> Seq("Generate", "HashAggregate", "partial_min",
         "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // m06: frame explode + histogram HOFs in one codegen'd pass,
+      // then ONE lag window keyed by high-cardinality doc_id —
+      // no join, no typed object pipeline
+      "m06_scene_cuts" -> Seq("Generate", "Window",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin", "!DeserializeToObject"),
       // q23: q09's two session windows + q20's lead, ALL keyed on
       // high-cardinality user_id; tally and normalization on the
       // tiny type² space — nothing joins

@@ -209,9 +209,49 @@ object MultimodalQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** m06 cut dial: L1 histogram distance (∈ [0, 2·FrameSize]) at or
+    * above which a frame boundary counts as a scene cut. */
+  val CutL1 = 32 // ~p70 of boundary distances on the synthetic corpus
+
+  /** m06: SCENE-CUT DETECTION — the shot-boundary primitive of a
+    * video curation pipeline (sample frames → per-frame feature →
+    * distance between CONSECUTIVE frames → cut where it spikes),
+    * with the codec stubbed exactly as m02-m04: frames are m02's
+    * byte-window rule, the per-frame feature is m04's 16-bin
+    * code-point histogram computed on the frame, and the distance is
+    * integer L1 — so the whole operator is codegen'd HOFs + one
+    * lag() window keyed by high-cardinality doc_id, and every value
+    * is integer until nothing (exact cross-engine compare). Emits
+    * one row per frame BOUNDARY (frame_idx ≥ 1). */
+  def m06SceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .filter(col("len") >= FrameSize)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), ((col("len") - FrameSize) / FrameStride).cast("int"))))
+      .withColumn("frame",
+        expr(s"substring(text, frame_idx * $FrameStride + 1, $FrameSize)"))
+      .withColumn("hist", expr(
+        s"""transform(sequence(0, ${FeatBins - 1}),
+           |  b -> size(filter(transform(split(frame, ''), c -> ascii(c) % $FeatBins),
+           |    x -> x = b)))""".stripMargin))
+      .withColumn("prev_hist", lag("hist", 1).over(w))
+      .filter(col("prev_hist").isNotNull)
+      .withColumn("dist", expr(
+        "aggregate(zip_with(hist, prev_hist, (a, b) -> abs(a - b)), 0, (acc, x) -> acc + x)"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * FrameStride).as("offset"),
+        col("dist").cast("long").as("l1_dist"),
+        (col("dist") >= CutL1).as("is_cut"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "m06_scene_cuts" -> (m06SceneCuts _),
     "m01_media_meta" -> (m01MediaMeta _),
     "m05_phash" -> (m05Phash _),
     "m02_frame_sample" -> (m02FrameSample _),
@@ -266,6 +306,28 @@ object MultimodalQueries {
         |  CAST((CASE WHEN text = '' THEN 0 ELSE unicode(substr(text, 1, 1)) END * 7) % 480 AS INT) AS height,
         |  CAST(3 AS INT) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // m06: the same frame rule + histogram + integer L1, mirrored
+    "m06_scene_cuts" ->
+      s"""WITH frames AS (
+         |  SELECT doc_id, CAST(i AS INT) AS frame_idx,
+         |    list_transform(range(0, $FeatBins), b -> CAST(len(list_filter(
+         |      list_transform(string_split(substr(text, CAST(i AS INT) * $FrameStride + 1, $FrameSize), ''),
+         |        c -> unicode(c) % $FeatBins),
+         |      x -> x = b)) AS INT)) AS hist
+         |  FROM documents
+         |  CROSS JOIN unnest(range(0, (length(text) - $FrameSize) // $FrameStride + 1)) AS t(i)
+         |  WHERE length(text) >= $FrameSize),
+         |lagged AS (
+         |  SELECT doc_id, frame_idx, hist,
+         |    lag(hist) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_hist
+         |  FROM frames)
+         |SELECT doc_id, frame_idx, frame_idx * $FrameStride AS offset,
+         |  CAST(list_sum(list_transform(range(1, $FeatBins + 1),
+         |    j -> abs(hist[j] - prev_hist[j]))) AS BIGINT) AS l1_dist,
+         |  list_sum(list_transform(range(1, $FeatBins + 1),
+         |    j -> abs(hist[j] - prev_hist[j]))) >= $CutL1 AS is_cut
+         |FROM lagged WHERE prev_hist IS NOT NULL
+         |ORDER BY doc_id, frame_idx""".stripMargin,
     "m02_frame_sample" ->
       s"""SELECT doc_id, CAST(i AS INT) AS frame_idx,
          |  CAST(i AS INT) * $FrameStride AS offset,

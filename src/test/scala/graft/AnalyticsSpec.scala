@@ -106,6 +106,30 @@ class AnalyticsSpec extends SparkSpec {
       "o_orderpriority" -> ((4L, 0L, 2L))), s"got $m")
   }
 
+  test("q23: transitions do NOT bridge a 30-minute session gap (q20 does, by design)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q23").toString
+    def us(min: Long) = min * 60L * 1000000L
+    // u1: view@0 → click@10min (same session), purchase@50min opens a
+    // NEW session (40min gap — the click→purchase bridge must vanish),
+    // error@51min continues it (purchase→error survives).
+    val ev = Seq(
+      (1L, 1L, us(0), "view"), (2L, 1L, us(10), "click"),
+      (3L, 1L, us(50), "purchase"), (4L, 1L, us(51), "error"))
+    ev.toDF("event_id", "user_id", "us", "event_type")
+      .select(col("event_id"), col("user_id"),
+        expr("timestamp_micros(us)").as("ts"), col("event_type"))
+      .write.parquet(s"$tmp/events.parquet")
+    val q23 = AnalyticsQueries.q23SessionPaths(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(q23 == Set(("view", "click"), ("purchase", "error")),
+      s"the 40-minute gap must not produce click→purchase: $q23")
+    val q20 = AnalyticsQueries.q20PathTransitions(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(q20.contains(("click", "purchase")),
+      "q20's whole-history adjacency keeps the lifecycle bridge")
+  }
+
   test("q22b: approx profile ≤2% relative distinct error vs exact, same null/row counts") {
     val exact = AnalyticsQueries.q22DataProfile(spark, sf001).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap

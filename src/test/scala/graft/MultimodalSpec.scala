@@ -126,4 +126,24 @@ class MultimodalSpec extends SparkSpec {
     info(s"planted-copy hamming 0, edited ${ham(phashBands(base), phashBands(edited))}, random avg $avg")
     assert(avg > 4 * PhashMaxHamming, s"random pairs too close: $avg")
   }
+
+  test("m06: a planted two-scene payload cuts exactly at the scene boundary") {
+    import spark.implicits._
+    import graft.operators.MultimodalQueries
+    val tmp = java.nio.file.Files.createTempDirectory("m06").toString
+    // 640 chars: 'a'×320 then 'z'×320. Frames (size 64, stride 256)
+    // sample offsets 0/256/512 → histograms all-'a', all-'a', all-'z':
+    // boundary 1 has L1 = 0 (same scene), boundary 2 has L1 = 128
+    // (64 counts leave bin a%16, 64 arrive at bin z%16) → one cut.
+    val twoScene = "a" * 320 + "z" * 320
+    // 100 chars: only one frame → no boundary row at all
+    val oneFrame = "b" * 100
+    Seq((0L, twoScene, "en", "p", twoScene.length.toLong),
+        (1L, oneFrame, "en", "p", oneFrame.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = MultimodalQueries.m06SceneCuts(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3), r.getBoolean(4)))
+    assert(rows.toSeq == Seq((0L, 1, 0L, false), (0L, 2, 128L, true)), rows.toSeq.toString)
+  }
 }
