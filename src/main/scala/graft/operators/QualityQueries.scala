@@ -85,17 +85,23 @@ object QualityQueries {
     * Per-doc gram dedup happens before the gram-keyed min-agg (both
     * map-side combining); the re-attach is a gram-keyed equi-join —
     * nothing all-pairs, nothing broadcast-O(corpus). */
-  /** THE distinct (doc_id, word-3-gram) kernel t22 and t23 share —
-    * one formula, one oracle mirror. */
-  private[graft] def gramRows(docs: DataFrame): DataFrame =
+  /** THE word-3-gram explode t22/t23/st17 share (one formula, one
+    * oracle mirror), with caller-chosen passthrough columns — the
+    * wordGramRows convention; streaming callers keep (ts, doc_id)
+    * and dedup via collect_set instead of the stateful distinct. */
+  private[graft] def gramRowsKeyed(docs: DataFrame,
+      keep: Seq[org.apache.spark.sql.Column]): DataFrame =
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), explode(expr(
+      .withColumn("w", split(col("text"), " "))
+      .select(keep :+ explode(expr(
         """CASE WHEN size(w) < 3 THEN array()
           |ELSE transform(sequence(1, size(w) - 2),
           |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
-          |END""".stripMargin)).as("gram"))
-      .distinct()
+          |END""".stripMargin)).as("gram"): _*)
+
+  /** The distinct (doc_id, gram) form t22/t23 aggregate. */
+  private[graft] def gramRows(docs: DataFrame): DataFrame =
+    gramRowsKeyed(docs, Seq(col("doc_id"))).distinct()
 
   def t22GramNovelty(spark: SparkSession, dir: String): DataFrame = {
     val grams = gramRows(Tables.documents(spark, dir))

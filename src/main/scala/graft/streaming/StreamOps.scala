@@ -704,6 +704,42 @@ object StreamOps {
       }
   }
 
+  // ------------------------------------------------------------ st17
+
+  /** st17: STREAMING INGEST NOVELTY — t23's freshness gate as an
+    * always-on stream: each arriving document scores the share of
+    * its word-3-grams the history corpus has never seen (novelty
+    * collapsing live ⇒ the feed started repackaging the corpus).
+    *
+    * The stream side is the SHARED gram kernel
+    * (QualityQueries.gramRowsKeyed — parity with t23 by
+    * construction) with a STATELESS stream-static left join against
+    * the history's distinct-gram table (at 100 TB a persisted
+    * artifact built once per corpus version, the SketchIndex
+    * precedent — the static side replans per micro-batch); per-doc
+    * tallies finalize by watermark via the st06 (ts, doc_id) +
+    * collect_set recipe (the in-group dedup that replaces the
+    * stateful distinct a streaming plan cannot afford), so state is
+    * bounded by docs inside the watermark horizon. */
+  def noveltyStream(docs: DataFrame, histDocs: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.operators.QualityQueries.{gramRows, gramRowsKeyed}
+    val hist = gramRows(histDocs).select("gram").distinct()
+      .withColumn("seen", lit(1))
+    gramRowsKeyed(
+      docs.withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark),
+      Seq(col("ts"), col("doc_id")))
+      .join(hist, Seq("gram"), "left")
+      .groupBy(col("ts"), col("doc_id"))
+      .agg(size(collect_set(col("gram"))).cast("long").as("n_grams"),
+        size(collect_set(when(col("seen").isNull, col("gram"))))
+          .cast("long").as("n_new"))
+      .withColumn("novelty",
+        round(col("n_new").cast("double") / col("n_grams"), 4))
+      .select("doc_id", "n_grams", "n_new", "novelty", "ts")
+  }
+
   // ------------------------------------------------------------ st16
 
   final case class TEv(user_id: Long, event_id: Long, ts: Timestamp,

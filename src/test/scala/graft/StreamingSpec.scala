@@ -673,6 +673,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchWant, s"stream $streamed != batch $batchWant")
   }
 
+  test("st17 streaming novelty == batch t23 on the same history/batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val docs = Tables.documents(spark, sf0001)
+    val hist = docs.filter(col("doc_id") % 10 =!= 0)
+    val batchDocs = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (t0, r.getLong(0), r.getString(1))).toSeq
+
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamOps.noveltyStream(
+        stream.toDF().toDF("ts", "doc_id", "text"), hist)
+      .writeStream.format("memory").queryName("st17_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(batchDocs)
+      q.processAllAvailable()
+      // advance the watermark so the t0 docs finalize
+      stream.addData(Seq((new Timestamp(t0.getTime + 3 * 3600 * 1000),
+        999999L, "watermark pusher text row")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("st17_out")
+      .filter(col("doc_id") =!= 999999L)
+      .select("doc_id", "n_grams", "n_new", "novelty").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val batch = graft.operators.QualityQueries
+      .t23IncrementalNovelty(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    assert(streamed == batch,
+      s"stream ${streamed.take(3)}... != batch ${batch.take(3)}... " +
+      s"(${streamed.length} vs ${batch.length} rows)")
+  }
+
   test("st16 streaming transitions == batch q20 kernel rows on same events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
