@@ -192,4 +192,43 @@ class DegenerateInputSpec extends SparkSpec {
     val sampled = TextQueries.t20WeightedSample(spark, dir).collect().map(_.getLong(0)).toSet
     assert(sampled == Set(1L, 2L, 3L), sampled.toString)
   }
+
+  test("t21/t22/t23/s05/m06/d17: the r10b text ops survive the degenerate corpus") {
+    import graft.operators.{MultimodalQueries, QualityQueries, SplitterQueries}
+    // t21: all four docs keep a row; the empty doc's ratios are NULL,
+    // its pass false (Kleene), the 1-token doc computes cleanly
+    val q = QualityQueries.t21GopherQuality(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(q.size == 4)
+    assert(q(0L).getLong(1) == 0L && !q(0L).getBoolean(8))
+    assert(q(1L).getLong(1) == 1L && q(1L).getDouble(2) == 3.0)
+    // t22: sub-3-token docs have no grams -> absent, not zero-division
+    val nov = QualityQueries.t22GramNovelty(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(nov == Set(3L), nov.toString)
+    // t23: batch slice = doc 0 (empty) -> no gram rows at all
+    assert(QualityQueries.t23IncrementalNovelty(spark, dir).count() == 0)
+    // s05: empty doc still yields ONE window ([""], 1 token); every
+    // doc appears, no empty chunk list
+    val sp = SplitterQueries.s05TokenWindow(spark, dir).collect()
+    assert(sp.map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))
+    assert(sp.count(_.getLong(0) == 0L) == 1)
+    // m06: only doc 3 reaches FrameSize; it has a single frame ->
+    // no boundary rows anywhere, not a window crash
+    assert(MultimodalQueries.m06SceneCuts(spark, dir).count() == 0)
+    // d17: no >= 0.8 pair in this corpus -> empty report
+    assert(DedupQueries.d17NearestDup(spark, dir).count() == 0)
+  }
+
+  test("q20/q23: an empty events table yields empty transitions, not a crash") {
+    import spark.implicits._
+    import graft.operators.AnalyticsQueries
+    val tmp = java.nio.file.Files.createTempDirectory("degenEv").toString
+    Seq.empty[(Long, Long, Long, String)]
+      .toDF("event_id", "user_id", "us", "event_type")
+      .select(col("event_id"), col("user_id"),
+        expr("timestamp_micros(us)").as("ts"), col("event_type"))
+      .write.parquet(s"$tmp/events.parquet")
+    assert(AnalyticsQueries.q20PathTransitions(spark, tmp).count() == 0)
+    assert(AnalyticsQueries.q23SessionPaths(spark, tmp).count() == 0)
+  }
 }
