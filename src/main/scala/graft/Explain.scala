@@ -252,6 +252,16 @@ object Explain {
       // equi-join — nothing all-pairs
       "t22_gram_novelty" -> Seq("Generate", "HashAggregate", "partial_min",
         "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // q24: every funnel stage reduces BEFORE its user_id-keyed
+      // join (q16's shape); the deadline is a residual predicate on
+      // the same join — no new shuffle, nothing event × event
+      "q24_window_funnel" -> Seq("HashAggregate", "partial_min",
+        "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // p02: three 1-row aggregates cross-joined (single-row
+      // broadcasts — the h15/t12 lazy-total convention, so only the
+      // cartesian is forbidden); everything partial-aggregates
+      "p02_corpus_report" -> Seq("HashAggregate", "partial_count",
+        "!CartesianProduct"),
       // m06: frame explode + histogram HOFs in one codegen'd pass,
       // then ONE lag window keyed by high-cardinality doc_id —
       // no join, no typed object pipeline

@@ -233,6 +233,40 @@ object CoreQueries {
       .unionAll(p.select(col("user_id"), lit("3_purchase").as("stage"), col("t_purchase").as("ts")))
   }
 
+  /** q24 deadline: every funnel stage must land within this many
+    * hours of the user's FIRST view. */
+  val FunnelDeadlineHours = 48
+
+  /** q24: TIME-BOUNDED CONVERSION FUNNEL (ClickHouse's windowFunnel
+    * semantics beside q16's open-ended one): stages still chain
+    * strictly-after via first-qualifying-event mins, but every stage
+    * must also land within [[FunnelDeadlineHours]] of the user's
+    * first view — "converted eventually" (q16) vs "converted while
+    * the campaign window was open" (q24) are different product
+    * questions with different answers on the same events. Same scale
+    * shape as q16: every stage reduces to one row per user BEFORE
+    * its join; the deadline is one more residual predicate on the
+    * already-keyed join — no new shuffle. */
+  def q24WindowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val dl = expr(s"INTERVAL $FunnelDeadlineHours HOURS")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("t_view") && col("ts") <= col("t_view") + dl)
+      .groupBy("user_id").agg(min("ts").as("t_click"), min("t_view").as("t_view"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("t_click") && col("ts") <= col("t_view") + dl)
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    v.select(col("user_id"), lit("1_view").as("stage"))
+      .unionAll(c.select(col("user_id"), lit("2_click").as("stage")))
+      .unionAll(p.select(col("user_id"), lit("3_purchase").as("stage")))
+      .groupBy("stage").agg(count(lit(1)).as("users"))
+      .orderBy("stage")
+  }
+
   /** q17: COHORT RETENTION — users bucketed by the week of their
     * FIRST event (the cohort), each cohort's distinct active users
     * counted per week offset since then (the retention matrix every
@@ -329,6 +363,7 @@ object CoreQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q24_window_funnel" -> (q24WindowFunnel _),
     "q19_rolling_anomaly" -> (q19RollingAnomaly _),
     "q17_cohort_retention" -> (q17CohortRetention _),
     "q16_event_funnel" -> (q16EventFunnel _),
@@ -394,6 +429,23 @@ object CoreQueries {
         |ORDER BY cohort_week, week_offset""".stripMargin,
     // q16: the same strictly-after min-chaining; counts only, so the
     // compare is integer-exact.
+    "q24_window_funnel" ->
+      s"""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+         |           WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT e.user_id, min(e.ts) AS t_click, min(v.t_view) AS t_view
+         |      FROM events e JOIN v ON e.user_id = v.user_id
+         |      WHERE e.event_type = 'click' AND e.ts > v.t_view
+         |        AND e.ts <= v.t_view + INTERVAL $FunnelDeadlineHours HOURS
+         |      GROUP BY 1),
+         |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+         |      JOIN c ON e.user_id = c.user_id
+         |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+         |        AND e.ts <= c.t_view + INTERVAL $FunnelDeadlineHours HOURS
+         |      GROUP BY 1)
+         |SELECT '1_view' AS stage, count(*) AS users FROM v
+         |UNION ALL SELECT '2_click', count(*) FROM c
+         |UNION ALL SELECT '3_purchase', count(*) FROM p
+         |ORDER BY stage""".stripMargin,
     "q16_event_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
         |           WHERE event_type = 'view' GROUP BY 1),

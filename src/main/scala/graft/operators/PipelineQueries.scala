@@ -100,15 +100,64 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** p02: the CORPUS REPORT CARD — the one-row governance summary a
+    * data team reads before (and after) running p01: size and
+    * diversity (docs/langs/sources), exact-duplication rate (d01's
+    * digest rule: docs beyond the first per md5), mean token count,
+    * Gopher pass rate (t21's conjunctive flag), and mean
+    * first-occurrence novelty (t22) — each number computed by the
+    * standalone operator's SHARED kernel, composed as three 1-row
+    * aggregates cross-joined (each a broadcast of one row; the d16
+    * lazy-total convention). The whole card is one action over
+    * plans Catalyst can share scans across. */
+  def p02CorpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      (count(lit(1)) - countDistinct(md5(col("text")))).as("dup_docs"),
+      round(avg(size(split(col("text"), " "))), 4).as("mean_tokens"))
+    val pass = QualityQueries.t21GopherQuality(spark, dir)
+      .agg(round(avg(when(col("pass"), 1.0).otherwise(0.0)), 4).as("pass_rate"))
+    val nov = QualityQueries.t22GramNovelty(spark, dir)
+      .agg(round(avg(col("novelty")), 4).as("mean_novelty"))
+    base.crossJoin(pass).crossJoin(nov)
+      .withColumn("dup_rate",
+        round(col("dup_docs").cast("double") / col("n_docs"), 4))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    "p01_curation_pipeline" -> (p01CurationPipeline _))
+    "p01_curation_pipeline" -> (p01CurationPipeline _),
+    "p02_corpus_report" -> (p02CorpusReport _))
 
   val oracles: Map[String, String] = {
     val g = TextQueries.ContamGram
     val stops = TextQueries.inList(TextQueries.stopwords)
     Map(
+      // p02: base aggregates + the t21/t22 oracles wrapped as 1-row
+      // sub-aggregates — the SAME SQL mirrors the standalone
+      // operators use, so the card cannot drift from its parts.
+      "p02_corpus_report" ->
+        s"""WITH base AS (
+           |  SELECT count(*) AS n_docs,
+           |    count(DISTINCT lang) AS n_langs,
+           |    count(DISTINCT source) AS n_sources,
+           |    count(*) - count(DISTINCT md5(text)) AS dup_docs,
+           |    round(avg(len(string_split(text, ' '))), 4) AS mean_tokens
+           |  FROM documents),
+           |pr AS (
+           |  SELECT round(avg(CASE WHEN pass THEN 1.0 ELSE 0.0 END), 4) AS pass_rate
+           |  FROM (${QualityQueries.oracles("t21_gopher_quality")})),
+           |nv AS (
+           |  SELECT round(avg(novelty), 4) AS mean_novelty
+           |  FROM (${QualityQueries.oracles("t22_gram_novelty")}))
+           |SELECT n_docs, n_langs, n_sources, dup_docs, mean_tokens,
+           |  pass_rate, mean_novelty,
+           |  round(dup_docs * 1.0 / n_docs, 4) AS dup_rate
+           |FROM base, pr, nv""".stripMargin,
       "p01_curation_pipeline" ->
         s"""WITH norm AS (
            |  SELECT doc_id, lang,

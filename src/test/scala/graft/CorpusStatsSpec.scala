@@ -323,6 +323,32 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows == Map("1_view" -> 4L, "2_click" -> 2L, "3_purchase" -> 1L), rows.toString)
   }
 
+  test("q24: the 48-hour deadline cuts stages q16 would count") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q24funnel").toString
+    def us(h: Long) = h * 3600L * 1000000L
+    // u1: click at 47h (in), purchase at 49h (PAST the deadline
+    // anchored at first view — must not count though it is
+    // strictly-after the click). u2: full funnel inside 2h. u3:
+    // click at 49h — past deadline, stalls at view.
+    val events = Seq(
+      (1L, 1L, us(0), "view"), (2L, 1L, us(47), "click"), (3L, 1L, us(49), "purchase"),
+      (4L, 2L, us(0), "view"), (5L, 2L, us(1), "click"), (6L, 2L, us(2), "purchase"),
+      (7L, 3L, us(0), "view"), (8L, 3L, us(49), "click"))
+    events.toDF("event_id", "user_id", "us", "event_type")
+      .select(col("event_id"), col("user_id"),
+        expr("timestamp_micros(us)").as("ts"), col("event_type"))
+      .write.parquet(s"$tmp/events.parquet")
+    val q24 = graft.operators.CoreQueries.q24WindowFunnel(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q24 == Map("1_view" -> 3L, "2_click" -> 2L, "3_purchase" -> 1L), q24.toString)
+    // q16 on the same events counts them all — the two answers differ
+    // exactly by the deadline.
+    val q16 = graft.operators.CoreQueries.q16EventFunnel(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q16 == Map("1_view" -> 3L, "2_click" -> 3L, "3_purchase" -> 2L), q16.toString)
+  }
+
   // ---------------------------------------------------------------- h16
 
   test("h16: disjoint islands keep distinct components; singletons self-label") {

@@ -84,4 +84,29 @@ class PipelineSpec extends SparkSpec {
     assert(p.intersect(contaminated).isEmpty, "pipeline kept a contaminated doc")
     assert(!p.exists(_ % 100 == 0), "pipeline kept an eval-slice doc")
   }
+
+  test("p02: the report card's numbers are exact on a planted corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("p02").toString
+    // 4 docs, one EXACT duplicate pair → dup_docs 1, dup_rate 0.25;
+    // langs {en, de}, sources {a, b}; token counts 4/4/3/5 → mean 4.
+    Seq(
+      (0L, "the alpha beta gamma", "en", "a"),
+      (1L, "the alpha beta gamma", "en", "a"),
+      (2L, "delta epsilon zeta", "de", "b"),
+      (3L, "one two three four five", "en", "b"))
+      .map { case (i, t, l, s) => (i, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val r = PipelineQueries.p02CorpusReport(spark, tmp).collect().head
+    val m = r.getValuesMap[Any](r.schema.fieldNames)
+    assert(m("n_docs") == 4L && m("n_langs") == 2L && m("n_sources") == 2L)
+    assert(m("dup_docs") == 1L && m("dup_rate") == 0.25)
+    assert(m("mean_tokens") == 4.0)
+    // novelty: doc0 2/2, doc1 0/2, doc2 1/1, doc3 3/3 → mean 0.75
+    assert(m("mean_novelty") == 0.75, m.toString)
+    // pass_rate: every doc fails the 30-word band → 0.0
+    assert(m("pass_rate") == 0.0)
+  }
 }
