@@ -306,7 +306,10 @@ object Explain {
       // v13: like v09/v10 the one-shot entry materializes its k rows
       // on the driver (cache-release contract); the serving shape is
       // pinned by VectorSpec (full-pool == brute, byte-code bounds)
-      "v13_ann_sq8" -> Seq("LocalTableScan"))
+      "v13_ann_sq8" -> Seq("LocalTableScan"),
+      // v14: same driver-side materialization contract; the Hamming
+      // pool pass is pinned by VectorSpec (pure xor+bit_count column)
+      "v14_ann_binary" -> Seq("LocalTableScan"))
 
     val sb = new StringBuilder
     sb.append(s"# Plan audit @ $dir\n\n")

@@ -27,7 +27,8 @@ object SparkEntry {
         "e04_silhouette" -> (graft.operators.KMeans.e04Silhouette _),
         "v09_ann_pq" -> (graft.operators.Pq.v09AnnPq _),
         "v10_ann_ivfpq" -> (graft.operators.IvfPq.v10AnnIvfPq _),
-        "v13_ann_sq8" -> (graft.operators.Sq.v13AnnSq _))
+        "v13_ann_sq8" -> (graft.operators.Sq.v13AnnSq _),
+        "v14_ann_binary" -> (graft.operators.Bq.v14AnnBinary _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

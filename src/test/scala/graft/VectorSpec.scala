@@ -172,6 +172,35 @@ class VectorSpec extends SparkSpec {
     assert(ac(0) == 0 && ac(1) == 255, s"out-of-range appends must clamp: $ac")
   }
 
+  test("BQ ANN: full-pool re-rank == brute force; recall floor at 1 bit/dim; mean-centered bits balance") {
+    import graft.operators.Bq
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val brute = VectorQueries.v01KnnFacts(spark, sf0001)
+      .collect().map(_.getLong(0))
+    val n = e.count().toInt
+    val full = Bq.annBq(spark, e, queryVecId = 0, k = 10, rerank = n / 10 + 1)
+      .collect().map(_.getLong(0))
+    assert(full.sameElements(brute), "full-pool BQ differs from brute force")
+    // Default pool: 1 bit/dim is the lossiest rung on the ladder —
+    // the floor is LOWER than SQ8's but must still beat chance by far
+    // (10 of 500 at random ≈ recall 0.02 for a 160-candidate pool).
+    val ann = Bq.v14AnnBinary(spark, sf0001).collect().map(_.getLong(0)).toSet
+    val recall = brute.toSet.intersect(ann).size.toDouble / brute.length
+    info(s"BQ recall@10 (pool ${Bq.Rerank}×10 of $n) = $recall")
+    assert(recall >= 0.5, s"recall $recall below the BQ floor")
+    // Mean-centering contract: each dimension's bit splits the corpus
+    // roughly in half (raw sign would collapse a skewed dimension).
+    val means = Bq.train(spark, e)
+    val sigs = Bq.encode(spark, e, means).select("sig").collect().map(_.getLong(0))
+    val dim = means.length
+    (0 until dim).foreach { d =>
+      val ones = sigs.count(s => (s & (1L << d)) != 0)
+      assert(ones > n / 5 && ones < 4 * n / 5,
+        s"dim $d bit unbalanced: $ones of $n")
+    }
+  }
+
   test("IVFADC: all-probe full-pool == brute force; default probes keep recall; residual codes cover the corpus") {
     import graft.operators.IvfPq
     import graft.operators.Pq
