@@ -16,7 +16,9 @@ object Demo {
       nLoaded: Long, nCurated: Long,
       nFacts: Long, nEntities: Long, integrity: (Long, Long, Long),
       annFactIds: Seq[Long], bruteFactIds: Seq[Long],
-      hybridRows: Long, viewJson: String)
+      hybridRows: Long, viewJson: String,
+      passRate: Double, meanNovelty: Double,
+      funnel: Map[String, Long], topTransition: (String, String, Long))
 
   /** THE FULL USER STORY as one callable tour — load → curate →
     * annotate (store build + save/load round-trip) → index (persisted
@@ -74,8 +76,22 @@ object Demo {
     val view = new graft.api.GraftView(spark, api)
     val viewJson = view.toJson(db, view.entityGraph(db, query, k = 2, depth = 1))
 
+    // GOVERN: the corpus report card + the event-lake analytics a
+    // data/product team runs beside the store (p02 / q24 / q20).
+    val report = graft.operators.PipelineQueries.p02CorpusReport(spark, dir)
+      .collect().head
+    val passRate = report.getAs[Double]("pass_rate")
+    val meanNovelty = report.getAs[Double]("mean_novelty")
+    val funnel = graft.operators.CoreQueries.q24WindowFunnel(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val top = graft.operators.AnalyticsQueries.q20PathTransitions(spark, dir)
+      .orderBy(org.apache.spark.sql.functions.col("n").desc).limit(1)
+      .collect().head
+    val topTransition = (top.getString(0), top.getString(1), top.getLong(2))
+
     Story(nLoaded, nCurated, db.facts.count(), db.entities.count(),
-      db.integrity, annFactIds, bruteFactIds, hybridRows, viewJson)
+      db.integrity, annFactIds, bruteFactIds, hybridRows, viewJson,
+      passRate, meanNovelty, funnel, topTransition)
   }
 
   def main(args: Array[String]): Unit = {
@@ -158,6 +174,9 @@ object Demo {
       s"${story.nFacts} facts / ${story.nEntities} entities (integrity ${story.integrity})")
     println(s"[demo] full story: ANN top-3 ${story.annFactIds} == brute ${story.bruteFactIds}; " +
       s"hybrid rows ${story.hybridRows}; view payload ${story.viewJson.length} chars")
+    println(s"[demo] full story: corpus pass rate ${story.passRate}, " +
+      s"mean novelty ${story.meanNovelty}; 48h funnel ${story.funnel.toSeq.sorted.mkString(" ")}; " +
+      s"top transition ${story.topTransition}")
     spark.stop()
   }
 }

@@ -34,5 +34,14 @@ class DemoSpec extends SparkSpec {
     val root = om.readTree(s.viewJson)
     assert(root.has("nodes") && root.has("links"), s.viewJson.take(200))
     assert(root.get("nodes").size() > 0, "entity graph must seed nodes")
+
+    // the governance step reads sane: rates in [0,1], the funnel
+    // monotone view >= click >= purchase, a real top transition
+    assert(s.passRate >= 0.0 && s.passRate <= 1.0)
+    assert(s.meanNovelty > 0.0 && s.meanNovelty <= 1.0)
+    assert(s.funnel.keySet == Set("1_view", "2_click", "3_purchase"), s.funnel.toString)
+    assert(s.funnel("1_view") >= s.funnel("2_click") &&
+      s.funnel("2_click") >= s.funnel("3_purchase"), s.funnel.toString)
+    assert(s.topTransition._3 > 0)
   }
 }
