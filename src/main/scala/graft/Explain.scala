@@ -281,6 +281,11 @@ object Explain {
       // k-keyed agg — the corpus is never collected
       "e04_silhouette" -> Seq("DeserializeToObject", "HashAggregate",
         "!CartesianProduct"),
+      // h19: each PPR round is the h10 shape (edge-keyed equi-join
+      // + map-side-combining agg) plus a full-outer against the
+      // |S|-row seed relation — nothing cartesian, nothing collected
+      "h19_personalized_rank" -> Seq("HashAggregate", "FullOuter",
+        "!CartesianProduct"),
       // s05: one codegen'd HOF projection + one explode over the
       // PRUNED 2-column scan — no join, no aggregation anywhere
       "s05_split_token_window" -> Seq("Generate",

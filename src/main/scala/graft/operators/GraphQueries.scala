@@ -521,6 +521,46 @@ object GraphQueries {
       .select("a", "b", "n_common", "aa_score")
   }
 
+  /** h19: PERSONALIZED PageRank from the probe entities — the
+    * graph-side relevance ranker retrieval stacks (GraphRAG-style)
+    * use to expand context AROUND a query's entities, where h10's
+    * global rank answers "important overall": teleport mass
+    * restricts to the seed set S (rank = (1−d)·1[v∈S]/|S| +
+    * d·Σ_{u→v} rank(u)/deg(u)), so score decays with graph distance
+    * from the probes. Same per-round shape as h10 (edge-keyed
+    * equi-join + map-side-combining agg); the seed relation is a
+    * |S|-row broadcast; only touched entities carry rows, so the
+    * frontier grows with the k-hop ball, never the node count. */
+  def h19PersonalizedRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = edges(spark, dir)
+    val g = e.select(col("fact_id"), col("entity").as("src"))
+      .join(e.select(col("fact_id"), col("entity").as("dst")), "fact_id")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+      .cache()
+    val deg = g.groupBy("src").agg(count(lit(1)).as("deg")).cache()
+    val tele = RankTeleport / ProbeUnion.length
+    val seeds = ProbeUnion.toDF("entity")
+      .withColumn("tele", lit(tele))
+    var rank = seeds.select(col("entity"),
+      (lit(1.0) / ProbeUnion.length).as("rank"))
+    for (_ <- 0 until RankIters) {
+      val contrib = g.join(rank.withColumnRenamed("entity", "src"), "src")
+        .join(deg, "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("deg")).as("c"))
+        .withColumnRenamed("dst", "entity")
+      rank = contrib.join(seeds, Seq("entity"), "full_outer")
+        .select(col("entity"),
+          (coalesce(col("tele"), lit(0.0)) +
+            lit(RankDamping) * coalesce(col("c"), lit(0.0))).as("rank"))
+    }
+    rank.select(col("entity"), round(col("rank"), 6).as("rank"))
+      .filter(col("rank") > 0)
+      .orderBy("entity")
+  }
+
   /** h18: DEGREE-DISTRIBUTION POWER-LAW FIT — is the entity graph
     * scale-free? Histogram n(d) of entity fact-degrees, then the
     * t18 machinery (regr_slope/regr_r2 builtins over ln n vs ln d):
@@ -543,6 +583,7 @@ object GraphQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "h19_personalized_rank" -> (h19PersonalizedRank _),
     "h18_degree_powerlaw" -> (h18DegreePowerlaw _),
     "h17_adamic_adar" -> (h17AdamicAdar _),
     "h16_components" -> (h16Components _),
@@ -565,6 +606,31 @@ object GraphQueries {
   private val probeList = ProbeUnion.map(e => s"'$e'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // h19: the same three PPR rounds unrolled; seed teleport via a
+    // FULL JOIN per round (Spark's full_outer + coalesce, verbatim)
+    "h19_personalized_rank" -> {
+      val ns = ProbeUnion.length
+      def round_(prev: String, out: String) =
+        s"""c$out AS (SELECT g.dst AS entity, sum($prev.rank / deg.deg) AS c
+           |      FROM g JOIN $prev ON g.src = $prev.entity
+           |      JOIN deg ON g.src = deg.src GROUP BY g.dst),
+           |$out AS (SELECT coalesce(c$out.entity, s.entity) AS entity,
+           |        coalesce(s.tele, CAST(0 AS DOUBLE)) +
+           |        CAST($RankDamping AS DOUBLE) * coalesce(c$out.c, CAST(0 AS DOUBLE)) AS rank
+           |      FROM c$out FULL JOIN s ON c$out.entity = s.entity)""".stripMargin
+      s"""WITH e AS ($edgesSql),
+         |g AS (SELECT DISTINCT a.entity AS src, b.entity AS dst
+         |      FROM e a JOIN e b ON a.fact_id = b.fact_id AND a.entity <> b.entity),
+         |deg AS (SELECT src, count(*) AS deg FROM g GROUP BY src),
+         |s AS (SELECT unnest([$probeList]) AS entity,
+         |       CAST($RankTeleport AS DOUBLE) / $ns AS tele),
+         |r0 AS (SELECT entity, CAST(1.0 AS DOUBLE) / $ns AS rank FROM s),
+         |${round_("r0", "r1")},
+         |${round_("r1", "r2")},
+         |${round_("r2", "r3")}
+         |SELECT entity, round(rank, 6) AS rank FROM r3
+         |WHERE round(rank, 6) > 0 ORDER BY entity""".stripMargin
+    },
     // h18: same histogram + the same ln/ln regression builtins
     "h18_degree_powerlaw" ->
       s"""WITH e AS ($edgesSql),

@@ -459,6 +459,35 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r2U >= 0.0 && r2U <= 1.0, s"r2 well-defined on near-constant y: $r2U")
   }
 
+  // ---------------------------------------------------------------- h19
+
+  test("h19: rank decays with distance from the seeds; unreachable entities get NO row") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("h19ppr").toString
+    // window—nearaa—fartwo chain hanging off the 'window' seed; the
+    // lonely—otherx island never touches a seed. 'spark' (the other
+    // ProbeUnion seed) is absent from the corpus: it must keep
+    // exactly its teleport mass.
+    val texts = Seq("window nearaa pad", "nearaa fartwo pad", "lonely otherx pad")
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "planted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val rows = GraphQueries.h19PersonalizedRank(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.keySet == Set("window", "nearaa", "fartwo", "spark"),
+      s"the island must be absent, the edgeless seed present: ${rows.keySet}")
+    // With 3 synchronous rounds mass OSCILLATES along a path (the
+    // h10 convention keeps the round count fixed, not converged), so
+    // the guaranteed shape is: the 1-hop neighbour beats the 2-hop
+    // node, the seed never drops below its own teleport mass.
+    assert(rows("nearaa") > rows("fartwo"),
+      s"1-hop must outrank 2-hop: $rows")
+    assert(rows("window") >= 0.075 && rows("fartwo") > 0, rows.toString)
+    // an edgeless seed holds exactly (1−d)/|S| = 0.15/2
+    assert(rows("spark") == 0.075, s"${rows("spark")}")
+  }
+
   // ---------------------------------------------------------------- h18
 
   test("h18: a constructed two-point degree histogram fits slope −2, r² = 1 exactly") {
