@@ -412,6 +412,43 @@ final class Graft(
       .select("rk", "fact_id", "fact_text", "rel", "mmr_score")
       .orderBy("rk")
 
+  /** GRAPH-BOOSTED retrieval: [[closestFacts]]'s cosine pool
+    * re-ranked by personalized-PageRank mass flowing from the given
+    * probe entities (the h19 kernel on the store's OWN edge table —
+    * shared, so facade and entry cannot drift). A fact whose
+    * entities sit graph-close to the query's entities outranks an
+    * equally-similar but graph-distant one — the GraphRAG
+    * re-ranking step between vector recall and prompt assembly,
+    * and the natural composition of this store's two halves.
+    * score = λ·cos + μ·Σ ppr(fact's entities), λ and μ both LITERAL
+    * parameters (the v12 convention: `1.0 − 0.7` is
+    * 0.30000000000000004, a DIFFERENT double than 0.3 — computing μ
+    * would shift round-6 boundaries against any mirror). The PPR
+    * runs once per query over the edge relation; the boost join
+    * touches only the bounded pool's edges. */
+  def closestFactsGraphRanked(db: HippoDb, query: String,
+      probeEntities: Seq[String], k: Int = 5, pool: Int = 32,
+      lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    val cand = db.factEmb
+      .select(col("fact_id"), cosine6(toDouble(col("embedding")), queryVec(query)).as("cos"))
+      .orderBy(col("cos").desc, col("fact_id"))
+      .limit(pool)
+    val ppr = graft.operators.GraphQueries
+      .personalizedRankOn(spark, db.edges, probeEntities)
+      .withColumnRenamed("rank", "ppr")
+    val boost = db.edges.join(ppr, "entity")
+      .groupBy("fact_id").agg(sum("ppr").as("boost"))
+    cand.join(boost, Seq("fact_id"), "left")
+      .withColumn("boost", round(coalesce(col("boost"), lit(0.0)), 6))
+      .withColumn("score",
+        round(lit(lambda) * col("cos") + lit(mu) * col("boost"), 6))
+      .orderBy(col("score").desc, col("fact_id"))
+      .limit(k)
+      .join(db.facts.select("fact_id", "fact_text"), "fact_id")
+      .select("fact_id", "fact_text", "cos", "boost", "score")
+      .orderBy(col("score").desc, col("fact_id"))
+  }
+
   /** Top-k entities by cosine of their STORED-repr embedding — the
     * unconditional "name (description)" text add_entity writes to
     * the vector collection (storage.py:191), "name ()" when the

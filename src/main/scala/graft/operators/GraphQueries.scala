@@ -531,20 +531,28 @@ object GraphQueries {
     * equi-join + map-side-combining agg); the seed relation is a
     * |S|-row broadcast; only touched entities carry rows, so the
     * frontier grows with the k-hop ball, never the node count. */
-  def h19PersonalizedRank(spark: SparkSession, dir: String): DataFrame = {
+  def h19PersonalizedRank(spark: SparkSession, dir: String): DataFrame =
+    personalizedRankOn(spark, edges(spark, dir), ProbeUnion)
+
+  /** The h19 kernel on an arbitrary (fact_id, entity) adjacency with
+    * caller-chosen seeds — SHARED with the facade's graph-boosted
+    * retrieval (Graft.closestFactsGraphRanked), so the entry and the
+    * facade cannot drift. */
+  def personalizedRankOn(spark: SparkSession, e: DataFrame,
+      seedEntities: Seq[String]): DataFrame = {
     import spark.implicits._
-    val e = edges(spark, dir)
+    require(seedEntities.nonEmpty, "personalized rank needs >= 1 seed")
     val g = e.select(col("fact_id"), col("entity").as("src"))
       .join(e.select(col("fact_id"), col("entity").as("dst")), "fact_id")
       .filter(col("src") =!= col("dst"))
       .select("src", "dst").distinct()
       .cache()
     val deg = g.groupBy("src").agg(count(lit(1)).as("deg")).cache()
-    val tele = RankTeleport / ProbeUnion.length
-    val seeds = ProbeUnion.toDF("entity")
+    val tele = RankTeleport / seedEntities.length
+    val seeds = seedEntities.toDF("entity")
       .withColumn("tele", lit(tele))
     var rank = seeds.select(col("entity"),
-      (lit(1.0) / ProbeUnion.length).as("rank"))
+      (lit(1.0) / seedEntities.length).as("rank"))
     for (_ <- 0 until RankIters) {
       val contrib = g.join(rank.withColumnRenamed("entity", "src"), "src")
         .join(deg, "src")

@@ -34,6 +34,45 @@ class GraftApiSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[String]("fact_text").contains("window")))
   }
 
+  test("graph-boosted retrieval: λ=1 degenerates to cosine, λ=0 to graph mass, default mixes exactly") {
+    import org.apache.spark.sql.functions._
+    val q = "spark window join"
+    // λ = 1: pure cosine — must equal closestFacts' ids in order.
+    val pure = api.closestFactsGraphRanked(db, q, Seq("window"), k = 5, lambda = 1.0, mu = 0.0)
+      .collect().map(_.getAs[Long]("fact_id")).toSeq
+    val cosOnly = api.closestFacts(db, q, k = 5)
+      .collect().map(_.getAs[Long]("fact_id")).toSeq
+    assert(pure == cosOnly, s"$pure vs $cosOnly")
+    // λ = 0: pure graph mass — every returned fact must carry PPR
+    // boost, ordered descending (the pool still gates membership).
+    val graphOnly = api.closestFactsGraphRanked(db, q, Seq("window"), k = 5, lambda = 0.0, mu = 1.0)
+      .collect()
+    val boosts = graphOnly.map(_.getAs[Double]("boost"))
+    assert(boosts.head > 0.0, "top graph-ranked fact must touch the seed's ball")
+    assert(boosts.sameElements(boosts.sorted.reverse), boosts.toSeq.toString)
+    // default λ: the emitted score is exactly the documented mix of
+    // the emitted components, and ordering follows it.
+    val mixed = api.closestFactsGraphRanked(db, q, Seq("window"), k = 5).collect()
+    mixed.foreach { r =>
+      // Spark's round() is HALF_UP over BigDecimal.valueOf (the
+      // SHORTEST decimal repr of the double, not its exact binary
+      // expansion — the st15 roundLikeSpark finding)
+      val want = java.math.BigDecimal
+        .valueOf(0.7 * r.getAs[Double]("cos") + 0.3 * r.getAs[Double]("boost"))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(r.getAs[Double]("score") == want, s"$r")
+    }
+    val scores = mixed.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sorted.reverse))
+    // the boost is live and DISCRIMINATES: on this dense corpus every
+    // pooled fact touches the seed's ball (no zeros), but the spread
+    // must be real — a constant shift would leave ordering == cosine
+    val allBoosts = api.closestFactsGraphRanked(db, q, Seq("window"), k = 32)
+      .collect().map(_.getAs[Double]("boost"))
+    assert(allBoosts.max > 2 * allBoosts.min && allBoosts.distinct.length > 4,
+      s"boost must discriminate within the pool: ${allBoosts.toSeq}")
+  }
+
   test("intersection retrieval is a subset of union retrieval") {
     val u = api.factsByEntities(db, Seq("window", "stream"), union = true).count()
     val i = api.factsByEntities(db, Seq("window", "stream"), union = false).count()
