@@ -175,4 +175,43 @@ class UnicodeCorpusSpec extends SparkSpec {
       assert(utf8Clean(t) && !t.contains('�'))
     }
   }
+
+  test("t21/t22/s05 on a CJK + astral corpus: code-point word lengths, untorn window chunks") {
+    import spark.implicits._
+    import graft.operators.{QualityQueries, SplitterQueries}
+    val tmp = java.nio.file.Files.createTempDirectory("uni_r10b").toString
+    // Each emoji "word" is ONE code point but TWO UTF-16 units — a
+    // charAt-based length would double every word measurement.
+    val emojiWords = (1 to 40).map(_ => "😀😁😂").mkString(" ") // 40 words × 3 cps
+    val cjk = (1 to 35).map(_ => "中文词汇").mkString(" ")
+    docsUni(tmp, Seq(emojiWords, cjk))
+    val q = QualityQueries.t21GopherQuality(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(q(0L).getLong(1) == 40L && q(0L).getDouble(2) == 3.0,
+      s"emoji words must measure 3 CODE POINTS, not 6 UTF-16 units: ${q(0L)}")
+    assert(q(1L).getLong(1) == 35L && q(1L).getDouble(2) == 4.0, s"${q(1L)}")
+    // both fail alpha (no [A-Za-z]) — the rule, not a crash
+    assert(!q(0L).getBoolean(8) && !q(1L).getBoolean(8))
+    // t22: repeated 3-word shingles dedup within doc; all grams of
+    // doc 0 are novel (first), doc 1 disjoint vocabulary also novel
+    val nov = QualityQueries.t22GramNovelty(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(nov == Map(0L -> 1.0, 1L -> 1.0), nov.toString)
+    // s05: windows slice TOKENS, so no surrogate can tear; chunks
+    // survive UTF-8 round-trips byte-identically
+    val chunks = SplitterQueries.s05TokenWindow(spark, tmp).collect()
+    assert(chunks.nonEmpty)
+    chunks.foreach { r =>
+      val c = r.getString(2)
+      assert(utf8Clean(c) && !c.contains('�'), s"torn chunk: $r")
+    }
+  }
+
+  private def docsUni(tmp: String, texts: Seq[String]): Unit = {
+    import spark.implicits._
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "zh", "planted", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+  }
 }
