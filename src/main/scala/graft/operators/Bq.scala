@@ -31,7 +31,7 @@ object Bq {
   def train(spark: SparkSession, e: DataFrame): Array[Double] = {
     val rows = e.select(posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("dim").agg(avg("x").as("m"))
-      .collect()
+      .collect() // dim rows only
     val m = new Array[Double](rows.length)
     rows.foreach(r => m(r.getInt(0)) = r.getDouble(1))
     m
