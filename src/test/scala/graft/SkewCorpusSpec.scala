@@ -346,6 +346,45 @@ class SkewCorpusSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("d17: a 100-doc mega-cluster reports 100 ROWS, never 4950 pairs") {
+    // dirB's identical docs: every member's strongest partner is the
+    // cluster min (J = 1.0 ties break to the lowest id; doc 0 itself
+    // pairs with doc 1). Output is one row per AFFECTED doc — the
+    // argmax bound the §2 line claims — not the quadratic pair set
+    // d02 carries internally.
+    val rows = DedupQueries.d17NearestDup(spark, dirB).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 100, s"one row per clustered doc: ${rows.length}")
+    assert(rows.forall(_._3 == 1.0))
+    assert(rows.filter(_._1 != 0L).forall(_._2 == 0L),
+      "every member's best partner is the min id")
+    assert(rows.find(_._1 == 0L).get._2 == 1L, "the min pairs with its first copy")
+  }
+
+  test("q20: a hyperactive user inflates NO key — output stays |types|² regardless") {
+    import spark.implicits._
+    import graft.operators.AnalyticsQueries
+    val tmp = java.nio.file.Files.createTempDirectory("skewQ20").toString
+    // one user with 20k events (cycling 3 types), 9 normal users with
+    // 3 each: the window partitions by user (one long partition is
+    // linear work), and the transition tally lands on <= 9 keys.
+    val types = Array("view", "click", "purchase")
+    val ev = (0 until 20000).map(i =>
+        (i.toLong, 1L, i.toLong * 1000000L, types(i % 3))) ++
+      (0 until 9).flatMap(u => (0 until 3).map(j =>
+        ((30000 + u * 3 + j).toLong, (10 + u).toLong, j.toLong * 1000000L, types(j))))
+    ev.toDF("event_id", "user_id", "us", "event_type")
+      .select(col("event_id"), col("user_id"),
+        expr("timestamp_micros(us)").as("ts"), col("event_type"))
+      .write.parquet(s"$tmp/events.parquet")
+    val rows = AnalyticsQueries.q20PathTransitions(spark, tmp).collect()
+    assert(rows.length <= 9, s"output keys bounded by types², got ${rows.length}")
+    // the hyperactive user's 19,999 transitions all count — bounded
+    // OUTPUT, not dropped input
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == 19999L + 9 * 2, s"total transitions: $total")
+  }
+
   test("d13: mega-cluster rollup stays bounded by the batch, not the pair count") {
     // batch members of the 100-identical cluster: ids 0,10,...,90 —
     // each duplicates all 90 history members (J = 1.0), which would
