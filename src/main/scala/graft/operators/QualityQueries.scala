@@ -44,8 +44,17 @@ object QualityQueries {
     * symbol ('#'/'...') ratio, bullet-start and ellipsis-end line
     * ratios, and the conjunctive pass flag. */
   def t21GopherQuality(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
+    withGopherCols(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select("doc_id", "n_words", "mean_wlen", "alpha_ratio", "stop_hits",
+        "symbol_ratio", "bullet_ratio", "ellipsis_ratio", "pass")
+      .orderBy("doc_id")
+
+  /** THE Gopher signal computation over ANY frame with a `text`
+    * column — one codegen'd projection shared by the t21 entry, p02's
+    * pass rate, and st18's streaming report (one formula, one oracle
+    * mirror; a rule edit reaches every consumer). */
+  private[graft] def withGopherCols(df: DataFrame): DataFrame =
+    df
       .withColumn("w", expr("filter(split(text, '\\\\s+'), x -> length(x) > 0)"))
       .withColumn("lines", split(col("text"), "\n"))
       .withColumn("n_words", size(col("w")).cast("long"))
@@ -75,9 +84,7 @@ object QualityQueries {
           col("alpha_ratio") >= 0.8 && col("stop_hits") >= MinStopHits &&
           col("symbol_ratio") <= 0.1 &&
           col("bullet_ratio") <= 0.9 && col("ellipsis_ratio") <= 0.3)
-      .select("doc_id", "n_words", "mean_wlen", "alpha_ratio", "stop_hits",
-        "symbol_ratio", "bullet_ratio", "ellipsis_ratio", "pass")
-      .orderBy("doc_id")
+      .drop("w", "lines")
 
   /** t22: word-3-gram novelty per doc — the share of a doc's distinct
     * shingles whose FIRST corpus occurrence (min doc_id) is this doc.

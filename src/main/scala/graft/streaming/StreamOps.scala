@@ -704,6 +704,30 @@ object StreamOps {
       }
   }
 
+  // ------------------------------------------------------------ st18
+
+  /** st18: STREAMING INGEST-QUALITY REPORT — t21's Gopher signals on
+    * an always-on stream, rolled up per event-time hour: doc count,
+    * pass rate, mean word count/length — the live health panel that
+    * shows a feed going bad (pass rate collapsing, docs shortening)
+    * WHILE it happens rather than at the next batch audit. The
+    * per-row signals are the SHARED QualityQueries.withGopherCols
+    * projection (one formula with t21/p02 — parity by construction);
+    * the rollup is one watermark-bounded windowed agg, state = one
+    * row per open hour. */
+  def qualityReportStream(docs: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    graft.operators.QualityQueries.withGopherCols(
+        docs.withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", watermark))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(when(col("pass"), 1.0).otherwise(0.0)), 4).as("pass_rate"),
+        round(avg(col("n_words")), 4).as("mean_words"),
+        round(avg(col("mean_wlen")), 4).as("mean_wlen"))
+      .select(col("window.start").as("hour"), col("n_docs"),
+        col("pass_rate"), col("mean_words"), col("mean_wlen"))
+
   // ------------------------------------------------------------ st17
 
   /** st17: STREAMING INGEST NOVELTY — t23's freshness gate as an

@@ -709,6 +709,47 @@ class StreamingSpec extends SparkSpec {
       s"(${streamed.length} vs ${batch.length} rows)")
   }
 
+  test("st18 streaming quality report == batch Gopher rollup on the same hours") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def h(hours: Int) = new Timestamp(t0.getTime + hours * 3600L * 1000)
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .limit(60).collect().map(r => (r.getLong(0), r.getString(1)))
+    // spread the docs over two hours; a third-hour row pushes the
+    // watermark so both close
+    val batch1 = docs.take(30).map { case (id, t) => (h(0), id, t) }.toSeq
+    val batch2 = docs.drop(30).map { case (id, t) => (h(1), id, t) }.toSeq
+
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamOps.qualityReportStream(
+        stream.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("st18_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(batch1); q.processAllAvailable()
+      stream.addData(batch2); q.processAllAvailable()
+      stream.addData(Seq((h(4), 999999L, "watermark pusher text")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("st18_out")
+      .filter(col("hour") < h(4)).orderBy("hour").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // batch truth through the SAME kernel on the same (hour, text) rows
+    val batchDf = (batch1 ++ batch2).toDF("ts", "doc_id", "text")
+    val want = graft.operators.QualityQueries.withGopherCols(batchDf)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(when(col("pass"), 1.0).otherwise(0.0)), 4).as("pass_rate"),
+        round(avg(col("n_words")), 4).as("mean_words"))
+      .orderBy("hour").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(streamed.toSeq == want.toSeq,
+      s"stream ${streamed.toSeq} != batch ${want.toSeq}")
+    assert(streamed.length == 2 && streamed.forall(_._2 == 30L))
+  }
+
   test("st16 streaming transitions == batch q20 kernel rows on same events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
