@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
-import graft.operators.{IvfPq, KMeans, Pq, VectorQueries}
+import graft.operators.{IvfPq, KMeans, Pq, Sq, VectorQueries}
 
 /** Persisted ANN index artifacts (VERDICT r7 #2) — the split that
   * makes the PQ/IVF scale stories real at 100 TB: BUILD once (train,
@@ -75,6 +75,46 @@ object VectorIndex {
     val cb = loadPqCodebook(spark, dir)
     val enc = spark.read.parquet(s"$dir/pq_codes")
     Pq.adcTopK(spark, enc, cb,
+      emb.select(col("vec_id"), col("v")), queryVecId, k, rerank)
+  }
+
+  // ------------------------------------------------------------ SQ8
+
+  /** Persist the SQ8 artifact: byte codes + per-dimension [min,max]
+    * model (2×dim doubles). The serving scan streams dim ints + one
+    * norm per vector — 8× under full f64 at recall ≈ 1 (the ladder's
+    * memory-first rung; see graft.AnnLadder). */
+  def buildSq(spark: SparkSession, e: DataFrame, dir: String): Unit = {
+    import spark.implicits._
+    val cached = e.select(col("vec_id"), col("v")).cache()
+    try {
+      val (mins, maxs) = Sq.train(spark, cached)
+      Sq.encode(spark, cached, mins, maxs)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/sq_codes")
+      mins.indices.map(i => (i, mins(i), maxs(i)))
+        .toDF("dim", "mn", "mx")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/sq_model")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/sq.json"),
+        s"""{"format": "graft-sq8-v1", "dim": ${mins.length}}""")
+    } finally cached.unpersist()
+  }
+
+  /** The [min,max] model back from its rows (2×dim doubles). */
+  def loadSqModel(spark: SparkSession, dir: String): (Array[Double], Array[Double]) = {
+    val rows = spark.read.parquet(s"$dir/sq_model").collect()
+    val dim = rows.map(_.getInt(0)).max + 1
+    val mins = new Array[Double](dim); val maxs = new Array[Double](dim)
+    rows.foreach { r => mins(r.getInt(0)) = r.getDouble(1); maxs(r.getInt(0)) = r.getDouble(2) }
+    (mins, maxs)
+  }
+
+  /** Query the PERSISTED SQ8 index through the SHARED scoring half
+    * (Sq.sqTopK — one-shot and persisted paths cannot drift). */
+  def annSq(spark: SparkSession, dir: String, emb: DataFrame,
+      queryVecId: Long, k: Int, rerank: Int = Sq.Rerank): DataFrame = {
+    val (mins, maxs) = loadSqModel(spark, dir)
+    val enc = spark.read.parquet(s"$dir/sq_codes")
+    Sq.sqTopK(spark, enc, mins, maxs,
       emb.select(col("vec_id"), col("v")), queryVecId, k, rerank)
   }
 

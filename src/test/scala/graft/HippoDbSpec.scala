@@ -157,6 +157,33 @@ class HippoDbSpec extends SparkSpec {
     assert(fromIndex == inMemory, s"index: $fromIndex vs in-memory: $inMemory")
   }
 
+  test("VectorIndex SQ8: build -> persist -> query == in-memory annSq (v13 contract)") {
+    import graft.functions.VectorFunctions._
+    import graft.operators.Sq
+    import graft.store.VectorIndex
+    val dir = Files.createTempDirectory("sqindex").toString
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    VectorIndex.buildSq(spark, e, dir)
+    // artifacts: dim byte-range codes + a norm per vector, the model
+    // is 2×dim doubles
+    val codes = spark.read.parquet(s"$dir/sq_codes")
+    assert(codes.count() == e.count())
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    assert(codes.select(max(size(col("codes")))).head().getInt(0) == dim)
+    assert(Files.readString(java.nio.file.Paths.get(s"$dir/sq.json")).contains("graft-sq8-v1"))
+    val (mins, maxs) = VectorIndex.loadSqModel(spark, dir)
+    assert(mins.length == dim && maxs.length == dim)
+    assert(mins.indices.forall(i => mins(i) <= maxs(i)))
+    // query through the persisted index == the in-memory one-shot
+    // (both score through Sq.sqTopK; train is deterministic min/max)
+    val fromIndex = VectorIndex.annSq(spark, dir, e, queryVecId = 0, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inMemory = Sq.annSq(spark, e, queryVecId = 0, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIndex == inMemory, s"index: $fromIndex vs in-memory: $inMemory")
+  }
+
   test("VectorIndex IVF: persisted inverted lists prune at the partition level") {
     import graft.functions.VectorFunctions._
     import graft.operators.VectorQueries
