@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
-import graft.operators.{IvfPq, KMeans, Pq, Sq, VectorQueries}
+import graft.operators.{Bq, IvfPq, KMeans, Pq, Sq, VectorQueries}
 
 /** Persisted ANN index artifacts (VERDICT r7 #2) — the split that
   * makes the PQ/IVF scale stories real at 100 TB: BUILD once (train,
@@ -115,6 +115,37 @@ object VectorIndex {
     val (mins, maxs) = loadSqModel(spark, dir)
     val enc = spark.read.parquet(s"$dir/sq_codes")
     Sq.sqTopK(spark, enc, mins, maxs,
+      emb.select(col("vec_id"), col("v")), queryVecId, k, rerank)
+  }
+
+  // ------------------------------------------------------------ BQ
+
+  /** Persist the binary-quantization artifact: one signature long +
+    * norm per vector, plus the dim per-dimension means — the ladder's
+    * smallest resident table (16 B/vector; see graft.AnnLadder). */
+  def buildBq(spark: SparkSession, e: DataFrame, dir: String): Unit = {
+    import spark.implicits._
+    val cached = e.select(col("vec_id"), col("v")).cache()
+    try {
+      val means = Bq.train(spark, cached)
+      Bq.encode(spark, cached, means)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/bq_sigs")
+      means.indices.map(i => (i, means(i))).toDF("dim", "m")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/bq_model")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/bq.json"),
+        s"""{"format": "graft-bq-v1", "dim": ${means.length}}""")
+    } finally cached.unpersist()
+  }
+
+  /** Query the PERSISTED BQ index through the SHARED Hamming half
+    * (Bq.bqTopK). */
+  def annBq(spark: SparkSession, dir: String, emb: DataFrame,
+      queryVecId: Long, k: Int, rerank: Int = Bq.Rerank): DataFrame = {
+    val rows = spark.read.parquet(s"$dir/bq_model").collect()
+    val means = new Array[Double](rows.map(_.getInt(0)).max + 1)
+    rows.foreach(r => means(r.getInt(0)) = r.getDouble(1))
+    val enc = spark.read.parquet(s"$dir/bq_sigs")
+    Bq.bqTopK(spark, enc, means,
       emb.select(col("vec_id"), col("v")), queryVecId, k, rerank)
   }
 

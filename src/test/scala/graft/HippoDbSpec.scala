@@ -184,6 +184,25 @@ class HippoDbSpec extends SparkSpec {
     assert(fromIndex == inMemory, s"index: $fromIndex vs in-memory: $inMemory")
   }
 
+  test("VectorIndex BQ: build -> persist -> query == in-memory annBq (v14 contract)") {
+    import graft.functions.VectorFunctions._
+    import graft.operators.Bq
+    import graft.store.VectorIndex
+    val dir = Files.createTempDirectory("bqindex").toString
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    VectorIndex.buildBq(spark, e, dir)
+    val sigs = spark.read.parquet(s"$dir/bq_sigs")
+    assert(sigs.count() == e.count())
+    assert(sigs.columns.toSeq == Seq("vec_id", "sig", "norm"))
+    assert(Files.readString(java.nio.file.Paths.get(s"$dir/bq.json")).contains("graft-bq-v1"))
+    val fromIndex = VectorIndex.annBq(spark, dir, e, queryVecId = 0, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inMemory = Bq.annBq(spark, e, queryVecId = 0, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIndex == inMemory, s"index: $fromIndex vs in-memory: $inMemory")
+  }
+
   test("VectorIndex IVF: persisted inverted lists prune at the partition level") {
     import graft.functions.VectorFunctions._
     import graft.operators.VectorQueries
