@@ -424,19 +424,30 @@ final class Graft(
     * parameters (the v12 convention: `1.0 − 0.7` is
     * 0.30000000000000004, a DIFFERENT double than 0.3 — computing μ
     * would shift round-6 boundaries against any mirror). The PPR
-    * runs once per query over the edge relation; the boost join
-    * touches only the bounded pool's edges. */
+    * runs once per query over the edge relation; the boost
+    * aggregation touches only the bounded pool's edges — the edge
+    * table is semi-joined against the broadcast pool ids BEFORE the
+    * groupBy, so the agg is pool-sized, not corpus-edge-sized
+    * (ADVICE r9). */
   def closestFactsGraphRanked(db: HippoDb, query: String,
       probeEntities: Seq[String], k: Int = 5, pool: Int = 32,
       lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
-    val cand = db.factEmb
+    val cand0 = db.factEmb
       .select(col("fact_id"), cosine6(toDouble(col("embedding")), queryVec(query)).as("cos"))
       .orderBy(col("cos").desc, col("fact_id"))
       .limit(pool)
+    // `pool` rows is human-scale: materialize on the driver (the
+    // annPq contract) so the corpus cosine scan runs ONCE even
+    // though the pool feeds both the semi-join and the final score.
+    val cand = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(cand0.collect(): _*)),
+      cand0.schema)
     val ppr = graft.operators.GraphQueries
       .personalizedRankOn(spark, db.edges, probeEntities)
       .withColumnRenamed("rank", "ppr")
-    val boost = db.edges.join(ppr, "entity")
+    val boost = db.edges
+      .join(broadcast(cand.select("fact_id")), Seq("fact_id"), "left_semi")
+      .join(ppr, "entity")
       .groupBy("fact_id").agg(sum("ppr").as("boost"))
     cand.join(boost, Seq("fact_id"), "left")
       .withColumn("boost", round(coalesce(col("boost"), lit(0.0)), 6))

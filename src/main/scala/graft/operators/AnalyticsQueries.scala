@@ -67,16 +67,23 @@ object AnalyticsQueries {
     * the share/cumulative windows run over those B rows. */
   val HistWidth = 10000.0
   def q21ValueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    // mean via EXACT integer cents (per-value round to a near-integer,
+    // then a BIGINT sum + ONE final double division): avg(double) is
+    // summation-order-dependent — hash-green until a partition-order
+    // change flips the 4th decimal (the q19 doctrine; ADVICE r9).
     val b = lineitem(spark, dir)
       .select(floor(col("l_extendedprice") / HistWidth).cast("long").as("bucket"),
-        col("l_extendedprice"))
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
       .groupBy("bucket")
-      .agg(count(lit(1)).as("n"), round(avg("l_extendedprice"), 4).as("mean_price"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .withColumn("mean_price",
+        round(col("sum_cents") / (col("n") * lit(100.0)), 4))
     val all = Window.partitionBy()
     val cum = Window.partitionBy().orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     b.withColumn("share", round(col("n").cast("double") / sum("n").over(all), 6))
       .withColumn("cum_n", sum("n").over(cum))
+      .select("bucket", "n", "mean_price", "share", "cum_n")
       .orderBy("bucket")
   }
 
@@ -196,9 +203,10 @@ object AnalyticsQueries {
     "q21_value_histogram" ->
       s"""WITH b AS (
          |  SELECT CAST(floor(l_extendedprice / $HistWidth) AS BIGINT) AS bucket,
-         |    count(*) AS n, round(avg(l_extendedprice), 4) AS mean_price
+         |    count(*) AS n,
+         |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents
          |  FROM lineitem GROUP BY 1)
-         |SELECT bucket, n, mean_price,
+         |SELECT bucket, n, round(sum_cents / (n * 100.0), 4) AS mean_price,
          |  round(n * 1.0 / sum(n) OVER (), 6) AS share,
          |  CAST(sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
          |FROM b ORDER BY bucket""".stripMargin,

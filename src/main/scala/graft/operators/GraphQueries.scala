@@ -548,25 +548,35 @@ object GraphQueries {
       .select("src", "dst").distinct()
       .cache()
     val deg = g.groupBy("src").agg(count(lit(1)).as("deg")).cache()
-    val tele = RankTeleport / seedEntities.length
-    val seeds = seedEntities.toDF("entity")
-      .withColumn("tele", lit(tele))
-    var rank = seeds.select(col("entity"),
-      (lit(1.0) / seedEntities.length).as("rank"))
-    for (_ <- 0 until RankIters) {
-      val contrib = g.join(rank.withColumnRenamed("entity", "src"), "src")
-        .join(deg, "src")
-        .groupBy(col("dst"))
-        .agg(sum(col("rank") / col("deg")).as("c"))
-        .withColumnRenamed("dst", "entity")
-      rank = contrib.join(seeds, Seq("entity"), "full_outer")
-        .select(col("entity"),
-          (coalesce(col("tele"), lit(0.0)) +
-            lit(RankDamping) * coalesce(col("c"), lit(0.0))).as("rank"))
-    }
-    rank.select(col("entity"), round(col("rank"), 6).as("rank"))
-      .filter(col("rank") > 0)
-      .orderBy("entity")
+    try {
+      val tele = RankTeleport / seedEntities.length
+      val seeds = seedEntities.toDF("entity")
+        .withColumn("tele", lit(tele))
+      var rank = seeds.select(col("entity"),
+        (lit(1.0) / seedEntities.length).as("rank"))
+      for (_ <- 0 until RankIters) {
+        val contrib = g.join(rank.withColumnRenamed("entity", "src"), "src")
+          .join(deg, "src")
+          .groupBy(col("dst"))
+          .agg(sum(col("rank") / col("deg")).as("c"))
+          .withColumnRenamed("dst", "entity")
+        rank = contrib.join(seeds, Seq("entity"), "full_outer")
+          .select(col("entity"),
+            (coalesce(col("tele"), lit(0.0)) +
+              lit(RankDamping) * coalesce(col("c"), lit(0.0))).as("rank"))
+      }
+      // Materialize before unpersisting g/deg: this kernel backs the
+      // REPEATED-QUERY facade (Graft.closestFactsGraphRanked), so a
+      // lazily-dependent return would pin two fresh cached frames per
+      // retrieval call until clearCache (ADVICE r9 — same contract as
+      // annPq). The result is the seeds' 3-hop ball, not k rows, so
+      // it stays distributed: localCheckpoint (the d07 pointer-jump
+      // precedent) cuts the lineage, letting the caches drop now.
+      rank.select(col("entity"), round(col("rank"), 6).as("rank"))
+        .filter(col("rank") > 0)
+        .orderBy("entity")
+        .localCheckpoint()
+    } finally { g.unpersist(); deg.unpersist() }
   }
 
   /** h18: DEGREE-DISTRIBUTION POWER-LAW FIT — is the entity graph

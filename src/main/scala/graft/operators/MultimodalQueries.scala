@@ -222,7 +222,10 @@ object MultimodalQueries {
     * integer L1 — so the whole operator is codegen'd HOFs + one
     * lag() window keyed by high-cardinality doc_id, and every value
     * is integer until nothing (exact cross-engine compare). Emits
-    * one row per frame BOUNDARY (frame_idx ≥ 1). */
+    * one row per frame BOUNDARY (frame_idx ≥ 1). Spark's split('') +
+    * ascii operate on CODE POINTS (UTF8String, astral chars
+    * included) and so match the oracle's string_split + unicode();
+    * UnicodeCorpusSpec pins that parity on an astral corpus. */
   def m06SceneCuts(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("frame_idx")

@@ -207,6 +207,36 @@ class UnicodeCorpusSpec extends SparkSpec {
     }
   }
 
+  test("m06 scene-cut histograms bin CODE POINTS on astral text (ascii/unicode parity)") {
+    import graft.operators.MultimodalQueries._
+    val tmp = java.nio.file.Files.createTempDirectory("uni_m06").toString
+    // 404 cps: an all-emoji first frame, ascii middle, CJK tail — 2
+    // frames, 1 boundary. If Spark binned UTF-16 units instead of
+    // code points, frame 0's bins would hold 32 surrogate halves
+    // (0xD83D % 16 = 13), not 16 copies each of bins 0-3, and the
+    // frame windows themselves would slice at different offsets —
+    // either way the L1 below diverges from the code-point recompute
+    // (what the DuckDB oracle's string_split + unicode() measures).
+    val text = "😀😁😂🤣" * 16 + ("the quick brown fox " * 13) + "中文数据" * 20
+    docsUni(tmp, Seq(text))
+    val rows = m06SceneCuts(spark, tmp).collect()
+    val cps = text.codePoints.toArray
+    val nFrames = (cps.length - FrameSize) / FrameStride + 1
+    assert(cps.length == 404 && nFrames == 2 && rows.length == nFrames - 1)
+    def hist(f: Int): Array[Int] = {
+      val h = new Array[Int](FeatBins)
+      cps.slice(f * FrameStride, f * FrameStride + FrameSize)
+        .foreach(cp => h(cp % FeatBins) += 1)
+      h
+    }
+    rows.foreach { r =>
+      val fi = r.getAs[Number]("frame_idx").intValue
+      val exp = hist(fi - 1).zip(hist(fi)).map { case (a, b) => math.abs(a - b) }.sum
+      assert(r.getAs[Long]("l1_dist") == exp.toLong,
+        s"frame $fi: got ${r.getAs[Long]("l1_dist")}, code-point recompute $exp")
+    }
+  }
+
   private def docsUni(tmp: String, texts: Seq[String]): Unit = {
     import spark.implicits._
     texts.zipWithIndex
