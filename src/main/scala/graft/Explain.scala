@@ -39,6 +39,12 @@ object Explain {
       "d06_embed_neardup_ann" -> Seq("HashAggregate"),
       "h08_neighbour_facts" -> Seq("BroadcastHashJoin", "sort_array"),
       "v07_ann_ivf" -> Seq("TakeOrderedAndProject"),
+      // v03b: the entity filter must apply to the IVF artifact's
+      // PARTITION-PRUNED probe sliver (storage.py:304-337 semantics),
+      // with the bounded candidate set broadcast into the semi-join —
+      // never a full-corpus cosine scan
+      "v03b_hybrid_union_indexed" ->
+        Seq("PartitionFilters", "cluster", "LeftSemi", "TakeOrderedAndProject"),
       // q13: exact percentile is a TypedImperativeAggregate — must
       // partial-aggregate (no row-sort of the whole table)
       "q13_group_stats" -> Seq("ObjectHashAggregate"),

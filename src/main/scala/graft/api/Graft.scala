@@ -403,10 +403,31 @@ final class Graft(
     * VectorQueries.mmrTopK kernel (entry and facade cannot drift). */
   def closestFactsDiverse(db: HippoDb, query: String, k: Int = 5,
       pool: Int = VectorQueries.MmrPool): DataFrame =
-    VectorQueries.mmrTopK(spark,
-        db.factEmb.select(col("fact_id").as("vec_id"),
-          toDouble(col("embedding")).as("v"), queryVec(query).as("qv")),
-        pool, k)
+    mmrTail(db,
+      db.factEmb.select(col("fact_id").as("vec_id"),
+        toDouble(col("embedding")).as("v"), queryVec(query).as("qv")),
+      pool, k)
+
+  /** [[closestFactsDiverse]] with the POOL CUT through the persisted
+    * index: the MMR pool's relevance scan runs over the
+    * partition-pruned IVF probe sliver (VectorIndex.probedScan)
+    * instead of the full corpus — at nProbe == nCells the sliver IS
+    * the corpus, so the result equals the brute form exactly
+    * (GraftApiSpec pins it). The greedy re-rank is the same shared
+    * mmrTopK kernel. */
+  def closestFactsDiverseIndexed(db: HippoDb, indexDir: String,
+      query: String, k: Int = 5, pool: Int = VectorQueries.MmrPool,
+      nProbe: Int = VectorQueries.IvfProbe): DataFrame =
+    mmrTail(db,
+      graft.store.VectorIndex
+        .probedScan(spark, indexDir, embedder.embed(query).map(_.toDouble), nProbe)
+        .select(col("vec_id"), col("v"), queryVec(query).as("qv")),
+      pool, k)
+
+  /** MMR pool + greedy re-rank + fact payload join — shared by the
+    * scan-pooled and index-pooled diverse forms. */
+  private def mmrTail(db: HippoDb, e: DataFrame, pool: Int, k: Int): DataFrame =
+    VectorQueries.mmrTopK(spark, e, pool, k)
       .withColumnRenamed("vec_id", "fact_id")
       .join(db.facts.select("fact_id", "fact_text"), "fact_id")
       .select("rk", "fact_id", "fact_text", "rel", "mmr_score")
@@ -431,11 +452,37 @@ final class Graft(
     * (ADVICE r9). */
   def closestFactsGraphRanked(db: HippoDb, query: String,
       probeEntities: Seq[String], k: Int = 5, pool: Int = 32,
-      lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
-    val cand0 = db.factEmb
-      .select(col("fact_id"), cosine6(toDouble(col("embedding")), queryVec(query)).as("cos"))
-      .orderBy(col("cos").desc, col("fact_id"))
-      .limit(pool)
+      lambda: Double = 0.7, mu: Double = 0.3): DataFrame =
+    graphRankedTail(db,
+      db.factEmb
+        .select(col("fact_id"), cosine6(toDouble(col("embedding")), queryVec(query)).as("cos"))
+        .orderBy(col("cos").desc, col("fact_id"))
+        .limit(pool),
+      probeEntities, k, lambda, mu)
+
+  /** [[closestFactsGraphRanked]] with the POOL CUT through the
+    * persisted index: the cosine pool comes from the partition-pruned
+    * IVF probe (VectorIndex.annIvf) instead of the full-corpus scan —
+    * at nProbe == nCells the pool, and therefore the whole ranking,
+    * equals the brute form exactly (GraftApiSpec pins it). The PPR
+    * boost tail is byte-shared. */
+  def closestFactsGraphRankedIndexed(db: HippoDb, indexDir: String,
+      query: String, probeEntities: Seq[String], k: Int = 5,
+      pool: Int = 32, lambda: Double = 0.7, mu: Double = 0.3,
+      nProbe: Int = VectorQueries.IvfProbe): DataFrame =
+    graphRankedTail(db,
+      graft.store.VectorIndex.annIvf(spark, indexDir,
+          embedder.embed(query).map(_.toDouble), pool, nProbe,
+          excludeVecId = None)
+        .withColumnRenamed("vec_id", "fact_id"),
+      probeEntities, k, lambda, mu)
+
+  /** The PPR-boosted re-rank over a bounded cosine pool — shared by
+    * the scan-pooled and index-pooled graph-ranked forms so the two
+    * cannot drift. */
+  private def graphRankedTail(db: HippoDb, cand0: DataFrame,
+      probeEntities: Seq[String], k: Int,
+      lambda: Double, mu: Double): DataFrame = {
     // `pool` rows is human-scale: materialize on the driver (the
     // annPq contract) so the corpus cosine scan runs ONCE even
     // though the pool feeds both the semi-join and the final score.
@@ -443,7 +490,7 @@ final class Graft(
       new java.util.ArrayList(java.util.Arrays.asList(cand0.collect(): _*)),
       cand0.schema)
     val ppr = graft.operators.GraphQueries
-      .personalizedRankOn(spark, db.edges, probeEntities)
+      .personalizedRankOn(spark, db.edges, probeEntities, release = true)
       .withColumnRenamed("rank", "ppr")
     val boost = db.edges
       .join(broadcast(cand.select("fact_id")), Seq("fact_id"), "left_semi")
@@ -529,15 +576,51 @@ final class Graft(
     // reach.
     val filtered = factsByEntities(db, entities, union).select("fact_id")
     if (k > filtered.count()) {
-      db.facts.join(filtered, Seq("fact_id"), "left_semi")
-        .select(col("fact_id"), col("fact_text"),
-          lit(null).cast("double").as("cos"))
-        .orderBy("fact_id")
+      hybridUnranked(db, filtered)
     } else {
       db.factEmb.join(filtered, Seq("fact_id"), "left_semi")
         .select(col("fact_id"), cosine6(toDouble(col("embedding")), queryVec(query)).as("cos"))
         .orderBy(col("cos").desc, col("fact_id"))
         .limit(k)
+        .join(db.facts, "fact_id")
+        .select("fact_id", "fact_text", "cos")
+        .orderBy(col("cos").desc, col("fact_id"))
+    }
+  }
+
+  /** The reference's k > candidates edge (storage.py:308-309): every
+    * candidate fact returns UNRANKED, the vector side never runs.
+    * Shared by the brute and indexed hybrid paths. */
+  private def hybridUnranked(db: HippoDb, filtered: DataFrame): DataFrame =
+    db.facts.join(filtered, Seq("fact_id"), "left_semi")
+      .select(col("fact_id"), col("fact_text"),
+        lit(null).cast("double").as("cos"))
+      .orderBy("fact_id")
+
+  /** Hybrid retrieval THROUGH THE PERSISTED INDEX — the serving-path
+    * twin of [[closestFactsWithEntities]] and the reference's own
+    * architecture (storage.py:304-337 runs the entity-filtered
+    * vector lookup INSIDE the Chroma index): the entity semi-join
+    * applies to the IVF artifact's partition-pruned probe sliver
+    * (VectorIndex.annIvfFiltered), so a hybrid query reads
+    * ~nProbe/nCells of the corpus instead of the full-scan cosine
+    * pass. With nProbe == nCells the ranking equals the brute form
+    * EXACTLY (same filter relation, same rounding, same tiebreak —
+    * GraftApiSpec pins it, both union modes, plus the small-k
+    * unranked fallback which is byte-shared). Requires
+    * [[buildFactIndex]] to have written `indexDir`. */
+  def closestFactsWithEntitiesIndexed(
+      db: HippoDb, indexDir: String, query: String, entities: Seq[String],
+      union: Boolean = true, k: Int = 5,
+      nProbe: Int = VectorQueries.IvfProbe): DataFrame = {
+    val filtered = factsByEntities(db, entities, union).select("fact_id")
+    if (k > filtered.count()) {
+      hybridUnranked(db, filtered)
+    } else {
+      graft.store.VectorIndex.annIvfFiltered(spark, indexDir,
+          embedder.embed(query).map(_.toDouble), k, nProbe,
+          filtered.withColumnRenamed("fact_id", "vec_id"))
+        .withColumnRenamed("vec_id", "fact_id")
         .join(db.facts, "fact_id")
         .select("fact_id", "fact_text", "cos")
         .orderBy(col("cos").desc, col("fact_id"))

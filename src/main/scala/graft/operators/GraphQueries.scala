@@ -538,8 +538,17 @@ object GraphQueries {
     * caller-chosen seeds — SHARED with the facade's graph-boosted
     * retrieval (Graft.closestFactsGraphRanked), so the entry and the
     * facade cannot drift. */
+  /** `release = false` (the h19 ENTRY's one-shot shape, the h10
+    * precedent) returns the lazy iterative plan — auditable end to
+    * end by the EXPLAIN needles. `release = true` is the
+    * REPEATED-QUERY contract (Graft.closestFactsGraphRanked): the
+    * result materializes via localCheckpoint (the d07 pointer-jump
+    * precedent — it is the seeds' 3-hop ball, not k rows, so it
+    * stays distributed) and g/deg unpersist in a finally block, so a
+    * retrieval call no longer pins two fresh cached frames until
+    * clearCache (ADVICE r9 — the annPq release contract). */
   def personalizedRankOn(spark: SparkSession, e: DataFrame,
-      seedEntities: Seq[String]): DataFrame = {
+      seedEntities: Seq[String], release: Boolean = false): DataFrame = {
     import spark.implicits._
     require(seedEntities.nonEmpty, "personalized rank needs >= 1 seed")
     val g = e.select(col("fact_id"), col("entity").as("src"))
@@ -565,18 +574,11 @@ object GraphQueries {
             (coalesce(col("tele"), lit(0.0)) +
               lit(RankDamping) * coalesce(col("c"), lit(0.0))).as("rank"))
       }
-      // Materialize before unpersisting g/deg: this kernel backs the
-      // REPEATED-QUERY facade (Graft.closestFactsGraphRanked), so a
-      // lazily-dependent return would pin two fresh cached frames per
-      // retrieval call until clearCache (ADVICE r9 — same contract as
-      // annPq). The result is the seeds' 3-hop ball, not k rows, so
-      // it stays distributed: localCheckpoint (the d07 pointer-jump
-      // precedent) cuts the lineage, letting the caches drop now.
-      rank.select(col("entity"), round(col("rank"), 6).as("rank"))
+      val out = rank.select(col("entity"), round(col("rank"), 6).as("rank"))
         .filter(col("rank") > 0)
         .orderBy("entity")
-        .localCheckpoint()
-    } finally { g.unpersist(); deg.unpersist() }
+      if (release) out.localCheckpoint() else out
+    } finally if (release) { g.unpersist(); deg.unpersist() }
   }
 
   /** h18: DEGREE-DISTRIBUTION POWER-LAW FIT — is the entity graph

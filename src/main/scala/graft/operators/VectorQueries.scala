@@ -125,15 +125,22 @@ object VectorQueries {
   def v04HybridIntersection(spark: SparkSession, dir: String): DataFrame =
     hybrid(spark, dir, intersect = true)
 
+  /** The hybrid ops' graph half: fact ids having ANY (union) / ALL
+    * (intersect) probe entities — a bounded, probe-filtered edge
+    * aggregation, shared by the brute and the indexed vector halves
+    * so the filter semantics cannot drift. */
+  private def hybridMatching(spark: SparkSession, dir: String,
+      intersect: Boolean): DataFrame = {
+    val m = HippoGraph.edges(spark, dir)
+      .filter(col("entity").isin(GraphQueries.ProbeUnion: _*))
+    if (intersect)
+      m.groupBy("fact_id").agg(countDistinct("entity").as("n"))
+        .filter(col("n") === GraphQueries.ProbeUnion.size).select("fact_id")
+    else m.select("fact_id").distinct()
+  }
+
   private def hybrid(spark: SparkSession, dir: String, intersect: Boolean): DataFrame = {
-    val matching = {
-      val m = HippoGraph.edges(spark, dir)
-        .filter(col("entity").isin(GraphQueries.ProbeUnion: _*))
-      if (intersect)
-        m.groupBy("fact_id").agg(countDistinct("entity").as("n"))
-          .filter(col("n") === GraphQueries.ProbeUnion.size).select("fact_id")
-      else m.select("fact_id").distinct()
-    }
+    val matching = hybridMatching(spark, dir, intersect)
     val e = emb(spark, dir)
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
     factEmb(spark, dir)
@@ -142,6 +149,38 @@ object VectorQueries {
       .select(col("fact_id"), cosineNative6(col("v"), col("qv")).as("cos"))
       .orderBy(col("cos").desc, col("fact_id"))
       .limit(5)
+  }
+
+  /** v03b/v04b: HYBRID RETRIEVAL THROUGH THE PERSISTED INDEX — the
+    * r9 verdict's top item and the reference's own architecture
+    * (storage.py:304-337 runs the entity-filtered vector lookup
+    * INSIDE the Chroma index, never as a corpus scan): v03/v04's
+    * graph half (shared hybridMatching) broadcasts into a semi-join
+    * against the IVF artifact's partition-pruned probe sliver
+    * (VectorIndex.annIvfFiltered), so at 100 TB a hybrid query reads
+    * ~nProbe/nCells of the corpus where the brute form pays the full
+    * cosine pass. The entry builds the artifact per call (the oracle
+    * anchor's one-shot convention, v07/v09 precedent); a serving
+    * deployment builds once per corpus version. *rows-only*
+    * (VectorSpec: nProbe == nCells equals v03/v04 EXACTLY; default
+    * probes overlap ≥ 0.9 with brute; PartitionFilters plan-pinned
+    * via EXPLAIN needles). */
+  def v03bHybridUnionIndexed(spark: SparkSession, dir: String): DataFrame =
+    hybridIndexed(spark, dir, intersect = false, nProbe = IvfProbe)
+
+  def v04bHybridIntersectionIndexed(spark: SparkSession, dir: String): DataFrame =
+    hybridIndexed(spark, dir, intersect = true, nProbe = IvfProbe)
+
+  def hybridIndexed(spark: SparkSession, dir: String, intersect: Boolean,
+      nProbe: Int): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("graft_hybrid_ivf").toString
+    graft.store.VectorIndex.buildIvf(spark,
+      factEmb(spark, dir).select(col("fact_id").as("vec_id"), col("v")), idx)
+    val qv = emb(spark, dir).filter(col("vec_id") === 0)
+      .select("v").head().getSeq[Double](0).toArray
+    graft.store.VectorIndex.annIvfFiltered(spark, idx, qv, 5, nProbe,
+        hybridMatching(spark, dir, intersect).withColumnRenamed("fact_id", "vec_id"))
+      .withColumnRenamed("vec_id", "fact_id")
   }
 
   /** v05: ANN via multi-table random-hyperplane LSH (the scale path —
@@ -542,7 +581,9 @@ object VectorQueries {
     "v01_knn_facts" -> (v01KnnFacts _),
     "v02_knn_batch" -> (v02KnnBatch _),
     "v03_hybrid_union" -> (v03HybridUnion _),
+    "v03b_hybrid_union_indexed" -> (v03bHybridUnionIndexed _),
     "v04_hybrid_intersection" -> (v04HybridIntersection _),
+    "v04b_hybrid_intersection_indexed" -> (v04bHybridIntersectionIndexed _),
     "v05_ann_lsh" -> (v05AnnLsh _),
     "v06_knn_agg" -> (v06KnnAgg _),
     "v07_ann_ivf" -> (v07AnnIvf _),

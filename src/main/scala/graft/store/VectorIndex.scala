@@ -188,16 +188,53 @@ object VectorIndex {
     * output contract as VectorQueries.annIvf. */
   def annIvf(spark: SparkSession, dir: String, queryVec: Array[Double],
       k: Int, nProbe: Int, excludeVecId: Option[Long]): DataFrame = {
-    val centroids = loadIvfCentroids(spark, dir)
-    val vecs = spark.read.parquet(s"$dir/ivf_vectors")
-    val probeCells = centroids.zipWithIndex.map { case (c, i) =>
+    val probed = probedScan(spark, dir, queryVec, nProbe)
+    val qCol = array(queryVec.toIndexedSeq.map(lit): _*)
+    excludeVecId.foldLeft(probed)((df, id) => df.filter(col("vec_id") =!= id))
+      .select(col("vec_id"), cosineNative6(col("v"), qCol).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** The nProbe nearest cells by centroid distance — driver-side
+    * arithmetic over the tiny loaded model, shared by every probe
+    * path so cell choice cannot drift between them. */
+  private def nearestCells(centroids: Array[Array[Double]],
+      queryVec: Array[Double], nProbe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
       var d = 0.0; var j = 0
       while (j < c.length) { val t = queryVec(j) - c(j); d += t * t; j += 1 }
       (d, i)
-    }.sortBy(_._1).take(nProbe).map(_._2)
+    }.sortBy(_._1).take(nProbe).map(_._2).toIndexedSeq
+
+  /** The partition-pruned `cluster IN (probes)` scan of the IVF
+    * artifact for a query vector — non-probed cells never open a
+    * file (the directory layout IS the inverted list). Public so
+    * pool-cutting consumers (MMR, graph-ranked retrieval) can run
+    * their own scoring over the sliver instead of the corpus. */
+  def probedScan(spark: SparkSession, dir: String,
+      queryVec: Array[Double], nProbe: Int): DataFrame = {
+    val centroids = loadIvfCentroids(spark, dir)
+    spark.read.parquet(s"$dir/ivf_vectors")
+      .filter(col("cluster").isin(nearestCells(centroids, queryVec, nProbe): _*))
+  }
+
+  /** FILTERED probe — hybrid retrieval's vector half through the
+    * persisted index (storage.py:304-337 runs its `where`-filtered
+    * lookup INSIDE the Chroma index; this is that architecture on
+    * the IVF artifact): the bounded candidate id relation broadcasts
+    * into a semi-join against the partition-pruned probe sliver, so
+    * an entity-filtered query reads ~nProbe/nCells of the corpus
+    * instead of the full-scan cosine pass the brute hybrid pays.
+    * Scoring (cosineNative6, desc + vec_id tiebreak) is byte-shared
+    * with [[annIvf]], so at nProbe == nCells the result equals the
+    * brute hybrid exactly. */
+  def annIvfFiltered(spark: SparkSession, dir: String,
+      queryVec: Array[Double], k: Int, nProbe: Int,
+      candidates: DataFrame): DataFrame = {
     val qCol = array(queryVec.toIndexedSeq.map(lit): _*)
-    val probed = vecs.filter(col("cluster").isin(probeCells.toIndexedSeq: _*))
-    excludeVecId.foldLeft(probed)((df, id) => df.filter(col("vec_id") =!= id))
+    probedScan(spark, dir, queryVec, nProbe)
+      .join(broadcast(candidates.select("vec_id")), Seq("vec_id"), "left_semi")
       .select(col("vec_id"), cosineNative6(col("v"), qCol).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)

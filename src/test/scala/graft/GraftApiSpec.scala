@@ -156,6 +156,65 @@ class GraftApiSpec extends SparkSpec {
     assert(partial.forall(r => r.getAs[String]("fact_text") != null))
   }
 
+  test("indexed hybrid facade: all-probe == brute hybrid exactly (both modes), fallback byte-shared, partial probe prunes") {
+    val idx = java.nio.file.Files.createTempDirectory("api_hybrid_ivf").toString
+    api.buildFactIndex(db, idx, nCells = 8)
+    val q = "spark window join"
+    for ((ents, union) <- Seq((Seq("window"), true), (Seq("window", "spark"), false))) {
+      val n = api.factsByEntities(db, ents, union).count().toInt
+      assert(n > 0, s"probe entities $ents must match facts")
+      val k = math.min(3, n) // stay on the RANKED branch
+      val brute = api.closestFactsWithEntities(db, q, ents, union, k)
+        .collect().map(_.toSeq).toSeq
+      val served = api.closestFactsWithEntitiesIndexed(db, idx, q, ents, union,
+        k, nProbe = 8).collect().map(_.toSeq).toSeq
+      assert(served == brute,
+        s"union=$union all-probe indexed hybrid must equal brute: $served vs $brute")
+    }
+    // small-k fallback: k > candidates returns ALL candidates
+    // unranked through the SHARED hybridUnranked branch — identical
+    // rows, vector side never touched
+    val cnt = api.factsByEntities(db, Seq("window"), union = true).count().toInt
+    val bruteAll = api.closestFactsWithEntities(db, q, Seq("window"),
+      union = true, k = cnt + 100).collect().map(_.toSeq).toSeq
+    val servedAll = api.closestFactsWithEntitiesIndexed(db, idx, q, Seq("window"),
+      union = true, k = cnt + 100).collect().map(_.toSeq).toSeq
+    assert(servedAll == bruteAll && servedAll.length == cnt)
+    assert(servedAll.forall(_(2) == null))
+    // partial probe stays on the index's partition-pruned scan
+    val part = api.closestFactsWithEntitiesIndexed(db, idx, q, Seq("window"),
+      union = true, k = 1, nProbe = 2)
+    val plan = part.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"facade hybrid probe must partition-prune:\n$plan")
+  }
+
+  test("indexed pool cuts: diverse and graph-ranked through the index == brute at all-probe; partial probe prunes") {
+    val idx = java.nio.file.Files.createTempDirectory("api_pool_ivf").toString
+    api.buildFactIndex(db, idx, nCells = 8)
+    val q = "spark window join"
+    val bruteDiv = api.closestFactsDiverse(db, q, k = 4).collect().map(_.toSeq).toSeq
+    val idxDiv = api.closestFactsDiverseIndexed(db, idx, q, k = 4, nProbe = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(idxDiv == bruteDiv, s"MMR pool via index: $idxDiv vs $bruteDiv")
+    val bruteGr = api.closestFactsGraphRanked(db, q, Seq("window"), k = 4)
+      .collect().map(_.toSeq).toSeq
+    val idxGr = api.closestFactsGraphRankedIndexed(db, idx, q, Seq("window"),
+      k = 4, nProbe = 8).collect().map(_.toSeq).toSeq
+    assert(idxGr == bruteGr, s"PPR pool via index: $idxGr vs $bruteGr")
+    // the serving shape keeps the partition-pruned probe scan — pin
+    // the sliver the facades pool from (mmrTopK materializes its
+    // bounded pool eagerly, so the FINAL frame's plan starts at a
+    // LocalTableScan; the scan to audit is the probedScan input)
+    val qv = new graft.functions.HashEmbedder(64).embed(q).map(_.toDouble)
+    val sliver = graft.store.VectorIndex.probedScan(spark, idx, qv, nProbe = 2)
+    val plan = sliver.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"indexed pool cut must partition-prune:\n$plan")
+    // and partial-probe calls still return k ranked rows
+    assert(api.closestFactsDiverseIndexed(db, idx, q, k = 2, nProbe = 2).count() == 2)
+  }
+
   test("structural candidates resolve a renamed entity that name-LSH misses") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -107,6 +107,31 @@ class VectorSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("indexed hybrid (v03b/v04b): all-probe == brute hybrid exactly; default probe keeps recall and partition-prunes") {
+    for (intersect <- Seq(false, true)) {
+      val brute = (if (intersect) VectorQueries.v04HybridIntersection(spark, sf0001)
+        else VectorQueries.v03HybridUnion(spark, sf0001))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // probing every cell degenerates to the brute hybrid — same
+      // filter relation, same rounding, same tiebreak
+      val all = VectorQueries.hybridIndexed(spark, sf0001, intersect,
+          nProbe = VectorQueries.IvfCells)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(all == brute, s"intersect=$intersect: all-probe $all vs brute $brute")
+      // the serving shape: default probes, entity filter applied to
+      // the PARTITION-PRUNED sliver (the storage.py:304-337 shape)
+      val deflt = VectorQueries.hybridIndexed(spark, sf0001, intersect,
+        nProbe = VectorQueries.IvfProbe)
+      val plan = deflt.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+        s"indexed hybrid probe must partition-prune:\n$plan")
+      val got = deflt.collect().map(_.getLong(0)).toSet
+      val recall = brute.map(_._1).toSet.intersect(got).size.toDouble / brute.size
+      info(s"indexed hybrid recall@5 (probe ${VectorQueries.IvfProbe}/${VectorQueries.IvfCells}, intersect=$intersect) = $recall")
+      assert(recall >= 0.6, s"recall $recall too low")
+    }
+  }
+
   test("PQ ANN: full-pool re-rank == brute force; default pool keeps recall; codes bounded") {
     import graft.operators.Pq
     val e = Tables.embeddings(spark, sf0001)
