@@ -35,6 +35,12 @@ object Explain {
       // e01 must rank through the map-side-combining native TopKAgg
       // (no window sort of the full scored stream, no driver collect)
       "e01_knn_classify" -> Seq("ObjectHashAggregate"),
+      // e01b (r10 BQ re-base): candidate scoring must be the
+      // codegen'd xor+popcount over the signature longs, pooled by
+      // the map-side TopKAgg partial — no LSH table explosion, no
+      // cartesian
+      "e01b_knn_classify_ann" ->
+        Seq("bit_count", "qsig", "ObjectHashAggregate", "!CartesianProduct"),
       // d06/h08: candidate/probe joins, never a corpus-side broadcast
       "d06_embed_neardup_ann" -> Seq("HashAggregate"),
       "h08_neighbour_facts" -> Seq("BroadcastHashJoin", "sort_array"),

@@ -130,24 +130,40 @@ object ExtendedQueries {
   }
 
   /** e01b: ANN k-NN classification — e01's semantics with the
-    * CARTESIAN scoring join replaced by d06-style LSH cell-blocking
-    * (*rows-only*; spec asserts ≥ 0.9 prediction agreement with e01
-    * at sf0.01). Candidate generation is an equi-join of narrow
-    * (vec_id, cell) rows on the packed 16×4-bit cell key — at 100 TB
-    * only same-cell pairs shuffle, never the n² cross product — and
-    * everything downstream (TopKAgg ranking, majority vote) is the
-    * EXACT same plan tail as e01. Approximation is confined to
-    * candidate recall: a true neighbour sharing no cell is missed.
+    * full-vector scoring replaced by a BINARY-QUANTIZATION candidate
+    * pass (*rows-only*; ScaleSwapSpec asserts ≥ 0.97 prediction
+    * agreement with e01 at sf0.01). Re-based from 32-table LSH in
+    * r10: on this corpus' near-random embeddings (the documented
+    * stress case) the multi-table collision volume cost 6% of the
+    * whole bench; one xor+popcount per pair replaces 32 tables of
+    * hashing, joining, and deduping.
     *
-    * 32 tables (vs v08's 16): a top-5 MAJORITY VOTE flips on a single
-    * missed neighbour, so the classify needs deeper per-pair recall
-    * than a top-k listing (measured per-pair miss on this corpus'
-    * neighbour angles: 0.087 at L=16 → ≈0.007 at L=32). This is the
-    * operator's bits/tables dial — a production corpus with real
-    * (clustered) neighbour structure prunes orders of magnitude
-    * harder at the same recall; synthetic near-random embeddings are
-    * the documented stress case. */
-  val E01bAnnTables = 32
+    * Shape: Bq.train/encode reduce the corpus to 16 B/vector
+    * (vec_id, sig, norm); the candidate pass joins that SIGNATURE
+    * relation against the broadcast (qid, qsig) longs — the
+    * broadcast is two longs per vector, 64× under e01's full-vector
+    * BNLJ, and the per-pair work is ONE codegen'd
+    * `bit_count(sig ^ qsig)` — then TopKAgg pools the E01bPool
+    * best-Hamming candidates per query map-side (only qid × pool
+    * crosses the shuffle) and the EXACT cosine re-rank + majority
+    * vote are the same plan tail as e01, touching pool×n pairs, not
+    * n². Approximation is confined to the Hamming pool cut.
+    *
+    * At 10⁹+ vectors the signature broadcast (16 B/vector) outgrows
+    * the driver; the composition rung for that regime is IVFADC
+    * (VectorIndex.buildIvfPq): coarse-cell partition pruning first,
+    * this same signature pass within probed cells.
+    *
+    * Pool dial, measured on THIS corpus (numpy ground truth,
+    * per-neighbour recall of the true cosine top-5 inside the
+    * best-Hamming pool): sf0.01 n=500 — pool 80 → 0.80, 160 → 0.94,
+    * 320 → 0.995; sf0.1 n=2000 — 320 → 0.88, 640 → 0.97. Near-random
+    * embeddings are the worst case for 1-bit codes (neighbour/random
+    * Hamming gap shrinks with dimension-free angles); a clustered
+    * production corpus runs 8-16×k. 64×k holds the ≥ 0.97 vote
+    * agreement the spec pins at sf0.01 while keeping the exact
+    * re-rank at pool×n pairs. */
+  val E01bPool = 64 * 5
 
   def e01bKnnClassifyAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -155,11 +171,25 @@ object ExtendedQueries {
       .withColumn("nv", normNative(col("v")))
       .repartition(spark.sparkContext.defaultParallelism)
       .cache()
-    // The shared v08 scoring kernel with EVERY vector as a query
-    // (isQuery = true ⇒ the cell equi-join is the symmetric
-    // self-join); see lshScored for the no-pre-dedup rationale.
-    val scored = VectorQueries.lshScored(
-      e, lit(true), E01bAnnTables, VectorQueries.BatchAnnBits, seed = 99L)
+    val means = Bq.train(spark, e)
+    val enc = Bq.encode(spark, e, means)
+    val q = enc.select(col("vec_id").as("qid"), col("sig").as("qsig"))
+    val pool = enc.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        bit_count(col("sig").bitwiseXOR(col("qsig"))).cast("double").as("ham"))
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graft.TopKAgg.topK(-col("ham"), col("vec_id"), E01bPool).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.vec_id").as("vec_id"))
+    // exact re-rank of the pooled sliver: equi-joins re-attach the
+    // vectors (pool×n rows, never n²), then the shared e01 tail
+    val scored = pool
+      .join(e.select(col("vec_id"), col("v"), col("nv")), "vec_id")
+      .join(e.select(col("vec_id").as("qid"), col("v").as("pqv"),
+        col("nv").as("pnq")), "qid")
+      .select(col("qid"),
+        cosinePreRaw(col("v"), col("pqv"), col("nv"), col("pnq")).as("rawcos"),
+        col("vec_id"))
     majorityVote(e, topNeighbours(scored, k = 5))
   }
 

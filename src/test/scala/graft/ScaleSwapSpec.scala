@@ -55,7 +55,7 @@ class ScaleSwapSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "d13 plans a BNLJ")
   }
 
-  test("e01b: ANN classify prediction agreement >= 0.9 with e01 (sf0.01)") {
+  test("e01b: ANN classify prediction agreement >= 0.97 with e01 (sf0.01)") {
     val exact = ExtendedQueries.e01KnnClassify(spark, sf001)
       .select("vec_id", "pred_label").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toMap
@@ -67,13 +67,26 @@ class ScaleSwapSpec extends SparkSpec {
       "e01b must predict for every vector e01 predicts for")
     val agree = exact.count { case (id, p) => ann(id) == p }.toDouble / exact.size
     info(s"e01b prediction agreement with e01 = $agree over ${exact.size} vectors")
-    assert(agree >= 0.9, s"agreement $agree < 0.9")
+    assert(agree >= 0.97, s"agreement $agree < 0.97")
   }
 
-  test("e01b: plan has no cartesian and no BNLJ (the e01 scale-killer is gone)") {
+  test("e01b: the only non-equi join is the 16-byte signature pass; re-rank touches the pool, not n^2") {
+    // r10 re-base (VERDICT r9 #2): the LSH equi-join blocking is
+    // gone; the candidate pass is the BQ signature relation (two
+    // longs/vector) against its broadcast twin — so ONE BNLJ is
+    // expected, but it must carry signatures, never the vectors
+    // (e01's full-vector BNLJ is still the anti-shape).
     val plan = physicalPlan(ExtendedQueries.e01bKnnClassifyAnn(spark, sf001))
     assert(!plan.contains("CartesianProduct"), "e01b plans a cartesian product")
-    assert(!plan.contains("BroadcastNestedLoopJoin"), "e01b plans a BNLJ")
+    // formatted mode prints each operator twice (tree + detail
+    // section); count the numbered detail headers
+    val nBnlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(plan).size
+    assert(nBnlj == 1, s"expected exactly the signature-pass BNLJ, got $nBnlj")
+    assert(plan.contains("bit_count"), "candidate scoring must be the codegen'd bit_count")
+    assert(plan.contains("qsig"), "the broadcast side must be the (qid, qsig) signature projection")
+    // Hamming pooling partial-aggregates map-side (TopKAgg), never a
+    // corpus-wide window sort of the n^2 pair stream
+    assert(plan.contains("ObjectHashAggregate"), "pooling must be the TopKAgg partial")
   }
 
   test("lshScored scores arbitrary-dim vectors via the dim parameter (kernel reuse contract)") {
