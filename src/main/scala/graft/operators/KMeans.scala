@@ -20,15 +20,29 @@ import graft.functions.VectorFunctions._
 object KMeans {
 
   /** Returns (assignments (vec_id, cluster), centroids, inertia per
-    * iteration). Deterministic: init = first k vectors by vec_id.
+    * iteration). Deterministic: init = HASH-SPREAD seeding (r10,
+    * VERDICT r9 #4) — the k vectors with the smallest
+    * xxhash64(vec_id), i.e. a deterministic uniform sample over the
+    * corpus independent of storage order. First-k-by-vec_id seeding
+    * is a trap on real corpora, which arrive SORTED (by source, by
+    * crawl date, by z-order): the first k rows then land in one
+    * region of embedding space, Lloyd's starts with k co-located
+    * centroids, and most clusters begin empty (SkewCorpusSpec pins
+    * the planted case where spread seeding strictly beats first-k
+    * inertia). One TakeOrdered top-k — never a full sort.
     * trackInertia=false skips the per-iteration inertia action
     * (halves the Spark jobs — assignment+centroid-update only); the
-    * convergence trace is a diagnostics concern, not a fit one. */
+    * convergence trace is a diagnostics concern, not a fit one.
+    * spreadSeed=false keeps the legacy first-k init (the quality
+    * comparison's baseline; not a serving mode). */
   def fit(spark: SparkSession, emb: DataFrame, k: Int, iters: Int,
-      trackInertia: Boolean = true)
+      trackInertia: Boolean = true, spreadSeed: Boolean = true)
       : (DataFrame, Array[Array[Double]], Seq[Double]) = {
     val e = emb.select(col("vec_id"), col("v")).cache()
-    var centroids: Array[Array[Double]] = e.orderBy("vec_id").limit(k)
+    val seedOrder =
+      if (spreadSeed) Seq(xxhash64(col("vec_id")), col("vec_id"))
+      else Seq(col("vec_id"))
+    var centroids: Array[Array[Double]] = e.orderBy(seedOrder: _*).limit(k)
       .collect().map(_.getSeq[Double](1).toArray) // k rows only
     val inertias = scala.collection.mutable.ListBuffer.empty[Double]
 

@@ -55,19 +55,27 @@ object Pq {
   }
 
   /** Train the M per-subspace codebooks: codebooks(s)(c) is centroid
-    * c of subspace s. Deterministic init (first k vectors by vec_id,
-    * sliced); empty clusters keep their centroid. `e` SHOULD be
-    * cached by the caller (annPq does) — train itself never persists
-    * so a cached caller dataframe is not held twice. */
+    * c of subspace s. Deterministic init: HASH-SPREAD seeding (r10,
+    * the KMeans.fit rationale — smallest xxhash64(vec_id) rows are a
+    * deterministic uniform sample regardless of storage order;
+    * first-k seeds on a source-sorted corpus co-locate and degrade
+    * codebook coverage); empty clusters keep their centroid. `e`
+    * SHOULD be cached by the caller (annPq does) — train itself
+    * never persists so a cached caller dataframe is not held twice.
+    * spreadSeed=false keeps the legacy first-k init (quality
+    * comparison baseline only). */
   def train(spark: SparkSession, e: DataFrame, m: Int = M, k: Int = K,
-      iters: Int = 3): Array[Array[Array[Double]]] = {
+      iters: Int = 3, spreadSeed: Boolean = true): Array[Array[Array[Double]]] = {
     import spark.implicits._
     val rows = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
     val dim = rows.head()._2.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
     var cb: Array[Array[Array[Double]]] = {
-      val seed = rows.orderBy("vec_id").limit(k).collect().map(_._2)
+      val seedOrder =
+        if (spreadSeed) Seq(xxhash64(col("vec_id")), col("vec_id"))
+        else Seq(col("vec_id"))
+      val seed = rows.orderBy(seedOrder: _*).limit(k).collect().map(_._2)
       require(seed.length >= k,
         s"PQ train needs at least k=$k vectors to seed codebooks, got ${seed.length}")
       Array.tabulate(m, k)((s, c) => seed(c).slice(s * sub, (s + 1) * sub))

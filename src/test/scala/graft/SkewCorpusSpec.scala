@@ -255,6 +255,49 @@ class SkewCorpusSpec extends SparkSpec {
       s"the dial must matter: wide=$wide narrow=$narrow")
   }
 
+  test("k-means seeding: hash-spread strictly beats first-k on the cluster-SORTED corpus (inertia)") {
+    import graft.functions.VectorFunctions._
+    // Corpus C is sorted by planted cluster (vec_id = c*12 + m) — the
+    // exact trap real source-/date-sorted corpora set: first-k seeds
+    // (vec_ids 0..9) are ALL members of planted cluster 0, so Lloyd's
+    // starts with 10 co-located centroids and most stay stuck in that
+    // ball (the empty-cluster keep rule). Hash-spread seeds sample
+    // uniformly over vec_ids, landing across the planted clusters.
+    val e = spark.read.parquet(s"$dirC/embeddings.parquet")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val (_, _, iSpread) = graft.operators.KMeans.fit(spark, e, 10, 3,
+      trackInertia = true, spreadSeed = true)
+    val (_, _, iFirst) = graft.operators.KMeans.fit(spark, e, 10, 3,
+      trackInertia = true, spreadSeed = false)
+    info(s"final inertia: spread=${iSpread.last} first-k=${iFirst.last}")
+    assert(iSpread.last < iFirst.last,
+      s"spread seeding must beat first-k on a sorted clustered corpus: ${iSpread.last} vs ${iFirst.last}")
+  }
+
+  test("PQ codebooks: hash-spread seeding not worse than first-k on the cluster-sorted corpus (distortion)") {
+    import graft.functions.VectorFunctions._
+    val e = spark.read.parquet(s"$dirC/embeddings.parquet")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val rows = e.collect().map(_.getSeq[Double](1).toArray) // 120 test vectors
+    def distortion(cb: Array[Array[Array[Double]]]): Double = {
+      val m = cb.length; val sub = rows(0).length / m
+      rows.map { v =>
+        (0 until m).map { s =>
+          cb(s).map { c =>
+            var d = 0.0; var j = 0
+            while (j < sub) { val t = v(s * sub + j) - c(j); d += t * t; j += 1 }
+            d
+          }.min
+        }.sum
+      }.sum
+    }
+    val dSpread = distortion(graft.operators.Pq.train(spark, e, spreadSeed = true))
+    val dFirst = distortion(graft.operators.Pq.train(spark, e, spreadSeed = false))
+    info(s"PQ distortion: spread=$dSpread first-k=$dFirst")
+    assert(dSpread <= dFirst * 1.001,
+      s"spread-seeded codebooks must not be worse: $dSpread vs $dFirst")
+  }
+
   // ---------------------------------------------------------------- d07/d09
 
   test("d07: one mega-cluster of 100 identical docs converges to one canonical") {
