@@ -68,6 +68,11 @@ object Explain {
       // t10: scan-speed predicate over a PRUNED schema — the filter
       // needs only doc_id and lang, text must not be read
       "t10_stratified_sample" -> Seq("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      // t25: ONE codegen'd HOF projection per doc (the whole merge
+      // chain runs inside the lambda) — no explode, no join, no agg,
+      // and only (doc_id, text) read
+      "t25_bpe_encode" -> Seq("ReadSchema: struct<doc_id:bigint,text:string>",
+        "!Generate", "!HashAggregate", "!BroadcastHashJoin", "!SortMergeJoin"),
       // t11: the prefix sum runs as an RDD two-pass (scan of the
       // offset-adjusted partitions), final presentation sort only
       "t11_pack_sequences" -> Seq("MapPartitionsRDD", "rangepartitioning"),

@@ -28,7 +28,9 @@ object SparkEntry {
         "v09_ann_pq" -> (graft.operators.Pq.v09AnnPq _),
         "v10_ann_ivfpq" -> (graft.operators.IvfPq.v10AnnIvfPq _),
         "v13_ann_sq8" -> (graft.operators.Sq.v13AnnSq _),
-        "v14_ann_binary" -> (graft.operators.Bq.v14AnnBinary _))
+        "v14_ann_binary" -> (graft.operators.Bq.v14AnnBinary _),
+        "t24_bpe_train" -> (graft.operators.Bpe.t24BpeTrain _),
+        "t25_bpe_encode" -> (graft.operators.Bpe.t25BpeEncode _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +39,6 @@ object SparkEntry {
       SplitterQueries.oracles ++ TextQueries.oracles ++ DedupQueries.oracles ++
       MultimodalQueries.oracles ++ ExtendedQueries.oracles ++
       PipelineQueries.oracles ++ AnalyticsQueries.oracles ++
-      QualityQueries.oracles
+      QualityQueries.oracles ++
+      Map("t25_bpe_encode" -> graft.operators.Bpe.t25OracleSql)
 }

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Trained BPE tokenization (SURVEY §2 t24/t25, VERDICT r9 #6) — the
+  * one text-pipeline primitive t03 only approximated ("BPE-ish"
+  * regex): a REAL merge table trained by iterative distributed
+  * pair-count aggregation, and a typed encode that applies it.
+  *
+  * Representation trick shared by trainer, encoder, and the DuckDB
+  * oracle: a word's symbol sequence is a SPACE-PADDED string
+  * (" l o w "), so applying merge (l,r)→lr is replace(" l r ",
+  * " lr ") — left-to-right non-overlapping in BOTH engines
+  * (probed: replace(' a a a ',' a a ',' aa ') = ' aa a ' in Spark
+  * AND DuckDB), which is exactly the classic BPE merge convention
+  * (Sennrich et al. 2016's re.sub). Pair COUNTS follow the classic
+  * convention too: every adjacent pair counts, overlaps included.
+  *
+  * Scale shape (train): the corpus is scanned ONCE into the
+  * distinct-word frequency table (the standard BPE trick — training
+  * cost depends on |vocab|, not corpus bytes); each of the V merge
+  * rounds is one explode+agg over that bounded relation plus a
+  * 1-row argmax collect, with a periodic localCheckpoint cutting
+  * the replace-chain lineage. Encode is ONE codegen'd HOF
+  * projection per doc — no join, no shuffle, scan speed.
+  */
+object Bpe {
+
+  /** Merge count for the t24 entry. Small by design: the synthetic
+    * corpus has a 31-word vocabulary, and every round past full-word
+    * convergence is a no-op (train stops early when no pair is left). */
+  val TrainMerges = 12
+
+  /** " c h a r s " — the padded symbol-string form of a word.
+    * split('') is code-point based in Spark (UTF8String) and DuckDB
+    * both (the m06 parity pin), so multibyte text is safe. */
+  private def padded(w: Column): Column =
+    concat(lit(" "), array_join(split(w, ""), " "), lit(" "))
+
+  private def words(docs: DataFrame): Column =
+    filter(split(col("text"), " "), w => w =!= "")
+
+  /** Train `nMerges` merges on the documents' text, returning them
+    * in rank order. Deterministic: ties break (count desc, left asc,
+    * right asc); stops early when no adjacent pair remains. */
+  def train(spark: SparkSession, docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    val vocab = docs
+      .select(explode(words(docs)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(padded(col("w")).as("s"), col("freq"))
+      .cache()
+    try {
+      val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+      var cur = vocab
+      var done = false
+      var round = 0
+      while (!done && round < nMerges) {
+        val syms = cur
+          .select(split(trim(col("s")), " ").as("a"), col("freq"))
+          .filter(size(col("a")) >= 2)
+        val top = syms
+          .select(col("freq"), explode(expr(
+            "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS l, a[i + 1] AS r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("freq").as("n"))
+          .orderBy(col("n").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val (l, r) = (top(0).getString(0), top(0).getString(1))
+          merges += ((l, r))
+          cur = cur.withColumn("s",
+              replace(col("s"), lit(s" $l $r "), lit(s" $l$r ")))
+            // checkpoint EVERY round: the pair-count job then plans
+            // against a materialized leaf instead of re-optimizing an
+            // ever-deeper replace chain (planning cost grew faster
+            // than the 31-row execution at cadence 8)
+            .localCheckpoint()
+          round += 1
+        }
+      }
+      merges.toList
+    } finally vocab.unpersist()
+  }
+
+  /** t24 entry: the trained merge table (rank, left, right) —
+    * *rows-only* (an iterative argmax loop has no SQL restatement;
+    * BpeSpec pins the exact hand-derived merge sequence, the
+    * tie-break, and the early stop on a planted corpus). */
+  def t24BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    train(spark, Tables.documents(spark, dir), TrainMerges)
+      .zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+  }
+
+  /** The FIXED merge table the t25 entry encodes with: t24's output
+    * on the sf0.001 documents, frozen so the encode oracle can
+    * restate the merges as SQL literals (train on a sample, encode
+    * the corpus — the realistic pipeline split). BpeSpec pins
+    * t24(sf0.001) == this list, so the constant cannot drift from
+    * the trainer. */
+  val T25Merges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
+    ("l", "u"), ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"),
+    ("a", "n"), ("c", "an"))
+
+  /** Tokens for one word under a fixed merge list — the padded
+    * string + replace chain, byte-identical to the oracle's fold. */
+  private def tokensPerWord(w: Column, merges: Seq[(String, String)]): Column = {
+    val mergedStr = merges.foldLeft(padded(w)) { case (s, (l, r)) =>
+      replace(s, lit(s" $l $r "), lit(s" $l$r "))
+    }
+    size(split(trim(mergedStr), " "))
+  }
+
+  /** t25 entry: per-doc BPE token counts under [[T25Merges]] — ONE
+    * codegen'd HOF projection (no explode, no join; word token
+    * counts aggregate inside the lambda). Oracle-checked: DuckDB
+    * folds the same replace chain over the same padded form. */
+  def t25BpeEncode(spark: SparkSession, dir: String): DataFrame =
+    encode(Tables.documents(spark, dir), T25Merges)
+
+  /** Per-doc (n_words, n_bpe) under an arbitrary merge list — the
+    * t25 kernel, also driven directly by BpeSpec's planted tables. */
+  def encode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val ws = words(docs)
+    docs
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        aggregate(
+          transform(col("ws"), w => tokensPerWord(w, merges)),
+          lit(0L), (acc, x) => acc + x).as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
+  /** The t25 oracle: the same padded-symbol replace fold as SQL. */
+  def t25OracleSql: String = {
+    val folded = T25Merges.foldLeft(
+      "' ' || array_to_string(string_split(w, ''), ' ') || ' '") {
+      case (s, (l, r)) => s"replace($s, ' $l $r ', ' $l$r ')"
+    }
+    s"""SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(string_split(trim($folded), ' '))) AS BIGINT) AS n_bpe
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |WHERE w <> ''
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+}
