@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
 
 import graft.operators.{ExtendedQueries, VectorQueries}
 
@@ -87,6 +88,56 @@ class ScaleSwapSpec extends SparkSpec {
     // Hamming pooling partial-aggregates map-side (TopKAgg), never a
     // corpus-wide window sort of the n^2 pair stream
     assert(plan.contains("ObjectHashAggregate"), "pooling must be the TopKAgg partial")
+  }
+
+  test("d17 banding completeness at sf0.1: sampled exact recompute matches the banded argmax per doc") {
+    // The sf0.1 all-pairs DuckDB oracle is CHECK_SKIP (intractable);
+    // this is its evidence replacement (VERDICT r9 #7): a
+    // deterministic hash-spread sample of docs gets its nearest-dup
+    // recomputed EXACTLY (sample × corpus Jaccard over the same
+    // shingle sets — no banding anywhere), and the banded d17 must
+    // agree per doc: same partner, same J for sampled docs IN the
+    // report; no ≥ 0.8 partner at all for sampled docs ABSENT from it.
+    import graft.operators.DedupQueries
+    val sf01 = "/root/testdata/sf0.1"
+    val banded = DedupQueries.d17NearestDup(spark, sf01).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(banded.nonEmpty, "d17 found no near-dups at sf0.1")
+
+    val sh = DedupQueries.minhashSigs(
+        graft.sources.Tables.documents(spark, sf01))
+      .select(col("doc_id"), col("shingles")).cache()
+    val allIds = sh.select("doc_id").collect().map(_.getLong(0)).toSeq
+    def spread(ids: Seq[Long], n: Int): Seq[Long] =
+      ids.sortBy(id => (scala.util.hashing.byteswap64(id), id)).take(n)
+    val sample = spread(allIds.filter(banded.contains), 8) ++
+      spread(allIds.filterNot(banded.contains), 8)
+
+    val q = sh.filter(col("doc_id").isin(sample: _*))
+      .select(col("doc_id").as("qa"), col("shingles").as("sa"))
+    val exact = q
+      .crossJoin(sh.select(col("doc_id").as("qb"), col("shingles").as("sb")))
+      .filter(col("qa") =!= col("qb"))
+      .withColumn("j", round(
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))), 4))
+      .filter(col("j") >= 0.8)
+      .collect().map(r => (r.getAs[Long]("qa"), r.getAs[Long]("qb"), r.getAs[Double]("j")))
+      .groupBy(_._1)
+      .map { case (qa, rows) =>
+        qa -> rows.map(r => (r._3, r._2)).minBy { case (j, p) => (-j, p) } }
+    sh.unpersist()
+
+    sample.foreach { id =>
+      (banded.get(id), exact.get(id)) match {
+        case (Some((p, j)), Some((ej, ep))) =>
+          assert(p == ep && j == ej,
+            s"doc $id: banded ($p, $j) vs exact ($ep, $ej)")
+        case (None, None) => // consistent absence
+        case (b, e) =>
+          fail(s"doc $id: banded=$b exact=$e — banding missed or invented a near-dup")
+      }
+    }
   }
 
   test("lshScored scores arbitrary-dim vectors via the dim parameter (kernel reuse contract)") {
