@@ -123,10 +123,12 @@ object Bpe {
     * counts aggregate inside the lambda). Oracle-checked: DuckDB
     * folds the same replace chain over the same padded form. */
   def t25BpeEncode(spark: SparkSession, dir: String): DataFrame =
-    encode(Tables.documents(spark, dir), T25Merges)
+    encode(Tables.documents(spark, dir), T25Merges).orderBy("doc_id")
 
   /** Per-doc (n_words, n_bpe) under an arbitrary merge list — the
-    * t25 kernel, also driven directly by BpeSpec's planted tables. */
+    * t25 kernel, also driven by BpeSpec's planted tables and, being
+    * one stateless projection with no sort, verbatim by the st19
+    * ingest stream (parity by construction, the st09 pattern). */
   def encode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val ws = words(docs)
     docs
@@ -137,7 +139,6 @@ object Bpe {
         aggregate(
           transform(col("ws"), w => tokensPerWord(w, merges)),
           lit(0L), (acc, x) => acc + x).as("n_bpe"))
-      .orderBy("doc_id")
   }
 
   /** The t25 oracle: the same padded-symbol replace fold as SQL. */

@@ -102,7 +102,8 @@ object IvfPq {
   def adcCellTopK(spark: SparkSession, enc: DataFrame,
       cb: Array[Array[Array[Double]]], centroids: Array[Array[Double]],
       emb: DataFrame, qv: Array[Double], excludeVecId: Option[Long],
-      k: Int, nProbe: Int, rerank: Int = Pq.Rerank): DataFrame = {
+      k: Int, nProbe: Int, rerank: Int = Pq.Rerank,
+      candidates: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val m = cb.length
     val sub = qv.length / m
@@ -130,7 +131,14 @@ object IvfPq {
     }
     val bcTab = spark.sparkContext.broadcast(tab)
     val bcOff = spark.sparkContext.broadcast(cellOff)
-    val probed = enc.filter(col("cluster").isin(probeCells.toIndexedSeq: _*))
+    val probed0 = enc.filter(col("cluster").isin(probeCells.toIndexedSeq: _*))
+    // The hybrid filter (annIvfPqFiltered): the bounded candidate id
+    // relation broadcasts into a semi-join against the
+    // partition-pruned sliver BEFORE any typed ADC work — the
+    // storage.py:304-337 filter-inside-the-index shape at the
+    // compressed rung.
+    val probed = candidates.foldLeft(probed0)((df, c) =>
+      df.join(broadcast(c.select("vec_id")), Seq("vec_id"), "left_semi"))
     val pool = excludeVecId
       .foldLeft(probed)((df, id) => df.filter(col("vec_id") =!= id))
       .select(col("vec_id"), col("cluster").cast("int"), col("codes"), col("norm"))

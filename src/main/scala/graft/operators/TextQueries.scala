@@ -150,6 +150,36 @@ object TextQueries {
       .orderBy(col("n").desc, col("token"))
       .limit(20)
 
+  /** t07's Misra-Gries counter budget. */
+  val T07bSketchK = 50
+
+  /** t07b: top tokens via the MISRA-GRIES sketch (FreqSketch) — the
+    * BOUNDED-MEMORY form of t07 for the 100 TB regime where the
+    * vocabulary itself doesn't fit a hash aggregate: the typed
+    * partial buffer holds ≤ k−1 counters per partition and the
+    * exchange carries O(k) entries total, vs t07's
+    * one-counter-per-distinct-token shuffle. Guarantees (standard
+    * MG, preserved by the mergeable-summaries merge rule): every
+    * token with true frequency > n/k is present; reported counts
+    * under-estimate by ≤ n/k. On THIS corpus |vocab| = 31 < k = 50,
+    * so the buffer never evicts and the sketch degrades gracefully
+    * to EXACT — which is why t07b shares t07's DuckDB oracle at
+    * every SF (hash-green); the LOSSY regime (vocab > k) is
+    * spec-pinned in AggregatorSpec with a planted heavy-hitter
+    * stream. */
+  def t07bTopTokensSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .as[String]
+      .select(new graft.functions.FreqSketch(T07bSketchK).toColumn.name("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t._1").as("token"), col("t._2").as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+  }
+
   /** t08: within-document REPETITION signals — the Gopher-style
     * quality filters (Rae et al. 2021 §A1.1: duplicate-token and
     * top-n-gram fractions; this corpus has no newlines, so the
@@ -735,6 +765,7 @@ object TextQueries {
     "t05_parse_bullets" -> (t05ParseBullets _),
     "t06_quality_filter" -> (t06QualityFilter _),
     "t07_top_tokens" -> (t07TopTokens _),
+    "t07b_top_tokens_sketch" -> (t07bTopTokensSketch _),
     "t08_repetition" -> (t08Repetition _),
     "t09_decontaminate" -> (t09Decontaminate _),
     "t10_stratified_sample" -> (t10StratifiedSample _),
@@ -891,6 +922,13 @@ object TextQueries {
         |  items[1] AS first_item, items[-1] AS last_item
         |FROM b ORDER BY doc_id""".stripMargin,
     "t07_top_tokens" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token != ''
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    // t07b: |vocab| < k on every SF, so Misra-Gries never evicts and
+    // the sketch IS exact here — the lossy regime is spec-pinned
+    "t07b_top_tokens_sketch" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |WHERE token != ''

@@ -328,6 +328,24 @@ object VectorIndex {
       nProbe, rerank)
   }
 
+  /** FILTERED IVFADC probe — [[annIvfFiltered]]'s twin at the
+    * COMPRESSED rung, the form that holds at 10⁹+ vectors where even
+    * the probed cells' float vectors are too many bytes: the bounded
+    * candidate ids semi-join the partition-pruned CODE scan (M ints
+    * + one double per vector) before ADC scoring; the exact re-rank
+    * touches only the filtered pool. At nProbe == nCells and a pool
+    * covering the candidates the ranking equals the brute filtered
+    * cosine scan exactly (HippoDbSpec pins it). */
+  def annIvfPqFiltered(spark: SparkSession, dir: String, emb: DataFrame,
+      queryVec: Array[Double], k: Int, nProbe: Int,
+      candidates: DataFrame, rerank: Int = Pq.Rerank): DataFrame = {
+    val (cb, centroids) = loadIvfPqModels(spark, dir)
+    val enc = spark.read.parquet(s"$dir/ivfpq_codes")
+    IvfPq.adcCellTopK(spark, enc, cb, centroids,
+      emb.select(col("vec_id"), col("v")), queryVec, None, k,
+      nProbe, rerank, Some(candidates))
+  }
+
   /** Convenience by-ID form: the query vector comes from `emb` by
     * point lookup (one row), then the vector form serves. */
   def annIvfPq(spark: SparkSession, dir: String, emb: DataFrame,

@@ -823,6 +823,20 @@ object StreamOps {
       }
   }
 
+  // ------------------------------------------------------------ st19
+
+  /** st19: STREAMING BPE token counting — t25's per-doc (n_words,
+    * n_bpe) at ingest time under the frozen merge table: the token
+    * budget every training-data feed meters arrivals against (pair
+    * it with st09's curation and st17's novelty for the full ingest
+    * report). The whole merge-replace chain is ONE stateless
+    * codegen'd HOF projection via the SHARED Bpe.encode kernel —
+    * batch and stream are one function (the st09
+    * parity-by-construction pattern): no watermark, no state store,
+    * no shuffle; works unchanged under read and readStream. */
+  def bpeStream(docs: DataFrame): DataFrame =
+    graft.operators.Bpe.encode(docs, graft.operators.Bpe.T25Merges)
+
   /** Flush helper for specs/batch use: ALL sessions (incl. the
     * still-open last one per user), with the same start-time-derived
     * session ids the streaming form emits. */

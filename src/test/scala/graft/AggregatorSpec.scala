@@ -130,4 +130,31 @@ class AggregatorSpec extends SparkSpec {
       }
     }
   }
+
+  test("t07b sketch top-k == exact t07 when vocab < k; LOSSY regime keeps the hitters and the bound") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // exactness half: 31-word corpus vocab < k=50 -> MG never evicts,
+    // the entry must reproduce t07 row-for-row (the oracle-share claim)
+    val sk = graft.operators.TextQueries.t07bTopTokensSketch(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = graft.operators.TextQueries.t07TopTokens(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sk == exact, s"vocab<k must be exact: $sk vs $exact")
+    // lossy half: 200 distinct light tokens + 3 planted heavy hitters,
+    // k=16 counters — eviction happens, hitters survive, bound holds
+    val k = 16
+    val heavy = Seq.fill(300)("aaa") ++ Seq.fill(250)("bbb") ++ Seq.fill(200)("ccc")
+    val light = (0 until 200).flatMap(i => Seq.fill(2)(f"w$i%03d"))
+    val toks = spark.createDataset(new scala.util.Random(7).shuffle(heavy ++ light))
+      .repartition(7)
+    val n = heavy.size + light.size
+    val sketch = toks.select(new graft.functions.FreqSketch(k).toColumn).head().toMap
+    assert(sketch.size <= k - 1)
+    Seq("aaa" -> 300L, "bbb" -> 250L, "ccc" -> 200L).foreach { case (t, c) =>
+      assert(sketch.contains(t), s"heavy hitter $t evicted")
+      assert(sketch(t) <= c && c - sketch(t) <= n / k,
+        s"$t count ${sketch(t)} outside the n/k bound of $c")
+    }
+  }
 }

@@ -219,6 +219,29 @@ class DegenerateInputSpec extends SparkSpec {
     assert(DedupQueries.d17NearestDup(spark, dir).count() == 0)
   }
 
+  test("t24/t25 degenerate: empty corpus trains zero merges; wordless docs absent from encode") {
+    import graft.operators.Bpe
+    import spark.implicits._
+    // the mixed degenerate corpus still trains (words exist) and
+    // encode covers exactly the docs with >= 1 word
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val merges = Bpe.train(spark, docs, nMerges = 5)
+    assert(merges.nonEmpty && merges.size <= 5)
+    val enc = Bpe.t25BpeEncode(spark, dir).collect()
+    assert(enc.map(_.getLong(0)).toSet == Set(1L, 2L, 3L),
+      "the wordless doc must be absent (the oracle's WHERE w <> '' mirror)")
+    enc.foreach(r => assert(r.getLong(2) >= r.getLong(1)))
+    // an empty-text-only corpus: no words anywhere -> zero merges,
+    // zero encode rows, no crash in either direction
+    val etmp = java.nio.file.Files.createTempDirectory("degenBpe").toString
+    Seq((0L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$etmp/documents.parquet")
+    assert(Bpe.train(spark,
+      spark.read.parquet(s"$etmp/documents.parquet"), nMerges = 5).isEmpty)
+    assert(Bpe.t25BpeEncode(spark, etmp).count() == 0)
+  }
+
   test("q20/q23: an empty events table yields empty transitions, not a crash") {
     import spark.implicits._
     import graft.operators.AnalyticsQueries

@@ -231,6 +231,44 @@ class HippoDbSpec extends SparkSpec {
     assert(byVec == got)
   }
 
+  test("VectorIndex IVFADC filtered probe: all-probe full-pool == brute filtered cosine; empty candidates empty") {
+    import graft.functions.VectorFunctions._
+    import graft.operators.{IvfPq, VectorQueries}
+    import graft.store.VectorIndex
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ivfpq_filt").toString
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    VectorIndex.buildIvfPq(spark, e, dir)
+    val qv = e.filter(col("vec_id") === 0).select("v").head().getSeq[Double](0).toArray
+    val qCol = array(qv.toIndexedSeq.map(lit): _*)
+    val cand = e.select("vec_id").filter(col("vec_id") % 7 === 0 && col("vec_id") =!= 0)
+    // brute filtered: exact cosine over ONLY the candidate slice
+    val brute = e.join(cand, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), cosineNative6(col("v"), qCol).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // filtered IVFADC at all cells + a pool wider than the candidate
+    // slice: the approximate stage can drop nothing, so the exact
+    // re-rank must reproduce the brute filtered ranking exactly
+    val served = VectorIndex.annIvfPqFiltered(spark, dir, e, qv, k = 5,
+        nProbe = IvfPq.Cells, candidates = cand, rerank = 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served == brute, s"filtered IVFADC: $served vs brute $brute")
+    // the code scan stays partition-pruned at partial probe
+    val part = VectorIndex.annIvfPqFiltered(spark, dir, e, qv, k = 5,
+      nProbe = 2, candidates = cand)
+    val plan = part.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"filtered IVFADC must partition-prune:\n$plan")
+    // hybrid edge: no candidate at all -> empty, not a crash
+    assert(VectorIndex.annIvfPqFiltered(spark, dir, e, qv, k = 5,
+      nProbe = IvfPq.Cells, candidates = Seq.empty[Long].toDF("vec_id")).count() == 0)
+    // unfiltered path unchanged by the new parameter (regression pin)
+    val unf = VectorIndex.annIvfPq(spark, dir, e, qv, k = 5, nProbe = IvfPq.Cells)
+    assert(unf.count() == 5)
+  }
+
   test("VectorIndex IVFADC: build -> persist -> query == in-memory; probe prunes partitions; pool is top-k") {
     import graft.functions.VectorFunctions._
     import graft.operators.{IvfPq, Pq}

@@ -455,6 +455,29 @@ class StreamingSpec extends SparkSpec {
     assert(batchForm == Map(100L -> 3L))
   }
 
+  test("st19 streaming BPE token counting == batch t25 kernel; wordless docs absent on the stream too") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq :+ ((99999L, "")) // a wordless arrival
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs)
+    val q = StreamOps.bpeStream(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("st19_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("st19_out")
+    val batch = graft.operators.Bpe.encode(
+      docs.toDF("doc_id", "text"), graft.operators.Bpe.T25Merges)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      s"stream=${streamed.count()} batch=${batch.count()}")
+    // the wordless doc is absent (the t25/oracle contract), and the
+    // stream matches the t25 ENTRY on the real corpus slice
+    assert(streamed.filter(col("doc_id") === 99999L).count() == 0)
+    val entry = graft.operators.Bpe.t25BpeEncode(spark, sf0001)
+    assert(streamed.filter(col("doc_id") =!= 99999L).exceptAll(entry).isEmpty)
+  }
+
   test("st09 streaming curation == batch stateless subset, incl. NFC fold on the stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

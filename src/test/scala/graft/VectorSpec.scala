@@ -139,6 +139,30 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("annIvfFiltered: empty candidate set yields empty, disjoint candidates yield nothing extra") {
+    import graft.store.VectorIndex
+    val dir = java.nio.file.Files.createTempDirectory("ivf_filt_degen").toString
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    VectorIndex.buildIvf(spark, e, dir)
+    val qv = e.filter(col("vec_id") === 0).select("v").head().getSeq[Double](0).toArray
+    import spark.implicits._
+    // empty candidates -> empty result (the hybrid edge where no fact
+    // carries any probe entity), never a crash or a full scan result
+    val none = VectorIndex.annIvfFiltered(spark, dir, qv, k = 5,
+      nProbe = VectorQueries.IvfCells, Seq.empty[Long].toDF("vec_id"))
+    assert(none.count() == 0)
+    // candidates outside the corpus id space -> also empty
+    val ghost = VectorIndex.annIvfFiltered(spark, dir, qv, k = 5,
+      nProbe = VectorQueries.IvfCells, Seq(-1L, Long.MaxValue).toDF("vec_id"))
+    assert(ghost.count() == 0)
+    // a 1-candidate set returns exactly that vector
+    val one = VectorIndex.annIvfFiltered(spark, dir, qv, k = 5,
+        nProbe = VectorQueries.IvfCells, Seq(7L).toDF("vec_id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(one == Seq(7L))
+  }
+
   test("PQ ANN: full-pool re-rank == brute force; default pool keeps recall; codes bounded") {
     import graft.operators.Pq
     val e = Tables.embeddings(spark, sf0001)
