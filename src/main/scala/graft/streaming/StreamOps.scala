@@ -29,6 +29,30 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
+  /** st20: STREAMING WINDOWED CARDINALITY — approximate DISTINCT
+    * users per tumbling hour per event type, the "unique actors"
+    * signal next to st01's row counts: at 100 TB key cardinality an
+    * exact streaming distinct would hold every user id in state,
+    * while the HLL sketch keeps 2¹² ints per open window — the q22b
+    * swap, always-on. The sketch registers as a udaf
+    * (functions.udaf over the SAME HllSketch aggregator the batch
+    * q22b path and graft_hll SQL use), so it partial-aggregates
+    * map-side and merges in the streaming state store; being a
+    * deterministic function of the VALUE SET, the stream estimate
+    * equals the batch estimate on the same window EXACTLY (the spec
+    * asserts equality, no tolerance), regardless of arrival order or
+    * chunking. One function under read and readStream. */
+  def cardinalityStream(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val hll = udaf(new graft.functions.HllSketch(12))
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), hll(col("user_id")).as("approx_users"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n_events"), col("approx_users"))
+  }
+
   /** st14: SLIDING (hopping) window counts — q18's streaming form,
     * the continuous smoothing/alerting view (1h windows every 15min;
     * a boundary-straddling spike that tumbling st01 halves shows

@@ -39,6 +39,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("st20 streaming windowed HLL cardinality == batch sketch exactly; estimates near exact distinct") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventsBatch
+      .select(col("ts").cast("timestamp"), col("event_type"), col("user_id"))
+      .as[(Timestamp, String, Long)].collect().toSeq.sortBy(_._1.getTime)
+
+    val stream = MemoryStream[(Timestamp, String, Long)]
+    // two chunks: the sketch must MERGE across micro-batches in the
+    // state store, not just aggregate one batch
+    val (c1, c2) = rows.splitAt(rows.length / 2)
+    stream.addData(c1)
+    val sdf = stream.toDF().toDF("ts", "event_type", "user_id")
+    val q = StreamOps.cardinalityStream(sdf)
+      .writeStream.format("memory").queryName("st20_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(c2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("st20_out")
+    val batch = StreamOps.cardinalityStream(
+      eventsBatch.select(col("ts"), col("event_type"), col("user_id")))
+    // the sketch is a deterministic function of the value SET —
+    // stream == batch EXACTLY, no tolerance, any chunking
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream HLL estimate differs from batch on identical windows")
+    // and the estimate tracks the exact distinct count
+    val exact = eventsBatch
+      .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("user_id"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(countDistinct("user_id").as("exact_users"))
+      .select(col("w.start").as("hour"), col("event_type"), col("exact_users"))
+    val joined = streamed.join(exact, Seq("hour", "event_type")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (est, ex) = (r.getAs[Long]("approx_users"), r.getAs[Long]("exact_users"))
+      assert(math.abs(est - ex) <= math.max(1L, math.round(0.05 * ex)),
+        s"estimate $est too far from exact $ex at ${r.getAs[Any]("hour")}")
+    }
+  }
+
   test("st14 streaming sliding-window counts == batch q18 kernel on same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
