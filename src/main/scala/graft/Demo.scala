@@ -16,7 +16,8 @@ object Demo {
       nLoaded: Long, nCurated: Long,
       nFacts: Long, nEntities: Long, integrity: (Long, Long, Long),
       annFactIds: Seq[Long], bruteFactIds: Seq[Long],
-      hybridRows: Long, viewJson: String,
+      hybridRows: Long, hybridIndexedMatches: Boolean,
+      bpeTokens: Long, viewJson: String,
       passRate: Double, meanNovelty: Double,
       funnel: Map[String, Long], topTransition: (String, String, Long))
 
@@ -67,10 +68,23 @@ object Demo {
       .collect().map(_.getLong(0)).toSeq
     val bruteFactIds = api.closestFacts(db, query, k = 3)
       .collect().map(_.getLong(0)).toSeq
-    // ...and the hybrid entity-filtered form.
-    val hybridRows = api.closestFactsWithEntities(
+    // ...and the hybrid entity-filtered form, brute AND through the
+    // persisted index (r11: the storage.py filter-inside-the-index
+    // architecture — at all-probe the two must agree row-for-row).
+    val hybridBrute = api.closestFactsWithEntities(
       db, query, Seq(graft.operators.GraphQueries.ProbeEntity),
-      union = true, k = 5).count()
+      union = true, k = 5).collect().map(_.toSeq).toSeq
+    val hybridRows = hybridBrute.length.toLong
+    val hybridIndexedMatches = api.closestFactsWithEntitiesIndexed(
+      db, idxDir, query, Seq(graft.operators.GraphQueries.ProbeEntity),
+      union = true, k = 5, nProbe = nCells)
+      .collect().map(_.toSeq).toSeq == hybridBrute
+
+    // BUDGET: the token meter a training-data pipeline reads before
+    // shipping the curated slice (r11's trained-BPE encode).
+    val bpeTokens = graft.operators.Bpe
+      .encode(curated, graft.operators.Bpe.T25Merges)
+      .agg(sum(col("n_bpe"))).head().getLong(0)
 
     // VIEW: the hippoview payload over the same store.
     val view = new graft.api.GraftView(spark, api)
@@ -90,7 +104,8 @@ object Demo {
     val topTransition = (top.getString(0), top.getString(1), top.getLong(2))
 
     Story(nLoaded, nCurated, db.facts.count(), db.entities.count(),
-      db.integrity, annFactIds, bruteFactIds, hybridRows, viewJson,
+      db.integrity, annFactIds, bruteFactIds, hybridRows,
+      hybridIndexedMatches, bpeTokens, viewJson,
       passRate, meanNovelty, funnel, topTransition)
   }
 

@@ -26,8 +26,14 @@ class DemoSpec extends SparkSpec {
     assert(s.annFactIds.length == 3 && s.annFactIds == s.bruteFactIds,
       s"all-probe ANN must match brute: ${s.annFactIds} vs ${s.bruteFactIds}")
 
-    // hybrid retrieval bounded by k and nonempty
+    // hybrid retrieval bounded by k and nonempty; the indexed hybrid
+    // (all-probe) reproduced the brute rows exactly
     assert(s.hybridRows > 0 && s.hybridRows <= 5)
+    assert(s.hybridIndexedMatches,
+      "indexed hybrid must equal brute hybrid at all-probe in the user story")
+
+    // the token meter over the curated slice is a real positive count
+    assert(s.bpeTokens > 0)
 
     // the view payload is real JSON with the D3 contract's shape
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
