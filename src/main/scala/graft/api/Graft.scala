@@ -629,8 +629,18 @@ final class Graft(
 
   /** retrieval.py's loop body: top-k facts + an answer-context blob
     * (the RAG prompt the reference would send to an LLM). */
-  def retrieve(db: HippoDb, query: String, k: Int = 10): (DataFrame, String) = {
-    val top = closestFacts(db, query, k)
+  def retrieve(db: HippoDb, query: String, k: Int = 10,
+      indexDir: Option[String] = None,
+      nProbe: Int = VectorQueries.IvfProbe): (DataFrame, String) = {
+    // indexDir set = the serving configuration (r11): the RAG loop's
+    // vector lookup pays the partition-pruned probe instead of the
+    // full-corpus cosine scan; at nProbe == nCells the two are
+    // row-identical (closestFactsIndexed's pinned contract).
+    val top = indexDir match {
+      case Some(d) => closestFactsIndexed(db, d, query, k, nProbe)
+        .select("fact_id", "fact_text", "cos")
+      case None => closestFacts(db, query, k)
+    }
     val context = top.collect() // k rows only — bounded by k, not corpus
       .map(r => s"- ${r.getAs[String]("fact_text")}").mkString("\n")
     (top, s"Facts:\n$context\nQuestion: $query")
@@ -645,8 +655,14 @@ final class Graft(
     * question_prompt, the hippoview QA path): top-k retrieval, facts
     * enumerated so the model can cite them, then one LLM call.
     * Returns (facts, prompt, model answer). */
-  def answer(db: HippoDb, question: String, k: Int = 10): (DataFrame, String, String) = {
-    val top = closestFacts(db, question, k)
+  def answer(db: HippoDb, question: String, k: Int = 10,
+      indexDir: Option[String] = None,
+      nProbe: Int = VectorQueries.IvfProbe): (DataFrame, String, String) = {
+    val top = indexDir match {
+      case Some(d) => closestFactsIndexed(db, d, question, k, nProbe)
+        .select("fact_id", "fact_text", "cos")
+      case None => closestFacts(db, question, k)
+    }
     val numbered = top.collect() // k rows only — bounded by k, not corpus
       .zipWithIndex
       .map { case (r, i) => s"${i + 1}. ${r.getAs[String]("fact_text")}" }

@@ -18,6 +18,12 @@ import graft.sources.Tables
   * AND DuckDB), which is exactly the classic BPE merge convention
   * (Sennrich et al. 2016's re.sub). Pair COUNTS follow the classic
   * convention too: every adjacent pair counts, overlaps included.
+  * Known representation convention: merged symbols are plain
+  * concatenations, so two DIFFERENT merge paths to the same string
+  * (e.g. (a,bc) and (ab,c) both yielding "abc") would alias in later
+  * replace patterns — identical in both engines (the parity is what
+  * the oracle checks), where a symbol-tuple formulation would keep
+  * them distinct.
   *
   * Scale shape (train): the corpus is scanned ONCE into the
   * distinct-word frequency table (the standard BPE trick — training
@@ -141,11 +147,14 @@ object Bpe {
           lit(0L), (acc, x) => acc + x).as("n_bpe"))
   }
 
-  /** The t25 oracle: the same padded-symbol replace fold as SQL. */
+  /** The t25 oracle: the same padded-symbol replace fold as SQL.
+    * Symbols escape for the SQL string literal (corpus-trained
+    * merges could in principle contain quotes). */
   def t25OracleSql: String = {
+    def esc(s: String) = s.replace("'", "''")
     val folded = T25Merges.foldLeft(
       "' ' || array_to_string(string_split(w, ''), ' ') || ' '") {
-      case (s, (l, r)) => s"replace($s, ' $l $r ', ' $l$r ')"
+      case (s, (l, r)) => s"replace($s, ' ${esc(l)} ${esc(r)} ', ' ${esc(l + r)} ')"
     }
     s"""SELECT doc_id,
        |  CAST(count(*) AS BIGINT) AS n_words,

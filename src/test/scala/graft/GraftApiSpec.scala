@@ -285,6 +285,20 @@ class GraftApiSpec extends SparkSpec {
     assert(prompt.linesIterator.count(_.startsWith("- ")) == 3)
   }
 
+  test("retrieve/answer through the index: all-probe == brute prompt-for-prompt") {
+    val idx = java.nio.file.Files.createTempDirectory("api_rag_ivf").toString
+    api.buildFactIndex(db, idx, nCells = 8)
+    val (bruteTop, brutePrompt) = api.retrieve(db, "stream processing", k = 3)
+    val (idxTop, idxPrompt) = api.retrieve(db, "stream processing", k = 3,
+      indexDir = Some(idx), nProbe = 8)
+    assert(idxPrompt == brutePrompt, "RAG context must be identical at all-probe")
+    assert(idxTop.collect().map(_.toSeq).toSeq == bruteTop.collect().map(_.toSeq).toSeq)
+    val (_, bp, ba) = api.answer(db, "what joins windows", k = 3)
+    val (_, ip, ia) = api.answer(db, "what joins windows", k = 3,
+      indexDir = Some(idx), nProbe = 8)
+    assert(ip == bp && ia == ba, "answer loop must be identical at all-probe")
+  }
+
   test("reference test_storage.py hybrid scenario on a hand-built store") {
     import spark.implicits._
     import graft.functions.HashEmbedder
