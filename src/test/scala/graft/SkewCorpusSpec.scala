@@ -298,6 +298,50 @@ class SkewCorpusSpec extends SparkSpec {
       s"spread-seeded codebooks must not be worse: $dSpread vs $dFirst")
   }
 
+  test("AQE splits a planted hot-key sort-merge join (the skew doctrine's runtime backstop, no manual salting)") {
+    import spark.implicits._
+    // The engine's skew answers are structural: partial-aggregating
+    // shapes (TopKAgg, map-side combines), bounded-output caps
+    // (d10/q15/h17), broadcast for small sides. For a genuinely
+    // skewed SHUFFLE join, the remaining lever is AQE's
+    // OptimizeSkewedJoin — this pins that the lever actually fires
+    // on a planted 75%-hot-key join and that the split changes
+    // nothing about the answer (so no operator here needs manual
+    // salting, which would poison equi-join keys for Catalyst).
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1) // force SMJ
+      // test-scale thresholds: the 150k-row hot key must read as skew
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      val left = spark.range(200000).select(
+        when(col("id") < 150000, lit(0L)).otherwise(col("id") % 1000).as("k"),
+        concat(lit("payload_payload_payload_payload_"), col("id")).as("p"))
+      val right = spark.range(1000).select(col("id").as("k"))
+        .select(col("k"), concat(lit("dim_"), col("k")).as("d"))
+      val agg = left.join(right, "k").agg(sum(length(col("p"))), count(lit(1)))
+      val row = agg.collect().head
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin(skew=true)"),
+        s"AQE must mark the hot partition skewed:\n${plan.linesIterator.filter(_.contains("Join")).mkString("\n")}")
+      // the split is pure scheduling: the answer equals the
+      // broadcast-join (shuffle-free) computation exactly
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10485760)
+      val bRow = left.join(broadcast(right), "k")
+        .agg(sum(length(col("p"))), count(lit(1))).collect().head
+      assert(row == bRow, s"skew-split answer drifted: $row vs $bRow")
+      assert(row.getLong(1) == 200000L)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   // ---------------------------------------------------------------- d07/d09
 
   test("d07: one mega-cluster of 100 identical docs converges to one canonical") {
