@@ -69,6 +69,46 @@ class ZOrderSpec extends SparkSpec {
       s"arrival-order unexpectedly pruned ($lRows of $total) — test premise broken")
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact PARTITIONS at runtime, answers identical") {
+    // The layout lever beyond z-order: a fact table PARTITIONED BY a
+    // join column lets Catalyst inject dynamicpruningexpression into
+    // the scan's PartitionFilters — at 100 TB a selective dim filter
+    // then skips whole partition DIRECTORIES at runtime, no manual
+    // predicate needed. (DPP plans against file-scan dims; a
+    // LocalRelation dim is folded before the rule sees it — which is
+    // why this test writes the dim to parquet.)
+    val tmp = java.nio.file.Files.createTempDirectory("dpp_spec").toString
+    graft.sources.Tables.events(spark, sf0001)
+      .write.partitionBy("event_type").parquet(s"$tmp/ev")
+    import spark.implicits._
+    Seq(("view", 1), ("click", 0), ("purchase", 0), ("error", 0), ("signup", 0))
+      .toDF("etype", "keep").write.parquet(s"$tmp/dim")
+    val saved = spark.conf.getOption("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    try {
+      // test-scale tables carry no useful stats; the fallback ratio
+      // heuristic decides instead
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      val fact = spark.read.parquet(s"$tmp/ev")
+      val dim = spark.read.parquet(s"$tmp/dim")
+      val j = fact.join(dim.filter(col("keep") === 1),
+          col("event_type") === col("etype"))
+        .select("event_id", "event_type", "value")
+      val got = j.collect().map(_.toSeq).toSet
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruningexpression"),
+        s"DPP must reach the fact scan's PartitionFilters:\n${plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")}")
+      // pruning is pure scheduling: identical rows to the plain filter
+      val expect = graft.sources.Tables.events(spark, sf0001)
+        .filter(col("event_type") === "view")
+        .select("event_id", "event_type", "value")
+        .collect().map(_.toSeq).toSet
+      assert(got == expect && got.nonEmpty)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", v)
+      case None => spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    }
+  }
+
   test("events layout: zOrderEvents is a drop-in sf dir and a (ts, type) box prunes") {
     val ev = graft.sources.Tables.events(spark, sf001)
     val tmp = java.nio.file.Files.createTempDirectory("graft-zevents").toString
