@@ -69,6 +69,31 @@ class HippoDbSpec extends SparkSpec {
       // and the answer matches the unbucketed source
       val expected = db.edges.groupBy("entity").count().count()
       assert(agg.count() == expected)
+      // CO-LOCATED JOIN (r11): two tables bucketed on the same key
+      // and count join WITHOUT any exchange — the bucket layout IS
+      // the shuffle, paid once at write time. Broadcast disabled so
+      // the test-scale tables can't cheat the pin.
+      db.saveEdgesBucketed("edges_bucketed_b", nBuckets = 4)
+      val savedBjt = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+        val j = spark.table("edges_bucketed")
+          .join(spark.table("edges_bucketed_b"), "entity")
+          .groupBy("entity").agg(count(lit(1)).as("pairs"))
+        val jPlan = j.queryExecution.executedPlan.toString
+        assert(!jPlan.contains("Exchange"),
+          s"co-bucketed join still shuffles:\n$jPlan")
+        // fan-out arithmetic: pairs per entity == n(entity)^2
+        val n = db.edges.groupBy("entity").count()
+          .select(sum(col("count") * col("count"))).head().getLong(0)
+        assert(j.select(sum("pairs")).head().getLong(0) == n)
+      } finally {
+        savedBjt match {
+          case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+        spark.sql("DROP TABLE IF EXISTS edges_bucketed_b")
+      }
     } finally spark.sql("DROP TABLE IF EXISTS edges_bucketed")
   }
 
