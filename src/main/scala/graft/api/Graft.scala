@@ -369,6 +369,17 @@ final class Graft(
         VectorFunctions.toDouble(col("embedding")).as("v")),
       indexDir, nCells = nCells)
 
+  /** The COMPRESSED serving index (IVFADC) over the fact embeddings —
+    * the rung for stores whose probed cells' float vectors are
+    * themselves too many bytes (10⁹+ facts): residual PQ codes
+    * partitioned by coarse cell, ~M bytes/vector streamed per probe. */
+  def buildFactIndexPq(db: HippoDb, indexDir: String,
+      nCells: Int = graft.operators.IvfPq.Cells): Unit =
+    graft.store.VectorIndex.buildIvfPq(spark,
+      db.factEmb.select(col("fact_id").as("vec_id"),
+        VectorFunctions.toDouble(col("embedding")).as("v")),
+      indexDir, nCells = nCells)
+
   /** Top-k facts via the PERSISTED index — the serving-path twin of
     * [[closestFacts]]: the query embeds driver-side, probe cells are
     * chosen against the loaded centroids, and the only corpus read
@@ -620,6 +631,36 @@ final class Graft(
       graft.store.VectorIndex.annIvfFiltered(spark, indexDir,
           embedder.embed(query).map(_.toDouble), k, nProbe,
           filtered.withColumnRenamed("fact_id", "vec_id"))
+        .withColumnRenamed("vec_id", "fact_id")
+        .join(db.facts, "fact_id")
+        .select("fact_id", "fact_text", "cos")
+        .orderBy(col("cos").desc, col("fact_id"))
+    }
+  }
+
+  /** [[closestFactsWithEntitiesIndexed]] at the COMPRESSED rung: the
+    * vector half probes a [[buildFactIndexPq]] IVFADC artifact
+    * (VectorIndex.annIvfPqFiltered — candidate semi-join on the
+    * partition-pruned CODE scan, ~M bytes/vector, then the exact
+    * re-rank of the filtered pool only). The candidate relation and
+    * the small-k unranked fallback are byte-shared with the other
+    * two hybrid forms. At nProbe == nCells with a pool covering the
+    * candidates the ranking equals the brute hybrid exactly
+    * (GraftApiSpec pins it). */
+  def closestFactsWithEntitiesIndexedAdc(
+      db: HippoDb, indexDir: String, query: String, entities: Seq[String],
+      union: Boolean = true, k: Int = 5,
+      nProbe: Int = graft.operators.IvfPq.Probe,
+      rerank: Int = graft.operators.Pq.Rerank): DataFrame = {
+    val filtered = factsByEntities(db, entities, union).select("fact_id")
+    if (k > filtered.count()) {
+      hybridUnranked(db, filtered)
+    } else {
+      graft.store.VectorIndex.annIvfPqFiltered(spark, indexDir,
+          db.factEmb.select(col("fact_id").as("vec_id"),
+            toDouble(col("embedding")).as("v")),
+          embedder.embed(query).map(_.toDouble), k, nProbe,
+          filtered.withColumnRenamed("fact_id", "vec_id"), rerank)
         .withColumnRenamed("vec_id", "fact_id")
         .join(db.facts, "fact_id")
         .select("fact_id", "fact_text", "cos")

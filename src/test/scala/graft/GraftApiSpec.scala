@@ -187,6 +187,18 @@ class GraftApiSpec extends SparkSpec {
     val plan = part.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
       s"facade hybrid probe must partition-prune:\n$plan")
+    // the COMPRESSED rung (IVFADC codes): all-probe + a pool covering
+    // the candidate slice must ALSO equal the brute hybrid exactly —
+    // the exact re-rank erases the ADC approximation on the pool
+    val idxPq = java.nio.file.Files.createTempDirectory("api_hybrid_ivfpq").toString
+    api.buildFactIndexPq(db, idxPq, nCells = 8)
+    val nCand = api.factsByEntities(db, Seq("window"), union = true).count().toInt
+    val bruteH = api.closestFactsWithEntities(db, q, Seq("window"), union = true,
+      k = math.min(3, nCand)).collect().map(_.toSeq).toSeq
+    val adcH = api.closestFactsWithEntitiesIndexedAdc(db, idxPq, q, Seq("window"),
+        union = true, k = math.min(3, nCand), nProbe = 8, rerank = nCand + 8)
+      .collect().map(_.toSeq).toSeq
+    assert(adcH == bruteH, s"ADC hybrid all-probe: $adcH vs brute $bruteH")
   }
 
   test("indexed pool cuts: diverse and graph-ranked through the index == brute at all-probe; partial probe prunes") {
