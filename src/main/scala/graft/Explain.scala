@@ -32,6 +32,35 @@ object Explain {
       "v06_knn_agg" -> Seq("ObjectHashAggregate"),
       "q11_asof_join" -> Seq("Window"),
       "q05_semi_join" -> Seq("LeftSemi"),
+      // q04/q09: every window partitions on the HIGH-CARDINALITY key
+      // — an empty-spec window would serialize the corpus through
+      // ONE task (Exchange SinglePartition), the classic silent
+      // scale-killer
+      "q04_window_rank" -> Seq("Window", "!Exchange SinglePartition"),
+      "q09_events_sessionize" -> Seq("Window", "!Exchange SinglePartition"),
+      // q08: tumbling buckets are a plain keyed agg — no window
+      // machinery needed (time_bucket computes map-side)
+      "q08_events_tumbling" -> Seq("HashAggregate", "!Window"),
+      "q12_pivot" -> Seq("HashAggregate", "!Exchange SinglePartition"),
+      // q13b: the GK percentile sketch must PARTIAL-aggregate
+      // (TypedImperativeAggregate) — never a per-group row sort
+      "q13b_group_stats_approx" -> Seq("ObjectHashAggregate"),
+      "h04_facts_intersection" -> Seq("LeftSemi", "!CartesianProduct"),
+      // splitters/multimodal: codegen'd HOF + explode only — no
+      // join, no typed object pipeline in the hot path
+      "s02_split_paragraph" -> Seq("Generate", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
+      "m02_frame_sample" -> Seq("Generate", "!DeserializeToObject"),
+      "t01_lang_id" -> Seq("!HashAggregate", "!Generate", "!Exchange SinglePartition"),
+      // v02/d05 are the DOCUMENTED exact anchors: the all-pairs BNLJ
+      // IS their semantics (v08/d06 are the blocked scale paths) —
+      // pinned so a "fix" can't silently change what they anchor
+      "v02_knn_batch" -> Seq("BroadcastNestedLoopJoin"),
+      "d05_embed_neardup" -> Seq("BroadcastNestedLoopJoin"),
+      // v08: the scale path must NOT be the anchor's shape
+      "v08_knn_batch_ann" ->
+        Seq("ObjectHashAggregate", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
+      "v04b_hybrid_intersection_indexed" ->
+        Seq("PartitionFilters", "cluster", "LeftSemi"),
       // e01 must rank through the map-side-combining native TopKAgg
       // (no window sort of the full scored stream, no driver collect)
       "e01_knn_classify" -> Seq("ObjectHashAggregate"),
