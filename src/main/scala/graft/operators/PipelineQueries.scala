@@ -122,7 +122,12 @@ object PipelineQueries {
       .agg(round(avg(when(col("pass"), 1.0).otherwise(0.0)), 4).as("pass_rate"))
     val nov = QualityQueries.t22GramNovelty(spark, dir)
       .agg(round(avg(col("novelty")), 4).as("mean_novelty"))
-    base.crossJoin(pass).crossJoin(nov)
+    // the TOKEN BUDGET (r11): total BPE tokens under the frozen
+    // table via the SHARED t25 kernel — the number a training run
+    // is actually sized by, read off the same card
+    val bpe = graft.operators.Bpe.encode(docs, graft.operators.Bpe.T25Merges)
+      .agg(coalesce(sum(col("n_bpe")), lit(0L)).as("n_bpe_tokens"))
+    base.crossJoin(pass).crossJoin(nov).crossJoin(bpe)
       .withColumn("dup_rate",
         round(col("dup_docs").cast("double") / col("n_docs"), 4))
   }
@@ -153,11 +158,14 @@ object PipelineQueries {
            |  FROM (${QualityQueries.oracles("t21_gopher_quality")})),
            |nv AS (
            |  SELECT round(avg(novelty), 4) AS mean_novelty
-           |  FROM (${QualityQueries.oracles("t22_gram_novelty")}))
+           |  FROM (${QualityQueries.oracles("t22_gram_novelty")})),
+           |bpe AS (
+           |  SELECT COALESCE(CAST(sum(n_bpe) AS BIGINT), 0) AS n_bpe_tokens
+           |  FROM (${graft.operators.Bpe.t25OracleSql}))
            |SELECT n_docs, n_langs, n_sources, dup_docs, mean_tokens,
-           |  pass_rate, mean_novelty,
+           |  pass_rate, mean_novelty, n_bpe_tokens,
            |  round(dup_docs * 1.0 / n_docs, 4) AS dup_rate
-           |FROM base, pr, nv""".stripMargin,
+           |FROM base, pr, nv, bpe""".stripMargin,
       "p01_curation_pipeline" ->
         s"""WITH norm AS (
            |  SELECT doc_id, lang,

@@ -108,5 +108,18 @@ class PipelineSpec extends SparkSpec {
     assert(m("mean_novelty") == 0.75, m.toString)
     // pass_rate: every doc fails the 30-word band → 0.0
     assert(m("pass_rate") == 0.0)
+    // token budget: independent java.lang.String recompute of the
+    // t25 fold (String.replace is the same left-to-right non-overlap
+    // rule) over the planted texts
+    def bpeCount(text: String): Long = text.split(" ").filter(_.nonEmpty).map { w =>
+      var s = w.toCharArray.mkString(" ", " ", " ")
+      graft.operators.Bpe.T25Merges.foreach { case (l, r) =>
+        s = s.replace(s" $l $r ", s" $l$r ")
+      }
+      s.trim.split(" ").length.toLong
+    }.sum
+    val expectedBpe = Seq("the alpha beta gamma", "the alpha beta gamma",
+      "delta epsilon zeta", "one two three four five").map(bpeCount).sum
+    assert(m("n_bpe_tokens") == expectedBpe, s"${m("n_bpe_tokens")} vs $expectedBpe")
   }
 }
