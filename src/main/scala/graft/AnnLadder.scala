@@ -59,6 +59,49 @@ object AnnLadder {
     rungs.foreach { case (name, bytes, ids) =>
       println(f"[ladder] $name%-12s $bytes%-34s ${recall(ids)}%.2f")
     }
+
+    // FILTERED (hybrid) serving forms (r11): the same top-10 under a
+    // candidate predicate (vec_id % 3 == 0 standing in for the
+    // entity semi-join), through the three shapes a deployment
+    // chooses between — brute filtered scan, IVF-filtered probe,
+    // IVFADC-filtered code probe. Measured vs the exact filtered
+    // ranking; all-probe rows are printed as equality, default-probe
+    // as recall.
+    import graft.store.VectorIndex
+    import graft.functions.VectorFunctions.cosineNative6
+    val qv = e.filter(col("vec_id") === 0).select("v").head().getSeq[Double](0).toArray
+    val qCol = array(qv.toIndexedSeq.map(lit): _*)
+    val cand = e.select("vec_id").filter(col("vec_id") % 3 === 0 && col("vec_id") =!= 0)
+    val nCand = cand.count().toInt
+    val bruteF = e.join(cand, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), cosineNative6(col("v"), qCol).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    def recallF(ids: Seq[Long]): Double =
+      bruteF.toSet.intersect(ids.toSet).size.toDouble / bruteF.size
+    val ivfDir = java.nio.file.Files.createTempDirectory("ladder_ivf").toString
+    VectorIndex.buildIvf(spark, e, ivfDir)
+    val adcDir = java.nio.file.Files.createTempDirectory("ladder_adc").toString
+    VectorIndex.buildIvfPq(spark, e, adcDir)
+    val filteredRungs: Seq[(String, String, Seq[Long])] = Seq(
+      ("scan", s"${8 * dim} every vector (the v03/v04 shape)", bruteF),
+      ("IVF all-probe", s"${8 * dim} in probed cells & filter",
+        VectorIndex.annIvfFiltered(spark, ivfDir, qv, 10,
+          VectorQueries.IvfCells, cand).collect().map(_.getLong(0)).toSeq),
+      ("IVF probe=4", s"${8 * dim} in 4/16 cells & filter",
+        VectorIndex.annIvfFiltered(spark, ivfDir, qv, 10,
+          VectorQueries.IvfProbe, cand).collect().map(_.getLong(0)).toSeq),
+      ("ADC all-probe", s"${Pq.M} codes + 8 norm & filter, covering pool",
+        VectorIndex.annIvfPqFiltered(spark, adcDir, e, qv, 10,
+          IvfPq.Cells, cand, rerank = nCand).collect().map(_.getLong(0)).toSeq),
+      ("ADC probe=4", s"${Pq.M} codes + 8 norm in 4/16 cells & filter",
+        VectorIndex.annIvfPqFiltered(spark, adcDir, e, qv, 10,
+          IvfPq.Probe, cand).collect().map(_.getLong(0)).toSeq))
+    println(f"[ladder] filtered query: |candidates|=$nCand of $n")
+    filteredRungs.foreach { case (name, bytes, ids) =>
+      val eq = if (ids == bruteF) " (== exact)" else ""
+      println(f"[ladder] $name%-14s $bytes%-44s ${recallF(ids)}%.2f$eq")
+    }
     spark.stop()
   }
 }
