@@ -106,6 +106,10 @@ object Explain {
       // and only (doc_id, text) read
       "t25_bpe_encode" -> Seq("ReadSchema: struct<doc_id:bigint,text:string>",
         "!Generate", "!HashAggregate", "!BroadcastHashJoin", "!SortMergeJoin"),
+      // t26: per-source fractions broadcast back onto the scan — the
+      // corpus never shuffles for the mix decision
+      "t26_source_mixture" ->
+        Seq("BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"),
       // t11: the prefix sum runs as an RDD two-pass (scan of the
       // offset-adjusted partitions), final presentation sort only
       "t11_pack_sequences" -> Seq("MapPartitionsRDD", "rangepartitioning"),

@@ -723,6 +723,48 @@ object TextQueries {
 
   val WeightedSampleK = 50
 
+  /** t26 dial: the keep fraction of the LARGEST source (the anchor
+    * of the temperature-flattened mix). LITERAL (the v12 rule). */
+  val MixKeepMax = 0.5
+
+  /** t26: TEMPERATURE-FLATTENED SOURCE MIXTURE — the data-mixing
+    * primitive of LLM corpus assembly (GPT-3/LLaMA style: sample
+    * sources at n_s^α, α < 1, so the crawl whale stops drowning the
+    * small curated sources): per-source keep fraction
+    * f_s = min(1, MixKeepMax·sqrt(n_max/n_s)), which makes the
+    * expected kept count ∝ sqrt(n_s) — exactly the α = 0.5
+    * temperature shape — anchored at keeping [[MixKeepMax]] of the
+    * largest source. Membership is the t10/t20 md5 coin
+    * (u(doc_id) < f_s): deterministic, engine-reproducible, no
+    * stored state.
+    *
+    * Float-parity design: α is FIXED at 0.5 because sqrt is
+    * correctly rounded in IEEE (identical in both engines) where
+    * pow's libm rounding is not (the t20 lesson), and the anchor is
+    * max(n_s) — an exact integer — rather than a Σ n_s^α
+    * normalizer, so NO cross-source float summation exists anywhere
+    * (a float Σ would be summation-order-dependent and could flip a
+    * boundary doc). f_s is one division + one sqrt + one multiply:
+    * bit-identical cross-engine, so the kept SET is exact and the
+    * output carries no floats at all.
+    *
+    * Scale shape: one source-keyed count agg (tiny), the per-source
+    * fractions broadcast back, and membership is a scan-speed
+    * codegen'd predicate — no shuffle of the corpus. */
+  def t26SourceMixture(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val c = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val m = c.agg(max("n_s").as("mx"))
+    val f = c.crossJoin(broadcast(m))
+      .withColumn("f", least(lit(1.0),
+        lit(MixKeepMax) * sqrt(col("mx").cast("double") / col("n_s"))))
+      .select("source", "f")
+    d.join(broadcast(f), "source")
+      .filter(md5UniformCol < col("f"))
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
   /** t20: WEIGHTED sampling without replacement — top-[[WeightedSampleK]]
     * documents by the Efraimidis-Spirakis key u^(1/w) (A-ES,
     * Efraimidis & Spirakis 2006), weight w = n_chars: each document's
@@ -755,6 +797,7 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
     "t20_weighted_sample" -> (t20WeightedSample _),
+    "t26_source_mixture" -> (t26SourceMixture _),
     "t19_token_entropy" -> (t19TokenEntropy _),
     "t18_zipf_fit" -> (t18ZipfFit _),
     "t14_normalize" -> (t14Normalize _),
@@ -804,6 +847,19 @@ object TextQueries {
          |FROM documents WHERE n_chars > 0
          |ORDER BY ln($md5UniformSql) / n_chars DESC, doc_id
          |LIMIT $WeightedSampleK""".stripMargin,
+    // t26: the same md5 coin against the sqrt-flattened per-source
+    // fraction — sqrt is correctly rounded (identical both engines),
+    // the anchor is the exact integer max(n_s), no float summation
+    "t26_source_mixture" ->
+      s"""WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+         |m AS (SELECT max(n_s) AS mx FROM c),
+         |f AS (SELECT source,
+         |  LEAST(1.0, $MixKeepMax * sqrt(CAST(mx AS DOUBLE) / n_s)) AS f
+         |  FROM c, m)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN f ON d.source = f.source
+         |WHERE $md5UniformSql < f.f
+         |ORDER BY doc_id""".stripMargin,
     // t19: same tokenization (the t07 kernel), same H = ln(T) −
     // (Σ c·ln c)/T op order, same D ≤ 1 and token-less pins;
     // DuckDB's sum over BIGINT is HUGEINT → cast.

@@ -264,6 +264,45 @@ class CorpusStatsSpec extends SparkSpec {
     assert(!rows.exists(_._1 == 101L))
   }
 
+  // ---------------------------------------------------------------- t26
+
+  test("t26: temperature mixing keeps small sources whole, halves the whale, matches the independent coin exactly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("t26mix").toString
+    // planted skew: a 400-doc crawl whale + 16-doc and 4-doc curated
+    // sources. f = min(1, 0.5·sqrt(400/n_s)): whale 0.5, n=16 →
+    // 0.5·5 = 1, n=4 → 1 — the flattening in one corpus.
+    val docs = (0L until 400L).map(i => (i, s"w$i", "en", "crawl")) ++
+      (400L until 416L).map(i => (i, s"c$i", "en", "curated")) ++
+      (416L until 420L).map(i => (i, s"b$i", "en", "books"))
+    docs.map { case (i, t, l, s) => (i, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val kept = TextQueries.t26SourceMixture(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // small sources keep EVERY doc (f == 1)
+    assert(bySrc.getOrElse("curated", 0) == 16 && bySrc.getOrElse("books", 0) == 4, bySrc.toString)
+    // the whale's kept SET is exactly {u(doc_id) < 0.5} — independent
+    // MessageDigest recompute of the coin
+    def u(docId: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val h = hex.foldLeft(0L)((acc, c) => acc * 16 +
+        (if (c <= '9') c - '0' else c - 'a' + 10))
+      (h.toDouble + 0.5) / 4294967296.0
+    }
+    val expectWhale = (0L until 400L).filter(u(_) < 0.5).toSet
+    val gotWhale = kept.filter(_._2 == "crawl").map(_._1).toSet
+    assert(gotWhale == expectWhale,
+      s"whale membership drifted: ${gotWhale.size} vs ${expectWhale.size}")
+    // flattening is real: the whale's share of the MIX is well under
+    // its 95% share of the corpus
+    val whaleShare = gotWhale.size.toDouble / kept.length
+    assert(whaleShare < 0.95 && whaleShare > 0.5, whaleShare.toString)
+  }
+
   // ---------------------------------------------------------------- d14
 
   test("d14: containment flags the quoted-inside pair Jaccard misses; the df band caps boilerplate") {
