@@ -147,6 +147,28 @@ object Bpe {
           lit(0L), (acc, x) => acc + x).as("n_bpe"))
   }
 
+  /** Persist a trained merge table (the tokenizer ARTIFACT — the
+    * SketchIndex/VectorIndex build-once convention: train on a
+    * sample once per corpus version, every later encode job loads
+    * the table instead of retraining). Layout: `dir/bpe_merges`
+    * (rank, left, right) parquet + `dir/bpe.json` metadata echo. */
+  def save(spark: SparkSession, merges: Seq[(String, String)], dir: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/bpe_merges")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/bpe.json"),
+      s"""{"format": "graft-bpe-v1", "n_merges": ${merges.size}}""")
+  }
+
+  /** The merge table back in rank order (a few hundred rows — the
+    * driver-side model, like a PQ codebook). */
+  def load(spark: SparkSession, dir: String): Seq[(String, String)] =
+    spark.read.parquet(s"$dir/bpe_merges")
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
   /** The t25 oracle: the same padded-symbol replace fold as SQL.
     * Symbols escape for the SQL string literal (corpus-trained
     * merges could in principle contain quotes). */

@@ -49,6 +49,20 @@ class BpeSpec extends SparkSpec {
       s"re-freeze T25Merges: trainer now produces $trained")
   }
 
+  test("merge-table artifact: save -> load round-trips and encodes identically to in-memory") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe_artifact").toString
+    val trained = Bpe.train(spark, docsOf("aaab aaab aaab aab aab"), nMerges = 10)
+    Bpe.save(spark, trained, dir)
+    val loaded = Bpe.load(spark, dir)
+    assert(loaded == trained, s"round trip: $loaded vs $trained")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/bpe.json")).contains("graft-bpe-v1"))
+    val docs = docsOf("aaab aab ab ba aaa")
+    val viaLoaded = Bpe.encode(docs, loaded).collect().map(_.toSeq).toSeq
+    val viaTrained = Bpe.encode(docs, trained).collect().map(_.toSeq).toSeq
+    assert(viaLoaded == viaTrained)
+  }
+
   test("t25 output is positive, word-bounded, and ASCII-stable; astral words neither crash nor tear") {
     val rows = Bpe.t25BpeEncode(spark, sf0001).collect()
     assert(rows.nonEmpty)
