@@ -237,6 +237,22 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
+    // Gate-provenance automation (VERDICT r10 #6): emit the SURVEY §8
+    // gate sentence VERBATIM from the measured numbers, so the survey
+    // pastes this line instead of re-measuring (two rounds running the
+    // survey quoted a quieter builder-window run and drifted ~2% from
+    // the driver artifact). tools/gate_from_bench.py re-derives the
+    // same sentence from any BENCH_r*.json, so post-hoc provenance
+    // against the driver's own artifact is one command.
+    try {
+      val gate = f"""bench **$total%.1fs median-of-$repeats for ALL ${results.size} queries at ${new java.io.File(sfDir).getName}**"""
+      val gp = java.nio.file.Paths.get("target/gate_line.md")
+      Option(gp.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(gp, gate + "\n")
+      System.err.println(s"[bench] gate line: $gate")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write gate line: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
