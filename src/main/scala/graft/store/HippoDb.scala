@@ -176,18 +176,37 @@ object HippoDb {
     * intermediate state, including a crash between any two steps,
     * leaves a readable copy at either the live or the backup path
     * (works as-is on HDFS; object stores want a two-phase commit).
-    * Returns the verified row count. */
-  private def verifiedSwap(spark: SparkSession, path: String,
-      replacement: DataFrame, hadRows: Boolean): Long = {
+    *
+    * `expected` tightens the guard from "non-empty" to an EXACT
+    * read-back row count — the deletion cascade knows how many rows
+    * must remain (including zero: deleting every doc legitimately
+    * empties a component, which the hadRows guard alone would refuse).
+    * `partitionCols` preserves a partitioned layout (the IVF/IVFADC
+    * artifacts' inverted-list directories) across the rewrite — a
+    * flat rewrite would silently demote the probe's partition filter
+    * to a row filter. Returns the verified row count. */
+  private[store] def verifiedSwap(spark: SparkSession, path: String,
+      replacement: DataFrame, hadRows: Boolean,
+      expected: Option[Long] = None,
+      partitionCols: Seq[String] = Nil): Long = {
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val tmp = s"${path}_compact_tmp"
     val bak = s"${path}_compact_bak"
-    replacement.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val w = replacement.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp)
     val fs = p(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val n = spark.read.parquet(tmp).count()
-    if (hadRows && n == 0)
-      throw new java.io.IOException(
-        s"verifiedSwap: compacted output at $tmp is empty for a non-empty input — live dir untouched")
+    expected match {
+      case Some(e) =>
+        if (n != e)
+          throw new java.io.IOException(
+            s"verifiedSwap: output at $tmp has $n rows, expected $e — live dir untouched")
+      case None =>
+        if (hadRows && n == 0)
+          throw new java.io.IOException(
+            s"verifiedSwap: compacted output at $tmp is empty for a non-empty input — live dir untouched")
+    }
     // Hadoop FS ops signal failure via their RETURN VALUE — every
     // step below checks it and fails loudly, never half-swapped.
     if (fs.exists(p(bak)) && !fs.delete(p(bak), true))
@@ -213,6 +232,102 @@ object HippoDb {
       throw new java.io.IOException(
         s"verifiedSwap: swap succeeded but stale backup $bak was not deleted")
     n
+  }
+
+  /** What [[deleteDocuments]] removed, component by component — the
+    * audit record a takedown run files. */
+  final case class DeleteReport(
+      docsRequested: Long, factsDeleted: Long, edgesDeleted: Long,
+      sourcesDeleted: Long, embeddingsDeleted: Long,
+      entitiesPruned: Long, tombstonesAppended: Long)
+
+  /** TAKEDOWN / deletion-propagation cascade (GDPR erasure, DMCA,
+    * contaminated-source pulls) over the PERSISTED store: remove the
+    * given documents and everything derived from them —
+    * doc → facts → edges → sources → embeddings — then prune
+    * entities left with no edge (the storage.py:152-181
+    * _restore_integrity + _prune_lone_entities pair, applied to the
+    * parquet layout instead of in-memory lists). Every component
+    * rewrites through the crash-safe [[verifiedSwap]] with an EXACT
+    * expected-count guard (live-or-backup readable at every step;
+    * an emptied component is legal — deleting the last doc must not
+    * wedge the cascade).
+    *
+    * `indexDirs`: persisted vector-index artifacts (VectorIndex
+    * layouts) that serve these fact embeddings as vec_ids. The
+    * cascade cannot rewrite multi-GB index artifacts synchronously,
+    * so each named dir gets the victim fact ids APPENDED as
+    * TOMBSTONES — every VectorIndex serving path anti-joins the
+    * (broadcast-small) tombstone set until the next
+    * `VectorIndex.compactTombstones` rewrite reclaims the bytes.
+    *
+    * The victim fact-id set is staged to `dir/_delete_victims_tmp`
+    * and read back, so later cascade steps replay from a durable
+    * snapshot (not a cache that could silently re-plan against the
+    * already-swapped facts dir); the scratch dir is removed on
+    * success and aids forensics after a crash. `docIds` is a driver
+    * Seq: a takedown batch is a bounded legal/ops artifact (the
+    * 100 TB shape is a small broadcast literal list, not a join).
+    *
+    * Provenance caveat (documented, not silently wrong): source
+    * spans that annotateDedupedWithSources accumulated from a
+    * DELETED duplicate onto a SURVIVING fact carry no doc_id in the
+    * persisted sources schema, so they outlive their document; full
+    * span-level erasure needs doc provenance persisted in sources.
+    */
+  def deleteDocuments(spark: SparkSession, dir: String, docIds: Seq[Long],
+      indexDirs: Seq[String] = Nil): DeleteReport = {
+    require(docIds.nonEmpty, "deleteDocuments: empty docIds")
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val scratch = s"$dir/_delete_victims_tmp"
+    spark.read.parquet(s"$dir/facts")
+      .filter(col("doc_id").isin(docIds: _*)).select("fact_id")
+      .write.mode(SaveMode.Overwrite).parquet(scratch)
+    val victims = spark.read.parquet(scratch)
+    try {
+      val nVictims = victims.count()
+      // facts: drop the victim docs' rows.
+      val facts = spark.read.parquet(s"$dir/facts")
+      val totalF = facts.count()
+      verifiedSwap(spark, s"$dir/facts",
+        facts.filter(!col("doc_id").isin(docIds: _*)),
+        hadRows = totalF > 0, expected = Some(totalF - nVictims))
+      // fact_id-keyed components: anti-join the victim set. Each step
+      // fresh-reads its live dir AFTER any earlier swap, so no plan
+      // ever executes against a renamed-away directory.
+      def cascade(path: String): Long =
+        if (!fs.exists(p(path))) 0L
+        else {
+          val cur = spark.read.parquet(path)
+          val total = cur.count()
+          val del = cur.join(victims, Seq("fact_id"), "left_semi").count()
+          if (del > 0)
+            verifiedSwap(spark, path,
+              spark.read.parquet(path).join(victims, Seq("fact_id"), "left_anti"),
+              hadRows = total > 0, expected = Some(total - del))
+          del
+        }
+      val nEdges = cascade(s"$dir/edges")
+      val nSources = cascade(s"$dir/sources")
+      val nEmb = cascade(s"$dir/fact_emb")
+      // entities: prune those left with no edge (_prune_lone_entities).
+      val ents = spark.read.parquet(s"$dir/entities")
+      val totalE = ents.count()
+      val keptE = ents.join(
+        spark.read.parquet(s"$dir/edges").select("entity").distinct(),
+        Seq("entity"), "left_semi")
+      val keptN = keptE.count()
+      if (keptN != totalE)
+        verifiedSwap(spark, s"$dir/entities", keptE,
+          hadRows = totalE > 0, expected = Some(keptN))
+      // persisted index artifacts: append serving tombstones.
+      val nTombs = indexDirs.map { ix =>
+        VectorIndex.tombstone(spark, ix, victims.select(col("fact_id").as("vec_id")))
+      }.sum
+      DeleteReport(docIds.distinct.size.toLong, nVictims, nEdges, nSources,
+        nEmb, totalE - keptN, nTombs)
+    } finally fs.delete(p(scratch), true)
   }
 
   def load(spark: SparkSession, dir: String): HippoDb = {

@@ -33,6 +33,83 @@ import graft.operators.{Bq, IvfPq, KMeans, Pq, Sq, VectorQueries}
   */
 object VectorIndex {
 
+  // ----------------------------------------------------- tombstones
+
+  /** Append serving TOMBSTONES — vec_ids every query path must stop
+    * returning NOW (deletion propagation: HippoDb.deleteDocuments'
+    * takedown cascade reaches the persisted artifacts through this).
+    * Rewriting a multi-TB artifact synchronously per takedown batch
+    * would be write amplification; a tombstone append is O(batch)
+    * and the serving-side anti-join costs one broadcast of the
+    * (bounded: deletions since the last compaction) id set. The
+    * bytes reclaim at the next [[compactTombstones]] rewrite — the
+    * same delete-vector / merge-on-read split Delta and Iceberg use.
+    * Returns the ids appended. */
+  def tombstone(spark: SparkSession, dir: String, vecIds: DataFrame): Long = {
+    val ids = vecIds.select("vec_id").distinct()
+    val n = ids.count()
+    if (n > 0)
+      ids.write.mode(SaveMode.Append).parquet(s"$dir/tombstones")
+    n
+  }
+
+  private def tombstonesAt(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) Some(spark.read.parquet(s"$dir/tombstones")) else None
+  }
+
+  /** The tombstone filter every serving scan passes through: a
+    * broadcast anti-join against the (small) deleted-id set, or the
+    * scan unchanged when the index has no tombstones — the no-delete
+    * fast path stays zero-cost. */
+  private def minusTombstones(spark: SparkSession, dir: String,
+      scan: DataFrame): DataFrame =
+    tombstonesAt(spark, dir) match {
+      case Some(t) => scan.join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None => scan
+    }
+
+  /** COMPACTION: rewrite every artifact present under `dir` WITHOUT
+    * its tombstoned ids, then clear the tombstone set — the
+    * merge-on-read debt paid down on the maintenance cadence
+    * (HippoDb.compactFiles' slot). Each artifact rewrites through
+    * the crash-safe verifiedSwap with an exact expected count;
+    * partitioned layouts (ivf_vectors, ivfpq_codes) keep their
+    * partitionBy(cluster) directories, so probe-time partition
+    * pruning survives the rewrite. Returns rows removed per
+    * artifact. */
+  def compactTombstones(spark: SparkSession, dir: String): Map[String, Long] =
+    tombstonesAt(spark, dir) match {
+      case None => Map.empty
+      case Some(t) =>
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val artifacts = Seq(
+          "pq_codes" -> Nil, "sq_codes" -> Nil, "bq_sigs" -> Nil,
+          "ivf_vectors" -> Seq("cluster"), "ivfpq_codes" -> Seq("cluster"))
+        val removed = artifacts.flatMap { case (name, parts) =>
+          val path = s"$dir/$name"
+          if (!fs.exists(new org.apache.hadoop.fs.Path(path))) None
+          else {
+            val cur = spark.read.parquet(path)
+            val total = cur.count()
+            val del = cur.join(broadcast(t), Seq("vec_id"), "left_semi").count()
+            if (del > 0)
+              HippoDb.verifiedSwap(spark, path,
+                spark.read.parquet(path)
+                  .join(broadcast(t), Seq("vec_id"), "left_anti"),
+                hadRows = total > 0, expected = Some(total - del),
+                partitionCols = parts)
+            Some(name -> del)
+          }
+        }.toMap
+        if (!fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true))
+          throw new java.io.IOException(
+            s"compactTombstones: artifacts rewritten but $dir/tombstones was not cleared")
+        removed
+    }
+
   // ------------------------------------------------------------- PQ
 
   /** Train + encode once, persist the scoring artifacts. `e` must be
@@ -73,7 +150,7 @@ object VectorIndex {
   def annPq(spark: SparkSession, dir: String, emb: DataFrame,
       queryVecId: Long, k: Int, rerank: Int = Pq.Rerank): DataFrame = {
     val cb = loadPqCodebook(spark, dir)
-    val enc = spark.read.parquet(s"$dir/pq_codes")
+    val enc = minusTombstones(spark, dir, spark.read.parquet(s"$dir/pq_codes"))
     Pq.adcTopK(spark, enc, cb,
       emb.select(col("vec_id"), col("v")), queryVecId, k, rerank)
   }
@@ -113,7 +190,7 @@ object VectorIndex {
   def annSq(spark: SparkSession, dir: String, emb: DataFrame,
       queryVecId: Long, k: Int, rerank: Int = Sq.Rerank): DataFrame = {
     val (mins, maxs) = loadSqModel(spark, dir)
-    val enc = spark.read.parquet(s"$dir/sq_codes")
+    val enc = minusTombstones(spark, dir, spark.read.parquet(s"$dir/sq_codes"))
     Sq.sqTopK(spark, enc, mins, maxs,
       emb.select(col("vec_id"), col("v")), queryVecId, k, rerank)
   }
@@ -144,7 +221,7 @@ object VectorIndex {
     val rows = spark.read.parquet(s"$dir/bq_model").collect()
     val means = new Array[Double](rows.map(_.getInt(0)).max + 1)
     rows.foreach(r => means(r.getInt(0)) = r.getDouble(1))
-    val enc = spark.read.parquet(s"$dir/bq_sigs")
+    val enc = minusTombstones(spark, dir, spark.read.parquet(s"$dir/bq_sigs"))
     Bq.bqTopK(spark, enc, means,
       emb.select(col("vec_id"), col("v")), queryVecId, k, rerank)
   }
@@ -215,8 +292,9 @@ object VectorIndex {
   def probedScan(spark: SparkSession, dir: String,
       queryVec: Array[Double], nProbe: Int): DataFrame = {
     val centroids = loadIvfCentroids(spark, dir)
-    spark.read.parquet(s"$dir/ivf_vectors")
-      .filter(col("cluster").isin(nearestCells(centroids, queryVec, nProbe): _*))
+    minusTombstones(spark, dir,
+      spark.read.parquet(s"$dir/ivf_vectors")
+        .filter(col("cluster").isin(nearestCells(centroids, queryVec, nProbe): _*)))
   }
 
   /** FILTERED probe — hybrid retrieval's vector half through the
@@ -247,7 +325,9 @@ object VectorIndex {
     * side table) and call the vector form above. */
   def annIvf(spark: SparkSession, dir: String, queryVecId: Long, k: Int,
       nProbe: Int = VectorQueries.IvfProbe): DataFrame = {
-    val qv = spark.read.parquet(s"$dir/ivf_vectors")
+    // A tombstoned (deleted) query id must not resolve: the lookup
+    // goes through the same filter as every serving scan.
+    val qv = minusTombstones(spark, dir, spark.read.parquet(s"$dir/ivf_vectors"))
       .filter(col("vec_id") === queryVecId)
       .select("v").head().getSeq[Double](0).toArray
     annIvf(spark, dir, qv, k, nProbe, Some(queryVecId))
@@ -322,7 +402,7 @@ object VectorIndex {
       excludeVecId: Option[Long] = None,
       rerank: Int = Pq.Rerank): DataFrame = {
     val (cb, centroids) = loadIvfPqModels(spark, dir)
-    val enc = spark.read.parquet(s"$dir/ivfpq_codes")
+    val enc = minusTombstones(spark, dir, spark.read.parquet(s"$dir/ivfpq_codes"))
     IvfPq.adcCellTopK(spark, enc, cb, centroids,
       emb.select(col("vec_id"), col("v")), queryVec, excludeVecId, k,
       nProbe, rerank)
@@ -340,7 +420,7 @@ object VectorIndex {
       queryVec: Array[Double], k: Int, nProbe: Int,
       candidates: DataFrame, rerank: Int = Pq.Rerank): DataFrame = {
     val (cb, centroids) = loadIvfPqModels(spark, dir)
-    val enc = spark.read.parquet(s"$dir/ivfpq_codes")
+    val enc = minusTombstones(spark, dir, spark.read.parquet(s"$dir/ivfpq_codes"))
     IvfPq.adcCellTopK(spark, enc, cb, centroids,
       emb.select(col("vec_id"), col("v")), queryVec, None, k,
       nProbe, rerank, Some(candidates))

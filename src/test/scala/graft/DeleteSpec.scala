@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.api.Graft
+import graft.store.{HippoDb, VectorIndex}
+
+/** Deletion propagation (takedown / GDPR erasure): the
+  * HippoDb.deleteDocuments cascade over the persisted store, the
+  * serving tombstones on every VectorIndex query path, and the
+  * compaction rewrite that reclaims them (VERDICT r10 #1). */
+class DeleteSpec extends SparkSpec {
+
+  // ------------------------------------------------------ cascade
+
+  test("deleteDocuments cascades doc -> facts/edges/sources/embeddings and prunes lone entities, exactly") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("hippodel").toString
+    val facts = Seq(
+      (101L, 1L, 0, "alpha fact one", 0, 14),
+      (102L, 1L, 1, "beta fact two", 0, 13),
+      (103L, 2L, 0, "beta fact three", 0, 15))
+      .toDF("fact_id", "doc_id", "chunk_idx", "fact_text", "start", "end")
+    val edges = Seq((101L, "alpha"), (102L, "beta"), (103L, "beta"))
+      .toDF("fact_id", "entity")
+    val entities = Seq("alpha", "beta").toDF("entity")
+    val factEmb = Seq(
+      (101L, Array(1f, 0f)), (102L, Array(0f, 1f)), (103L, Array(1f, 1f)))
+      .toDF("fact_id", "embedding")
+    val sources = Seq(
+      (101L, "src-a"), (102L, "src-a"), (103L, "src-b"))
+      .toDF("fact_id", "name")
+    HippoDb(facts, edges, entities, factEmb, Some(sources)).save(tmp)
+
+    val r = HippoDb.deleteDocuments(spark, tmp, Seq(1L))
+    assert(r == HippoDb.DeleteReport(1L, 2L, 2L, 2L, 2L, 1L, 0L))
+
+    val back = HippoDb.load(spark, tmp)
+    assert(back.facts.select("doc_id").as[Long].collect().toSet == Set(2L))
+    assert(back.edges.select("fact_id").as[Long].collect().toSet == Set(103L))
+    assert(back.entities.select("entity").as[String].collect().toSet == Set("beta"))
+    assert(back.factEmb.select("fact_id").as[Long].collect().toSet == Set(103L))
+    assert(back.sources.get.select("fact_id").as[Long].collect().toSet == Set(103L))
+    val (nF, nE, missing) = back.integrity
+    assert(nF == 1 && nE == 1 && missing == 0)
+    // the victim scratch dir is cleaned up
+    assert(!new java.io.File(s"$tmp/_delete_victims_tmp").exists())
+
+    // deleting the LAST doc legitimately empties every component —
+    // the exact-count guard must allow it (the hadRows guard alone
+    // would refuse an empty rewrite).
+    val r2 = HippoDb.deleteDocuments(spark, tmp, Seq(2L))
+    assert(r2 == HippoDb.DeleteReport(1L, 1L, 1L, 1L, 1L, 1L, 0L))
+    val empty = HippoDb.load(spark, tmp)
+    assert(empty.facts.count() == 0 && empty.edges.count() == 0 &&
+      empty.entities.count() == 0 && empty.factEmb.count() == 0)
+  }
+
+  // ------------------------------------- tombstones on every path
+
+  /** Deterministic non-degenerate vectors; vec 7 is an exact copy of
+    * vec 3, so a by-id query for 3 must rank 7 first on EVERY rung
+    * (cos = 1) until 7 is tombstoned. */
+  private def plantedVectors = {
+    import spark.implicits._
+    (0L until 60L).map { id =>
+      val src = if (id == 7L) 3L else id
+      (id, Array.tabulate(8)(j => math.sin(src * 1.7 + j * 0.9) + 0.1))
+    }.toDF("vec_id", "v")
+  }
+
+  test("tombstoned ids vanish from every persisted serving path; compaction reclaims and clears") {
+    val tmp = Files.createTempDirectory("vecdel").toString
+    val e = plantedVectors.cache()
+    try {
+      VectorIndex.buildPq(spark, e, tmp)
+      VectorIndex.buildSq(spark, e, tmp)
+      VectorIndex.buildBq(spark, e, tmp)
+      VectorIndex.buildIvf(spark, e, tmp, nCells = 4)
+      VectorIndex.buildIvfPq(spark, e, tmp, nCells = 4)
+      val qv = e.filter(col("vec_id") === 3L).select("v")
+        .head().getSeq[Double](0).toArray
+      val cands = e.select("vec_id")
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select("vec_id").collect().map(_.getLong(0)).toSet
+      def allPaths(): Map[String, Set[Long]] = Map(
+        "pq" -> ids(VectorIndex.annPq(spark, tmp, e, 3L, 5, rerank = 60)),
+        "sq" -> ids(VectorIndex.annSq(spark, tmp, e, 3L, 5, rerank = 60)),
+        "bq" -> ids(VectorIndex.annBq(spark, tmp, e, 3L, 5, rerank = 60)),
+        "ivf" -> ids(VectorIndex.annIvf(spark, tmp, qv, 5, 4, Some(3L))),
+        "ivf_filtered" -> ids(VectorIndex.annIvfFiltered(spark, tmp, qv, 5, 4, cands)),
+        "ivfpq" -> ids(VectorIndex.annIvfPq(spark, tmp, e, qv, 5, 4, Some(3L), rerank = 60)),
+        "ivfpq_filtered" -> ids(VectorIndex.annIvfPqFiltered(spark, tmp, e, qv, 5, 4, cands, rerank = 60)))
+
+      // pre-delete: the exact copy ranks on every rung
+      allPaths().foreach { case (path, got) =>
+        assert(got.contains(7L), s"$path should return the exact copy pre-delete") }
+
+      import spark.implicits._
+      val n = VectorIndex.tombstone(spark, tmp, Seq(7L).toDF("vec_id"))
+      assert(n == 1L)
+      allPaths().foreach { case (path, got) =>
+        assert(!got.contains(7L), s"$path leaked a tombstoned id")
+        assert(got.size == 5, s"$path should still fill k from live vectors") }
+
+      val removed = VectorIndex.compactTombstones(spark, tmp)
+      assert(removed == Map("pq_codes" -> 1L, "sq_codes" -> 1L,
+        "bq_sigs" -> 1L, "ivf_vectors" -> 1L, "ivfpq_codes" -> 1L))
+      assert(!new java.io.File(s"$tmp/tombstones").exists())
+      // physically gone from every artifact
+      Seq("pq_codes", "sq_codes", "bq_sigs", "ivf_vectors", "ivfpq_codes")
+        .foreach { a =>
+          assert(spark.read.parquet(s"$tmp/$a")
+            .filter(col("vec_id") === 7L).count() == 0, s"$a still holds the id") }
+      // the inverted-list DIRECTORY layout survives the rewrite —
+      // a flat rewrite would demote probe-time partition pruning
+      Seq("ivf_vectors", "ivfpq_codes").foreach { a =>
+        assert(new java.io.File(s"$tmp/$a").listFiles()
+          .exists(_.getName.startsWith("cluster=")), s"$a lost its partition dirs") }
+      // and serving stays clean on the tombstone-free fast path
+      allPaths().foreach { case (path, got) =>
+        assert(!got.contains(7L), s"$path resurrected a compacted id") }
+      // re-compaction with no tombstones is a no-op
+      assert(VectorIndex.compactTombstones(spark, tmp).isEmpty)
+    } finally e.unpersist()
+  }
+
+  // ------------------------------------ end-to-end via the facade
+
+  test("planted-then-deleted fact is unfindable through the indexed retrieval facade") {
+    val tmp = Files.createTempDirectory("graftdel").toString
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "zanzibar quixotic verbosity paragraph about forbidden content"),
+      (2L, "ordinary paragraph discussing window aggregation strategies"),
+      (3L, "another ordinary paragraph about broadcast join planning"))
+      .toDF("doc_id", "text")
+    val api = new Graft(spark)
+    api.annotate(docs).save(tmp)
+    val db = HippoDb.load(spark, tmp)
+    api.buildFactIndex(db, tmp, nCells = 4)
+    // pre-delete: the planted fact is the top hit for its own words
+    val pre = api.closestFactsIndexed(db, tmp, "zanzibar quixotic verbosity", k = 10, nProbe = 4)
+      .collect()
+    assert(pre.exists(_.getAs[String]("fact_text").contains("zanzibar")))
+
+    val r = HippoDb.deleteDocuments(spark, tmp, Seq(1L), indexDirs = Seq(tmp))
+    assert(r.factsDeleted > 0 && r.tombstonesAppended == r.factsDeleted)
+
+    val db2 = HippoDb.load(spark, tmp)
+    val (nF, nE, missing) = db2.integrity
+    assert(nF == nE && missing == 0)
+    assert(db2.facts.filter(col("doc_id") === 1L).count() == 0)
+    // all-probe query over the deleted fact's own words returns nothing of it
+    val post = api.closestFactsIndexed(db2, tmp, "zanzibar quixotic verbosity", k = 10, nProbe = 4)
+      .collect()
+    assert(post.nonEmpty, "live facts should still serve")
+    assert(!post.exists(_.getAs[String]("fact_text").contains("zanzibar")))
+    // compaction: bytes reclaimed, serving unchanged
+    val removed = VectorIndex.compactTombstones(spark, tmp)
+    assert(removed("ivf_vectors") == r.factsDeleted)
+    val postCompact = api.closestFactsIndexed(db2, tmp, "zanzibar quixotic verbosity", k = 10, nProbe = 4)
+      .collect()
+    assert(postCompact.map(_.getAs[Long]("fact_id")).toSet ==
+      post.map(_.getAs[Long]("fact_id")).toSet)
+  }
+}
