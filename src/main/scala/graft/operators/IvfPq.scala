@@ -93,6 +93,49 @@ object IvfPq {
       .toDF("vec_id", "cluster", "codes", "norm")
   }
 
+  /** Per-cell QUANTIZATION-ERROR stats of residuals under frozen
+    * codebooks: (cluster, n, sum_err), err = ||r − r̂||² — the exact
+    * distance the encode argmin minimizes, so the stat measures what
+    * serving actually loses. One narrow typed map + a map-side-
+    * combining agg over nCells rows; run at BUILD (baseline) and
+    * APPEND (drift sample) time only — maintenance cost, never
+    * query cost. The drift story: appends encode against centroids
+    * trained on the ORIGINAL corpus, so a shifted arrival
+    * distribution grows this error (recall degrades gracefully —
+    * the exact re-rank still orders the pool truly, but the pool
+    * fills with mis-scored members); VectorIndex.driftReport
+    * compares append-time stats against the build baseline. */
+  private[graft] def codeErrorStats(spark: SparkSession, res: DataFrame,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    val m = cb.length
+    res.select(col("cluster"), col("v"))
+      .as[(Int, Array[Double])]
+      .map { case (cell, r) =>
+        val cbl = bc.value
+        val sl = r.length / m
+        var err = 0.0; var s = 0
+        while (s < m) {
+          val cents = cbl(s)
+          var best = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            val cc = cents(c)
+            var d = 0.0; var j = 0
+            while (j < sl) { val t = r(s * sl + j) - cc(j); d += t * t; j += 1 }
+            if (d < best) best = d
+            c += 1
+          }
+          err += best; s += 1
+        }
+        (cell, err)
+      }
+      .toDF("cluster", "err")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum("err").as("sum_err"))
+  }
+
   /** ADC scoring over an already-encoded (vec_id, cluster, codes,
     * norm) table — the query half shared by the in-memory annIvfPq
     * and the persisted index (graft.store.VectorIndex.annIvfPq), so

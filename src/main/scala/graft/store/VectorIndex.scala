@@ -377,6 +377,16 @@ object VectorIndex {
           .parquet(s"$dir/ivfpq_codes")
         writeCodebookRows(spark, cb, s"$dir/ivfpq_codebook")
         writeCentroidRows(spark, centroids, s"$dir/ivfpq_centroids")
+        // Drift baseline: per-cell quantization error of the TRAINING
+        // corpus under the just-trained models — what appendIvfPq's
+        // arrivals are compared against. A rebuild resets the drift
+        // clock: the append-side stats clear.
+        IvfPq.codeErrorStats(spark, res, cb)
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(s"$dir/ivfpq_err_build")
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/ivfpq_err_appends"), true)
         val dim = cb(0)(0).length * m
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$dir/ivfpq.json"),
@@ -456,14 +466,81 @@ object VectorIndex {
   def appendIvfPq(spark: SparkSession, dir: String, batch: DataFrame): Long = {
     val (cb, centroids) = loadIvfPqModels(spark, dir)
     val res = IvfPq.assignResiduals(spark,
-      batch.select(col("vec_id"), col("v")), centroids)
-    val enc = IvfPq.encodeResiduals(spark, res, cb).cache()
+      batch.select(col("vec_id"), col("v")), centroids).cache()
     try {
-      val n = enc.count()
-      if (n > 0)
-        enc.write.mode(SaveMode.Append).partitionBy("cluster")
-          .parquet(s"$dir/ivfpq_codes")
-      n
-    } finally enc.unpersist()
+      val enc = IvfPq.encodeResiduals(spark, res, cb).cache()
+      try {
+        val n = enc.count()
+        if (n > 0) {
+          enc.write.mode(SaveMode.Append).partitionBy("cluster")
+            .parquet(s"$dir/ivfpq_codes")
+          // Drift sample: the batch's per-cell quantization error
+          // under the FROZEN models accumulates beside the build
+          // baseline — driftReport compares the two.
+          IvfPq.codeErrorStats(spark, res, cb)
+            .coalesce(1).write.mode(SaveMode.Append)
+            .parquet(s"$dir/ivfpq_err_appends")
+        }
+        n
+      } finally enc.unpersist()
+    } finally res.unpersist()
   }
+
+  /** The REBUILD TRIGGER metric (VERDICT r10 #4): per-cell mean
+    * quantization error of everything APPENDED since the build vs
+    * the build-time baseline for that cell. appendIvfPq encodes
+    * against frozen models, so a drifting arrival distribution
+    * grows the appended error while the baseline stays put —
+    * `drift_ratio = mse_appended / mse_build` is the dial. Columns:
+    * (cluster, n_build, mse_build, n_appended, mse_appended,
+    * drift_ratio); cells with no appends carry nulls on the append
+    * side. Reads two tiny stats tables (nCells rows each) — never
+    * the codes. */
+  def driftReport(spark: SparkSession, dir: String): DataFrame = {
+    val build = spark.read.parquet(s"$dir/ivfpq_err_build")
+      .groupBy("cluster")
+      .agg(sum("n").as("n_build"), sum("sum_err").as("err_build"))
+    val fsPath = new org.apache.hadoop.fs.Path(s"$dir/ivfpq_err_appends")
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val appends =
+      if (fs.exists(fsPath))
+        spark.read.parquet(s"$dir/ivfpq_err_appends")
+          .groupBy("cluster")
+          .agg(sum("n").as("n_appended"), sum("sum_err").as("err_appended"))
+      else build.select(col("cluster"),
+        lit(null).cast("long").as("n_appended"),
+        lit(null).cast("double").as("err_appended")).limit(0)
+    build.join(appends, Seq("cluster"), "left_outer")
+      .select(col("cluster"), col("n_build"),
+        (col("err_build") / col("n_build")).as("mse_build"),
+        col("n_appended"),
+        (col("err_appended") / col("n_appended")).as("mse_appended"),
+        ((col("err_appended") / col("n_appended")) /
+          (col("err_build") / col("n_build"))).as("drift_ratio"))
+      .orderBy("cluster")
+  }
+
+  /** Rebuild convention: trigger when the APPENDED corpus's overall
+    * quantization error (size-weighted across cells) exceeds
+    * `threshold` × the build baseline's. 2.0 is the documented
+    * default — at 2× the codes carry half their built fidelity and
+    * the ADC pool starts admitting mis-scored members faster than
+    * rerank absorbs. Returns false while nothing has been appended. */
+  def needsRebuild(spark: SparkSession, dir: String,
+      threshold: Double = RebuildThreshold): Boolean = {
+    val r = driftReport(spark, dir)
+      .agg(sum(col("mse_build") * col("n_build")).as("eb"),
+        sum("n_build").as("nb"),
+        sum(col("mse_appended") * col("n_appended")).as("ea"),
+        sum("n_appended").as("na"))
+      .head()
+    if (r.isNullAt(2) || r.isNullAt(3) || r.getLong(3) == 0L) false
+    else {
+      val mseBuild = r.getDouble(0) / r.getLong(1)
+      val mseApp = r.getDouble(2) / r.getLong(3)
+      mseApp > threshold * mseBuild
+    }
+  }
+
+  val RebuildThreshold = 2.0
 }

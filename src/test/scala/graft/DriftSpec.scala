@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.store.VectorIndex
+
+/** IVFADC drift metric + rebuild trigger (VERDICT r10 #4): appends
+  * encode against frozen models, so a shifted arrival distribution
+  * must RAISE the measured quantization error, and a rebuild must
+  * restore both the metric and serving recall. */
+class DriftSpec extends SparkSpec {
+
+  /** Deterministic vectors around four well-separated centers in
+    * [0,4]^8; `offset` shifts the whole cloud (the drifted regime)
+    * and `amp` sets the per-vector variation — the drifted cloud
+    * gets a larger amp so cosine still separates neighbors after
+    * the shared offset dominates every coordinate. */
+  private def cloud(ids: Range, offset: Double, amp: Double = 0.3): DataFrame = {
+    import spark.implicits._
+    ids.map { id =>
+      val center = id % 4
+      (id.toLong, Array.tabulate(8)(j =>
+        center.toDouble + amp * math.sin(id * 2.3 + j * 1.1) + offset))
+    }.toDF("vec_id", "v")
+  }
+
+  private def brute(e: DataFrame, qv: Array[Double], k: Int): Set[Long] = {
+    import graft.functions.VectorFunctions._
+    val qCol = array(qv.toIndexedSeq.map(lit): _*)
+    e.select(col("vec_id"), cosineNative6(col("v"), qCol).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(k)
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  test("in-distribution appends stay under the rebuild threshold; drifted appends trip it; rebuild restores metric and recall") {
+    val tmp = Files.createTempDirectory("ivfdrift").toString
+    val base = cloud(0 until 200, 0.0).cache()
+    val inDist = cloud(200 until 240, 0.0).cache()
+    val drifted = cloud(240 until 280, 8.0).cache()
+    try {
+      VectorIndex.buildIvfPq(spark, base, tmp, nCells = 4)
+      // fresh build: no appends, nothing to trigger on
+      assert(!VectorIndex.needsRebuild(spark, tmp))
+      val fresh = VectorIndex.driftReport(spark, tmp).collect()
+      assert(fresh.nonEmpty && fresh.forall(_.isNullAt(3)))
+
+      // in-distribution appends: error comparable to the baseline
+      VectorIndex.appendIvfPq(spark, tmp, inDist)
+      assert(!VectorIndex.needsRebuild(spark, tmp),
+        "in-distribution appends must not trip the rebuild trigger")
+
+      // drifted appends: residuals explode against frozen centroids
+      VectorIndex.appendIvfPq(spark, tmp, drifted)
+      assert(VectorIndex.needsRebuild(spark, tmp),
+        "an 8-sigma shifted batch must trip the rebuild trigger")
+      val report = VectorIndex.driftReport(spark, tmp).collect()
+      val worst = report.filter(!_.isNullAt(5)).map(_.getDouble(5)).max
+      assert(worst > 10.0, s"drifted cells should show order-of-magnitude ratios, got $worst")
+
+      // recall in the drifted region, against brute-force truth,
+      // with a tight pool (rerank=1) so pool mis-scoring shows
+      val all = base.union(inDist).union(drifted).cache()
+      try {
+        val qv = drifted.filter(col("vec_id") === 250L)
+          .select("v").head().getSeq[Double](0).toArray
+        val truth = brute(all.filter(col("vec_id") =!= 250L), qv, 5)
+        def recall(rerank: Int): Double = {
+          val got = VectorIndex.annIvfPq(spark, tmp, all, qv, 5,
+            nProbe = 4, excludeVecId = Some(250L), rerank = rerank)
+            .collect().map(_.getLong(0)).toSet
+          (got & truth).size.toDouble / truth.size
+        }
+        // Garbage codes pre-rebuild: the drifted cell's ADC scores
+        // are noise, so a bounded pool almost never finds the true
+        // neighbors (measured 0.0 at rerank ≤ 4).
+        val before = recall(4)
+        assert(before <= 0.2, s"pre-rebuild recall $before should be poor — " +
+          "frozen-model codes of an 8-sigma shifted batch carry no signal")
+        // REBUILD over the full corpus: drift metric resets, append
+        // stats clear, recall in the drifted region restores
+        VectorIndex.buildIvfPq(spark, all, tmp, nCells = 8)
+        assert(!VectorIndex.needsRebuild(spark, tmp),
+          "rebuild must reset the drift clock")
+        assert(!new java.io.File(s"$tmp/ivfpq_err_appends").exists())
+        // Post-rebuild the drifted cloud has its own cells and small
+        // residuals; the remaining miss is cosine TIE compression (a
+        // tight cluster 8 offsets from the origin packs neighbors
+        // within ~1e-4 of cosine — below per-dim ADC precision), so
+        // the honest bar at this pool size is a strong CONTRAST, not
+        // 1.0 (measured 0.6 vs 0.0).
+        val after = recall(4)
+        assert(after >= 0.5, s"post-rebuild recall $after should recover")
+        assert(after >= before + 0.3,
+          s"rebuild should restore recall (before=$before after=$after)")
+      } finally all.unpersist()
+    } finally { base.unpersist(); inDist.unpersist(); drifted.unpersist() }
+  }
+}
