@@ -364,9 +364,11 @@ object StreamOps {
       dir: String,
       compactEvery: Int,
       targetBytes: Long = 128L << 20,
-      minSmallFiles: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
-    docsStream.writeStream
-      .outputMode(OutputMode.Append)
+      minSmallFiles: Int = 8,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docsStream.writeStream.outputMode(OutputMode.Append)
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) graft.store.HippoDb.append(api.annotate(batch), dir)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
@@ -387,6 +389,7 @@ object StreamOps {
         }
       }
       .start()
+  }
 
   /** st04: STREAMING exact dedup — the streaming form of d01 for an
     * always-on ingest pipeline: only the first occurrence of a text
