@@ -72,6 +72,11 @@ object Explain {
         Seq("bit_count", "qsig", "ObjectHashAggregate", "!CartesianProduct"),
       // d06/h08: candidate/probe joins, never a corpus-side broadcast
       "d06_embed_neardup_ann" -> Seq("HashAggregate"),
+      // t27: the semantic screen must block on the narrow LSH cell
+      // key (train cells ⋈ eval cells) — never train × eval on full
+      // vectors; the per-doc rollup partial-aggregates
+      "t27_semantic_decontaminate" ->
+        Seq("HashAggregate", "!BroadcastNestedLoopJoin", "!CartesianProduct"),
       "h08_neighbour_facts" -> Seq("BroadcastHashJoin", "sort_array"),
       "v07_ann_ivf" -> Seq("TakeOrderedAndProject"),
       // v03b: the entity filter must apply to the IVF artifact's

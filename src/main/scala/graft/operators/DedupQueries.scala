@@ -1177,9 +1177,73 @@ object DedupQueries {
       .orderBy("a", "b")
   }
 
+  /** t27: SEMANTIC eval-set decontamination — the EMBEDDING form of
+    * t09's verbatim screen (VERDICT r10 #3): n-gram collision checks
+    * (GPT-3/PaLM style) catch copy-paste leakage but are blind to
+    * PARAPHRASED benchmark items — same meaning, disjoint surface
+    * grams. The embedding space catches those: flag every training
+    * vector whose cosine to ANY eval vector reaches the d05/d06
+    * threshold. Candidates come from the d06 multi-table LSH cell
+    * blocking — train cells equi-join eval cells on the narrow
+    * packed key, never train × eval on full vectors — and verify
+    * with the exact cosine; the per-train-doc rollup
+    * (n_eval_matches, best_cos) is bounded by the train side even
+    * when one document paraphrases the whole eval suite. Eval slice
+    * = vec_id % 10 == 0 (the d13 history/batch convention so the
+    * entry self-contains); real pipelines pass their benchmark
+    * embeddings to [[semanticDecontaminate]] directly. *rows-only*
+    * (blocked recall < 1 by construction — the same reason d06 is
+    * rows-only; DecontaminateSpec pins a planted paraphrase with
+    * DISJOINT 3-grams that t09 misses and t27 catches, and blocked
+    * == exact on the planted corpus). */
+  def t27SemanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    semanticDecontaminate(spark,
+      e.filter(col("vec_id") % 10 =!= 0),
+      e.filter(col("vec_id") % 10 === 0))
+  }
+
+  /** The general form: `train`/`evalEmb` are (vec_id, v) relations
+    * (64-dim, the d06 plane model). The eval side is small relative
+    * to the corpus, so its cell table is left to AQE's runtime
+    * broadcast (the t09 convention); the candidate join carries only
+    * narrow (vec_id, cell) rows and payload vectors re-attach via
+    * the tiny candidate join (the d04/d06 re-attach). Multi-table
+    * collisions are NOT pre-distinct'd (the d06 lesson) — the
+    * rollup's countDistinct absorbs duplicates. */
+  def semanticDecontaminate(spark: SparkSession, train: DataFrame,
+      evalEmb: DataFrame, tau: Double = CosineThreshold): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val planes = VectorQueries.lshPlanes(AnnTables * AnnBits, 64, seed = 77L)
+    def prep(df: DataFrame) = df.select(col("vec_id"), col("v"))
+      .withColumn("nv", normNative(col("v")))
+    def cellsOf(df: DataFrame) = df.select(col("vec_id"),
+      explode(VectorQueries.cellStructs(planes, AnnTables, AnnBits)(col("v"))).as("cell"))
+    val tr = prep(train)
+    val ev = prep(evalEmb)
+    val cand = cellsOf(tr).select(col("vec_id"), col("cell"))
+      .join(cellsOf(ev).select(col("vec_id").as("eval_id"), col("cell")), "cell")
+      .select(col("vec_id"), col("eval_id"))
+    cand
+      .join(tr.select(col("vec_id"), col("v").as("vt"), col("nv").as("nt")), "vec_id")
+      .join(ev.select(col("vec_id").as("eval_id"), col("v").as("ve"), col("nv").as("ne")), "eval_id")
+      .select(col("vec_id"), col("eval_id"),
+        cosinePreRaw(col("vt"), col("ve"), col("nt"), col("ne")).as("rawcos"))
+      .filter(col("rawcos") >= tau - 1e-6)
+      .select(col("vec_id"), col("eval_id"), round(col("rawcos"), 6).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy("vec_id")
+      .agg(countDistinct(col("eval_id")).as("n_eval_matches"),
+        max(col("cos")).as("best_cos"))
+      .orderBy("vec_id")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "t27_semantic_decontaminate" -> (t27SemanticDecontaminate _),
     "d14_containment" -> (d14Containment _),
     "d16_source_overlap" -> (d16SourceOverlap _),
     "d01_exact_dedup" -> (d01ExactDedup _),
