@@ -155,6 +155,10 @@ object Explain {
       // the final presentation sort
       "t14_normalize" -> Seq("nfcnormalize",
         "ReadSchema: struct<doc_id:bigint,text:string>"),
+      // p03: the version diff's heavy legs are gram-keyed aggs and
+      // anti-joins (added/removed, novelty) — the only BNLJ-shaped
+      // joins are the benign 1-row report cross-joins
+      "p03_corpus_diff" -> Seq("HashAggregate", "LeftAnti"),
       // p01: the five curation stages fuse into ONE plan — the
       // native-NFC normalize projection, the digest-keyed dedup rank
       // window, the map-side-combining gram join and the anti-join

@@ -132,16 +132,136 @@ object PipelineQueries {
         round(col("dup_docs").cast("double") / col("n_docs"), 4))
   }
 
+  /** The two deterministic corpus versions p03's entry diffs (so the
+    * DuckDB oracle can restate the split): OLD = an earlier crawl
+    * missing the doc_id%7 stratum, NEW = the current crawl missing
+    * the doc_id%5 stratum — overlapping, with docs exclusive to EACH
+    * side, so both the added and the removed legs are non-trivial. */
+  private def oldVersion(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 7 =!= 0)
+  private def newVersion(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 5 =!= 0)
+
+  /** p03: the CORPUS DIFF — version-over-version governance
+    * (VERDICT r10 #7): two corpus versions in, ONE report row out —
+    * the review a data team does before promoting a new crawl:
+    * volume/diversity deltas (docs, langs, sources), added/removed
+    * doc counts, exact-dup-rate movement (d01's md5 rule via the p02
+    * formula), mean first-occurrence NOVELTY of the added docs
+    * against the old version's gram set (t23's incremental kernel —
+    * collapsing novelty ⇒ the new crawl repackages the old one), and
+    * the cross-version distinct-5-gram JACCARD (d16's overlap rule —
+    * how much raw text the versions actually share). Every number
+    * reuses the standalone operator's shared kernel; the card
+    * composes as 1-row aggregates cross-joined (the p02 convention —
+    * each side a benign single-row broadcast). Hash-green oracle
+    * (the full CTE restatement below mirrors t23's gram CTE and
+    * d16's gramSql rule). */
+  def p03CorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    corpusDiff(spark, oldVersion(docs), newVersion(docs))
+  }
+
+  /** The general two-version form — real pipelines diff two
+    * materialized corpus snapshots, not slices of one table; both
+    * inputs need (doc_id, text, lang, source). */
+  def corpusDiff(spark: SparkSession, old: DataFrame, nw: DataFrame): DataFrame = {
+    val added = nw.join(old.select("doc_id"), Seq("doc_id"), "left_anti")
+    def base(df: DataFrame, sfx: String) = df.agg(
+      count(lit(1)).as(s"n_docs_$sfx"),
+      countDistinct(col("lang")).as(s"n_langs_$sfx"),
+      countDistinct(col("source")).as(s"n_sources_$sfx"),
+      round((count(lit(1)) - countDistinct(md5(col("text"))))
+        .cast("double") / count(lit(1)), 4).as(s"dup_rate_$sfx"))
+    val deltas = added.agg(count(lit(1)).as("n_added"))
+      .crossJoin(old.join(nw.select("doc_id"), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_removed")))
+    // novelty of the ADDED docs vs the old version — t23's kernel
+    // (shared gramRows tokenization, per-doc round-then-avg)
+    val oldGrams = QualityQueries.gramRows(old).select("gram").distinct()
+    val addedGrams = QualityQueries.gramRows(added)
+    val fresh = addedGrams.join(oldGrams, Seq("gram"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_new"))
+    val nov = addedGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(fresh, Seq("doc_id"), "left")
+      .withColumn("novelty", round(
+        coalesce(col("n_new"), lit(0L)).cast("double") / col("n_grams"), 4))
+      .agg(round(avg(col("novelty")), 4).as("mean_novelty_added"))
+    // cross-version overlap — d16's distinct-5-gram Jaccard with
+    // |union| by inclusion-exclusion (the union never materializes)
+    val a5 = TextQueries.wordGramRows(old.select(col("text")),
+      DedupQueries.SourceGram, Seq.empty).select("gram").distinct()
+    val b5 = TextQueries.wordGramRows(nw.select(col("text")),
+      DedupQueries.SourceGram, Seq.empty).select("gram").distinct()
+    val jac = a5.agg(count(lit(1)).as("na"))
+      .crossJoin(b5.agg(count(lit(1)).as("nb")))
+      .crossJoin(a5.join(b5, "gram").agg(count(lit(1)).as("n_shared")))
+      .select(round(col("n_shared") /
+        (col("na") + col("nb") - col("n_shared")), 6).as("gram_jaccard"))
+    base(old, "old").crossJoin(base(nw, "new"))
+      .crossJoin(deltas).crossJoin(nov).crossJoin(jac)
+      .withColumn("dup_rate_delta",
+        round(col("dup_rate_new") - col("dup_rate_old"), 4))
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "p01_curation_pipeline" -> (p01CurationPipeline _),
-    "p02_corpus_report" -> (p02CorpusReport _))
+    "p02_corpus_report" -> (p02CorpusReport _),
+    "p03_corpus_diff" -> (p03CorpusDiff _))
 
   val oracles: Map[String, String] = {
     val g = TextQueries.ContamGram
     val stops = TextQueries.inList(TextQueries.stopwords)
+    val g5 = DedupQueries.SourceGram
     Map(
+      // p03: the same version split, t23's gram CTE for the added-doc
+      // novelty, d16's gramSql rule for the cross-version Jaccard;
+      // sums CAST to BIGINT (DuckDB HUGEINT trap), rates/means follow
+      // the p02 round conventions exactly.
+      "p03_corpus_diff" ->
+        s"""WITH old AS (SELECT * FROM documents WHERE doc_id % 7 != 0),
+           |nw AS (SELECT * FROM documents WHERE doc_id % 5 != 0),
+           |b_old AS (
+           |  SELECT count(*) AS n_docs_old, count(DISTINCT lang) AS n_langs_old,
+           |    count(DISTINCT source) AS n_sources_old,
+           |    round((count(*) - count(DISTINCT md5(text))) * 1.0 / count(*), 4) AS dup_rate_old
+           |  FROM old),
+           |b_new AS (
+           |  SELECT count(*) AS n_docs_new, count(DISTINCT lang) AS n_langs_new,
+           |    count(DISTINCT source) AS n_sources_new,
+           |    round((count(*) - count(DISTINCT md5(text))) * 1.0 / count(*), 4) AS dup_rate_new
+           |  FROM nw),
+           |delta AS (
+           |  SELECT CAST((SELECT count(*) FROM nw WHERE doc_id NOT IN (SELECT doc_id FROM old)) AS BIGINT) AS n_added,
+           |    CAST((SELECT count(*) FROM old WHERE doc_id NOT IN (SELECT doc_id FROM nw)) AS BIGINT) AS n_removed),
+           |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |grams AS (
+           |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+           |  FROM toks, unnest(range(1, len(w) - 1)) AS r(i)
+           |  WHERE len(w) >= 3),
+           |hist AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 7 != 0),
+           |addg AS (SELECT doc_id, gram FROM grams
+           |  WHERE doc_id % 7 = 0 AND doc_id % 5 != 0),
+           |novdoc AS (
+           |  SELECT doc_id, round(sum(CASE WHEN gram NOT IN (SELECT gram FROM hist)
+           |    THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS novelty
+           |  FROM addg GROUP BY doc_id),
+           |nov AS (SELECT round(avg(novelty), 4) AS mean_novelty_added FROM novdoc),
+           |a5 AS (SELECT DISTINCT gram FROM (
+           |  ${TextQueries.gramSql(g5, "old", "")})),
+           |b5 AS (SELECT DISTINCT gram FROM (
+           |  ${TextQueries.gramSql(g5, "nw", "")})),
+           |jac AS (
+           |  SELECT round((SELECT count(*) FROM a5 JOIN b5 USING (gram)) * 1.0 /
+           |    ((SELECT count(*) FROM a5) + (SELECT count(*) FROM b5)
+           |      - (SELECT count(*) FROM a5 JOIN b5 USING (gram))), 6) AS gram_jaccard)
+           |SELECT n_docs_old, n_langs_old, n_sources_old, dup_rate_old,
+           |  n_docs_new, n_langs_new, n_sources_new, dup_rate_new,
+           |  n_added, n_removed, mean_novelty_added, gram_jaccard,
+           |  round(dup_rate_new - dup_rate_old, 4) AS dup_rate_delta
+           |FROM b_old, b_new, delta, nov, jac""".stripMargin,
       // p02: base aggregates + the t21/t22 oracles wrapped as 1-row
       // sub-aggregates — the SAME SQL mirrors the standalone
       // operators use, so the card cannot drift from its parts.

@@ -122,4 +122,46 @@ class PipelineSpec extends SparkSpec {
       "delta epsilon zeta", "one two three four five").map(bpeCount).sum
     assert(m("n_bpe_tokens") == expectedBpe, s"${m("n_bpe_tokens")} vs $expectedBpe")
   }
+
+  test("p03: every diff number is exact on a planted two-version corpus") {
+    import spark.implicits._
+    // OLD: one exact-dup pair (docs 1/2) + one 5-word doc; NEW drops
+    // the dup copy (removed), keeps 1 and 3, adds a part-overlapping
+    // doc (4: one of three grams novel) and a fully fresh doc (5).
+    val old = Seq(
+      (1L, "alpha beta gamma delta", "en", "s1"),
+      (2L, "alpha beta gamma delta", "en", "s1"),
+      (3L, "epsilon zeta eta theta iota", "de", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val nw = Seq(
+      (1L, "alpha beta gamma delta", "en", "s1"),
+      (3L, "epsilon zeta eta theta iota", "de", "s2"),
+      (4L, "alpha beta gamma delta iota", "en", "s3"),
+      (5L, "kappa lambda mu nu", "fr", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = graft.operators.PipelineQueries.corpusDiff(spark, old, nw).head()
+    def g(n: String): Any = r.getAs[Any](n)
+    assert(g("n_docs_old") == 3L && g("n_docs_new") == 4L)
+    assert(g("n_added") == 2L && g("n_removed") == 1L)
+    assert(g("n_langs_old") == 2L && g("n_langs_new") == 3L)
+    assert(g("n_sources_old") == 2L && g("n_sources_new") == 3L)
+    assert(g("dup_rate_old") == 0.3333 && g("dup_rate_new") == 0.0)
+    assert(g("dup_rate_delta") == -0.3333)
+    // doc 4: grams {abg, bgd, gdi} — only "gamma delta iota" unseen
+    // in old → 0.3333; doc 5: both grams fresh → 1.0; mean 0.6667
+    assert(g("mean_novelty_added") == 0.6667, g("mean_novelty_added").toString)
+    // 5-grams: old {ezeti}, new {ezeti, abgdi} → J = 1/2
+    assert(g("gram_jaccard") == 0.5, g("gram_jaccard").toString)
+  }
+
+  test("p03 entry: the corpus slice form is the general form applied to the split") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val viaGeneral = graft.operators.PipelineQueries.corpusDiff(spark,
+        docs.filter(col("doc_id") % 7 =!= 0), docs.filter(col("doc_id") % 5 =!= 0))
+      .collect().map(_.toSeq).toSeq
+    val entry = graft.operators.PipelineQueries
+      .p03CorpusDiff(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(viaGeneral == entry)
+  }
 }
