@@ -22,7 +22,7 @@ object TextQueries {
     "es" -> Seq("part", "sort", "merge"),
     "zh" -> Seq("row", "join", "scan"))
 
-  private[operators] val stopwords = Seq("the", "a", "of", "to", "and")
+  private[graft] val stopwords = Seq("the", "a", "of", "to", "and")
 
   private[operators] def countIn(words: Seq[String]) = {
     val set = typedLit(words)
