@@ -85,7 +85,16 @@ object CoreQueries {
     orders(spark, dir)
       .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 4).as("total"))
+      // Sum in DECIMAL, not double: a double sum over ~10⁵ rows per
+      // group is summation-order dependent and diverged from the
+      // oracle in the 4th decimal at sf1.0 (both engines sum doubles
+      // in their own order — the disagreement GROWS with scale).
+      // Casting each price to DECIMAL(18,4) first makes the sum
+      // exact and order-free on both sides; the final double is
+      // exact too (totals ≪ 2^53/10^4).
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), 4)
+          .as("total"))
       .orderBy("o_orderpriority")
   }
 
@@ -508,7 +517,7 @@ object CoreQueries {
         |ORDER BY o_custkey, rk""".stripMargin,
     "q05_semi_join" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 4) AS total
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
         |FROM orders
         |WHERE o_orderkey IN (
         |  SELECT l_orderkey FROM lineitem WHERE l_extendedprice > 90000)

@@ -791,7 +791,11 @@ object TextQueries {
       .orderBy(col("raw").desc, col("doc_id"))
       .limit(WeightedSampleK)
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        round(col("raw"), 9).as("es_key"))
+        // + 0.0 normalizes the SIGN OF ZERO: a raw of -3e-15 rounds
+        // to 0.0 here (BigDecimal drops the sign) but to -0.0 in
+        // DuckDB — stringified "-0.0" != "0.0" broke the sf1.0
+        // compare; IEEE -0.0 + 0.0 = +0.0 on both engines.
+        (round(col("raw"), 9) + lit(0.0)).as("es_key"))
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -843,7 +847,7 @@ object TextQueries {
     // ln(u)/w ranking with doc_id ties, round-9 on emit only.
     "t20_weighted_sample" ->
       s"""SELECT doc_id, lang, n_chars,
-         |  round(ln($md5UniformSql) / n_chars, 9) AS es_key
+         |  round(ln($md5UniformSql) / n_chars, 9) + 0.0 AS es_key
          |FROM documents WHERE n_chars > 0
          |ORDER BY ln($md5UniformSql) / n_chars DESC, doc_id
          |LIMIT $WeightedSampleK""".stripMargin,
