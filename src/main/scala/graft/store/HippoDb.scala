@@ -276,7 +276,7 @@ object HippoDb {
     * span-level erasure needs doc provenance persisted in sources.
     */
   def deleteDocuments(spark: SparkSession, dir: String, docIds: Seq[Long],
-      indexDirs: Seq[String] = Nil): DeleteReport = {
+      indexDirs: Seq[String] = Nil, sketchDirs: Seq[String] = Nil): DeleteReport = {
     require(docIds.nonEmpty, "deleteDocuments: empty docIds")
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val fs = p(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -325,6 +325,10 @@ object HippoDb {
       val nTombs = indexDirs.map { ix =>
         VectorIndex.tombstone(spark, ix, victims.select(col("fact_id").as("vec_id")))
       }.sum
+      // doc-keyed sketch artifacts: rewrite without the victim DOCS
+      // (ghost-match removal; span_index rebuilds per version — see
+      // SketchIndex.deleteDocs).
+      sketchDirs.foreach(sd => SketchIndex.deleteDocs(spark, sd, docIds))
       DeleteReport(docIds.distinct.size.toLong, nVictims, nEdges, nSources,
         nEmb, totalE - keptN, nTombs)
     } finally fs.delete(p(scratch), true)

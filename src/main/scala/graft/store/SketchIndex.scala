@@ -236,6 +236,62 @@ object SketchIndex {
     } finally bSigs.unpersist()
   }
 
+  /** Deletion propagation for the DOC-KEYED sketch artifacts
+    * (HippoDb.deleteDocuments' takedown cascade reaches here): a
+    * deleted document left in cell_index/phash_index produces GHOST
+    * MATCHES — later ingest batches flag "duplicates of" content
+    * that was taken down. Both tables of each artifact rewrite
+    * FILTERED through the same atomic dir swap as their builders
+    * (the pair stays co-dependent: one id set filters both), with
+    * the builders' doc-set read-back check. Returns removed doc
+    * counts per artifact present.
+    *
+    * span_index is deliberately NOT here: span_hashes carries
+    * distinct 64-bit hashes with no doc key (a hash shared with a
+    * surviving doc must stay), and Bloom bits cannot unlearn — its
+    * takedown path is the per-version REBUILD it already has
+    * (buildSpanBloom over the surviving corpus). */
+  def deleteDocs(spark: SparkSession, dir: String, docIds: Seq[Long]): Map[String, Long] = {
+    import org.apache.spark.sql.functions._
+    require(docIds.nonEmpty, "deleteDocs: empty docIds")
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val artifacts = Seq(
+      "cell_index" -> Seq("cells", "shingles"),
+      "phash_index" -> Seq("cells", "sigs"))
+    artifacts.flatMap { case (name, tables) =>
+      val live = s"$dir/$name"
+      if (!fs.exists(p(live))) None
+      else {
+        val tmp = s"${live}_tmp"
+        val bak = s"${live}_bak"
+        if (fs.exists(p(tmp)) && !fs.delete(p(tmp), true))
+          throw new java.io.IOException(s"deleteDocs: could not clear stale tmp $tmp")
+        val before = spark.read.parquet(s"$live/${tables.head}")
+          .select("doc_id").distinct()
+        val removed = before.filter(col("doc_id").isin(docIds: _*)).count()
+        if (removed == 0) { Some(name -> 0L) }
+        else {
+          tables.foreach { t =>
+            spark.read.parquet(s"$live/$t")
+              .filter(!col("doc_id").isin(docIds: _*))
+              .write.mode(SaveMode.Overwrite).parquet(s"$tmp/$t")
+          }
+          val aDocs = spark.read.parquet(s"$tmp/${tables.head}").select("doc_id").distinct()
+          val bDocs = spark.read.parquet(s"$tmp/${tables(1)}").select("doc_id").distinct()
+          if (aDocs.count() != bDocs.count() || aDocs.except(bDocs).count() != 0)
+            throw new java.io.IOException(
+              s"deleteDocs: filtered $name tables at $tmp disagree on their doc set — live artifact untouched")
+          if (aDocs.filter(col("doc_id").isin(docIds: _*)).count() != 0)
+            throw new java.io.IOException(
+              s"deleteDocs: filtered $name at $tmp still holds deleted ids — live artifact untouched")
+          atomicDirSwap(fs, p(live), p(tmp), p(bak), s"deleteDocs($name)")
+          Some(name -> removed)
+        }
+      }
+    }.toMap
+  }
+
   /** Atomic live/backup directory swap shared by the index builders
     * (the HippoDb.verifiedSwap recipe at directory granularity):
     * `tmp` must already hold the complete, verified artifact; every

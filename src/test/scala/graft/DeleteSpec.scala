@@ -127,6 +127,53 @@ class DeleteSpec extends SparkSpec {
     } finally e.unpersist()
   }
 
+  // --------------------------- sketch artifacts: ghost matches
+
+  test("SketchIndex.deleteDocs removes ghost matches from the doc-keyed artifacts; span index rebuilds") {
+    import spark.implicits._
+    import graft.store.SketchIndex
+    val tmp = Files.createTempDirectory("sketchdel").toString
+    val rnd = new scala.util.Random(41)
+    def randText(k: Int) = (0 until k).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    def randWords(k: Int) = (0 until k).map(_ => randText(6)).mkString(" ")
+    // history: victim doc 7 + 19 others (word docs for minhash,
+    // long char runs double as phash payloads)
+    val victimText = randWords(80)
+    val hist = (0L until 20L).map(i =>
+      (i, if (i == 7L) victimText else randWords(80)))
+    SketchIndex.buildCellIndex(spark, hist.toDF("doc_id", "text"), tmp)
+    SketchIndex.buildPhashIndex(spark, hist.toDF("doc_id", "text"), tmp)
+    SketchIndex.buildSpanBloom(spark, hist.toDF("doc_id", "text"), tmp)
+    // an arriving batch that duplicates ONLY the victim
+    val batch = Seq((100L, victimText)).toDF("doc_id", "text")
+    assert(SketchIndex.checkBatchNeardup(spark, tmp, batch).count() == 1,
+      "pre-delete: the near-dup ghost should flag")
+    assert(SketchIndex.checkBatchPhash(spark, tmp, batch).count() == 1,
+      "pre-delete: the phash ghost should flag")
+    assert(SketchIndex.checkBatch(spark, tmp, batch).count() > 0,
+      "pre-delete: the span ghost should flag")
+
+    val removed = SketchIndex.deleteDocs(spark, tmp, Seq(7L))
+    assert(removed == Map("cell_index" -> 1L, "phash_index" -> 1L))
+    // ghost matches gone from both doc-keyed serving paths
+    assert(SketchIndex.checkBatchNeardup(spark, tmp, batch).count() == 0)
+    assert(SketchIndex.checkBatchPhash(spark, tmp, batch).count() == 0)
+    // and physically gone from every table of both artifacts
+    Seq("cell_index/cells", "cell_index/shingles",
+      "phash_index/cells", "phash_index/sigs").foreach { t =>
+      assert(spark.read.parquet(s"$tmp/$t")
+        .filter(col("doc_id") === 7L).count() == 0, s"$t still holds doc 7") }
+    // span_index: hash-only (no doc key, bloom can't unlearn) — the
+    // takedown path is the per-version REBUILD over survivors
+    SketchIndex.buildSpanBloom(spark,
+      hist.filter(_._1 != 7L).toDF("doc_id", "text"), tmp)
+    assert(SketchIndex.checkBatch(spark, tmp, batch).count() == 0,
+      "post-rebuild: the span ghost should be gone")
+    // deleting an id the artifacts never held is a no-op
+    assert(SketchIndex.deleteDocs(spark, tmp, Seq(999L)) ==
+      Map("cell_index" -> 0L, "phash_index" -> 0L))
+  }
+
   // ------------------------------------ end-to-end via the facade
 
   test("planted-then-deleted fact is unfindable through the indexed retrieval facade") {
