@@ -70,6 +70,12 @@ object Explain {
       // cartesian
       "e01b_knn_classify_ann" ->
         Seq("bit_count", "qsig", "ObjectHashAggregate", "!CartesianProduct"),
+      // e01c: the popcount pass must be CELL-BOUNDED — candidates
+      // come from the cluster equi-join (probes ⋈ signatures), with
+      // the TopKAgg pool partial-aggregating; no all-pairs shape
+      "e01c_knn_classify_ivfbq" ->
+        Seq("bit_count", "ObjectHashAggregate", "!CartesianProduct",
+          "!BroadcastNestedLoopJoin"),
       // d06/h08: candidate/probe joins, never a corpus-side broadcast
       "d06_embed_neardup_ann" -> Seq("HashAggregate"),
       // t27: the semantic screen must block on the narrow LSH cell

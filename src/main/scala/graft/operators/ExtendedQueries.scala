@@ -193,6 +193,105 @@ object ExtendedQueries {
     majorityVote(e, topNeighbours(scored, k = 5))
   }
 
+  /** e01c dials: target vectors per coarse cell (nCells = n / target
+    * — the cell count GROWS with the corpus, which is what turns the
+    * signature pass from quadratic to linear) and the FIXED number
+    * of probed cells per query. */
+  val E01cCellTarget = 250
+  val E01cProbe = 4
+
+  /** e01c: the COMPOSITION RUNG e01b's scaladoc names — coarse-cell
+    * pruning first, the BQ signature pass within probed cells. The
+    * sf1.0 gate measured why it exists: e01b's one-popcount-per-pair
+    * pass is linear in bytes but QUADRATIC in pairs (8.2× per-data
+    * cost at 10×). Here every vector belongs to one k-means cell
+    * (nCells ∝ n, so cells stay ~[[E01cCellTarget]] vectors), each
+    * query probes its [[E01cProbe]] nearest cells, and the popcount
+    * pass runs only inside probed cells: per-query work is
+    * nProbe × cellTarget = CONSTANT, total work linear in n. The
+    * pool/re-rank/vote tails are byte-shared with e01b/e01.
+    * Premise note — MEASURED, not assumed: cell pruning for kNN
+    * rests on neighbour CONCENTRATION in nearby coarse cells. On a
+    * clustered corpus (production embedding spaces; the planted
+    * spec) agreement with e01 is high; on THIS synthetic
+    * near-random stress corpus neighbours spread uniformly across
+    * cells and agreement is 0.646 at sf0.01 (spec-pinned band) —
+    * the same corpus property that capped v07's probe recall and
+    * killed the d06b/LSH-dial designs. The operator ships for the
+    * regime its premise holds in, with the stress number documented
+    * rather than hidden. Cell assignment cost is n × nCells
+    * distances — at 10⁹ vectors that wants the standard two-level
+    * coarse quantizer; documented, out of scope. *rows-only*
+    * (ScaleSwapSpec: clustered-corpus agreement ≥ 0.95,
+    * stress-corpus band, every-vector coverage). */
+  def e01cKnnClassifyIvfBq(spark: SparkSession, dir: String): DataFrame =
+    knnClassifyCellBlocked(spark,
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label")))
+
+  /** The general cell-blocked classifier over any (vec_id, v, label)
+    * relation — the spec drives it with a planted clustered corpus. */
+  private[graft] def knnClassifyCellBlocked(spark: SparkSession,
+      e0: DataFrame, nProbe: Int = E01cProbe): DataFrame = {
+    import spark.implicits._
+    val e = e0
+      .withColumn("nv", normNative(col("v")))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .cache()
+    try {
+      val n = e.count()
+      val nCells = math.max(8, (n / E01cCellTarget).toInt)
+      val (assigned, centroids, _) = graft.operators.KMeans.fit(
+        spark, e.select(col("vec_id"), col("v")), nCells, 2, trackInertia = false)
+      val means = Bq.train(spark, e)
+      val enc = Bq.encode(spark, e, means).join(assigned, "vec_id")
+      // per-query probe cells: one narrow typed map against the
+      // broadcast centroid model (the assignResiduals convention),
+      // keeping the E01cProbe nearest — n × nProbe narrow rows out.
+      val bc = spark.sparkContext.broadcast(centroids)
+      val probes = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+        .flatMap { case (id, v) =>
+          val cs = bc.value
+          val ds = new Array[(Double, Int)](cs.length)
+          var c = 0
+          while (c < cs.length) {
+            val cc = cs(c)
+            var d = 0.0; var j = 0
+            while (j < cc.length) { val t = v(j) - cc(j); d += t * t; j += 1 }
+            ds(c) = (d, c); c += 1
+          }
+          ds.sortBy(_._1).take(nProbe).map { case (_, cell) => (id, cell) }
+        }
+        .toDF("qid", "cluster")
+      // the signature pass, cell-bounded: each corpus vector sits in
+      // exactly ONE cell and probe cells are distinct, so candidate
+      // pairs are duplicate-free by construction — no distinct.
+      val pool = probes
+        .join(enc.select(col("vec_id").as("qid"), col("sig").as("qsig")), "qid")
+        .join(enc.select(col("cluster"), col("vec_id"), col("sig")), "cluster")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          bit_count(col("sig").bitwiseXOR(col("qsig"))).cast("double").as("ham"))
+        .groupBy("qid")
+        .agg(org.apache.spark.sql.graft.TopKAgg.topK(-col("ham"), col("vec_id"), E01bPool).as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.vec_id").as("vec_id"))
+      val scored = pool
+        .join(e.select(col("vec_id"), col("v"), col("nv")), "vec_id")
+        .join(e.select(col("vec_id").as("qid"), col("v").as("pqv"),
+          col("nv").as("pnq")), "qid")
+        .select(col("qid"),
+          cosinePreRaw(col("v"), col("pqv"), col("nv"), col("pnq")).as("rawcos"),
+          col("vec_id"))
+      val out = majorityVote(e, topNeighbours(scored, k = 5))
+      // materialize k rows driver-side so the corpus cache releases
+      // before returning (the v09 cache-release contract)
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(out.collect(): _*)),
+        out.schema)
+    } finally e.unpersist()
+  }
+
   /** Shared e01/e01b ranking tail: scored (qid, rawcos, vec_id) →
     * top-k neighbour pairs via the native TopKAgg (map-side partial
     * top-k; k+8 tie buffer so round-6 boundary ties re-rank exactly
@@ -322,7 +421,8 @@ object ExtendedQueries {
     "q13_group_stats" -> (q13GroupStats _),
     "q13b_group_stats_approx" -> (q13bGroupStatsApprox _),
     "e01_knn_classify" -> (e01KnnClassify _),
-    "e01b_knn_classify_ann" -> (e01bKnnClassifyAnn _))
+    "e01b_knn_classify_ann" -> (e01bKnnClassifyAnn _),
+    "e01c_knn_classify_ivfbq" -> (e01cKnnClassifyIvfBq _))
 
   val oracles: Map[String, String] = Map(
     // q15 oracle: the naive band self-join DuckDB executes as an

@@ -56,6 +56,47 @@ class ScaleSwapSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "d13 plans a BNLJ")
   }
 
+  test("e01c: cell-blocked classify is near-exact where its premise holds (clustered corpus)") {
+    import spark.implicits._
+    // 600 vectors in 6 well-separated clusters, label = cluster —
+    // on a corpus with real neighbour concentration (production
+    // embedding spaces) exact kNN predicts the cluster, and the
+    // cell-blocked form must agree.
+    val planted = (0 until 600).map { i =>
+      val c = i % 6
+      (i.toLong,
+        Array.tabulate(16)(j => 3.0 * c + 0.3 * math.sin(i * 2.3 + j * 1.1)),
+        c)
+    }.toDF("vec_id", "v", "label")
+    val got = ExtendedQueries.knnClassifyCellBlocked(spark, planted)
+      .select("vec_id", "true_label", "pred_label").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.length == 600, "every vector must get a prediction")
+    val acc = got.count { case (_, t, p) => t == p }.toDouble / got.length
+    info(s"e01c clustered-corpus accuracy = $acc")
+    assert(acc >= 0.95, s"clustered accuracy $acc < 0.95")
+  }
+
+  test("e01c: on the near-random stress corpus the premise-failure number is pinned, coverage total (sf0.01)") {
+    val exact = ExtendedQueries.e01KnnClassify(spark, sf001)
+      .select("vec_id", "pred_label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val blocked = ExtendedQueries.e01cKnnClassifyIvfBq(spark, sf001)
+      .select("vec_id", "pred_label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(exact.nonEmpty, "e01 returned no predictions")
+    assert(blocked.keySet == exact.keySet,
+      "e01c must predict for every vector e01 predicts for")
+    val agree = exact.count { case (id, p) => blocked(id) == p }.toDouble / exact.size
+    info(s"e01c stress-corpus agreement with e01 = $agree over ${exact.size} vectors")
+    // Near-random embeddings have NO neighbour concentration — the
+    // documented IVF-premise failure (measured 0.646; same corpus
+    // property that capped v07 probe recall). Pin that it stays
+    // well above label-chance without pretending it is an e01b.
+    assert(agree >= 0.55 && agree < 0.97,
+      s"agreement $agree outside the documented premise-failure band")
+  }
+
   test("e01b: ANN classify prediction agreement >= 0.97 with e01 (sf0.01)") {
     val exact = ExtendedQueries.e01KnnClassify(spark, sf001)
       .select("vec_id", "pred_label").collect()
