@@ -70,12 +70,12 @@ object Explain {
       // cartesian
       "e01b_knn_classify_ann" ->
         Seq("bit_count", "qsig", "ObjectHashAggregate", "!CartesianProduct"),
-      // e01c: the popcount pass must be CELL-BOUNDED — candidates
-      // come from the cluster equi-join (probes ⋈ signatures), with
-      // the TopKAgg pool partial-aggregating; no all-pairs shape
-      "e01c_knn_classify_ivfbq" ->
-        Seq("bit_count", "ObjectHashAggregate", "!CartesianProduct",
-          "!BroadcastNestedLoopJoin"),
+      // e01c: like v09/v10, the entry returns its rows MATERIALIZED
+      // driver-side (cache-release contract), so the audited outer
+      // plan is a local relation; the cell-bounded popcount shape
+      // (cluster equi-join, TopKAgg partials, no all-pairs join) is
+      // pinned by ScaleSwapSpec on the inner plan
+      "e01c_knn_classify_ivfbq" -> Seq("LocalTableScan"),
       // d06/h08: candidate/probe joins, never a corpus-side broadcast
       "d06_embed_neardup_ann" -> Seq("HashAggregate"),
       // t27: the semantic screen must block on the narrow LSH cell

@@ -230,15 +230,31 @@ object ExtendedQueries {
         .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label")))
 
   /** The general cell-blocked classifier over any (vec_id, v, label)
-    * relation — the spec drives it with a planted clustered corpus. */
+    * relation — the spec drives it with a planted clustered corpus.
+    * Materializes k rows driver-side (cache-release contract). */
   private[graft] def knnClassifyCellBlocked(spark: SparkSession,
       e0: DataFrame, nProbe: Int = E01cProbe): DataFrame = {
-    import spark.implicits._
     val e = e0
       .withColumn("nv", normNative(col("v")))
       .repartition(spark.sparkContext.defaultParallelism)
       .cache()
     try {
+      val out = cellBlockedLazy(spark, e, nProbe)
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(out.collect(): _*)),
+        out.schema)
+    } finally e.unpersist()
+  }
+
+  /** The LAZY cell-blocked plan over a prepped (vec_id, v, label,
+    * nv) relation — split out so ScaleSwapSpec can audit the
+    * physical shape (cell-bounded bit_count pass, TopKAgg partials,
+    * no all-pairs join) that the entry's driver-side
+    * materialization hides behind a LocalTableScan. */
+  private[graft] def cellBlockedLazy(spark: SparkSession,
+      e: DataFrame, nProbe: Int): DataFrame = {
+    import spark.implicits._
+    {
       val n = e.count()
       val nCells = math.max(8, (n / E01cCellTarget).toInt)
       val (assigned, centroids, _) = graft.operators.KMeans.fit(
@@ -283,13 +299,8 @@ object ExtendedQueries {
         .select(col("qid"),
           cosinePreRaw(col("v"), col("pqv"), col("nv"), col("pnq")).as("rawcos"),
           col("vec_id"))
-      val out = majorityVote(e, topNeighbours(scored, k = 5))
-      // materialize k rows driver-side so the corpus cache releases
-      // before returning (the v09 cache-release contract)
-      spark.createDataFrame(
-        new java.util.ArrayList(java.util.Arrays.asList(out.collect(): _*)),
-        out.schema)
-    } finally e.unpersist()
+      majorityVote(e, topNeighbours(scored, k = 5))
+    }
   }
 
   /** Shared e01/e01b ranking tail: scored (qid, rawcos, vec_id) →

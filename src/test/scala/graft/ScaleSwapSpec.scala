@@ -77,6 +77,22 @@ class ScaleSwapSpec extends SparkSpec {
     assert(acc >= 0.95, s"clustered accuracy $acc < 0.95")
   }
 
+  test("e01c: inner plan is cell-bounded — popcount via cluster equi-join, TopKAgg partials, no all-pairs join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.normNative
+    val planted = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 2.3 + j * 1.1)), i % 4)
+    }.toDF("vec_id", "v", "label")
+      .withColumn("nv", normNative(col("v")))
+    val plan = physicalPlan(
+      ExtendedQueries.cellBlockedLazy(spark, planted, nProbe = 4))
+    assert(plan.contains("bit_count"), "popcount scoring missing")
+    assert(plan.contains("ObjectHashAggregate"), "TopKAgg partials missing")
+    assert(!plan.contains("CartesianProduct"), "cartesian in the blocked path")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "BNLJ in the blocked path")
+  }
+
   test("e01c: on the near-random stress corpus the premise-failure number is pinned, coverage total (sf0.01)") {
     val exact = ExtendedQueries.e01KnnClassify(spark, sf001)
       .select("vec_id", "pred_label").collect()
