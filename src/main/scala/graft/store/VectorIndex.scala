@@ -520,6 +520,12 @@ object VectorIndex {
       .orderBy("cluster")
   }
 
+  /** Tombstone interplay: the drift stats are per-cell AGGREGATES,
+    * so compactTombstones cannot subtract a deleted vector's error
+    * contribution — after heavy deletion the report reads slightly
+    * stale until the next rebuild (which resets both sides). The
+    * trigger direction is conservative either way: stale deleted
+    * errors can only OVER-state drift, never hide it. */
   /** Rebuild convention: trigger when the APPENDED corpus's overall
     * quantization error (size-weighted across cells) exceeds
     * `threshold` × the build baseline's. 2.0 is the documented
