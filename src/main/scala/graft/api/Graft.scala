@@ -162,13 +162,19 @@ final class Graft(
 
   /** Like annotateDeduped, but also returns the SOURCES table with
     * the FULL storage.py:32-59 Source fields —
-    * (fact_id, name, description, url, date, start, end):
+    * (fact_id, doc_id, name, description, url, date, start, end):
     * every original fact — including the dropped duplicates —
     * contributes one source span, attached to its surviving fact
     * (storage.py:250 add_fact_source). Source fields mirror
     * Source.from_document (storage.py:46): name/url from the doc's
     * `source` column when present, description = the doc context,
-    * date = null (the reference also sets None). */
+    * date = null (the reference also sets None). `doc_id` is the
+    * ORIGINATING document of the span (the dropped duplicate's doc,
+    * not the survivor's) — the provenance column that lets
+    * HippoDb.deleteDocuments erase a deleted document's spans even
+    * when dedup accumulated them onto a surviving fact from another
+    * document (the reference keeps the same link as Source objects
+    * inside the doc-derived fact, storage.py:46-59). */
   def annotateDedupedWithSources(
       docs: DataFrame, chunkSize: Int = 100): (HippoDb, DataFrame) = {
     import spark.implicits._
@@ -214,8 +220,9 @@ final class Graft(
       .join(full.facts.select(col("fact_id").as("original_id"), col("doc_id"),
         col("context").as("description"), col("start"), col("end")), "original_id")
       .join(docMeta, "doc_id")
-      .select(col("survivor_id").as("fact_id"), col("name"), col("description"),
-        col("url"), lit(null).cast("timestamp").as("date"),
+      .select(col("survivor_id").as("fact_id"), col("doc_id"), col("name"),
+        col("description"), col("url"),
+        lit(null).cast("timestamp").as("date"),
         col("start"), col("end"))
     val db = HippoDb(
       facts = full.facts.join(kept, Seq("fact_id"), "left_semi"),

@@ -16,8 +16,12 @@ import graft.plans.HippoGraph
   *   edges/      (fact_id, entity)            — partitioned-by-entity ready
   *   entities/   (entity[, description])
   *   fact_emb/   (fact_id, embedding array<float>)  — the vector side
-  *   sources/    (fact_id, name, description, url, date, start, end)
-  *               — full storage.py:32-59 Source fields (optional)
+  *   sources/    (fact_id, doc_id, name, description, url, date,
+  *               start, end) — full storage.py:32-59 Source fields
+  *               plus doc provenance (optional); doc_id is the span's
+  *               ORIGINATING document, which deleteDocuments needs to
+  *               erase spans that dedup accumulated onto surviving
+  *               facts from other documents
   *   parameters.json                              — config echo
   *
   * At 100 TB: every component is parquet (splittable, column-pruned);
@@ -269,11 +273,14 @@ object HippoDb {
     * Seq: a takedown batch is a bounded legal/ops artifact (the
     * 100 TB shape is a small broadcast literal list, not a join).
     *
-    * Provenance caveat (documented, not silently wrong): source
-    * spans that annotateDedupedWithSources accumulated from a
-    * DELETED duplicate onto a SURVIVING fact carry no doc_id in the
-    * persisted sources schema, so they outlive their document; full
-    * span-level erasure needs doc provenance persisted in sources.
+    * Span-level erasure: sources rows delete by fact_id (the fact is
+    * gone) OR by doc_id (the span's originating document is a
+    * victim) — so a span that annotateDedupedWithSources accumulated
+    * from a deleted duplicate onto a SURVIVING fact is erased with
+    * its document. LEGACY stores whose sources predate the doc_id
+    * column fall back to the fact_id-only cascade; their accumulated
+    * spans outlive their document until a re-annotation (documented,
+    * not silently wrong).
     */
   def deleteDocuments(spark: SparkSession, dir: String, docIds: Seq[Long],
       indexDirs: Seq[String] = Nil, sketchDirs: Seq[String] = Nil): DeleteReport = {
@@ -309,7 +316,28 @@ object HippoDb {
           del
         }
       val nEdges = cascade(s"$dir/edges")
-      val nSources = cascade(s"$dir/sources")
+      // sources: victim rows are those whose FACT died OR whose span
+      // ORIGINATED in a victim doc (doc provenance; legacy schemas
+      // without doc_id keep the fact-keyed half only).
+      val nSources = {
+        val path = s"$dir/sources"
+        if (!fs.exists(p(path))) 0L
+        else {
+          def keepOf(df: DataFrame) = {
+            val byFact = df.join(victims, Seq("fact_id"), "left_anti")
+            if (df.columns.contains("doc_id"))
+              byFact.filter(!col("doc_id").isin(docIds: _*))
+            else byFact
+          }
+          val cur = spark.read.parquet(path)
+          val total = cur.count()
+          val keptN = keepOf(cur).count()
+          if (keptN != total)
+            verifiedSwap(spark, path, keepOf(spark.read.parquet(path)),
+              hadRows = total > 0, expected = Some(keptN))
+          total - keptN
+        }
+      }
       val nEmb = cascade(s"$dir/fact_emb")
       // entities: prune those left with no edge (_prune_lone_entities).
       val ents = spark.read.parquet(s"$dir/entities")

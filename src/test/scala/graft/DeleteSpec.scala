@@ -29,20 +29,28 @@ class DeleteSpec extends SparkSpec {
     val factEmb = Seq(
       (101L, Array(1f, 0f)), (102L, Array(0f, 1f)), (103L, Array(1f, 1f)))
       .toDF("fact_id", "embedding")
+    // the fourth source row is the ACCUMULATED-SPAN case: a span that
+    // dedup contributed FROM doc 1 onto the SURVIVING fact 103 (doc 2)
+    // — erasing doc 1 must erase it too (doc provenance), while fact
+    // 103's own doc-2 span survives.
     val sources = Seq(
-      (101L, "src-a"), (102L, "src-a"), (103L, "src-b"))
-      .toDF("fact_id", "name")
+      (101L, 1L, "src-a"), (102L, 1L, "src-a"),
+      (103L, 2L, "src-b"), (103L, 1L, "src-a"))
+      .toDF("fact_id", "doc_id", "name")
     HippoDb(facts, edges, entities, factEmb, Some(sources)).save(tmp)
 
     val r = HippoDb.deleteDocuments(spark, tmp, Seq(1L))
-    assert(r == HippoDb.DeleteReport(1L, 2L, 2L, 2L, 2L, 1L, 0L))
+    assert(r == HippoDb.DeleteReport(1L, 2L, 2L, 3L, 2L, 1L, 0L))
 
     val back = HippoDb.load(spark, tmp)
     assert(back.facts.select("doc_id").as[Long].collect().toSet == Set(2L))
     assert(back.edges.select("fact_id").as[Long].collect().toSet == Set(103L))
     assert(back.entities.select("entity").as[String].collect().toSet == Set("beta"))
     assert(back.factEmb.select("fact_id").as[Long].collect().toSet == Set(103L))
-    assert(back.sources.get.select("fact_id").as[Long].collect().toSet == Set(103L))
+    // only fact 103's OWN doc-2 span remains: the accumulated doc-1
+    // span on the surviving fact was erased by provenance
+    assert(back.sources.get.select("fact_id", "doc_id").as[(Long, Long)]
+      .collect().toSet == Set((103L, 2L)))
     val (nF, nE, missing) = back.integrity
     assert(nF == 1 && nE == 1 && missing == 0)
     // the victim scratch dir is cleaned up
@@ -56,6 +64,28 @@ class DeleteSpec extends SparkSpec {
     val empty = HippoDb.load(spark, tmp)
     assert(empty.facts.count() == 0 && empty.edges.count() == 0 &&
       empty.entities.count() == 0 && empty.factEmb.count() == 0)
+  }
+
+  test("legacy sources without doc_id still cascade by fact_id (documented fallback)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("hippodel-legacy").toString
+    val facts = Seq(
+      (101L, 1L, 0, "alpha fact one", 0, 14),
+      (103L, 2L, 0, "beta fact three", 0, 15))
+      .toDF("fact_id", "doc_id", "chunk_idx", "fact_text", "start", "end")
+    val edges = Seq((101L, "alpha"), (103L, "beta")).toDF("fact_id", "entity")
+    val entities = Seq("alpha", "beta").toDF("entity")
+    val factEmb = Seq((101L, Array(1f, 0f)), (103L, Array(1f, 1f)))
+      .toDF("fact_id", "embedding")
+    // pre-provenance schema: no doc_id column; the accumulated span
+    // (103 from doc 1) OUTLIVES its doc — the documented legacy limit
+    val legacySources = Seq((101L, "src-a"), (103L, "src-a"))
+      .toDF("fact_id", "name")
+    HippoDb(facts, edges, entities, factEmb, Some(legacySources)).save(tmp)
+    val r = HippoDb.deleteDocuments(spark, tmp, Seq(1L))
+    assert(r.sourcesDeleted == 1L) // fact-keyed only
+    assert(HippoDb.load(spark, tmp).sources.get
+      .select("fact_id").as[Long].collect().toSet == Set(103L))
   }
 
   // ------------------------------------- tombstones on every path

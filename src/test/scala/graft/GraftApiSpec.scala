@@ -106,6 +106,13 @@ class GraftApiSpec extends SparkSpec {
       .count() == 0)
     // at least one survivor carries more than one source (a dup was merged)
     assert(sources.groupBy("fact_id").count().filter(col("count") > 1).count() > 0)
+    // provenance: every span carries its ORIGINATING doc — the full
+    // original (doc_id, start, end) span set is reproduced exactly
+    // (survivor redirection changes fact_id, never the span fields)
+    assert(sources.select("doc_id", "start", "end").except(
+      db.facts.select("doc_id", "start", "end")).count() == 0)
+    assert(db.facts.select("doc_id", "start", "end").except(
+      sources.select("doc_id", "start", "end")).count() == 0)
   }
 
   test("facts carry context and confidence; entities carry description") {

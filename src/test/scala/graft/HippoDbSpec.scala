@@ -46,7 +46,7 @@ class HippoDbSpec extends SparkSpec {
     val (db, sources) = api.annotateDedupedWithSources(
       graft.sources.Tables.documents(spark, sf0001))
     assert(sources.columns.toSeq ==
-      Seq("fact_id", "name", "description", "url", "date", "start", "end"))
+      Seq("fact_id", "doc_id", "name", "description", "url", "date", "start", "end"))
     // params with JSON-hostile chars must survive (escaping, not raw interpolation)
     db.save(tmp, Map("note" -> "line1\nline\"2\"\\end"))
     val back = HippoDb.load(spark, tmp)
