@@ -102,6 +102,43 @@ object AnnLadder {
       val eq = if (ids == bruteF) " (== exact)" else ""
       println(f"[ladder] $name%-14s $bytes%-44s ${recallF(ids)}%.2f$eq")
     }
+
+    // TWO-LEVEL coarse quantizer (r12): the flat build's scale wall
+    // is the n × nCells assignment; fitTwoLevel pays k1 + k2 ≈
+    // 2√nCells per vector. Build wall-clock measured at growing
+    // nCells on the same corpus, with the quantization-error premium
+    // (two-level inertia / flat inertia) beside it — the trade a
+    // 10⁹-vector deployment is buying.
+    {
+      import graft.operators.KMeans
+      import spark.implicits._
+      def inertiaOf(assigned: org.apache.spark.sql.DataFrame,
+          cs: Array[Array[Double]]): Double = {
+        val bc = spark.sparkContext.broadcast(cs)
+        e.join(assigned, "vec_id").select(col("cluster").cast("int"), col("v"))
+          .as[(Int, Array[Double])]
+          .map { case (cell, v) =>
+            val c = bc.value(cell)
+            var d = 0.0; var j = 0
+            while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+            d
+          }.reduce(_ + _)
+      }
+      println(f"[ladder] two-level build: ${"nCells"}%-7s ${"flat s"}%-8s ${"two s"}%-8s ${"dist/vec flat"}%-14s ${"dist/vec two"}%-13s inertia ratio")
+      for (nCells <- Seq(64, 256)) {
+        val t0 = System.nanoTime()
+        val (fa, fc, _) = KMeans.fit(spark, e, nCells, 2, trackInertia = false)
+        fa.count()
+        val tFlat = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val (ta, tc, _) = KMeans.fitTwoLevel(spark, e, nCells, 2)
+        val tTwo = (System.nanoTime() - t1) / 1e9 // checkpointed: materialized
+        val k1 = math.max(2, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+        val k2 = math.max(1, math.ceil(nCells.toDouble / k1).toInt)
+        val ratio = inertiaOf(ta, tc) / inertiaOf(fa, fc)
+        println(f"[ladder] two-level build: $nCells%-7d $tFlat%-8.1f $tTwo%-8.1f ${nCells}%-14d ${k1 + k2}%-13d $ratio%.3f")
+      }
+    }
     spark.stop()
   }
 }

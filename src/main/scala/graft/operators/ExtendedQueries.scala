@@ -219,9 +219,12 @@ object ExtendedQueries {
     * the same corpus property that capped v07's probe recall and
     * killed the d06b/LSH-dial designs. The operator ships for the
     * regime its premise holds in, with the stress number documented
-    * rather than hidden. Cell assignment cost is n × nCells
-    * distances — at 10⁹ vectors that wants the standard two-level
-    * coarse quantizer; documented, out of scope. *rows-only*
+    * rather than hidden. Cell assignment cost here is n × nCells
+    * distances — the 10⁹-vector build path is the two-level coarse
+    * quantizer (KMeans.fitTwoLevel / VectorIndex.buildIvfTwoLevel:
+    * k1 + k2 ≈ 2√nCells distances per vector, TwoLevelSpec); this
+    * entry keeps the flat fit so its pinned agreement band stays
+    * comparable across rounds. *rows-only*
     * (ScaleSwapSpec: clustered-corpus agreement ≥ 0.95,
     * stress-corpus band, every-vector coverage). */
   def e01cKnnClassifyIvfBq(spark: SparkSession, dir: String): DataFrame =

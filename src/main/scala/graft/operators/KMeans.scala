@@ -88,6 +88,119 @@ object KMeans {
     (finalAssign, centroids, inertias.toSeq)
   }
 
+  /** TWO-LEVEL (hierarchical) coarse quantizer — the standard
+    * scale form of the IVF cell assignment (the residue item e01c's
+    * scaladoc named): a flat k-means at nCells costs every vector
+    * nCells distance evaluations PER ITERATION, which at 10⁹ vectors
+    * × 10⁶ cells is 10¹⁵ distances; splitting the codebook into
+    * k1 ≈ √nCells coarse centroids with k2 = ⌈nCells/k1⌉ children
+    * EACH costs k1 + k2 per vector instead (~500× fewer at those
+    * dials) at a modest quantization-error premium (each vector only
+    * sees its own coarse group's children).
+    *
+    * Spark shape: level 1 is the existing [[fit]] (hash-spread
+    * seeds, broadcast-model argmin, (cluster, dim)-keyed partial
+    * agg); level 2 runs ALL k1 child fits simultaneously as one
+    * keyed pass per iteration — the child model is a broadcast
+    * Map(coarse → children) consulted by a narrow typed map (the
+    * silhouette convention: per-partition imperative math over a
+    * driver-broadcast model is the right tool once the model is too
+    * wide for literal expressions), and the centroid update is one
+    * (coarse, sub, dim)-keyed agg collecting ≤ k1·k2·dim rows.
+    * Child seeds are per-group hash-spread (smallest xxhash64 within
+    * the group — one window over the coarse key, never a sort of the
+    * corpus).
+    *
+    * Returns (assignments (vec_id, cluster) with FLAT cell ids
+    * coarse·k2 + sub, flat centroids indexed by that id, coarse
+    * centroids). The flat id space is k1·k2 ≥ nCells; groups with
+    * fewer vectors than k2 pad unused slots with their group's first
+    * seed (a duplicate centroid is never argmin-assigned — strict
+    * `<` keeps the first — so padded cells are EMPTY but positioned,
+    * and a probe that lands on one scans nothing). Downstream
+    * consumers (buildIvf layout, nearestCells probe, silhouette) are
+    * agnostic: the flat (assignments, centroids) pair is drop-in. */
+  def fitTwoLevel(spark: SparkSession, emb: DataFrame, nCells: Int,
+      iters: Int, branch: Int = 0)
+      : (DataFrame, Array[Array[Double]], Array[Array[Double]]) = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    require(nCells >= 4, s"fitTwoLevel wants nCells >= 4, got $nCells (use fit)")
+    val k1 = if (branch > 0) branch
+      else math.max(2, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+    val k2 = math.max(1, math.ceil(nCells.toDouble / k1).toInt)
+    val e = emb.select(col("vec_id"), col("v")).cache()
+    try {
+      val (coarseAssign, coarse, _) =
+        fit(spark, e, k1, iters, trackInertia = false)
+      val withCoarse = e.join(coarseAssign, "vec_id")
+        .select(col("vec_id"), col("v"), col("cluster").as("coarse"))
+        .as[(Long, Array[Double], Int)]
+        .cache()
+      try {
+        // per-group hash-spread seeds: k2 smallest xxhash64 per coarse
+        val seeds = withCoarse.toDF("vec_id", "v", "coarse")
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("coarse")
+              .orderBy(xxhash64(col("vec_id")), col("vec_id"))))
+          .filter(col("rk") <= k2)
+          .select(col("coarse"), (col("rk") - 1).cast("int").as("sub"), col("v"))
+          .as[(Int, Int, Array[Double])].collect() // ≤ k1·k2 rows
+        val byGroup = seeds.groupBy(_._1)
+        var children: Array[Array[Array[Double]]] = Array.tabulate(k1) { g =>
+          byGroup.get(g) match {
+            case Some(rows) =>
+              val got = rows.sortBy(_._2).map(_._3)
+              got ++ Array.fill(k2 - got.length)(got.head) // pad: empty-but-positioned
+            case None => Array.fill(k2)(coarse(g)) // empty coarse group
+          }
+        }
+        def assignSub(cs: Array[Array[Array[Double]]]) = {
+          val bc = spark.sparkContext.broadcast(cs)
+          withCoarse.map { case (id, v, g) =>
+            val gc = bc.value(g)
+            var best = 0; var bd = Double.MaxValue; var i = 0
+            while (i < gc.length) {
+              val c = gc(i)
+              var d = 0.0; var j = 0
+              while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+              if (d < bd) { bd = d; best = i } // strict: first of dup centroids
+              i += 1
+            }
+            (id, g, best, v)
+          }
+        }
+        for (_ <- 0 until iters) {
+          val sums = assignSub(children).toDF("vec_id", "coarse", "sub", "v")
+            .select(col("coarse"), col("sub"), posexplode(col("v")).as(Seq("dim", "x")))
+            .groupBy("coarse", "sub", "dim")
+            .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+            .collect() // ≤ k1·k2·dim rows only
+          val byCell = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+          children = Array.tabulate(k1) { g =>
+            Array.tabulate(k2) { s =>
+              byCell.get((g, s)) match {
+                case Some(rows) =>
+                  rows.sortBy(_.getInt(2)).map(r => r.getDouble(3) / r.getLong(4))
+                case None => children(g)(s) // empty cell keeps its centroid
+              }
+            }
+          }
+        }
+        val finalChildren = children
+        val assign = assignSub(finalChildren)
+          .map { case (id, g, s, _) => (id, g * k2 + s) }
+          .toDF("vec_id", "cluster")
+        // materialize before the caches release (drop-in contract:
+        // fit() returns a plan over its own cached input; here the
+        // upstream caches are scoped, so pin the small result)
+        val pinned = assign.localCheckpoint(true)
+        val flat = Array.tabulate(k1 * k2)(i => finalChildren(i / k2)(i % k2))
+        (pinned, flat, coarse)
+      } finally withCoarse.unpersist()
+    } finally e.unpersist()
+  }
+
   /** e02 query entry (*rows-only*; KMeansSpec asserts convergence). */
   def e02Kmeans(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.sources.Tables.embeddings(spark, dir)

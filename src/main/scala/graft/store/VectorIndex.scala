@@ -245,6 +245,33 @@ object VectorIndex {
     } finally cached.unpersist()
   }
 
+  /** buildIvf with the TWO-LEVEL coarse quantizer (KMeans.fitTwoLevel)
+    * — the 10⁹-vector build path: assignment costs each vector
+    * k1 + k2 ≈ 2√nCells distances instead of nCells (at 10⁶ cells,
+    * ~500× less build compute) for a modest quantization-error
+    * premium. The ARTIFACT IS BYTE-COMPATIBLE with [[buildIvf]]'s
+    * (ivf_vectors partitioned by flat cell id + flat ivf_centroids),
+    * so every serving path — [[probedScan]]'s partition-pruned probe,
+    * [[annIvfFiltered]], tombstones, compaction — is inherited
+    * unchanged; the coarse model is additionally persisted at
+    * ivf_coarse/ for diagnostics and future coarse-first probing.
+    * TwoLevelSpec pins the drop-in contract (all-probe == brute
+    * exactly) and the error premium vs the flat build. */
+  def buildIvfTwoLevel(spark: SparkSession, e: DataFrame, dir: String,
+      nCells: Int = VectorQueries.IvfCells, iters: Int = 2,
+      branch: Int = 0): Unit = {
+    val cached = e.select(col("vec_id"), col("v")).cache()
+    try {
+      val (assigned, flat, coarse) =
+        KMeans.fitTwoLevel(spark, cached, nCells, iters, branch)
+      cached.join(assigned, "vec_id")
+        .write.mode(SaveMode.Overwrite).partitionBy("cluster")
+        .parquet(s"$dir/ivf_vectors")
+      writeCentroidRows(spark, flat, s"$dir/ivf_centroids")
+      writeCentroidRows(spark, coarse, s"$dir/ivf_coarse")
+    } finally cached.unpersist()
+  }
+
   def loadIvfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
     loadCentroidsAt(spark, s"$dir/ivf_centroids")
 

@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.KMeans
+import graft.store.VectorIndex
+
+/** The two-level (hierarchical) coarse quantizer — the 10⁹-vector
+  * IVF build path (the r11 residue item): assignment costs k1 + k2
+  * distances per vector instead of nCells, the artifact stays
+  * byte-compatible with the flat build, and the quantization-error
+  * premium is bounded and measured. */
+class TwoLevelSpec extends SparkSpec {
+
+  /** Deterministic corpus with REAL cluster structure (8 planted
+    * centers, small noise) — the regime coarse quantizers exist for. */
+  private def clustered(n: Int, dim: Int = 6) = {
+    import spark.implicits._
+    (0L until n.toLong).map { id =>
+      val c = (id % 8).toInt
+      val v = Array.tabulate(dim)(j =>
+        math.cos(c * 2.4 + j * 1.3) * 4.0 + math.sin(id * 0.7 + j) * 0.3)
+      (id, v)
+    }.toDF("vec_id", "v")
+  }
+
+  private def inertiaOf(assigned: org.apache.spark.sql.DataFrame,
+      e: org.apache.spark.sql.DataFrame,
+      centroids: Array[Array[Double]]): Double = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    e.join(assigned, "vec_id").select(col("cluster").cast("int"), col("v"))
+      .as[(Int, Array[Double])]
+      .map { case (cell, v) =>
+        val c = bc.value(cell)
+        var d = 0.0; var j = 0
+        while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+        d
+      }.reduce(_ + _)
+  }
+
+  test("fitTwoLevel partitions the corpus; every sub-assignment is the argmin within its coarse group") {
+    import spark.implicits._
+    val e = clustered(400).cache()
+    try {
+      val (assigned, flat, coarse) = KMeans.fitTwoLevel(spark, e, nCells = 16, iters = 3)
+      val rows = assigned.as[(Long, Int)].collect()
+      // a partition: every vector exactly once, cells within the flat id space
+      assert(rows.length == 400 && rows.map(_._1).distinct.length == 400)
+      val k1 = coarse.length
+      val k2 = flat.length / k1
+      assert(rows.forall { case (_, c) => c >= 0 && c < flat.length })
+      // internal consistency, recomputed independently: the assigned
+      // sub-cell is the argmin among the vector's OWN coarse group's
+      // children (first-wins on exact ties, the padded-duplicate rule)
+      val vecs = e.as[(Long, Array[Double])].collect().toMap
+      def d2(a: Array[Double], b: Array[Double]) = {
+        var d = 0.0; var j = 0
+        while (j < a.length) { val t = a(j) - b(j); d += t * t; j += 1 }
+        d
+      }
+      rows.foreach { case (id, cell) =>
+        val v = vecs(id)
+        val g = cell / k2
+        // its coarse group must be the nearest coarse centroid
+        val gBest = coarse.indices.minBy(i => (d2(v, coarse(i)), i))
+        assert(g == gBest, s"vec $id: coarse $g != recomputed $gBest")
+        val children = (0 until k2).map(s => flat(g * k2 + s))
+        val sBest = children.indices.minBy(s => (d2(v, children(s)), s))
+        assert(cell % k2 == sBest, s"vec $id: sub ${cell % k2} != argmin $sBest")
+      }
+    } finally e.unpersist()
+  }
+
+  test("two-level quantization error is within 1.5x of the flat fit on a clustered corpus") {
+    val e = clustered(600).cache()
+    try {
+      val (fa, fc, _) = KMeans.fit(spark, e, k = 16, iters = 3, trackInertia = false)
+      val (ta, tc, _) = KMeans.fitTwoLevel(spark, e, nCells = 16, iters = 3)
+      val flatInertia = inertiaOf(fa, e, fc)
+      val twoInertia = inertiaOf(ta, e, tc)
+      assert(twoInertia <= flatInertia * 1.5,
+        s"two-level inertia $twoInertia vs flat $flatInertia exceeds the 1.5x premium bound")
+    } finally e.unpersist()
+  }
+
+  test("buildIvfTwoLevel artifact is drop-in: all-probe == brute exactly; probe, filter, tombstones inherited") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("ivf2").toString
+    val e = clustered(300).cache()
+    try {
+      VectorIndex.buildIvfTwoLevel(spark, e, tmp, nCells = 9, iters = 2)
+      // byte-compatible layout: partition dirs + flat centroid rows + coarse model
+      assert(new java.io.File(s"$tmp/ivf_vectors").listFiles()
+        .exists(_.getName.startsWith("cluster=")), "lost the inverted-list layout")
+      assert(new java.io.File(s"$tmp/ivf_coarse").exists())
+      val nCentroids = VectorIndex.loadIvfCentroids(spark, tmp).length
+      assert(nCentroids >= 9, s"flat id space should cover nCells, got $nCentroids")
+      val qv = e.filter(col("vec_id") === 5L).select("v")
+        .head().getSeq[Double](0).toArray
+      // all-probe serving through the two-level artifact == brute force
+      val got = VectorIndex.annIvf(spark, tmp, qv, 7, nCentroids, Some(5L))
+        .select("vec_id").as[Long].collect().toSeq
+      val brute8 = e.filter(col("vec_id") =!= 5L)
+        .select(col("vec_id"),
+          cosineNative6(col("v"), array(qv.toIndexedSeq.map(lit): _*)).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(8)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(got == brute8.take(7),
+        "all-probe through the two-level artifact must equal brute")
+      // partial probe returns a subset of the corpus without error
+      assert(VectorIndex.annIvf(spark, tmp, qv, 7, 2, Some(5L)).count() <= 7)
+      // tombstones: inherited unchanged (shared serving scan)
+      VectorIndex.tombstone(spark, tmp, Seq(brute8.head).toDF("vec_id"))
+      val after = VectorIndex.annIvf(spark, tmp, qv, 7, nCentroids, Some(5L))
+        .select("vec_id").as[Long].collect().toSeq
+      assert(after == brute8.tail,
+        "tombstoned id must vanish and the next-best fill in")
+    } finally e.unpersist()
+  }
+}
