@@ -64,6 +64,12 @@ object Explain {
       // e01 must rank through the map-side-combining native TopKAgg
       // (no window sort of the full scored stream, no driver collect)
       "e01_knn_classify" -> Seq("ObjectHashAggregate"),
+      // e05: the linear classifier's whole point is NO pair join of
+      // any kind — classify is a narrow projection over broadcast
+      // centroid literals (the only agg ran at train time)
+      "e05_centroid_classify" ->
+        Seq("!BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin",
+          "!BroadcastHashJoin", "dotproduct"),
       // e01b (r10 BQ re-base): candidate scoring must be the
       // codegen'd xor+popcount over the signature longs, pooled by
       // the map-side TopKAgg partial — no LSH table explosion, no

@@ -428,8 +428,49 @@ object ExtendedQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** e05: nearest-centroid (Rocchio) classifier — the MODEL-based
+    * counterpart of e01's kNN vote. Train = one (label, dim)-keyed
+    * mean (map-side partial agg; k·dim rows to the driver — that IS
+    * the model). Classify = one NARROW codegen'd argmax of k cosines
+    * per vector — no pairs, no index, no join: the only classifier
+    * shape here that is strictly linear in the corpus with a
+    * constant-size shuffle, so at 100 TB it is the first screen
+    * before the kNN family (e01 exact anchor, e01b/e01c blocked).
+    * Tie-break: equal cosine prefers the smaller label (struct-max
+    * on (cos, −label); oracle mirrors with ORDER BY cos DESC, cand).
+    * Centroid components are float sums and thus order-sensitive at
+    * ~1e-15 — far below the round-6 output grid (the e01 oracle
+    * convention); verified hash-green at 3 SFs. */
+  def e05CentroidClassify(spark: SparkSession, dir: String): DataFrame =
+    centroidClassify(spark,
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label")))
+
+  /** The Rocchio kernel over any (vec_id, v, label) relation — the
+    * spec drives it with a planted separated/tied corpus. */
+  private[graft] def centroidClassify(spark: SparkSession,
+      e: DataFrame): DataFrame = {
+    val cents = e
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("label", "dim").agg(avg("x").as("c"))
+      .collect() // k·dim rows only — the model
+    val byLabel = cents.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
+      case (lbl, rows) => (lbl, rows.sortBy(_.getInt(1)).map(_.getDouble(2)))
+    }
+    val scored = byLabel.map { case (lbl, c) =>
+      val cCol = array(c.toIndexedSeq.map(lit): _*)
+      struct(cosineNative6(col("v"), cCol).as("cos"), lit(-lbl).as("nl"))
+    }
+    e.select(col("vec_id"), col("label").as("true_label"),
+        array_max(array(scored: _*)).as("m"))
+      .select(col("vec_id"), col("true_label"),
+        (-col("m.nl")).as("pred_label"), col("m.cos").as("score"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q15_time_proximity" -> (q15TimeProximityJoin _),
+    "e05_centroid_classify" -> (e05CentroidClassify _),
     "q11_asof_join" -> (q11AsofJoin _),
     "q12_pivot" -> (q12Pivot _),
     "q13_group_stats" -> (q13GroupStats _),
@@ -488,6 +529,24 @@ object ExtendedQueries {
         |  count(*) FILTER (WHERE event_type = 'view') AS view,
         |  round(sum(value), 4) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // e05 oracle: the same (label, dim)-keyed mean + argmax-by-cosine,
+    // restated relationally (cross join against the k-row centroid
+    // dim); round-6 on the cosine, tie on smaller candidate label.
+    "e05_centroid_classify" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |cent AS (
+        |  SELECT label, dim, avg(x) AS c
+        |  FROM (SELECT label, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e)
+        |  GROUP BY label, dim),
+        |cvec AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
+        |scored AS (
+        |  SELECT e.vec_id, e.label AS true_label, c.label AS cand,
+        |    round(list_cosine_similarity(e.v, c.cv), 6) AS cos
+        |  FROM e, cvec c)
+        |SELECT vec_id, true_label, cand AS pred_label, cos AS score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand) AS rk
+        |      FROM scored) WHERE rk = 1
+        |ORDER BY vec_id""".stripMargin,
     "e01_knn_classify" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
         |scored AS (

@@ -77,6 +77,35 @@ class KMeansSpec extends SparkSpec {
       r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
   }
 
+  test("e05 centroid classify: perfect on separated planted labels; smaller label wins exact ties") {
+    import spark.implicits._
+    // three separated label clusters: members are small perturbations
+    // around orthogonal-ish anchors, so each vector's own label
+    // centroid is its nearest by construction
+    val anchors = Map(0 -> Array(10.0, 0.0, 0.0), 1 -> Array(0.0, 10.0, 0.0),
+      2 -> Array(0.0, 0.0, 10.0))
+    val planted = (0L until 60L).map { id =>
+      val lbl = (id % 3).toInt
+      val a = anchors(lbl)
+      (id, a.zipWithIndex.map { case (x, j) => x + math.sin(id * 1.3 + j) * 0.4 }, lbl)
+    }.toDF("vec_id", "v", "label")
+    val out = graft.operators.ExtendedQueries.centroidClassify(spark, planted)
+      .collect()
+    assert(out.length == 60)
+    assert(out.forall(r => r.getAs[Int]("pred_label") == r.getAs[Int]("true_label")),
+      "separated clusters must classify perfectly")
+    // tie-break: a corpus where labels 1 and 2 have IDENTICAL
+    // centroids (same two mirrored members) — every vector's cosine
+    // ties exactly, and the SMALLER label must win
+    val tied = Seq(
+      (0L, Array(1.0, 1.0), 1), (1L, Array(3.0, 3.0), 1),
+      (2L, Array(1.0, 1.0), 2), (3L, Array(3.0, 3.0), 2))
+      .toDF("vec_id", "v", "label")
+    val tiedOut = graft.operators.ExtendedQueries.centroidClassify(spark, tied).collect()
+    assert(tiedOut.forall(_.getAs[Int]("pred_label") == 1),
+      "exact cosine tie must resolve to the smaller label")
+  }
+
   test("loadText reads a directory of files into the documents schema") {
     val tmp = java.nio.file.Files.createTempDirectory("docs")
     java.nio.file.Files.writeString(tmp.resolve("a.txt"), "hello spark world")
