@@ -272,6 +272,46 @@ object VectorIndex {
     } finally cached.unpersist()
   }
 
+  /** APPEND a batch into the persisted IVF index WITHOUT retraining:
+    * assign each vector to its nearest FROZEN cell (one narrow typed
+    * map over the broadcast centroid model — linear in the batch,
+    * never re-streams the corpus) and append into the
+    * partitionBy(cluster) layout, so probe-time partition pruning
+    * keeps working over old + new rows alike. The plain-IVF sibling
+    * of [[appendIvfPq]] — same frozen-model cadence (refresh per
+    * corpus VERSION, append between versions), same at-least-once
+    * contract (run inside a checkpointed foreachBatch). Unlike the
+    * coded rungs there is NO quantization drift: the stored vectors
+    * are exact, so a shifted arrival distribution only unbalances
+    * cell sizes (probe COST, never correctness — the probed scan
+    * still scores true vectors). Returns the appended row count. */
+  def appendIvf(spark: SparkSession, dir: String, batch: DataFrame): Long = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(loadIvfCentroids(spark, dir))
+    val assigned = batch.select(col("vec_id"), col("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val cs = bc.value
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cs.length) {
+          val cc = cs(c)
+          var d = 0.0; var j = 0
+          while (j < cc.length) { val t = v(j) - cc(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; best = c } // strict: first wins on ties
+          c += 1
+        }
+        (id, v, best)
+      }.toDF("vec_id", "v", "cluster")
+      .cache()
+    try {
+      val n = assigned.count()
+      if (n > 0)
+        assigned.write.mode(SaveMode.Append).partitionBy("cluster")
+          .parquet(s"$dir/ivf_vectors")
+      n
+    } finally assigned.unpersist()
+  }
+
   def loadIvfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
     loadCentroidsAt(spark, s"$dir/ivf_centroids")
 

@@ -121,4 +121,51 @@ class TwoLevelSpec extends SparkSpec {
         "tombstoned id must vanish and the next-best fill in")
     } finally e.unpersist()
   }
+
+  test("appendIvf: frozen-cell append serves exactly; assignment is the recomputed nearest cell") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("ivfapp").toString
+    val e = clustered(200).cache()
+    try {
+      VectorIndex.buildIvf(spark, e, tmp, nCells = 6, iters = 2)
+      // a later batch (same planted geometry, new ids)
+      val batch = clustered(240).filter(col("vec_id") >= 200L).cache()
+      try {
+        assert(VectorIndex.appendIvf(spark, tmp, batch) == 40L)
+        // every appended row landed in its RECOMPUTED nearest cell —
+        // partition pruning stays honest for the new rows
+        val centroids = VectorIndex.loadIvfCentroids(spark, tmp)
+        def d2(a: Array[Double], b: Array[Double]) = {
+          var d = 0.0; var j = 0
+          while (j < a.length) { val t = a(j) - b(j); d += t * t; j += 1 }
+          d
+        }
+        spark.read.parquet(s"$tmp/ivf_vectors")
+          .filter(col("vec_id") >= 200L)
+          .select(col("vec_id"), col("v"), col("cluster").cast("int"))
+          .as[(Long, Array[Double], Int)].collect()
+          .foreach { case (id, v, cell) =>
+            val best = centroids.indices.minBy(i => (d2(v, centroids(i)), i))
+            assert(cell == best, s"appended vec $id in cell $cell, nearest is $best")
+          }
+        // all-probe serving over old + new == brute over the union
+        val all = e.union(batch)
+        val qv = all.filter(col("vec_id") === 210L).select("v")
+          .head().getSeq[Double](0).toArray
+        val got = VectorIndex.annIvf(spark, tmp, qv, 6, centroids.length, Some(210L))
+          .select("vec_id").as[Long].collect().toSeq
+        val brute = all.filter(col("vec_id") =!= 210L)
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions.cosineNative6(col("v"),
+              array(qv.toIndexedSeq.map(lit): _*)).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(6)
+          .select("vec_id").as[Long].collect().toSeq
+        assert(got == brute, "all-probe over old+new must equal brute over the union")
+        // an appended id is servable by id AND deletable by tombstone
+        VectorIndex.tombstone(spark, tmp, Seq(210L).toDF("vec_id"))
+        assert(!VectorIndex.annIvf(spark, tmp, qv, 6, centroids.length, None)
+          .select("vec_id").as[Long].collect().contains(210L))
+      } finally batch.unpersist()
+    } finally e.unpersist()
+  }
 }
