@@ -117,6 +117,101 @@ class CrashRecoverySpec extends SparkSpec {
     assert(got.nonEmpty && got.size == 5)
   }
 
+  // ---------------- fMGWS state-store recovery (second session) ----
+  // The stateful operators (st02 sessionize, st13 funnel) carry
+  // OPEN sessions / partial funnels in the state store. Here a
+  // session/funnel deliberately SPANS the stop point: its first
+  // events arrive before the stop, its completion after the restart
+  // — only a restored state store can stitch them into the single
+  // session/conversion the uninterrupted run emits.
+
+  /** Drive `mk(stream)` over the chunk sequence to a parquet sink
+    * with `ckpt`, stopping+restarting after `stopAfter` chunks (or
+    * uninterrupted when stopAfter < 0). Returns the sink dir. */
+  private def runChunked[T: org.apache.spark.sql.Encoder](
+      chunks: Seq[Seq[T]], stopAfter: Int,
+      mk: MemoryStream[T] => org.apache.spark.sql.DataFrame): String = {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("fmgws_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("fmgws_ckpt").toString
+    val stream = MemoryStream[T]
+    def start() = mk(stream).writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    var q = start()
+    try {
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        if (i == stopAfter) {
+          q.stop() // crash point: the next chunk arrives while down
+          stream.addData(c)
+          q = start() // resumes from the checkpointed offsets + state
+          q.processAllAvailable()
+        } else {
+          stream.addData(c); q.processAllAvailable()
+        }
+      }
+    } finally q.stop()
+    out
+  }
+
+  test("st02 fMGWS: an open session spanning the restart is stitched by the restored state store") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = 10_000_000_000_000L // epoch ms base
+    def ev(u: Long, offMin: Long) =
+      StreamOps.Ev(u, new Timestamp(t0 + offMin * 60_000L), 1.0)
+    val chunks: Seq[Seq[StreamOps.Ev]] = Seq(
+      Seq(ev(1, 0), ev(1, 5), ev(2, 1)), // sessions OPEN here
+      Seq(ev(1, 10), ev(2, 120)), // arrives while DOWN: u1 extends, u2 gap-closes
+      Seq(ev(9, 6000)), // watermark mover: times out everything open
+      Seq(ev(9, 12000))) // one more batch so armed timeouts fire
+    def mk(s: MemoryStream[StreamOps.Ev]) =
+      StreamOps.sessionize(spark, s.toDS()).toDF()
+    val live = runChunked(chunks, stopAfter = 1, mk)
+    val ref = runChunked(chunks, stopAfter = -1, mk)
+    def rows(dir: String) = spark.read.parquet(dir)
+      .select("user_id", "session_id", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(live) == rows(ref),
+      s"restarted sessions ${rows(live)} != uninterrupted ${rows(ref)}")
+    // the session spanning the crash is ONE 3-event session — a lost
+    // state store would have split it (2 then 1) and changed u2's
+    // counts too
+    assert(rows(live).contains((1L, t0, 3L)),
+      s"u1's crash-spanning session missing/split: ${rows(live)}")
+    // u2's single pre-crash event closed as its own session when the
+    // post-restart event arrived 2h later (gap > 30m)
+    assert(rows(live).exists { case (u, sid, n) => u == 2L && n == 1L && sid == t0 + 60_000L },
+      s"u2's gap-closed pre-crash session lost: ${rows(live)}")
+  }
+
+  test("st13 fMGWS: a funnel whose stages straddle the restart still converts") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = 10_000_000_000_000L
+    def fe(u: Long, offMin: Long, t: String) =
+      StreamOps.FEv(u, new Timestamp(t0 + offMin * 60_000L), t)
+    val chunks: Seq[Seq[StreamOps.FEv]] = Seq(
+      Seq(fe(1, 0, "view")), // funnel OPENS pre-crash
+      Seq(fe(1, 1, "click")), // arrives while DOWN
+      Seq(fe(1, 2, "purchase"), fe(7, 60, "view"))) // completes after restart
+    def mk(s: MemoryStream[StreamOps.FEv]) =
+      StreamOps.funnelStream(spark, s.toDS()).toDF()
+    val live = runChunked(chunks, stopAfter = 1, mk)
+    val ref = runChunked(chunks, stopAfter = -1, mk)
+    def rows(dir: String) = spark.read.parquet(dir)
+      .select("user_id", "stage").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(live) == rows(ref),
+      s"restarted funnel ${rows(live)} != uninterrupted ${rows(ref)}")
+    // full conversion across the crash: a lost state store would have
+    // dropped the click (stage -1 + click is not a valid step) and
+    // the purchase with it
+    assert(Set("1_view", "2_click", "3_purchase")
+      .forall(s => rows(live).contains((1L, s))),
+      s"u1's straddling funnel did not convert: ${rows(live)}")
+  }
+
   test("st12: restart from checkpoint — sink rows match the uninterrupted run, batch ids keep climbing") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
