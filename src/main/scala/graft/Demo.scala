@@ -19,7 +19,8 @@ object Demo {
       hybridRows: Long, hybridIndexedMatches: Boolean,
       bpeTokens: Long, viewJson: String,
       passRate: Double, meanNovelty: Double,
-      funnel: Map[String, Long], topTransition: (String, String, Long))
+      funnel: Map[String, Long], topTransition: (String, String, Long),
+      takedownFacts: Long, takedownClean: Boolean)
 
   /** THE FULL USER STORY as one callable tour — load → curate →
     * annotate (store build + save/load round-trip) → index (persisted
@@ -103,10 +104,39 @@ object Demo {
       .collect().head
     val topTransition = (top.getString(0), top.getString(1), top.getLong(2))
 
-    Story(nLoaded, nCurated, db.facts.count(), db.entities.count(),
-      db.integrity, annFactIds, bruteFactIds, hybridRows,
+    // Snapshot the pre-takedown store gauges NOW: deleteDocuments
+    // swaps the live directories, and a lazy count taken after the
+    // swap would read the post-delete store.
+    val nFacts = db.facts.count()
+    val nEntities = db.entities.count()
+    val integrity = db.integrity
+
+    // TAKEDOWN: the erasure verb a production store runs (GDPR /
+    // DMCA / contaminated-source pulls) — delete the document behind
+    // the TOP retrieved fact and prove nothing serves it afterwards:
+    // store cascade + index tombstones, integrity still green.
+    val victimDoc = db.facts.filter(col("fact_id") === annFactIds.head)
+      .select("doc_id").head().getLong(0)
+    val victimFacts = db.facts.filter(col("doc_id") === victimDoc)
+      .select("fact_id").collect().map(_.getLong(0)).toSet
+    val delReport = graft.store.HippoDb.deleteDocuments(
+      spark, storeDir, Seq(victimDoc), indexDirs = Seq(idxDir))
+    val db2 = graft.store.HippoDb.load(spark, storeDir)
+    val postAnn = graft.store.VectorIndex
+      .annIvf(spark, idxDir, qv, k = 3, nProbe = nCells, excludeVecId = None)
+      .collect().map(_.getLong(0)).toSet
+    val (pF, pE, pMissing) = db2.integrity
+    val takedownClean =
+      delReport.factsDeleted == victimFacts.size &&
+        db2.facts.filter(col("doc_id") === victimDoc).count() == 0 &&
+        postAnn.intersect(victimFacts).isEmpty &&
+        pF == pE && pMissing == 0
+
+    Story(nLoaded, nCurated, nFacts, nEntities,
+      integrity, annFactIds, bruteFactIds, hybridRows,
       hybridIndexedMatches, bpeTokens, viewJson,
-      passRate, meanNovelty, funnel, topTransition)
+      passRate, meanNovelty, funnel, topTransition,
+      delReport.factsDeleted, takedownClean)
   }
 
   def main(args: Array[String]): Unit = {
@@ -192,6 +222,8 @@ object Demo {
     println(s"[demo] full story: corpus pass rate ${story.passRate}, " +
       s"mean novelty ${story.meanNovelty}; 48h funnel ${story.funnel.toSeq.sorted.mkString(" ")}; " +
       s"top transition ${story.topTransition}")
+    println(s"[demo] full story: takedown erased ${story.takedownFacts} facts, " +
+      s"clean=${story.takedownClean}")
     spark.stop()
   }
 }

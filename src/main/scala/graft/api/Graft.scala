@@ -370,11 +370,18 @@ final class Graft(
     * pay a partition-pruned scan instead of the full-corpus cosine
     * pass [[closestFacts]] makes. */
   def buildFactIndex(db: HippoDb, indexDir: String,
-      nCells: Int = VectorQueries.IvfCells): Unit =
-    graft.store.VectorIndex.buildIvf(spark,
-      db.factEmb.select(col("fact_id").as("vec_id"),
-        VectorFunctions.toDouble(col("embedding")).as("v")),
-      indexDir, nCells = nCells)
+      nCells: Int = VectorQueries.IvfCells,
+      twoLevel: Boolean = false): Unit = {
+    val e = db.factEmb.select(col("fact_id").as("vec_id"),
+      VectorFunctions.toDouble(col("embedding")).as("v"))
+    // twoLevel: the 10⁹-fact build path — k1 + k2 ≈ 2√nCells
+    // assignment distances per vector instead of nCells; the artifact
+    // (and thus every serving path below) is byte-compatible.
+    if (twoLevel)
+      graft.store.VectorIndex.buildIvfTwoLevel(spark, e, indexDir, nCells = nCells)
+    else
+      graft.store.VectorIndex.buildIvf(spark, e, indexDir, nCells = nCells)
+  }
 
   /** The COMPRESSED serving index (IVFADC) over the fact embeddings —
     * the rung for stores whose probed cells' float vectors are

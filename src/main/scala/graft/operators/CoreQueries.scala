@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,6 +21,19 @@ object CoreQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** MONEY SUMS are computed in DECIMAL, not double (the q05 sf1.0
+    * lesson, applied to every large-group money aggregate): a double
+    * sum over ~10⁵+ rows per group is summation-order dependent, and
+    * Spark's and DuckDB's orders diverge in the 4th decimal once
+    * totals reach ~10¹⁰ (q02 flipped a round-4 digit at sf1.0).
+    * Prices/discounts/balances carry ≤ 2-4 decimal digits, so the
+    * double → DECIMAL(…,4) cast is EXACT on both engines (no
+    * shortest-repr-vs-binary rounding ambiguity), the decimal
+    * product/sum is exact and order-free, and the single final
+    * double cast of the same exact value is identical both sides. */
+  private def dec(c: Column): Column = c.cast("decimal(18,4)")
+  private def dec5(c: Column): Column = c.cast("decimal(5,4)")
+
   /** TPC-H Q1-style pricing summary. Map-side partial aggregation +
     * one shuffle on a tiny (flag,status) key space. */
   def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
@@ -29,8 +42,9 @@ object CoreQueries {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum("l_quantity"), 4).as("sum_qty"),
-        round(sum("l_extendedprice"), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(dec(col("l_extendedprice"))).cast("double"), 4).as("sum_base_price"),
+        round(sum(dec(col("l_extendedprice")) * (lit(1) - dec5(col("l_discount"))))
+          .cast("double"), 4).as("sum_disc_price"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -48,7 +62,8 @@ object CoreQueries {
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+      .agg(round(sum(dec(col("l_extendedprice")) * (lit(1) - dec5(col("l_discount"))))
+          .cast("double"), 4).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
   }
@@ -106,7 +121,8 @@ object CoreQueries {
         col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz") &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+      .agg(round(sum(dec(col("l_extendedprice")) * dec5(col("l_discount")))
+          .cast("double"), 4).as("revenue"),
         count(lit(1)).as("n_rows"))
 
   /** ROLLUP over (region, nation): Spark expands grouping sets with
@@ -118,7 +134,8 @@ object CoreQueries {
     cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 4).as("acct_total"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum(dec(col("c_acctbal"))).cast("double"), 4).as("acct_total"))
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
@@ -481,8 +498,9 @@ object CoreQueries {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 4) AS sum_qty,
-        |  round(sum(l_extendedprice), 4) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |    * (1 - CAST(l_discount AS DECIMAL(5,4)))) AS DOUBLE), 4) AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem
@@ -491,7 +509,8 @@ object CoreQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_region_revenue" ->
       """SELECT r_name, n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |    * (1 - CAST(l_discount AS DECIMAL(5,4)))) AS DOUBLE), 4) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -524,7 +543,8 @@ object CoreQueries {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q06_selective_filter" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |    * CAST(l_discount AS DECIMAL(5,4))) AS DOUBLE), 4) AS revenue,
         |  count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -533,7 +553,7 @@ object CoreQueries {
         |  AND l_quantity < 24""".stripMargin,
     "q07_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
-        |  round(sum(c_acctbal), 4) AS acct_total
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS acct_total
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey

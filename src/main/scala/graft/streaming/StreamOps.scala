@@ -633,6 +633,31 @@ object StreamOps {
       .start()
   }
 
+  /** st11b: the PLAIN-IVF twin of [[ivfPqIngestStream]] — streaming
+    * ingest into the uncompressed IVF artifact via
+    * VectorIndex.appendIvf (nearest FROZEN cell, appended into the
+    * cell-partitioned layout). Same cadence (models refresh per
+    * corpus version, arrivals append between) and the same
+    * checkpointed-foreachBatch effectively-once contract; unlike the
+    * coded rung there is no quantization drift to track — the stored
+    * vectors are exact. Use this rung while the probed cells' float
+    * vectors still fit the scan budget; step down to ivfPqIngestStream
+    * when they don't. */
+  def ivfIngestStream(emb: DataFrame, dir: String,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = emb.writeStream.outputMode(OutputMode.Append)
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val n = graft.store.VectorIndex.appendIvf(
+            batch.sparkSession, dir, batch)
+          System.err.println(s"[st11b] batch $batchId appended $n vectors")
+        }
+      }
+      .start()
+  }
+
   /** st12: STREAMING MEDIA NEAR-DUP — m05's perceptual-hash check on
     * an always-on media ingest: each micro-batch phash-encodes ONLY
     * ITSELF (a narrow typed map) and pays a band-keyed equi-join +

@@ -117,6 +117,48 @@ class CrashRecoverySpec extends SparkSpec {
     assert(got.nonEmpty && got.size == 5)
   }
 
+  test("st11b: plain-IVF ingest restart — appended vectors exactly once, served like built ones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.VectorFunctions.toDouble
+    val dir = java.nio.file.Files.createTempDirectory("st11bcrash").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("st11bckpt").toString
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val n = e.count()
+    val half = n / 2
+    VectorIndex.buildIvf(spark, e.filter(col("vec_id") < half), dir)
+    val rest = e.filter(col("vec_id") >= half).as[(Long, Seq[Double])].collect()
+    val (c1, c2) = rest.splitAt(rest.length / 2)
+
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q1 = StreamOps.ivfIngestStream(
+      stream.toDF().toDF("vec_id", "v"), dir, checkpoint = Some(ckpt))
+    try { stream.addData(c1.toSeq); q1.processAllAvailable() } finally q1.stop()
+    stream.addData(c2.toSeq) // arrives while the query is down
+    val q2 = StreamOps.ivfIngestStream(
+      stream.toDF().toDF("vec_id", "v"), dir, checkpoint = Some(ckpt))
+    try q2.processAllAvailable() finally q2.stop()
+
+    val vecs = spark.read.parquet(s"$dir/ivf_vectors")
+    assert(vecs.count() == n, s"vectors ${vecs.count()} != corpus $n")
+    assert(vecs.select(countDistinct(col("vec_id"))).head().getLong(0) == n,
+      "restart duplicated an appended batch")
+    // streamed-through-restart rows serve exactly: all-probe over the
+    // artifact == brute over the full corpus
+    val nCells = VectorIndex.loadIvfCentroids(spark, dir).length
+    val qv = e.filter(col("vec_id") === (n - 1)).select("v")
+      .head().getSeq[Double](0).toArray
+    val got = VectorIndex.annIvf(spark, dir, qv, 5, nCells, Some(n - 1))
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = e.filter(col("vec_id") =!= (n - 1))
+      .select(col("vec_id"), graft.functions.VectorFunctions.cosineNative6(
+        col("v"), array(qv.toIndexedSeq.map(lit): _*)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == brute, "all-probe after streamed ingest must equal brute")
+  }
+
   // ---------------- fMGWS state-store recovery (second session) ----
   // The stateful operators (st02 sessionize, st13 funnel) carry
   // OPEN sessions / partial funnels in the state store. Here a

@@ -49,5 +49,11 @@ class DemoSpec extends SparkSpec {
     assert(s.funnel("1_view") >= s.funnel("2_click") &&
       s.funnel("2_click") >= s.funnel("3_purchase"), s.funnel.toString)
     assert(s.topTransition._3 > 0)
+
+    // the takedown chapter: the top retrieved fact's document was
+    // erased — cascade counts exact, nothing serves its facts, and
+    // the store is still integrity-green
+    assert(s.takedownFacts > 0 && s.takedownClean,
+      s"takedown left residue (facts=${s.takedownFacts}, clean=${s.takedownClean})")
   }
 }

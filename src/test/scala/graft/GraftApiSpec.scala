@@ -161,6 +161,14 @@ class GraftApiSpec extends SparkSpec {
     val scores = partial.map(_.getAs[Double]("cos"))
     assert(scores.sameElements(scores.sorted.reverse))
     assert(partial.forall(r => r.getAs[String]("fact_text") != null))
+    // twoLevel build: byte-compatible artifact — the same all-probe
+    // equality holds through the hierarchical quantizer's index
+    val idx2 = java.nio.file.Files.createTempDirectory("api_ivf2").toString
+    api.buildFactIndex(db, idx2, nCells = 8, twoLevel = true)
+    val served2 = api.closestFactsIndexed(db, idx2, "spark window join", k = 5,
+        nProbe = graft.store.VectorIndex.loadIvfCentroids(spark, idx2).length)
+      .select("fact_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served2 == brute, s"two-level all-probe must equal brute: $served2 vs $brute")
   }
 
   test("indexed hybrid facade: all-probe == brute hybrid exactly (both modes), fallback byte-shared, partial probe prunes") {

@@ -48,7 +48,12 @@ def main(sf_dir, out_dir, timeout, only):
                 capture_output=True, text=True, timeout=timeout)
             out = (r.stdout or r.stderr).strip()
             print(out or f"ERR  {name}: empty worker output rc={r.returncode}")
-            if out.startswith("OK"):
+            # classify on the verdict line, not the raw stdout: DuckDB
+            # may emit a progress bar before it, which would miscount
+            # a progress-prefixed OK as FAIL
+            verdicts = [l for l in out.splitlines()
+                        if l.startswith(("OK", "FAIL", "ERR"))]
+            if verdicts and verdicts[-1].startswith("OK"):
                 n_ok += 1
             else:
                 n_fail += 1
