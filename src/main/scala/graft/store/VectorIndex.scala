@@ -269,7 +269,64 @@ object VectorIndex {
         .parquet(s"$dir/ivf_vectors")
       writeCentroidRows(spark, flat, s"$dir/ivf_centroids")
       writeCentroidRows(spark, coarse, s"$dir/ivf_coarse")
+      val k1 = coarse.length
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/ivf_two_level.json"),
+        s"""{"format": "graft-ivf2-v1", "k1": $k1, "k2": ${flat.length / k1}}""")
     } finally cached.unpersist()
+  }
+
+  /** TWO-LEVEL PROBE — the query-side half of the hierarchical
+    * story: at 10⁶ cells the flat probe's driver-side model is
+    * ~k·dim doubles COLLECTED per serving session (512 MB at 10⁶×64)
+    * and nCells distance evaluations per query. Coarse-first probing
+    * loads only the k1-row coarse model, picks `coarseProbe` nearest
+    * groups, reads JUST those groups' child-centroid rows (a c-range
+    * filter over the flat centroid table — coarseProbe·k2 rows, not
+    * k1·k2), picks the nProbe nearest cells among them, and scans
+    * those partitions. With coarseProbe = k1 the candidate cell set
+    * is the full model, so the probe — and therefore the query —
+    * equals the flat [[annIvf]] exactly (spec-pinned); smaller
+    * coarseProbe trades recall for a bounded driver model exactly
+    * like nProbe trades it for scan bytes. */
+  def probedScanTwoLevel(spark: SparkSession, dir: String,
+      queryVec: Array[Double], nProbe: Int, coarseProbe: Int): DataFrame = {
+    val coarse = loadCentroidsAt(spark, s"$dir/ivf_coarse")
+    val meta = spark.read.json(s"$dir/ivf_two_level.json").head()
+    val k2 = meta.getAs[Long]("k2").toInt
+    val groups = nearestCells(coarse, queryVec, coarseProbe)
+    // only the probed groups' child rows leave the centroid table
+    val childRows = spark.read.parquet(s"$dir/ivf_centroids")
+      .filter((col("c") / k2).cast("int").isin(groups: _*))
+      .collect() // ≤ coarseProbe·k2·dim rows
+    val byCell = childRows.groupBy(_.getInt(0)).map { case (c, rows) =>
+      val dim = rows.map(_.getInt(1)).max + 1
+      val v = new Array[Double](dim)
+      rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+      (c, v)
+    }.toArray
+    val cells = byCell.map { case (c, v) =>
+      var d = 0.0; var j = 0
+      while (j < v.length) { val t = queryVec(j) - v(j); d += t * t; j += 1 }
+      (d, c)
+    }.sortBy(identity).take(nProbe).map(_._2).toSeq
+    minusTombstones(spark, dir,
+      spark.read.parquet(s"$dir/ivf_vectors")
+        .filter(col("cluster").isin(cells: _*)))
+  }
+
+  /** annIvf through the two-level probe — scoring byte-shared with
+    * [[annIvf]], so at coarseProbe = k1 (and equal nProbe) the two
+    * serving paths return identical rows. */
+  def annIvfTwoLevel(spark: SparkSession, dir: String,
+      queryVec: Array[Double], k: Int, nProbe: Int, coarseProbe: Int,
+      excludeVecId: Option[Long] = None): DataFrame = {
+    val probed = probedScanTwoLevel(spark, dir, queryVec, nProbe, coarseProbe)
+    val qCol = array(queryVec.toIndexedSeq.map(lit): _*)
+    excludeVecId.foldLeft(probed)((df, id) => df.filter(col("vec_id") =!= id))
+      .select(col("vec_id"), cosineNative6(col("v"), qCol).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
   }
 
   /** APPEND a batch into the persisted IVF index WITHOUT retraining:

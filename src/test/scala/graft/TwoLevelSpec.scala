@@ -122,6 +122,57 @@ class TwoLevelSpec extends SparkSpec {
     } finally e.unpersist()
   }
 
+  test("two-level probe: all-coarse equals the flat probe exactly; partial coarse bounds the model read") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("ivf2probe").toString
+    val e = clustered(300).cache()
+    try {
+      VectorIndex.buildIvfTwoLevel(spark, e, tmp, nCells = 12, iters = 2)
+      val meta = spark.read.json(s"$tmp/ivf_two_level.json").head()
+      val k1 = meta.getAs[Long]("k1").toInt
+      val k2 = meta.getAs[Long]("k2").toInt
+      assert(k1 >= 2 && k1 * k2 >= 12)
+      val qv = e.filter(col("vec_id") === 17L).select("v")
+        .head().getSeq[Double](0).toArray
+      // coarseProbe = k1: the candidate cell set is the full model, so
+      // the two-level serving path == the flat one, row for row
+      for (nProbe <- Seq(2, 4)) {
+        val flat = VectorIndex.annIvf(spark, tmp, qv, 6, nProbe, Some(17L))
+          .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val two = VectorIndex.annIvfTwoLevel(spark, tmp, qv, 6, nProbe, k1, Some(17L))
+          .select("vec_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(two == flat, s"nProbe=$nProbe: two-level $two != flat $flat")
+      }
+      // partial coarseProbe: every served row comes from a cell inside
+      // the probed coarse groups (recomputed independently)
+      val coarse = VectorIndex.loadIvfCentroids(spark, s"$tmp") // flat model for ground truth
+      def d2(a: Array[Double], b: Array[Double]) = {
+        var d = 0.0; var j = 0
+        while (j < a.length) { val t = a(j) - b(j); d += t * t; j += 1 }
+        d
+      }
+      val coarseModel = {
+        val rows = spark.read.parquet(s"$tmp/ivf_coarse").collect()
+        val k = rows.map(_.getInt(0)).max + 1
+        val dim = rows.map(_.getInt(1)).max + 1
+        val cs = Array.fill(k)(new Array[Double](dim))
+        rows.foreach(r => cs(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        cs
+      }
+      val topGroups = coarseModel.indices
+        .sortBy(g => (d2(qv, coarseModel(g)), g)).take(2).toSet
+      val partial = VectorIndex.annIvfTwoLevel(spark, tmp, qv, 6, 3, coarseProbe = 2, Some(17L))
+      val assignOf = spark.read.parquet(s"$tmp/ivf_vectors")
+        .select(col("vec_id"), col("cluster").cast("int"))
+        .as[(Long, Int)].collect().toMap
+      partial.select("vec_id").as[Long].collect().foreach { id =>
+        assert(topGroups.contains(assignOf(id) / k2),
+          s"vec $id served from outside the probed coarse groups")
+      }
+      assert(coarse.length == k1 * k2) // the flat model the partial probe avoided loading
+    } finally e.unpersist()
+  }
+
   test("appendIvf: frozen-cell append serves exactly; assignment is the recomputed nearest cell") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("ivfapp").toString
