@@ -133,6 +133,9 @@ object KMeans {
     try {
       val (coarseAssign, coarse, _) =
         fit(spark, e, k1, iters, trackInertia = false)
+      // a corpus smaller than k1 seeds fewer coarse centroids than
+      // requested — every structure below sizes to what EXISTS
+      val k1e = coarse.length
       val withCoarse = e.join(coarseAssign, "vec_id")
         .select(col("vec_id"), col("v"), col("cluster").as("coarse"))
         .as[(Long, Array[Double], Int)]
@@ -147,7 +150,7 @@ object KMeans {
           .select(col("coarse"), (col("rk") - 1).cast("int").as("sub"), col("v"))
           .as[(Int, Int, Array[Double])].collect() // ≤ k1·k2 rows
         val byGroup = seeds.groupBy(_._1)
-        var children: Array[Array[Array[Double]]] = Array.tabulate(k1) { g =>
+        var children: Array[Array[Array[Double]]] = Array.tabulate(k1e) { g =>
           byGroup.get(g) match {
             case Some(rows) =>
               val got = rows.sortBy(_._2).map(_._3)
@@ -177,7 +180,7 @@ object KMeans {
             .agg(sum("x").as("sx"), count(lit(1)).as("n"))
             .collect() // ≤ k1·k2·dim rows only
           val byCell = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
-          children = Array.tabulate(k1) { g =>
+          children = Array.tabulate(k1e) { g =>
             Array.tabulate(k2) { s =>
               byCell.get((g, s)) match {
                 case Some(rows) =>
@@ -195,7 +198,7 @@ object KMeans {
         // fit() returns a plan over its own cached input; here the
         // upstream caches are scoped, so pin the small result)
         val pinned = assign.localCheckpoint(true)
-        val flat = Array.tabulate(k1 * k2)(i => finalChildren(i / k2)(i % k2))
+        val flat = Array.tabulate(k1e * k2)(i => finalChildren(i / k2)(i % k2))
         (pinned, flat, coarse)
       } finally withCoarse.unpersist()
     } finally e.unpersist()

@@ -122,6 +122,26 @@ class TwoLevelSpec extends SparkSpec {
     } finally e.unpersist()
   }
 
+  test("degenerate corpora: fewer vectors than coarse seeds still partition and serve") {
+    import spark.implicits._
+    // 3 vectors, nCells = 4 (k1 = 2 wanted, only what exists seeds)
+    val tiny = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)), (2L, Array(5.0, 5.0)))
+      .toDF("vec_id", "v")
+    val (assigned, flat, coarse) = KMeans.fitTwoLevel(spark, tiny, nCells = 4, iters = 2)
+    val rows = assigned.as[(Long, Int)].collect()
+    assert(rows.length == 3 && rows.map(_._1).distinct.length == 3)
+    assert(coarse.nonEmpty && flat.nonEmpty && flat.length % coarse.length == 0)
+    assert(rows.forall { case (_, c) => c >= 0 && c < flat.length })
+    // and the artifact form serves: all-probe == brute on the tiny set
+    val tmp = Files.createTempDirectory("ivf2tiny").toString
+    VectorIndex.buildIvfTwoLevel(spark, tiny, tmp, nCells = 4, iters = 1)
+    val n = VectorIndex.loadIvfCentroids(spark, tmp).length
+    val got = VectorIndex.annIvf(spark, tmp, Array(1.0, 0.1), 3, n, None)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got.length == 3 && got.head == 0L) // nearest to (1, 0.1) is vec 0
+  }
+
   test("two-level probe: all-coarse equals the flat probe exactly; partial coarse bounds the model read") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("ivf2probe").toString
