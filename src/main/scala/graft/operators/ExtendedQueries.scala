@@ -457,6 +457,12 @@ object ExtendedQueries {
     val byLabel = cents.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
       case (lbl, rows) => (lbl, rows.sortBy(_.getInt(1)).map(_.getDouble(2)))
     }
+    // empty corpus: no centroids to argmax over — an empty result
+    // with the contract schema, not an analysis error on array()
+    if (byLabel.isEmpty)
+      return e.filter(lit(false))
+        .select(col("vec_id"), col("label").as("true_label"),
+          col("label").as("pred_label"), lit(0.0).as("score"))
     val scored = byLabel.map { case (lbl, c) =>
       val cCol = array(c.toIndexedSeq.map(lit): _*)
       struct(cosineNative6(col("v"), cCol).as("cos"), lit(-lbl).as("nl"))

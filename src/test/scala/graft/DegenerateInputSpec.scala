@@ -254,4 +254,17 @@ class DegenerateInputSpec extends SparkSpec {
     assert(AnalyticsQueries.q20PathTransitions(spark, tmp).count() == 0)
     assert(AnalyticsQueries.q23SessionPaths(spark, tmp).count() == 0)
   }
+
+  test("e05: empty corpus yields the contract schema, not an array() analysis error; one label predicts itself") {
+    import spark.implicits._
+    import graft.operators.ExtendedQueries
+    val empty = Seq.empty[(Long, Array[Double], Int)].toDF("vec_id", "v", "label")
+    val out = ExtendedQueries.centroidClassify(spark, empty)
+    assert(out.columns.toSeq == Seq("vec_id", "true_label", "pred_label", "score"))
+    assert(out.count() == 0)
+    val one = Seq((0L, Array(1.0, 0.0), 7), (1L, Array(0.0, 1.0), 7))
+      .toDF("vec_id", "v", "label")
+    val preds = ExtendedQueries.centroidClassify(spark, one).collect()
+    assert(preds.length == 2 && preds.forall(_.getAs[Int]("pred_label") == 7))
+  }
 }
