@@ -125,7 +125,10 @@ object AnnLadder {
           }.reduce(_ + _)
       }
       println(f"[ladder] two-level build: ${"nCells"}%-7s ${"flat s"}%-8s ${"two s"}%-8s ${"dist/vec flat"}%-14s ${"dist/vec two"}%-13s inertia ratio")
-      for (nCells <- Seq(64, 256)) {
+      // the 1024-cell point only makes sense on corpora big enough to
+      // populate the cells (and the flat side is the expensive one)
+      val cellsSweep = if (n >= 10000) Seq(64, 256, 1024) else Seq(64, 256)
+      for (nCells <- cellsSweep) {
         val t0 = System.nanoTime()
         val (fa, fc, _) = KMeans.fit(spark, e, nCells, 2, trackInertia = false)
         fa.count()
