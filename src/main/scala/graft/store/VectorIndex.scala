@@ -369,6 +369,32 @@ object VectorIndex {
     } finally assigned.unpersist()
   }
 
+  /** CELL-BALANCE report for a partitioned inverted-list artifact
+    * (ivf_vectors or ivfpq_codes) — the probe-cost observability for
+    * the caveat [[appendIvf]]/[[appendIvfPq]] document: frozen-model
+    * appends under a shifted arrival distribution pile into few
+    * cells, and a probe that lands on a hot cell scans its whole
+    * list. One row per NON-EMPTY cell (cluster, n, share) plus the
+    * summary every maintenance dashboard wants: `imbalance` =
+    * max(n) / mean(n) — 1.0 is perfectly balanced; the rebuild
+    * convention mirrors driftReport's (trigger on a sustained
+    * imbalance over ~4, i.e. a probe of the hot cell costs 4× the
+    * mean). Reads ONLY the cluster column (pruned columnar scan —
+    * never the vectors/codes). Returns (perCell, imbalance). */
+  def cellStats(spark: SparkSession, dir: String,
+      artifact: String = "ivf_vectors"): (DataFrame, Double) = {
+    val counts = minusTombstones(spark, dir,
+        spark.read.parquet(s"$dir/$artifact").select("vec_id", "cluster"))
+      .groupBy("cluster").count().withColumnRenamed("count", "n")
+    val total = counts.agg(sum("n"), count(lit(1))).head()
+    val (sumN, nCells) = (total.getLong(0), total.getLong(1))
+    val perCell = counts
+      .withColumn("share", round(col("n") / lit(sumN.toDouble), 6))
+      .orderBy(col("n").desc, col("cluster"))
+    val maxN = counts.agg(max("n")).head().getLong(0)
+    (perCell, maxN.toDouble / (sumN.toDouble / nCells))
+  }
+
   def loadIvfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
     loadCentroidsAt(spark, s"$dir/ivf_centroids")
 

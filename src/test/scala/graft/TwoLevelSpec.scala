@@ -142,6 +142,36 @@ class TwoLevelSpec extends SparkSpec {
     assert(got.length == 3 && got.head == 0L) // nearest to (1, 0.1) is vec 0
   }
 
+  test("cellStats: shifted appends surface as imbalance; tombstoned rows don't count") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("cellstats").toString
+    val e = clustered(240).cache()
+    try {
+      VectorIndex.buildIvf(spark, e, tmp, nCells = 6, iters = 2)
+      val (cells0, imb0) = VectorIndex.cellStats(spark, tmp)
+      assert(cells0.agg(org.apache.spark.sql.functions.sum("n"))
+        .head().getLong(0) == 240L)
+      assert(imb0 >= 1.0 && imb0 < 4.0,
+        s"the planted 8-cluster corpus should start roughly balanced, got $imb0")
+      // a SHIFTED arrival: 300 copies of one planted anchor region —
+      // frozen-model assignment piles them into one cell
+      val shifted = (1000L until 1300L).map { id =>
+        (id, Array.tabulate(6)(j => math.cos(2.4 + j * 1.3) * 4.0 + 0.01 * (id % 7)))
+      }.toDF("vec_id", "v")
+      VectorIndex.appendIvf(spark, tmp, shifted)
+      val (cells1, imb1) = VectorIndex.cellStats(spark, tmp)
+      assert(imb1 > imb0 * 1.5, s"shifted appends must raise imbalance: $imb0 -> $imb1")
+      val hot = cells1.head()
+      assert(hot.getAs[Long]("n") >= 300L, "the hot cell should hold the shifted batch")
+      // tombstoning the shifted batch restores the reading
+      VectorIndex.tombstone(spark, tmp,
+        (1000L until 1300L).toDF("vec_id"))
+      val (_, imb2) = VectorIndex.cellStats(spark, tmp)
+      assert(math.abs(imb2 - imb0) < 0.3,
+        s"tombstoned rows must not count: $imb2 vs pre-append $imb0")
+    } finally e.unpersist()
+  }
+
   test("two-level probe: all-coarse equals the flat probe exactly; partial coarse bounds the model read") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("ivf2probe").toString
