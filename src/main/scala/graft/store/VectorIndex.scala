@@ -468,6 +468,25 @@ object VectorIndex {
       .limit(k)
   }
 
+  /** RANGE (radius) search through the persisted IVF index — v11's
+    * "whole cosine ≥ τ ball" semantics on the partition-pruned probe
+    * (FAISS's range_search-on-IVF shape): only probed cells' members
+    * are scored, the exact radius predicate verifies each. At
+    * nProbe = nCells the result equals the brute range scan exactly
+    * (byte-shared scoring/ordering with [[annIvf]]); fewer probes
+    * trade recall of FAR ball members for scan bytes, identical to
+    * the top-k trade. Output size is data-dependent (no k). */
+  def rangeSearch(spark: SparkSession, dir: String,
+      queryVec: Array[Double], tau: Double, nProbe: Int,
+      excludeVecId: Option[Long] = None): DataFrame = {
+    val probed = probedScan(spark, dir, queryVec, nProbe)
+    val qCol = array(queryVec.toIndexedSeq.map(lit): _*)
+    excludeVecId.foldLeft(probed)((df, id) => df.filter(col("vec_id") =!= id))
+      .select(col("vec_id"), cosineNative6(col("v"), qCol).as("cos"))
+      .filter(col("cos") >= tau)
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
   /** Convenience by-ID form. The id→vector lookup cannot prune (the
     * row's cell is unknown until read), so it costs ONE full-index
     * scan up front — fine for ad-hoc use; a serving path should keep

@@ -223,6 +223,34 @@ class TwoLevelSpec extends SparkSpec {
     } finally e.unpersist()
   }
 
+  test("rangeSearch through the index: all-probe == brute ball exactly; partial probe is a subset") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.cosineNative6
+    val tmp = Files.createTempDirectory("ivfrange").toString
+    val e = clustered(250).cache()
+    try {
+      VectorIndex.buildIvf(spark, e, tmp, nCells = 8, iters = 2)
+      val n = VectorIndex.loadIvfCentroids(spark, tmp).length
+      val qv = e.filter(col("vec_id") === 11L).select("v")
+        .head().getSeq[Double](0).toArray
+      val tau = 0.9
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("vec_id", "cos").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val brute = rows(e.filter(col("vec_id") =!= 11L)
+        .select(col("vec_id"),
+          cosineNative6(col("v"), array(qv.toIndexedSeq.map(lit): _*)).as("cos"))
+        .filter(col("cos") >= tau)
+        .orderBy(col("cos").desc, col("vec_id")))
+      assert(brute.nonEmpty, "the planted cluster must put neighbours in the ball")
+      val got = rows(VectorIndex.rangeSearch(spark, tmp, qv, tau, n, Some(11L)))
+      assert(got == brute, "all-probe range search must equal the brute ball")
+      val partial = rows(VectorIndex.rangeSearch(spark, tmp, qv, tau, 2, Some(11L)))
+      assert(partial.toSet.subsetOf(brute.toSet),
+        "partial probe must return a subset of the exact ball")
+    } finally e.unpersist()
+  }
+
   test("appendIvf: frozen-cell append serves exactly; assignment is the recomputed nearest cell") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("ivfapp").toString
