@@ -419,6 +419,31 @@ final class Graft(
       .select("fact_id", "fact_text", "cos")
       .orderBy(col("cos").desc, col("fact_id"))
 
+  /** ALL facts inside the cosine ball — the RADIUS form of
+    * [[closestFacts]] (v11's semantics on the store: dedup sweeps,
+    * compliance pulls, "everything sufficiently similar"; output
+    * size is data-dependent, no k). */
+  def closestFactsRange(db: HippoDb, query: String, tau: Double): DataFrame =
+    db.factEmb
+      .select(col("fact_id"), cosine6(toDouble(col("embedding")), queryVec(query)).as("cos"))
+      .filter(col("cos") >= tau)
+      .join(db.facts, "fact_id")
+      .select("fact_id", "fact_text", "cos")
+      .orderBy(col("cos").desc, col("fact_id"))
+
+  /** The radius form through the PERSISTED index — VectorIndex
+    * .rangeSearch over the partition-pruned probe; at nProbe =
+    * nCells equals [[closestFactsRange]] exactly (spec-pinned),
+    * fewer probes trade far-ball recall for scan bytes. */
+  def closestFactsRangeIndexed(db: HippoDb, indexDir: String, query: String,
+      tau: Double, nProbe: Int = VectorQueries.IvfProbe): DataFrame =
+    graft.store.VectorIndex.rangeSearch(spark, indexDir,
+        embedder.embed(query).map(_.toDouble), tau, nProbe)
+      .withColumnRenamed("vec_id", "fact_id")
+      .join(db.facts, "fact_id")
+      .select("fact_id", "fact_text", "cos")
+      .orderBy(col("cos").desc, col("fact_id"))
+
   /** Top-k facts by MAXIMAL MARGINAL RELEVANCE — [[closestFacts]]
     * with v12's diversification: a store grown by annotate-with-dedup
     * still holds near-paraphrase facts, and a RAG context window

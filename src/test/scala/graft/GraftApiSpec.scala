@@ -169,6 +169,17 @@ class GraftApiSpec extends SparkSpec {
         nProbe = graft.store.VectorIndex.loadIvfCentroids(spark, idx2).length)
       .select("fact_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(served2 == brute, s"two-level all-probe must equal brute: $served2 vs $brute")
+    // the RADIUS form: scan and all-probe indexed agree row-for-row,
+    // and the ball is the cosine superlevel set of the scan ranking
+    def rangeRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("fact_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ballScan = rangeRows(api.closestFactsRange(db, "spark window join", tau = 0.2))
+    assert(ballScan.nonEmpty && ballScan.forall(_._2 >= 0.2))
+    val ballIdx = rangeRows(api.closestFactsRangeIndexed(db, idx, "spark window join",
+      tau = 0.2, nProbe = 8))
+    assert(ballIdx == ballScan,
+      s"all-probe indexed ball must equal the scan ball: $ballIdx vs $ballScan")
   }
 
   test("indexed hybrid facade: all-probe == brute hybrid exactly (both modes), fallback byte-shared, partial probe prunes") {
