@@ -115,11 +115,34 @@ object KMeans {
     * coarse·k2 + sub, flat centroids indexed by that id, coarse
     * centroids). The flat id space is k1·k2 ≥ nCells; groups with
     * fewer vectors than k2 pad unused slots with their group's first
-    * seed (a duplicate centroid is never argmin-assigned — strict
-    * `<` keeps the first — so padded cells are EMPTY but positioned,
-    * and a probe that lands on one scans nothing). Downstream
+    * seed. At INIT a padded duplicate is never argmin-assigned
+    * (strict `<` keeps the first); after the first centroid UPDATE
+    * the real cell moves to its member mean while the pad keeps the
+    * stale seed position, so a later iteration may legitimately
+    * assign members to the pad — it then just becomes another real
+    * cell. Either way every cell's centroid is positioned and the
+    * assignment stays a partition; truly-empty cells cost a probe
+    * slot at most (their partition scans nothing). Downstream
     * consumers (buildIvf layout, nearestCells probe, silhouette) are
     * agnostic: the flat (assignments, centroids) pair is drop-in. */
+  /** Nearest centroid by squared L2; the FIRST index wins an exact
+    * tie. This is THE frozen-model assignment rule — fitTwoLevel's
+    * child pass and VectorIndex.appendIvf share this kernel so the
+    * tie-break (which the padded-duplicate design depends on) cannot
+    * drift between paths. */
+  private[graft] def nearestIndex(v: Array[Double],
+      cs: Array[Array[Double]]): Int = {
+    var best = 0; var bd = Double.MaxValue; var i = 0
+    while (i < cs.length) {
+      val c = cs(i)
+      var d = 0.0; var j = 0
+      while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+      if (d < bd) { bd = d; best = i }
+      i += 1
+    }
+    best
+  }
+
   def fitTwoLevel(spark: SparkSession, emb: DataFrame, nCells: Int,
       iters: Int, branch: Int = 0)
       : (DataFrame, Array[Array[Double]], Array[Array[Double]]) = {
@@ -161,16 +184,7 @@ object KMeans {
         def assignSub(cs: Array[Array[Array[Double]]]) = {
           val bc = spark.sparkContext.broadcast(cs)
           withCoarse.map { case (id, v, g) =>
-            val gc = bc.value(g)
-            var best = 0; var bd = Double.MaxValue; var i = 0
-            while (i < gc.length) {
-              val c = gc(i)
-              var d = 0.0; var j = 0
-              while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
-              if (d < bd) { bd = d; best = i } // strict: first of dup centroids
-              i += 1
-            }
-            (id, g, best, v)
+            (id, g, KMeans.nearestIndex(v, bc.value(g)), v)
           }
         }
         for (_ <- 0 until iters) {

@@ -325,8 +325,13 @@ object HippoDb {
         else {
           def keepOf(df: DataFrame) = {
             val byFact = df.join(victims, Seq("fact_id"), "left_anti")
+            // null-safe: legacy rows appended before the schema gained
+            // doc_id read back as NULL — `!isin` alone is NULL for
+            // them (dropped), which would silently erase every
+            // legacy span on ANY takedown. Unknown provenance keeps
+            // the row (the documented legacy-fallback behavior).
             if (df.columns.contains("doc_id"))
-              byFact.filter(!col("doc_id").isin(docIds: _*))
+              byFact.filter(col("doc_id").isNull || !col("doc_id").isin(docIds: _*))
             else byFact
           }
           val cur = spark.read.parquet(path)

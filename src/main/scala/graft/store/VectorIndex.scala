@@ -242,6 +242,19 @@ object VectorIndex {
         .write.mode(SaveMode.Overwrite).partitionBy("cluster")
         .parquet(s"$dir/ivf_vectors")
       writeCentroidRows(spark, centroids, s"$dir/ivf_centroids")
+      // a flat REBUILD over a dir previously built two-level must
+      // clear the hierarchical artifacts — a stale coarse model +
+      // stale k2 would silently map probes onto the NEW unrelated
+      // flat ids (the buildIvfPq precedent: it clears stale
+      // ivfpq_err_appends the same way)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(s"$dir/ivf_coarse", s"$dir/ivf_two_level.json").foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        if (fs.exists(hp) && !fs.delete(hp, true))
+          throw new java.io.IOException(
+            s"buildIvf: stale two-level artifact $p was not cleared")
+      }
     } finally cached.unpersist()
   }
 
@@ -347,18 +360,8 @@ object VectorIndex {
     val bc = spark.sparkContext.broadcast(loadIvfCentroids(spark, dir))
     val assigned = batch.select(col("vec_id"), col("v"))
       .as[(Long, Array[Double])]
-      .map { case (id, v) =>
-        val cs = bc.value
-        var best = 0; var bd = Double.MaxValue; var c = 0
-        while (c < cs.length) {
-          val cc = cs(c)
-          var d = 0.0; var j = 0
-          while (j < cc.length) { val t = v(j) - cc(j); d += t * t; j += 1 }
-          if (d < bd) { bd = d; best = c } // strict: first wins on ties
-          c += 1
-        }
-        (id, v, best)
-      }.toDF("vec_id", "v", "cluster")
+      .map { case (id, v) => (id, v, KMeans.nearestIndex(v, bc.value)) }
+      .toDF("vec_id", "v", "cluster")
       .cache()
     try {
       val n = assigned.count()
@@ -379,20 +382,34 @@ object VectorIndex {
     * max(n) / mean(n) — 1.0 is perfectly balanced; the rebuild
     * convention mirrors driftReport's (trigger on a sustained
     * imbalance over ~4, i.e. a probe of the hot cell costs 4× the
-    * mean). Reads ONLY the cluster column (pruned columnar scan —
-    * never the vectors/codes). Returns (perCell, imbalance). */
+    * mean). Reads only the (vec_id, cluster) columns — vec_id feeds
+    * the tombstone anti-join, never the vectors/codes — and the
+    * per-cell counts (nCells rows) cache so the scan runs ONCE. An
+    * EMPTY artifact (legal after deleting every doc) reports
+    * (no rows, 0.0) instead of failing — the dashboard must work
+    * exactly in the heavy-deletion state it reports on. Returns
+    * (perCell, imbalance). */
   def cellStats(spark: SparkSession, dir: String,
       artifact: String = "ivf_vectors"): (DataFrame, Double) = {
-    val counts = minusTombstones(spark, dir,
+    import spark.implicits._
+    // ONE distributed pass; the per-cell counts are nCells rows —
+    // small enough to finish driver-side (no cache to leak, no
+    // re-scan per aggregate)
+    val rows = minusTombstones(spark, dir,
         spark.read.parquet(s"$dir/$artifact").select("vec_id", "cluster"))
-      .groupBy("cluster").count().withColumnRenamed("count", "n")
-    val total = counts.agg(sum("n"), count(lit(1))).head()
-    val (sumN, nCells) = (total.getLong(0), total.getLong(1))
-    val perCell = counts
-      .withColumn("share", round(col("n") / lit(sumN.toDouble), 6))
-      .orderBy(col("n").desc, col("cluster"))
-    val maxN = counts.agg(max("n")).head().getLong(0)
-    (perCell, maxN.toDouble / (sumN.toDouble / nCells))
+      .groupBy("cluster").count()
+      .select(col("cluster").cast("int"), col("count"))
+      .as[(Int, Long)].collect()
+    if (rows.isEmpty)
+      return (Seq.empty[(Int, Long, Double)].toDF("cluster", "n", "share"), 0.0)
+    val sumN = rows.map(_._2).sum
+    val maxN = rows.map(_._2).max
+    val perCell = rows.sortBy { case (c, n) => (-n, c) }
+      .map { case (c, n) =>
+        (c, n, BigDecimal(n / sumN.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq.toDF("cluster", "n", "share")
+    (perCell, maxN.toDouble / (sumN.toDouble / rows.length))
   }
 
   def loadIvfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =

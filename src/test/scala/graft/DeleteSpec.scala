@@ -66,6 +66,34 @@ class DeleteSpec extends SparkSpec {
       empty.entities.count() == 0 && empty.factEmb.count() == 0)
   }
 
+  test("a NULL doc_id source row (legacy row under the new schema) survives unrelated takedowns") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("hippodel-null").toString
+    val facts = Seq(
+      (101L, 1L, 0, "alpha fact one", 0, 14),
+      (103L, 2L, 0, "beta fact three", 0, 15))
+      .toDF("fact_id", "doc_id", "chunk_idx", "fact_text", "start", "end")
+    val edges = Seq((101L, "alpha"), (103L, "beta")).toDF("fact_id", "entity")
+    val entities = Seq("alpha", "beta").toDF("entity")
+    val factEmb = Seq((101L, Array(1f, 0f)), (103L, Array(1f, 1f)))
+      .toDF("fact_id", "embedding")
+    // the sources table HAS the doc_id column, but one row predates
+    // it (appended legacy data reads back as NULL): `!isin` alone is
+    // NULL for that row — it must be KEPT, not silently erased, on a
+    // takedown of an unrelated doc
+    val sources = Seq(
+      (101L, Some(1L), "src-a"), (103L, Some(2L), "src-b"),
+      (103L, None, "src-legacy"))
+      .toDF("fact_id", "doc_id", "name")
+    HippoDb(facts, edges, entities, factEmb, Some(sources)).save(tmp)
+    val r = HippoDb.deleteDocuments(spark, tmp, Seq(1L))
+    assert(r.sourcesDeleted == 1L, s"only doc 1's span dies, got $r")
+    val back = HippoDb.load(spark, tmp).sources.get
+      .select("fact_id", "name").as[(Long, String)].collect().toSet
+    assert(back == Set((103L, "src-b"), (103L, "src-legacy")),
+      s"the NULL-provenance legacy span must survive: $back")
+  }
+
   test("legacy sources without doc_id still cascade by fact_id (documented fallback)") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("hippodel-legacy").toString

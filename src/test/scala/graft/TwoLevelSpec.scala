@@ -65,8 +65,17 @@ class TwoLevelSpec extends SparkSpec {
       rows.foreach { case (id, cell) =>
         val v = vecs(id)
         val g = cell / k2
-        // its coarse group must be the nearest coarse centroid
-        val gBest = coarse.indices.minBy(i => (d2(v, coarse(i)), i))
+        // its coarse group must be the nearest coarse centroid —
+        // recomputed with PRODUCTION's float form (|c|² − 2·v·c, the
+        // assignExpr argmin; the subtract-square form can disagree
+        // on near-equidistant vectors by float rounding alone)
+        def coarseScore(i: Int) = {
+          val c = coarse(i)
+          var dot = 0.0; var c2 = 0.0; var j = 0
+          while (j < c.length) { dot += v(j) * c(j); c2 += c(j) * c(j); j += 1 }
+          c2 - dot * 2
+        }
+        val gBest = coarse.indices.minBy(i => (coarseScore(i), i))
         assert(g == gBest, s"vec $id: coarse $g != recomputed $gBest")
         val children = (0 until k2).map(s => flat(g * k2 + s))
         val sBest = children.indices.minBy(s => (d2(v, children(s)), s))
@@ -169,6 +178,33 @@ class TwoLevelSpec extends SparkSpec {
       val (_, imb2) = VectorIndex.cellStats(spark, tmp)
       assert(math.abs(imb2 - imb0) < 0.3,
         s"tombstoned rows must not count: $imb2 vs pre-append $imb0")
+      // a FULLY tombstoned artifact (legal: every doc deleted) must
+      // report, not crash — the dashboard's own heavy-deletion state
+      VectorIndex.tombstone(spark, tmp, (0L until 1000L).toDF("vec_id"))
+      val (emptyCells, imbEmpty) = VectorIndex.cellStats(spark, tmp)
+      assert(emptyCells.count() == 0 && imbEmpty == 0.0)
+    } finally e.unpersist()
+  }
+
+  test("flat rebuild over a two-level dir clears the stale hierarchical artifacts") {
+    val tmp = Files.createTempDirectory("ivf2stale").toString
+    val e = clustered(200).cache()
+    try {
+      VectorIndex.buildIvfTwoLevel(spark, e, tmp, nCells = 9, iters = 1)
+      assert(new java.io.File(s"$tmp/ivf_coarse").exists())
+      assert(new java.io.File(s"$tmp/ivf_two_level.json").exists())
+      // ops rebuilds FLAT into the same dir (the cellStats/drift
+      // rebuild trigger); a stale coarse model + stale k2 would map
+      // two-level probes onto the new unrelated flat ids
+      VectorIndex.buildIvf(spark, e, tmp, nCells = 6, iters = 1)
+      assert(!new java.io.File(s"$tmp/ivf_coarse").exists(),
+        "stale coarse model survived the flat rebuild")
+      assert(!new java.io.File(s"$tmp/ivf_two_level.json").exists(),
+        "stale two-level metadata survived the flat rebuild")
+      // the two-level probe now fails loudly instead of serving wrong
+      intercept[Exception] {
+        VectorIndex.annIvfTwoLevel(spark, tmp, Array.fill(6)(0.0), 3, 2, 2).collect()
+      }
     } finally e.unpersist()
   }
 
