@@ -200,6 +200,23 @@ object ExtendedQueries {
   val E01cCellTarget = 250
   val E01cProbe = 4
 
+  /** Above this cell count the fit routes through the two-level
+    * quantizer and probing goes coarse-first. Below it the flat fit
+    * is both cheaper in absolute terms AND inside its codegen sweet
+    * spot (the AnnLadder sweep: flat is fine to ~128 cells, then
+    * non-monotone — 56.8 s at 256 cells vs 32.3 s at 1024 on 20k
+    * vectors from the per-iteration janino recompile of the literal
+    * model). 64 keeps sf0.001/sf0.01 (and the planted specs) on the
+    * byte-identical flat path, so the pinned stress band still
+    * measures the same computation round over round. */
+  val E01cTwoLevelCells = 64
+
+  /** Coarse groups probed per query on the two-level path before
+    * the nProbe child cells are chosen among their children —
+    * per-query probe cost k1 + coarseProbe·k2 ≈ (1+coarseProbe)·
+    * √nCells distances instead of nCells. */
+  val E01cCoarseProbe = 4
+
   /** e01c: the COMPOSITION RUNG e01b's scaladoc names — coarse-cell
     * pruning first, the BQ signature pass within probed cells. The
     * sf1.0 gate measured why it exists: e01b's one-popcount-per-pair
@@ -219,14 +236,22 @@ object ExtendedQueries {
     * the same corpus property that capped v07's probe recall and
     * killed the d06b/LSH-dial designs. The operator ships for the
     * regime its premise holds in, with the stress number documented
-    * rather than hidden. Cell assignment cost here is n × nCells
-    * distances — the 10⁹-vector build path is the two-level coarse
-    * quantizer (KMeans.fitTwoLevel / VectorIndex.buildIvfTwoLevel:
-    * k1 + k2 ≈ 2√nCells distances per vector, TwoLevelSpec); this
-    * entry keeps the flat fit so its pinned agreement band stays
-    * comparable across rounds. *rows-only*
-    * (ScaleSwapSpec: clustered-corpus agreement ≥ 0.95,
-    * stress-corpus band, every-vector coverage). */
+    * rather than hidden. Fit + probe are SCALE-ROUTED: at
+    * nCells ≥ [[E01cTwoLevelCells]] the cell model comes from the
+    * two-level quantizer (KMeans.fitTwoLevel — k1 + k2 ≈ 2√nCells
+    * distances per vector per Lloyd's pass, broadcast-model typed
+    * map, no per-iteration codegen recompile; measured 7–24× over
+    * the flat fit) and each query picks its [[E01cCoarseProbe]]
+    * nearest coarse groups before choosing the nProbe child cells
+    * among ONLY their children — per-query probe cost
+    * (1+coarseProbe)√nCells, so the nCells ∝ n dial no longer
+    * re-introduces a quadratic term anywhere in the entry. Below
+    * the threshold the flat fit + full-model probe run byte-
+    * identically to prior rounds, keeping the pinned sf0.01 stress
+    * band comparable. *rows-only*
+    * (ScaleSwapSpec: clustered-corpus agreement ≥ 0.95 on BOTH
+    * routings, stress-corpus band, every-vector coverage,
+    * plan-shape needles on the forced two-level path). */
   def e01cKnnClassifyIvfBq(spark: SparkSession, dir: String): DataFrame =
     knnClassifyCellBlocked(spark,
       Tables.embeddings(spark, dir)
@@ -236,13 +261,14 @@ object ExtendedQueries {
     * relation — the spec drives it with a planted clustered corpus.
     * Materializes k rows driver-side (cache-release contract). */
   private[graft] def knnClassifyCellBlocked(spark: SparkSession,
-      e0: DataFrame, nProbe: Int = E01cProbe): DataFrame = {
+      e0: DataFrame, nProbe: Int = E01cProbe,
+      twoLevelCells: Int = E01cTwoLevelCells): DataFrame = {
     val e = e0
       .withColumn("nv", normNative(col("v")))
       .repartition(spark.sparkContext.defaultParallelism)
       .cache()
     try {
-      val out = cellBlockedLazy(spark, e, nProbe)
+      val out = cellBlockedLazy(spark, e, nProbe, twoLevelCells)
       spark.createDataFrame(
         new java.util.ArrayList(java.util.Arrays.asList(out.collect(): _*)),
         out.schema)
@@ -255,29 +281,61 @@ object ExtendedQueries {
     * no all-pairs join) that the entry's driver-side
     * materialization hides behind a LocalTableScan. */
   private[graft] def cellBlockedLazy(spark: SparkSession,
-      e: DataFrame, nProbe: Int): DataFrame = {
+      e: DataFrame, nProbe: Int,
+      twoLevelCells: Int = E01cTwoLevelCells): DataFrame = {
     import spark.implicits._
     {
       val n = e.count()
       val nCells = math.max(8, (n / E01cCellTarget).toInt)
-      val (assigned, centroids, _) = graft.operators.KMeans.fit(
-        spark, e.select(col("vec_id"), col("v")), nCells, 2, trackInertia = false)
+      // scale routing: above the threshold the model comes from the
+      // two-level quantizer and probing is coarse-first; below it
+      // the flat fit + full-model probe (coarse = null) are the
+      // byte-identical small-corpus path.
+      val (assigned, centroids, coarse) =
+        if (nCells >= twoLevelCells) {
+          val (a, flat, c) = graft.operators.KMeans.fitTwoLevel(
+            spark, e.select(col("vec_id"), col("v")), nCells, 2)
+          (a, flat, c)
+        } else {
+          val (a, cs, _) = graft.operators.KMeans.fit(
+            spark, e.select(col("vec_id"), col("v")), nCells, 2, trackInertia = false)
+          (a, cs, null: Array[Array[Double]])
+        }
       val means = Bq.train(spark, e)
       val enc = Bq.encode(spark, e, means).join(assigned, "vec_id")
       // per-query probe cells: one narrow typed map against the
       // broadcast centroid model (the assignResiduals convention),
       // keeping the E01cProbe nearest — n × nProbe narrow rows out.
+      // Two-level: candidate child cells are restricted to the
+      // E01cCoarseProbe nearest coarse groups' children, so the
+      // per-query distance count is k1 + coarseProbe·k2, not nCells.
       val bc = spark.sparkContext.broadcast(centroids)
+      val bcCoarse = spark.sparkContext.broadcast(coarse)
+      def sqDist(v: Array[Double], c: Array[Double]): Double = {
+        var d = 0.0; var j = 0
+        while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+        d
+      }
       val probes = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
         .flatMap { case (id, v) =>
           val cs = bc.value
-          val ds = new Array[(Double, Int)](cs.length)
-          var c = 0
-          while (c < cs.length) {
-            val cc = cs(c)
-            var d = 0.0; var j = 0
-            while (j < cc.length) { val t = v(j) - cc(j); d += t * t; j += 1 }
-            ds(c) = (d, c); c += 1
+          val cg = bcCoarse.value
+          val cand: Array[Int] =
+            if (cg == null) Array.range(0, cs.length)
+            else {
+              val k2 = cs.length / cg.length
+              val gds = new Array[(Double, Int)](cg.length)
+              var g = 0
+              while (g < cg.length) { gds(g) = (sqDist(v, cg(g)), g); g += 1 }
+              gds.sortBy(_._1).take(E01cCoarseProbe)
+                .flatMap { case (_, grp) =>
+                  grp * k2 until math.min((grp + 1) * k2, cs.length)
+                }
+            }
+          val ds = new Array[(Double, Int)](cand.length)
+          var i = 0
+          while (i < cand.length) {
+            ds(i) = (sqDist(v, cs(cand(i))), cand(i)); i += 1
           }
           ds.sortBy(_._1).take(nProbe).map { case (_, cell) => (id, cell) }
         }

@@ -77,6 +77,46 @@ class ScaleSwapSpec extends SparkSpec {
     assert(acc >= 0.95, s"clustered accuracy $acc < 0.95")
   }
 
+  test("e01c: forced two-level routing keeps clustered-corpus accuracy (scale fit path)") {
+    import spark.implicits._
+    // Same planted corpus as the flat-path spec, but the fit/probe
+    // routed through fitTwoLevel + coarse-first probing (threshold
+    // forced below the corpus's nCells=8) — the path the prod entry
+    // takes once nCells >= E01cTwoLevelCells. Accuracy must hold on
+    // the regime the operator ships for.
+    val planted = (0 until 600).map { i =>
+      val c = i % 6
+      (i.toLong,
+        Array.tabulate(16)(j => 3.0 * c + 0.3 * math.sin(i * 2.3 + j * 1.1)),
+        c)
+    }.toDF("vec_id", "v", "label")
+    val got = ExtendedQueries.knnClassifyCellBlocked(spark, planted,
+        twoLevelCells = 4)
+      .select("vec_id", "true_label", "pred_label").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.length == 600, "every vector must get a prediction")
+    val acc = got.count { case (_, t, p) => t == p }.toDouble / got.length
+    info(s"e01c two-level clustered-corpus accuracy = $acc")
+    assert(acc >= 0.95, s"two-level clustered accuracy $acc < 0.95")
+  }
+
+  test("e01c: two-level plan keeps the cell-bounded shape (no all-pairs join)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.normNative
+    val planted = (0 until 600).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 2.3 + j * 1.1)), i % 4)
+    }.toDF("vec_id", "v", "label")
+      .withColumn("nv", normNative(col("v")))
+    val plan = physicalPlan(
+      ExtendedQueries.cellBlockedLazy(spark, planted, nProbe = 4,
+        twoLevelCells = 4))
+    assert(plan.contains("bit_count"), "popcount scoring missing")
+    assert(plan.contains("ObjectHashAggregate"), "TopKAgg partials missing")
+    assert(!plan.contains("CartesianProduct"), "cartesian in the two-level path")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "BNLJ in the two-level path")
+  }
+
   test("e01c: inner plan is cell-bounded — popcount via cluster equi-join, TopKAgg partials, no all-pairs join") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
