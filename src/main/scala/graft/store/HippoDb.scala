@@ -268,8 +268,15 @@ object HippoDb {
     * The victim fact-id set is staged to `dir/_delete_victims_tmp`
     * and read back, so later cascade steps replay from a durable
     * snapshot (not a cache that could silently re-plan against the
-    * already-swapped facts dir); the scratch dir is removed on
-    * success and aids forensics after a crash. `docIds` is a driver
+    * already-swapped facts dir). The scratch dir is removed ONLY on
+    * the success path: after a mid-cascade crash the facts swap may
+    * already have landed, so a fresh run would compute an EMPTY
+    * victim set and orphan the victims' edges/sources/embeddings
+    * forever — the durable snapshot is the one record that can
+    * finish the job. Recover with [[resumeDeleteDocuments]], which
+    * replays every remaining step from the snapshot (each step is
+    * idempotent: it counts what is actually still present before
+    * swapping). `docIds` is a driver
     * Seq: a takedown batch is a bounded legal/ops artifact (the
     * 100 TB shape is a small broadcast literal list, not a join).
     *
@@ -288,18 +295,76 @@ object HippoDb {
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val fs = p(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val scratch = s"$dir/_delete_victims_tmp"
+    if (fs.exists(p(scratch)))
+      throw new IllegalStateException(
+        s"deleteDocuments: a victim snapshot already exists at $scratch — " +
+        "a prior takedown crashed mid-cascade; finish it with " +
+        "resumeDeleteDocuments before starting a new one")
     spark.read.parquet(s"$dir/facts")
       .filter(col("doc_id").isin(docIds: _*)).select("fact_id")
       .write.mode(SaveMode.Overwrite).parquet(scratch)
+    val report = runDeleteCascade(spark, dir, docIds, indexDirs, sketchDirs)
+    // Success path ONLY: a crash above leaves the snapshot for
+    // resumeDeleteDocuments (and forensics).
+    if (!fs.delete(p(scratch), true))
+      throw new java.io.IOException(
+        s"deleteDocuments: cascade committed but $scratch was not cleared")
+    report
+  }
+
+  /** RESUME a takedown that crashed mid-cascade: replays every
+    * remaining step from the durable victim snapshot
+    * [[deleteDocuments]] left at `dir/_delete_victims_tmp`. Pass the
+    * SAME docIds as the crashed run (the snapshot holds fact ids;
+    * doc-keyed steps — the facts swap, span provenance, sketch
+    * ghost-match removal — need the doc ids again). Every step is
+    * idempotent against partial application, except index tombstones
+    * which are at-least-once (duplicate tombstone ids are harmless:
+    * the serving anti-join and compaction both key on id membership).
+    * The returned report counts what THIS run removed — components
+    * already swapped before the crash report zero. */
+  def resumeDeleteDocuments(spark: SparkSession, dir: String, docIds: Seq[Long],
+      indexDirs: Seq[String] = Nil, sketchDirs: Seq[String] = Nil): DeleteReport = {
+    require(docIds.nonEmpty, "resumeDeleteDocuments: empty docIds")
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val scratch = s"$dir/_delete_victims_tmp"
+    if (!fs.exists(p(scratch)))
+      throw new IllegalStateException(
+        s"resumeDeleteDocuments: no victim snapshot at $scratch — " +
+        "nothing to resume (the prior takedown committed, or never staged)")
+    val report = runDeleteCascade(spark, dir, docIds, indexDirs, sketchDirs)
+    if (!fs.delete(p(scratch), true))
+      throw new java.io.IOException(
+        s"resumeDeleteDocuments: cascade committed but $scratch was not cleared")
+    report
+  }
+
+  /** The cascade body shared by [[deleteDocuments]] and
+    * [[resumeDeleteDocuments]] — reads the victim set from the
+    * durable snapshot and makes EVERY step idempotent by counting
+    * what is actually still present before swapping (a resumed run
+    * must not fail verifiedSwap's exact-count guard on a component
+    * the crashed run already swapped). */
+  private def runDeleteCascade(spark: SparkSession, dir: String,
+      docIds: Seq[Long], indexDirs: Seq[String],
+      sketchDirs: Seq[String]): DeleteReport = {
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val scratch = s"$dir/_delete_victims_tmp"
     val victims = spark.read.parquet(scratch)
-    try {
-      val nVictims = victims.count()
-      // facts: drop the victim docs' rows.
+    locally {
+      // facts: drop the victim docs' rows. The victim count still
+      // PRESENT is measured live (resume-safe: zero after the
+      // crashed run's facts swap landed).
       val facts = spark.read.parquet(s"$dir/facts")
       val totalF = facts.count()
-      verifiedSwap(spark, s"$dir/facts",
-        facts.filter(!col("doc_id").isin(docIds: _*)),
-        hadRows = totalF > 0, expected = Some(totalF - nVictims))
+      val presentF = facts.filter(col("doc_id").isin(docIds: _*)).count()
+      if (presentF > 0)
+        verifiedSwap(spark, s"$dir/facts",
+          spark.read.parquet(s"$dir/facts")
+            .filter(!col("doc_id").isin(docIds: _*)),
+          hadRows = totalF > 0, expected = Some(totalF - presentF))
       // fact_id-keyed components: anti-join the victim set. Each step
       // fresh-reads its live dir AFTER any earlier swap, so no plan
       // ever executes against a renamed-away directory.
@@ -362,9 +427,9 @@ object HippoDb {
       // (ghost-match removal; span_index rebuilds per version — see
       // SketchIndex.deleteDocs).
       sketchDirs.foreach(sd => SketchIndex.deleteDocs(spark, sd, docIds))
-      DeleteReport(docIds.distinct.size.toLong, nVictims, nEdges, nSources,
+      DeleteReport(docIds.distinct.size.toLong, presentF, nEdges, nSources,
         nEmb, totalE - keptN, nTombs)
-    } finally fs.delete(p(scratch), true)
+    }
   }
 
   def load(spark: SparkSession, dir: String): HippoDb = {

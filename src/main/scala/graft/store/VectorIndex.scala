@@ -53,6 +53,24 @@ object VectorIndex {
     n
   }
 
+  /** A REBUILD defines a FRESH id space for the dir: stale
+    * tombstones from the previous build would silently filter the
+    * rebuilt (live) rows out of every serving path — and the next
+    * compactTombstones would then permanently delete them from the
+    * rewritten artifacts. Every build* entry clears the set before
+    * returning (the same stale-state discipline as buildIvf's
+    * two-level-artifact clear and buildIvfPq's err_appends reset).
+    * Tombstones are DIR-scoped: artifact families sharing a dir
+    * share the set, so rebuild them together per corpus version —
+    * the cadence HippoDb/Graft already use. */
+  private def clearTombstones(spark: SparkSession, dir: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp) && !fs.delete(hp, true))
+      throw new java.io.IOException(
+        s"rebuild: stale tombstone set $dir/tombstones was not cleared")
+  }
+
   private def tombstonesAt(spark: SparkSession, dir: String): Option[DataFrame] = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -100,7 +118,15 @@ object VectorIndex {
                 spark.read.parquet(path)
                   .join(broadcast(t), Seq("vec_id"), "left_anti"),
                 hadRows = total > 0, expected = Some(total - del),
-                partitionCols = parts)
+                // A FULLY tombstoned artifact (every id deleted —
+                // legal: verifiedSwap's expected=Some(0) contract)
+                // must not partitionBy: Spark emits NO data files
+                // for an empty partitioned write, so the tmp
+                // read-back cannot even infer a schema. A flat empty
+                // write keeps the full schema (cluster included, now
+                // a regular column) and stays readable/filterable by
+                // every serving path.
+                partitionCols = if (total - del == 0) Nil else parts)
             Some(name -> del)
           }
         }.toMap
@@ -125,6 +151,7 @@ object VectorIndex {
       val dim = cb(0)(0).length * m
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/pq.json"),
         s"""{"format": "graft-pq-v1", "m": $m, "k": $k, "dim": $dim}""")
+      clearTombstones(spark, dir)
     } finally cached.unpersist()
   }
 
@@ -173,6 +200,7 @@ object VectorIndex {
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/sq_model")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/sq.json"),
         s"""{"format": "graft-sq8-v1", "dim": ${mins.length}}""")
+      clearTombstones(spark, dir)
     } finally cached.unpersist()
   }
 
@@ -211,6 +239,7 @@ object VectorIndex {
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/bq_model")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/bq.json"),
         s"""{"format": "graft-bq-v1", "dim": ${means.length}}""")
+      clearTombstones(spark, dir)
     } finally cached.unpersist()
   }
 
@@ -255,6 +284,7 @@ object VectorIndex {
           throw new java.io.IOException(
             s"buildIvf: stale two-level artifact $p was not cleared")
       }
+      clearTombstones(spark, dir)
     } finally cached.unpersist()
   }
 
@@ -286,6 +316,7 @@ object VectorIndex {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$dir/ivf_two_level.json"),
         s"""{"format": "graft-ivf2-v1", "k1": $k1, "k2": ${flat.length / k1}}""")
+      clearTombstones(spark, dir)
     } finally cached.unpersist()
   }
 
@@ -512,10 +543,14 @@ object VectorIndex {
   def annIvf(spark: SparkSession, dir: String, queryVecId: Long, k: Int,
       nProbe: Int = VectorQueries.IvfProbe): DataFrame = {
     // A tombstoned (deleted) query id must not resolve: the lookup
-    // goes through the same filter as every serving scan.
+    // goes through the same filter as every serving scan. Fail with
+    // a descriptive error, not head()'s bare NoSuchElementException.
     val qv = minusTombstones(spark, dir, spark.read.parquet(s"$dir/ivf_vectors"))
       .filter(col("vec_id") === queryVecId)
-      .select("v").head().getSeq[Double](0).toArray
+      .select("v").limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"annIvf: vec_id $queryVecId not found in $dir/ivf_vectors (unknown or deleted)"))
+      .getSeq[Double](0).toArray
     annIvf(spark, dir, qv, k, nProbe, Some(queryVecId))
   }
 
@@ -577,6 +612,7 @@ object VectorIndex {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$dir/ivfpq.json"),
           s"""{"format": "graft-ivfpq-v1", "nCells": $nCells, "m": $m, "k": $k, "dim": $dim}""")
+        clearTombstones(spark, dir)
       } finally res.unpersist()
     } finally cached.unpersist()
   }
@@ -696,8 +732,16 @@ object VectorIndex {
       else build.select(col("cluster"),
         lit(null).cast("long").as("n_appended"),
         lit(null).cast("double").as("err_appended")).limit(0)
-    build.join(appends, Seq("cluster"), "left_outer")
-      .select(col("cluster"), col("n_build"),
+    // full_outer, not left_outer: appends can land in a cell with NO
+    // build-baseline row (a padded two-level cell that received zero
+    // training vectors). A left join would drop those rows entirely
+    // and needsRebuild's size-weighted sums would ignore their
+    // quantization error — understating drift. Missing build rows
+    // surface as n_build=0 / mse_build=null (excluded from the
+    // baseline denominator, included in the appended numerator).
+    build.join(appends, Seq("cluster"), "full_outer")
+      .select(col("cluster"),
+        coalesce(col("n_build"), lit(0L)).as("n_build"),
         (col("err_build") / col("n_build")).as("mse_build"),
         col("n_appended"),
         (col("err_appended") / col("n_appended")).as("mse_appended"),

@@ -185,6 +185,131 @@ class DeleteSpec extends SparkSpec {
     } finally e.unpersist()
   }
 
+  test("rebuild after takedown clears stale tombstones — rebuilt rows serve again") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("vecrebuild").toString
+    val e = plantedVectors.cache()
+    try {
+      VectorIndex.buildIvf(spark, e, tmp, nCells = 4)
+      VectorIndex.buildBq(spark, e, tmp)
+      VectorIndex.tombstone(spark, tmp, Seq(7L).toDF("vec_id"))
+      val qv = e.filter(col("vec_id") === 3L).select("v")
+        .head().getSeq[Double](0).toArray
+      assert(!VectorIndex.annIvf(spark, tmp, qv, 5, 4, Some(3L))
+        .collect().map(_.getLong(0)).contains(7L), "tombstone not serving")
+      // REBUILD in the same dir — a fresh id space. Id 7 is live in
+      // the new build; the stale tombstone must not filter it (and
+      // the next compaction must not permanently delete it).
+      VectorIndex.buildIvf(spark, e, tmp, nCells = 4)
+      VectorIndex.buildBq(spark, e, tmp)
+      assert(!new java.io.File(s"$tmp/tombstones").exists(),
+        "rebuild must clear the stale tombstone set")
+      assert(VectorIndex.annIvf(spark, tmp, qv, 5, 4, Some(3L))
+        .collect().map(_.getLong(0)).contains(7L),
+        "rebuilt live row filtered by a stale tombstone")
+      assert(VectorIndex.annBq(spark, tmp, e, 3L, 5, rerank = 60)
+        .collect().map(_.getLong(0)).contains(7L))
+      // compaction is now a no-op — nothing to permanently delete
+      assert(VectorIndex.compactTombstones(spark, tmp).isEmpty)
+      assert(spark.read.parquet(s"$tmp/ivf_vectors")
+        .filter(col("vec_id") === 7L).count() == 1)
+    } finally e.unpersist()
+  }
+
+  test("compacting a FULLY tombstoned index empties every artifact without losing schema") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("vecall").toString
+    val e = plantedVectors.cache()
+    try {
+      VectorIndex.buildIvf(spark, e, tmp, nCells = 4)
+      VectorIndex.buildIvfPq(spark, e, tmp, nCells = 4)
+      VectorIndex.buildPq(spark, e, tmp)
+      VectorIndex.tombstone(spark, tmp, (0L until 60L).toDF("vec_id"))
+      val removed = VectorIndex.compactTombstones(spark, tmp)
+      assert(removed == Map("pq_codes" -> 60L, "ivf_vectors" -> 60L,
+        "ivfpq_codes" -> 60L))
+      assert(!new java.io.File(s"$tmp/tombstones").exists())
+      // every artifact reads back empty WITH its schema intact —
+      // including the partitioned layouts' cluster column (an empty
+      // partitionBy write would emit no data files at all)
+      Seq("pq_codes", "ivf_vectors", "ivfpq_codes").foreach { a =>
+        val back = spark.read.parquet(s"$tmp/$a")
+        assert(back.count() == 0, s"$a not emptied")
+        assert(back.columns.contains("vec_id"), s"$a lost its schema") }
+      Seq("ivf_vectors", "ivfpq_codes").foreach { a =>
+        val back = spark.read.parquet(s"$tmp/$a")
+        assert(back.columns.contains("cluster"), s"$a lost the cluster column")
+        assert(back.filter(col("cluster") === 0).count() == 0) }
+    } finally e.unpersist()
+  }
+
+  test("annIvf by-id for an unknown or tombstoned id fails with a descriptive error") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("vecbadid").toString
+    val e = plantedVectors.cache()
+    try {
+      VectorIndex.buildIvf(spark, e, tmp, nCells = 4)
+      val ex = intercept[IllegalArgumentException] {
+        VectorIndex.annIvf(spark, tmp, queryVecId = 9999L, k = 5)
+      }
+      assert(ex.getMessage.contains("9999"), s"opaque error: ${ex.getMessage}")
+      VectorIndex.tombstone(spark, tmp, Seq(3L).toDF("vec_id"))
+      val ex2 = intercept[IllegalArgumentException] {
+        VectorIndex.annIvf(spark, tmp, queryVecId = 3L, k = 5)
+      }
+      assert(ex2.getMessage.contains("deleted"), s"opaque error: ${ex2.getMessage}")
+    } finally e.unpersist()
+  }
+
+  test("a crashed takedown resumes from the durable victim snapshot (no orphaned derivatives)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("hipporesume").toString
+    val facts = Seq(
+      (101L, 1L, 0, "alpha fact one", 0, 14),
+      (102L, 1L, 1, "beta fact two", 0, 13),
+      (103L, 2L, 0, "beta fact three", 0, 15))
+      .toDF("fact_id", "doc_id", "chunk_idx", "fact_text", "start", "end")
+    val edges = Seq((101L, "alpha"), (102L, "beta"), (103L, "beta"))
+      .toDF("fact_id", "entity")
+    val entities = Seq("alpha", "beta").toDF("entity")
+    val factEmb = Seq(
+      (101L, Array(1f, 0f)), (102L, Array(0f, 1f)), (103L, Array(1f, 1f)))
+      .toDF("fact_id", "embedding")
+    HippoDb(facts, edges, entities, factEmb, None).save(tmp)
+    // Simulate the crash window the snapshot exists for: the victim
+    // snapshot is staged and the FACTS swap landed, then the process
+    // died before the edge/embedding cascade. A naive re-run would
+    // compute an empty victim set from the already-filtered facts
+    // and orphan 101/102's edges + embeddings forever.
+    facts.filter(col("doc_id") === 1L).select("fact_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$tmp/_delete_victims_tmp")
+    facts.filter(col("doc_id") =!= 1L)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$tmp/facts")
+    // a fresh deleteDocuments must refuse while the snapshot exists
+    val ex = intercept[IllegalStateException] {
+      HippoDb.deleteDocuments(spark, tmp, Seq(2L))
+    }
+    assert(ex.getMessage.contains("resumeDeleteDocuments"))
+    // resume finishes the cascade from the snapshot
+    val r = HippoDb.resumeDeleteDocuments(spark, tmp, Seq(1L))
+    assert(r.factsDeleted == 0L, "facts were already swapped pre-crash")
+    assert(r.edgesDeleted == 2L && r.embeddingsDeleted == 2L &&
+      r.entitiesPruned == 1L, s"resume left orphans: $r")
+    assert(!new java.io.File(s"$tmp/_delete_victims_tmp").exists())
+    val back = HippoDb.load(spark, tmp)
+    assert(back.edges.select("fact_id").as[Long].collect().toSet == Set(103L))
+    assert(back.factEmb.select("fact_id").as[Long].collect().toSet == Set(103L))
+    assert(back.entities.select("entity").as[String].collect().toSet == Set("beta"))
+    val (nF, nE, missing) = back.integrity
+    assert(nF == 1 && nE == 1 && missing == 0)
+    // with the snapshot cleared, resume has nothing to do
+    intercept[IllegalStateException] {
+      HippoDb.resumeDeleteDocuments(spark, tmp, Seq(1L))
+    }
+  }
+
   // --------------------------- sketch artifacts: ghost matches
 
   test("SketchIndex.deleteDocs removes ghost matches from the doc-keyed artifacts; span index rebuilds") {

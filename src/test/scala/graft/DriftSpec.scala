@@ -98,4 +98,31 @@ class DriftSpec extends SparkSpec {
       } finally all.unpersist()
     } finally { base.unpersist(); inDist.unpersist(); drifted.unpersist() }
   }
+
+  test("appends landing in a cell with NO build baseline still count toward drift") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("ivfdrift-nobase").toString
+    val base = cloud(0 until 200, 0.0).cache()
+    try {
+      VectorIndex.buildIvfPq(spark, base, tmp, nCells = 4)
+      assert(!VectorIndex.needsRebuild(spark, tmp), "clean build must not trip")
+      // Plant append-time error stats for a cluster id that has no
+      // build-baseline row — the padded two-level cell case (a cell
+      // that received zero training vectors but DOES receive
+      // appends). A left-outer report would drop the row entirely
+      // and the trigger would ignore its error mass.
+      Seq((99, 100L, 1000.0)).toDF("cluster", "n", "sum_err")
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$tmp/ivfpq_err_appends")
+      val rep = VectorIndex.driftReport(spark, tmp)
+        .filter(col("cluster") === 99).collect()
+      assert(rep.length == 1, "baseline-less cell dropped from the drift report")
+      val row = rep.head
+      assert(row.getLong(row.fieldIndex("n_build")) == 0L)
+      assert(row.isNullAt(row.fieldIndex("mse_build")))
+      assert(math.abs(row.getDouble(row.fieldIndex("mse_appended")) - 10.0) < 1e-9)
+      assert(VectorIndex.needsRebuild(spark, tmp),
+        "appended error in a baseline-less cell must reach the rebuild trigger")
+    } finally base.unpersist()
+  }
 }
