@@ -1462,15 +1462,31 @@ object DedupQueries {
          |ORDER BY d.doc_id""".stripMargin,
     // d13: LSH blocking must not lose any cross-slice pair at or
     // above the threshold — the oracle is the EXACT batch × history
-    // Jaccard (the d02 oracle bar, restricted to the slice split).
+    // Jaccard (the d02 oracle bar, restricted to the slice split),
+    // restated through the gram posting-list join so DuckDB finishes
+    // at sf1.0 (the all-pairs list_intersect form timed out):
+    // |A∩B| is the pair's shared-gram COUNT from the posting join
+    // (exhaustive — any pair with J >= 0.8 > 0 shares a gram), and
+    // |A∪B| = |A| + |B| − |A∩B| since the per-doc gram lists are
+    // list_distinct. Same numerator and denominator values, same
+    // round-4 double division — bit-identical to the naive form.
     "d13_incremental_neardup" ->
       s"""WITH g AS (SELECT doc_id, $wordShinglesSql AS grams FROM documents),
-         |p AS (SELECT b.doc_id AS batch_doc, h.doc_id AS hist_doc,
-         |        round(len(list_intersect(b.grams, h.grams))::DOUBLE /
-         |              len(list_distinct(b.grams || h.grams)), 4) AS j
-         |      FROM g b JOIN g h ON b.doc_id % 10 = 0 AND h.doc_id % 10 <> 0
-         |      WHERE round(len(list_intersect(b.grams, h.grams))::DOUBLE /
-         |            len(list_distinct(b.grams || h.grams)), 4) >= $WordJaccardThreshold)
+         |sz AS (SELECT doc_id, len(grams) AS n FROM g),
+         |post AS (SELECT doc_id, unnest(grams) AS gram, doc_id % 10 = 0 AS is_batch FROM g),
+         |inter AS (
+         |  SELECT b.doc_id AS batch_doc, h.doc_id AS hist_doc,
+         |    CAST(count(*) AS BIGINT) AS ni
+         |  FROM post b JOIN post h ON b.gram = h.gram
+         |  WHERE b.is_batch AND NOT h.is_batch
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT i.batch_doc, i.hist_doc,
+         |    round(i.ni::DOUBLE / (sb.n + sh.n - i.ni), 4) AS j
+         |  FROM inter i
+         |  JOIN sz sb ON sb.doc_id = i.batch_doc
+         |  JOIN sz sh ON sh.doc_id = i.hist_doc
+         |  WHERE round(i.ni::DOUBLE / (sb.n + sh.n - i.ni), 4) >= $WordJaccardThreshold)
          |SELECT batch_doc, CAST(count(*) AS BIGINT) AS n_hist_dups, max(j) AS best_j
          |FROM p GROUP BY batch_doc
          |ORDER BY batch_doc""".stripMargin,
@@ -1496,6 +1512,9 @@ object DedupQueries {
     // of the operator's semantics and is mirrored here, so the
     // cross-engine hash pins the CAPPED behavior; SkewCorpusSpec
     // separately shows the cap is non-binding on this corpus.
+    // The MATERIALIZED hints keep DuckDB from inlining `e` (and so
+    // re-running the whole winnowing pipeline) once per reference —
+    // evaluation hint only, same rows; without them sf1.0 times out.
     "d10_winnow_pairs" ->
       s"""WITH g AS (
          |  SELECT doc_id, list_transform(range(0, greatest(length(text) - $WinnowGram, -1) + 1),
@@ -1508,10 +1527,10 @@ object DedupQueries {
          |  SELECT doc_id, list_distinct(list_transform(range(0, len(grams) - $WinnowWindow + 1),
          |    i -> list_min(list_slice(grams, CAST(i AS INT) + 1, CAST(i AS INT) + $WinnowWindow)))) AS fps
          |  FROM g WHERE len(grams) >= $WinnowWindow),
-         |e AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+         |e AS MATERIALIZED (SELECT doc_id, unnest(fps) AS fp FROM sel),
          |keep AS (SELECT fp FROM e GROUP BY fp
          |         HAVING count(*) BETWEEN 2 AND $WinnowMaxDf),
-         |e2 AS (SELECT e.doc_id, e.fp FROM e JOIN keep USING (fp))
+         |e2 AS MATERIALIZED (SELECT e.doc_id, e.fp FROM e JOIN keep USING (fp))
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared
          |FROM e2 a JOIN e2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
