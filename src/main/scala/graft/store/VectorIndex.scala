@@ -278,11 +278,12 @@ object VectorIndex {
       // ivfpq_err_appends the same way)
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Seq(s"$dir/ivf_coarse", s"$dir/ivf_two_level.json").foreach { p =>
+      Seq(s"$dir/ivf_coarse", s"$dir/ivf_two_level.json",
+          s"$dir/ivf_cellbounds").foreach { p =>
         val hp = new org.apache.hadoop.fs.Path(p)
         if (fs.exists(hp) && !fs.delete(hp, true))
           throw new java.io.IOException(
-            s"buildIvf: stale two-level artifact $p was not cleared")
+            s"buildIvf: stale artifact $p was not cleared")
       }
       clearTombstones(spark, dir)
     } finally cached.unpersist()
@@ -316,6 +317,11 @@ object VectorIndex {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$dir/ivf_two_level.json"),
         s"""{"format": "graft-ivf2-v1", "k1": $k1, "k2": ${flat.length / k1}}""")
+      val bp = new org.apache.hadoop.fs.Path(s"$dir/ivf_cellbounds")
+      val bfs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (bfs.exists(bp) && !bfs.delete(bp, true))
+        throw new java.io.IOException(
+          s"buildIvfTwoLevel: stale cell bounds $dir/ivf_cellbounds were not cleared")
       clearTombstones(spark, dir)
     } finally cached.unpersist()
   }
@@ -396,9 +402,18 @@ object VectorIndex {
       .cache()
     try {
       val n = assigned.count()
-      if (n > 0)
+      if (n > 0) {
         assigned.write.mode(SaveMode.Append).partitionBy("cluster")
           .parquet(s"$dir/ivf_vectors")
+        // Appended members can exceed a cell's recorded radius, so
+        // the adaptive-probe bounds are no longer sound — invalidate
+        // them (re-run buildCellBounds on the maintenance cadence).
+        val bp = new org.apache.hadoop.fs.Path(s"$dir/ivf_cellbounds")
+        val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(bp) && !fs.delete(bp, true))
+          throw new java.io.IOException(
+            s"appendIvf: stale cell bounds $dir/ivf_cellbounds were not invalidated")
+      }
       n
     } finally assigned.unpersist()
   }
@@ -533,6 +548,133 @@ object VectorIndex {
       .select(col("vec_id"), cosineNative6(col("v"), qCol).as("cos"))
       .filter(col("cos") >= tau)
       .orderBy(col("cos").desc, col("vec_id"))
+  }
+
+  // ------------------------------------------------ adaptive probe
+
+  /** Per-cell COSINE-BOUND stats for [[annIvfAdaptive]]: the mean ĉ
+    * and max-distance radius r̂ of each cell's NORMALIZED members.
+    * For any member x of cell c and unit query q̂:
+    * cos(q, x) = q̂·x̂ = q̂·ĉ + q̂·(x̂ − ĉ) ≤ q̂·ĉ + |x̂ − ĉ| ≤ q̂·ĉ + r̂
+    * (Cauchy-Schwarz on the residual) — a sound per-cell upper bound
+    * evaluable driver-side from nCells×(dim+1) doubles. One
+    * distributed pass at BUILD/maintenance time, never query time;
+    * persists one row per cell at `dir/ivf_cellbounds`. STALENESS:
+    * the bound is only sound for the vectors it was computed over —
+    * [[appendIvf]] invalidates (deletes) the artifact, and the
+    * rebuild entries clear it with the other stale state; re-run
+    * this after append batches to restore adaptive serving. */
+  def buildCellBounds(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$dir/ivf_vectors")
+      .select(col("cluster").cast("int").as("cluster"), col("v"))
+      .as[(Int, Array[Double])]
+      .map { case (c, v) =>
+        var n = 0.0; var j = 0
+        while (j < v.length) { n += v(j) * v(j); j += 1 }
+        val inv = if (n > 0) 1.0 / math.sqrt(n) else 0.0
+        (c, v.map(_ * inv))
+      }.toDF("cluster", "xhat").cache()
+    try {
+      val means = vecs
+        .select(col("cluster"), posexplode(col("xhat")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim").agg(avg("x").as("m"))
+        .collect() // nCells × dim rows only
+      val byCell = means.groupBy(_.getInt(0)).map { case (c, rows) =>
+        val dim = rows.map(_.getInt(1)).max + 1
+        val m = new Array[Double](dim)
+        rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+        (c, m)
+      }
+      val bc = spark.sparkContext.broadcast(byCell)
+      val radii = vecs.as[(Int, Array[Double])]
+        .map { case (c, xh) =>
+          val m = bc.value(c)
+          var d = 0.0; var j = 0
+          while (j < m.length) { val t = xh(j) - m(j); d += t * t; j += 1 }
+          (c, math.sqrt(d))
+        }.toDF("cluster", "d")
+        .groupBy("cluster").agg(max("d").as("rhat"))
+        .as[(Int, Double)].collect().toMap
+      byCell.toSeq.sortBy(_._1)
+        .map { case (c, m) => (c, m.toSeq, radii.getOrElse(c, 0.0)) }
+        .toDF("cluster", "nc", "rhat")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$dir/ivf_cellbounds")
+    } finally vecs.unpersist()
+  }
+
+  /** [[annIvfAdaptive]]'s result: the ranked rows plus the probe
+    * receipt (which cells were actually scanned, out of how many). */
+  final case class AdaptiveProbe(result: DataFrame, probedCells: Seq[Int],
+      nCells: Int)
+
+  /** ADAPTIVE-nProbe IVF serving (the standard serving lever a fixed
+    * nProbe leaves on the table): probe the `initialProbe` nearest
+    * cells, pool the top-k, then probe ONLY the remaining cells whose
+    * per-cell cosine bound (see [[buildCellBounds]]) could still tie
+    * or beat the pooled k-th — every other cell provably cannot
+    * contribute, so the rows returned EQUAL the all-cells probe
+    * exactly (AdaptiveProbeSpec pins it) at a fraction of the scan.
+    * Exactness through round-6 ties: a cell is skipped only when
+    * round6(UB) < the pooled k-th's round-6 cosine — rounding is
+    * monotone, so a skipped cell's members can neither beat nor
+    * vec_id-tie any final top-k member. Cost model: driver-side
+    * O(nCells·dim) bound arithmetic (the same order as the existing
+    * centroid probe) + at most two partition-pruned scans. On a
+    * clustered corpus (the premise regime) the bound is tight and
+    * the second scan covers few cells; on a near-random corpus the
+    * bound degrades toward the full probe — never below it in
+    * recall, by construction. */
+  def annIvfAdaptive(spark: SparkSession, dir: String,
+      queryVec: Array[Double], k: Int,
+      initialProbe: Int = VectorQueries.IvfProbe,
+      excludeVecId: Option[Long] = None): AdaptiveProbe = {
+    val centroids = loadIvfCentroids(spark, dir)
+    val boundsPath = new org.apache.hadoop.fs.Path(s"$dir/ivf_cellbounds")
+    val fs = boundsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(boundsPath))
+      throw new IllegalStateException(
+        s"annIvfAdaptive: no cell bounds at $dir/ivf_cellbounds — run " +
+        "buildCellBounds after build/append (appends invalidate the bounds)")
+    val bounds = spark.read.parquet(s"$dir/ivf_cellbounds").collect()
+      .map(r => (r.getInt(0),
+        (r.getSeq[Double](1).toArray, r.getDouble(2)))).toMap
+    var qn = 0.0
+    queryVec.foreach(x => qn += x * x)
+    val qnorm = math.sqrt(qn)
+    val qhat = queryVec.map(_ / qnorm)
+    def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def ub6(c: Int): Double = bounds.get(c) match {
+      case Some((m, r)) =>
+        var d = 0.0; var j = 0
+        while (j < m.length) { d += qhat(j) * m(j); j += 1 }
+        round6(math.min(1.0, d + r))
+      case None => 1.0 // cell without bound info must be probed
+    }
+    val qCol = array(queryVec.toIndexedSeq.map(lit): _*)
+    def scoreCells(cells: Seq[Int]): DataFrame = {
+      val scan = minusTombstones(spark, dir,
+        spark.read.parquet(s"$dir/ivf_vectors")
+          .filter(col("cluster").isin(cells: _*)))
+      excludeVecId.foldLeft(scan)((df, id) => df.filter(col("vec_id") =!= id))
+        .select(col("vec_id"), cosineNative6(col("v"), qCol).as("cos"))
+    }
+    val batch1 =
+      nearestCells(centroids, queryVec, math.min(initialProbe, centroids.length))
+    val pool = scoreCells(batch1)
+      .orderBy(col("cos").desc, col("vec_id")).limit(k).collect()
+    val restAll = centroids.indices.filterNot(batch1.contains)
+    val rest =
+      if (pool.length < k) restAll
+      else {
+        val thetaK = pool.last.getDouble(1) // already round-6
+        restAll.filter(c => ub6(c) >= thetaK)
+      }
+    val cells = batch1 ++ rest
+    val res = scoreCells(cells).orderBy(col("cos").desc, col("vec_id")).limit(k)
+    AdaptiveProbe(res, cells, centroids.length)
   }
 
   /** Convenience by-ID form. The id→vector lookup cannot prune (the
