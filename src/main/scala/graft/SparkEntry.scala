@@ -30,7 +30,8 @@ object SparkEntry {
         "v13_ann_sq8" -> (graft.operators.Sq.v13AnnSq _),
         "v14_ann_binary" -> (graft.operators.Bq.v14AnnBinary _),
         "t24_bpe_train" -> (graft.operators.Bpe.t24BpeTrain _),
-        "t25_bpe_encode" -> (graft.operators.Bpe.t25BpeEncode _))
+        "t25_bpe_encode" -> (graft.operators.Bpe.t25BpeEncode _),
+        "t28_shard_manifest" -> (graft.store.ShardWriter.t28ShardManifest _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
       MultimodalQueries.oracles ++ ExtendedQueries.oracles ++
       PipelineQueries.oracles ++ AnalyticsQueries.oracles ++
       QualityQueries.oracles ++
-      Map("t25_bpe_encode" -> graft.operators.Bpe.t25OracleSql)
+      Map("t25_bpe_encode" -> graft.operators.Bpe.t25OracleSql,
+        "t28_shard_manifest" -> graft.store.ShardWriter.t28OracleSql)
 }

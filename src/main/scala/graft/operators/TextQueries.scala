@@ -712,7 +712,7 @@ object TextQueries {
     (h.cast("double") + 0.5) / 4294967296.0
   }
 
-  private[operators] def md5UniformSql: String = {
+  private[graft] def md5UniformSql: String = {
     def nib(i: Int) =
       s"(ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - CASE WHEN " +
         s"substr(md5(CAST(doc_id AS VARCHAR)), $i, 1) <= '9' THEN 48 ELSE 87 END)"
