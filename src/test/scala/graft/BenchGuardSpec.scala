@@ -73,4 +73,48 @@ class BenchGuardSpec extends AnyFunSuite {
 
   private def jsonStr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n") + "\""
+
+  // ---------------------------------------- co-tenancy detector
+
+  test("uniformly elevated ratios (the r11 driver-window shape) read as co-tenant") {
+    // 20 queries all ~1.33x slower with small jitter — the measured
+    // r11 signature (uniform spread across unrelated trivial queries)
+    val ratios = (0 until 20).map(i =>
+      s"q${i}_x" -> (1.33 + 0.03 * math.sin(i.toDouble))).toMap
+    val r = Bench.detectNoise(ratios, Set.empty)
+    assert(r.verdict == "co-tenant", s"got ${r.verdict}")
+    assert(math.abs(r.medianRatio - 1.33) < 0.05)
+    assert(r.rerunTargets.size == 5, "co-tenant verdict cross-checks the top 5")
+  }
+
+  test("one isolated 3x spike over flat ratios reads as regression-suspect, not co-tenant") {
+    val ratios = (0 until 20).map(i =>
+      s"q${i}_x" -> (1.0 + 0.02 * math.cos(i.toDouble))).toMap + ("d04_x" -> 3.0)
+    val r = Bench.detectNoise(ratios, Set("d04_x"))
+    assert(r.verdict == "regression-suspect", s"got ${r.verdict}")
+    assert(r.rerunTargets == Seq("d04_x"),
+      "only the flagged query re-runs isolated on a quiet machine")
+  }
+
+  test("flat ratios with no flags read quiet; empty ratios read no-prev") {
+    val flat = (0 until 20).map(i => s"q${i}_x" -> 1.01).toMap
+    assert(Bench.detectNoise(flat, Set.empty).verdict == "quiet")
+    assert(Bench.detectNoise(Map.empty, Set.empty).verdict == "no-prev")
+  }
+
+  test("uniform elevation over too few common queries does NOT read co-tenant") {
+    // 4 queries can be uniformly slow by coincidence (shared kernel
+    // regression); the verdict needs breadth
+    val ratios = (0 until 4).map(i => s"q${i}_x" -> 1.4).toMap
+    val r = Bench.detectNoise(ratios, Set.empty)
+    assert(r.verdict != "co-tenant", s"got ${r.verdict}")
+  }
+
+  test("elevated-but-DISPERSE ratios (some 1x, some 4x) do not read co-tenant") {
+    // a genuine mixed regression must not be absolved wholesale
+    val ratios = (0 until 20).map(i =>
+      s"q${i}_x" -> (if (i % 2 == 0) 1.0 else 4.0)).toMap
+    val r = Bench.detectNoise(ratios, Set("q1_x"))
+    assert(r.verdict == "regression-suspect", s"got ${r.verdict}")
+  }
 }
