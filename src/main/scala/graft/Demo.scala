@@ -20,7 +20,9 @@ object Demo {
       bpeTokens: Long, viewJson: String,
       passRate: Double, meanNovelty: Double,
       funnel: Map[String, Long], topTransition: (String, String, Long),
-      takedownFacts: Long, takedownClean: Boolean)
+      takedownFacts: Long, takedownClean: Boolean,
+      healthBefore: graft.store.VectorIndex.IndexHealth,
+      healthAfter: graft.store.VectorIndex.IndexHealth)
 
   /** THE FULL USER STORY as one callable tour — load → curate →
     * annotate (store build + save/load round-trip) → index (persisted
@@ -119,8 +121,14 @@ object Demo {
       .select("doc_id").head().getLong(0)
     val victimFacts = db.facts.filter(col("doc_id") === victimDoc)
       .select("fact_id").collect().map(_.getLong(0)).toSet
+    // The maintenance read an operator does around a takedown: one
+    // indexHealth call before (fresh index: healthy) and after (the
+    // tombstones register as debt; compaction is the prescribed verb
+    // once debt crosses its line).
+    val healthBefore = graft.store.VectorIndex.indexHealth(spark, idxDir)
     val delReport = graft.store.HippoDb.deleteDocuments(
       spark, storeDir, Seq(victimDoc), indexDirs = Seq(idxDir))
+    val healthAfter = graft.store.VectorIndex.indexHealth(spark, idxDir)
     val db2 = graft.store.HippoDb.load(spark, storeDir)
     val postAnn = graft.store.VectorIndex
       .annIvf(spark, idxDir, qv, k = 3, nProbe = nCells, excludeVecId = None)
@@ -136,7 +144,7 @@ object Demo {
       integrity, annFactIds, bruteFactIds, hybridRows,
       hybridIndexedMatches, bpeTokens, viewJson,
       passRate, meanNovelty, funnel, topTransition,
-      delReport.factsDeleted, takedownClean)
+      delReport.factsDeleted, takedownClean, healthBefore, healthAfter)
   }
 
   def main(args: Array[String]): Unit = {
@@ -224,6 +232,9 @@ object Demo {
       s"top transition ${story.topTransition}")
     println(s"[demo] full story: takedown erased ${story.takedownFacts} facts, " +
       s"clean=${story.takedownClean}")
+    println(s"[demo] index health before takedown: healthy=${story.healthBefore.healthy}; " +
+      s"after: debt=${story.healthAfter.tombstoneDebt}, " +
+      s"compact=${story.healthAfter.needsCompact}")
     spark.stop()
   }
 }

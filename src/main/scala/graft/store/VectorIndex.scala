@@ -904,21 +904,92 @@ object VectorIndex {
     * default — at 2× the codes carry half their built fidelity and
     * the ADC pool starts admitting mis-scored members faster than
     * rerank absorbs. Returns false while nothing has been appended. */
-  def needsRebuild(spark: SparkSession, dir: String,
-      threshold: Double = RebuildThreshold): Boolean = {
+  /** The size-weighted drift ratio needsRebuild thresholds —
+    * mse(appended under frozen models) / mse(build baseline), or
+    * None while nothing has been appended. */
+  def driftRatio(spark: SparkSession, dir: String): Option[Double] = {
     val r = driftReport(spark, dir)
       .agg(sum(col("mse_build") * col("n_build")).as("eb"),
         sum("n_build").as("nb"),
         sum(col("mse_appended") * col("n_appended")).as("ea"),
         sum("n_appended").as("na"))
       .head()
-    if (r.isNullAt(2) || r.isNullAt(3) || r.getLong(3) == 0L) false
+    if (r.isNullAt(2) || r.isNullAt(3) || r.getLong(3) == 0L) None
     else {
       val mseBuild = r.getDouble(0) / r.getLong(1)
       val mseApp = r.getDouble(2) / r.getLong(3)
-      mseApp > threshold * mseBuild
+      Some(mseApp / mseBuild)
     }
   }
 
+  def needsRebuild(spark: SparkSession, dir: String,
+      threshold: Double = RebuildThreshold): Boolean =
+    driftRatio(spark, dir).exists(_ > threshold)
+
   val RebuildThreshold = 2.0
+
+  // ---------------------------------------------------- index health
+
+  /** Serving-hygiene thresholds, tied together in ONE maintenance
+    * policy (VERDICT r11 #6 — drift, balance, and tombstone debt were
+    * three separate reads):
+    *  - drift ratio > [[RebuildThreshold]] (2.0): the frozen models
+    *    carry half their built fidelity on the appended corpus —
+    *    REBUILD (re-train + re-encode; resets the drift clock).
+    *  - imbalance (max cell / mean cell) > [[ImbalanceThreshold]]:
+    *    appends piled into few cells, so a probe landing on a hot
+    *    cell scans a multiple of its fair share — REBUILD (only a
+    *    re-fit re-partitions the space; compaction cannot).
+    *  - tombstone debt (tombstoned ids / live artifact rows) >
+    *    [[TombstoneDebtThreshold]] (10%): every query is paying the
+    *    anti-join over a set that is no longer small and the
+    *    artifacts carry dead bytes — COMPACT (compactTombstones; an
+    *    order cheaper than rebuild, no model change).
+    * Rebuild subsumes compact (build* clears the tombstone set). */
+  val ImbalanceThreshold = 4.0
+  val TombstoneDebtThreshold = 0.1
+
+  /** One read of every serving-hygiene dial for the index dir.
+    * `needsRebuild` / `needsCompact` encode the policy above;
+    * `healthy` = neither. Dials read None when their artifact family
+    * is absent (e.g. drift without an IVFADC build) — absent evidence
+    * never trips a line. */
+  final case class IndexHealth(
+      driftRatio: Option[Double], imbalance: Option[Double],
+      tombstoneDebt: Option[Double]) {
+    def driftRebuild: Boolean = driftRatio.exists(_ > RebuildThreshold)
+    def imbalanceRebuild: Boolean = imbalance.exists(_ > ImbalanceThreshold)
+    def needsRebuild: Boolean = driftRebuild || imbalanceRebuild
+    def needsCompact: Boolean = tombstoneDebt.exists(_ > TombstoneDebtThreshold)
+    def healthy: Boolean = !needsRebuild && !needsCompact
+  }
+
+  /** Unified health report: drift (if an IVFADC drift baseline
+    * exists), worst cell imbalance across the partitioned artifacts
+    * present, and tombstone debt against the largest artifact's live
+    * row count. Reads stats tables and directory listings only —
+    * maintenance cost, never query cost. */
+  def indexHealth(spark: SparkSession, dir: String): IndexHealth = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(name: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name"))
+    val drift = if (exists("ivfpq_err_build")) driftRatio(spark, dir) else None
+    val partitioned = Seq("ivf_vectors", "ivfpq_codes").filter(exists)
+    val imbalance = partitioned.flatMap { a =>
+      val (perCell, imb) = cellStats(spark, dir, a)
+      if (perCell.isEmpty) None else Some(imb)
+    } match {
+      case Nil => None
+      case xs => Some(xs.max)
+    }
+    val flat = Seq("pq_codes", "sq_codes", "bq_sigs").filter(exists)
+    val debt = tombstonesAt(spark, dir).flatMap { t =>
+      val live = (partitioned ++ flat).map(a =>
+        spark.read.parquet(s"$dir/$a").count()).maxOption.getOrElse(0L)
+      if (live == 0) None
+      else Some(t.select("vec_id").distinct().count().toDouble / live)
+    }
+    IndexHealth(drift, imbalance, debt)
+  }
 }

@@ -55,5 +55,15 @@ class DemoSpec extends SparkSpec {
     // the store is still integrity-green
     assert(s.takedownFacts > 0 && s.takedownClean,
       s"takedown left residue (facts=${s.takedownFacts}, clean=${s.takedownClean})")
+
+    // the maintenance gauges around the takedown: a fresh index is
+    // healthy; the takedown's tombstones register as measured debt
+    // (the dial an operator reads to schedule compaction)
+    assert(s.healthBefore.healthy,
+      s"fresh index should read healthy: ${s.healthBefore}")
+    assert(s.healthAfter.tombstoneDebt.exists(_ > 0.0),
+      s"takedown tombstones must register as debt: ${s.healthAfter}")
+    assert(!s.healthAfter.needsRebuild,
+      "a takedown alone must not demand a model rebuild")
   }
 }
