@@ -432,6 +432,68 @@ object HippoDb {
     }
   }
 
+  /** What [[migrateSourcesProvenance]] did: rows whose doc_id was
+    * derived from lineage vs rows left null (underivable). */
+  final case class MigrateReport(migrated: Long, underivable: Long)
+
+  /** ONE-SHOT provenance backfill for LEGACY sources (VERDICT r11
+    * #7): rows appended before the schema gained doc_id read back as
+    * NULL, so their spans outlive their document until re-annotation
+    * (the documented fallback). This derives doc_id where the fact's
+    * surviving lineage DETERMINES it, and flags the rest:
+    *
+    * a null-provenance row is the fact's own SELF-SPAN — and so
+    * belongs to the fact's own doc — iff it matches the fact's own
+    * (start, end) AND it is the ONLY row of that fact matching that
+    * span. Accumulated duplicate spans (annotateDedupedWithSources)
+    * can coincidentally share the survivor's span (an exact duplicate
+    * doc yields identical chunk offsets), which is exactly the
+    * ambiguous case: two matching rows mean at most one is the
+    * self-span and lineage cannot say which, so BOTH stay null
+    * (underivable, counted in the report) rather than guessing a
+    * provenance that a takedown would then erase wrongly. The rewrite
+    * goes through the crash-safe verifiedSwap with an exact row-count
+    * guard; a legacy table WITHOUT the doc_id column gains it (nulls)
+    * as part of the same swap. Idempotent: a second run migrates 0. */
+  def migrateSourcesProvenance(spark: SparkSession, dir: String): MigrateReport = {
+    val path = s"$dir/sources"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+      return MigrateReport(0L, 0L)
+    val cur0 = spark.read.parquet(path)
+    val cur =
+      if (cur0.columns.contains("doc_id")) cur0
+      else cur0.withColumn("doc_id", lit(null).cast("long"))
+    val total = cur.count()
+    val nullBefore = cur.filter(col("doc_id").isNull).count()
+    if (nullBefore == 0) return MigrateReport(0L, 0L)
+    val factsMeta = spark.read.parquet(s"$dir/facts")
+      .select(col("fact_id"), col("doc_id").as("own_doc"),
+        col("start").as("fstart"), col("end").as("fend"))
+    def derive(df: DataFrame): DataFrame = {
+      val marked = df.join(factsMeta, Seq("fact_id"), "left_outer")
+        .withColumn("is_self",
+          col("fstart").isNotNull &&
+            col("start") === col("fstart") && col("end") === col("fend"))
+      val selfCounts = marked.groupBy("fact_id")
+        .agg(sum(col("is_self").cast("long")).as("n_self"))
+      val outCols = (Seq("fact_id", "doc_id") ++
+        df.columns.filterNot(c => c == "fact_id" || c == "doc_id")).map(col)
+      marked.join(selfCounts, Seq("fact_id"))
+        .withColumn("doc_id",
+          when(col("doc_id").isNotNull, col("doc_id"))
+            .when(col("is_self") && col("n_self") === 1, col("own_doc"))
+            .otherwise(lit(null).cast("long")))
+        .select(outCols: _*)
+    }
+    verifiedSwap(spark, path, derive(cur),
+      hadRows = total > 0, expected = Some(total))
+    val after = spark.read.parquet(path)
+    val nullAfter = after.filter(col("doc_id").isNull).count()
+    MigrateReport(nullBefore - nullAfter, nullAfter)
+  }
+
   def load(spark: SparkSession, dir: String): HippoDb = {
     // Hadoop FS, not java.nio: the store dir may live on any
     // Spark-reachable filesystem (hdfs://, s3a://, ...) where a local

@@ -310,6 +310,62 @@ class DeleteSpec extends SparkSpec {
     }
   }
 
+  test("migrateSourcesProvenance backfills derivable legacy rows; migrated store erases like a new-schema store") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("hippomigrate").toString
+    val facts = Seq(
+      (101L, 1L, 0, "alpha fact one", 0, 14),
+      (103L, 2L, 0, "beta fact three", 0, 15),
+      (105L, 3L, 0, "gamma fact five", 0, 15))
+      .toDF("fact_id", "doc_id", "chunk_idx", "fact_text", "start", "end")
+    val edges = Seq((101L, "alpha"), (103L, "beta"), (105L, "gamma"))
+      .toDF("fact_id", "entity")
+    val entities = Seq("alpha", "beta", "gamma").toDF("entity")
+    val factEmb = Seq(
+      (101L, Array(1f, 0f)), (103L, Array(0f, 1f)), (105L, Array(1f, 1f)))
+      .toDF("fact_id", "embedding")
+    // LEGACY sources: NO doc_id column at all. Fact 101 and 103 carry
+    // their self-spans (derivable: unique span match against the
+    // fact's own start/end). Fact 105 carries its self-span TWICE —
+    // the exact-duplicate accumulation shape where lineage cannot say
+    // which row is the original — plus one off-span accumulated row:
+    // all three underivable.
+    val legacySources = Seq(
+      (101L, "src-a", "ctx", 0, 14),
+      (103L, "src-b", "ctx", 0, 15),
+      (105L, "src-c", "ctx", 0, 15),
+      (105L, "src-c", "ctx", 0, 15),
+      (105L, "src-d", "ctx", 3, 9))
+      .toDF("fact_id", "name", "description", "start", "end")
+    HippoDb(facts, edges, entities, factEmb, Some(legacySources)).save(tmp)
+
+    val r = HippoDb.migrateSourcesProvenance(spark, tmp)
+    assert(r == HippoDb.MigrateReport(2L, 3L), s"got $r")
+    val migrated = spark.read.parquet(s"$tmp/sources")
+    assert(migrated.columns.contains("doc_id"), "schema upgrade missing")
+    assert(migrated.filter(col("fact_id") === 101L).head()
+      .getAs[Long]("doc_id") == 1L)
+    assert(migrated.filter(col("fact_id") === 103L).head()
+      .getAs[Long]("doc_id") == 2L)
+    assert(migrated.filter(col("fact_id") === 105L && col("doc_id").isNotNull)
+      .count() == 0, "ambiguous rows must stay null, never guessed")
+    // idempotent: a second run has nothing derivable left
+    assert(HippoDb.migrateSourcesProvenance(spark, tmp) ==
+      HippoDb.MigrateReport(0L, 3L))
+
+    // the migrated store now erases doc 1's span by PROVENANCE, like
+    // a store born with the new schema (pre-migration the legacy
+    // fallback would only erase it because fact 101 died — the
+    // distinction matters for spans accumulated onto survivors, which
+    // the null-kept rows of fact 105 represent: they survive
+    // unrelated takedowns, the documented legacy behavior)
+    val rep = HippoDb.deleteDocuments(spark, tmp, Seq(1L))
+    assert(rep.sourcesDeleted == 1L)
+    val after = spark.read.parquet(s"$tmp/sources")
+    assert(after.filter(col("fact_id") === 101L).count() == 0)
+    assert(after.count() == 4L, "unrelated + underivable spans survive")
+  }
+
   // --------------------------- sketch artifacts: ghost matches
 
   test("SketchIndex.deleteDocs removes ghost matches from the doc-keyed artifacts; span index rebuilds") {
