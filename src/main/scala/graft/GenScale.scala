@@ -31,7 +31,11 @@ import org.apache.spark.sql.functions._
   * oracle reads; a 100 MB single file still splits by row group on
   * the Spark side).
   *
-  * Usage: runMain graft.GenScale [srcDir] [outDir] [copies]
+  * Usage: runMain graft.GenScale [srcDir] [outDir] [copies] [tables]
+  * `tables` is an optional comma list restricting which tables are
+  * emitted (e.g. `embeddings` builds the VECTOR-AXIS-ONLY second
+  * scale decade: isometric dim permutations COMPOSE, so re-sharding
+  * an already-sharded corpus keeps every shard an isometry).
   */
 object GenScale {
 
@@ -39,6 +43,7 @@ object GenScale {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/root/repo/testdata_sf1.0")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val tables = args.lift(3).map(_.split(",").toSet).getOrElse(Set.empty[String])
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -46,11 +51,13 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, out, copies)
+    generate(spark, src, out, copies, tables)
     spark.stop()
   }
 
-  def generate(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
+  def generate(spark: SparkSession, src: String, out: String, copies: Int,
+      tables: Set[String] = Set.empty): Unit = {
+    def want(n: String): Boolean = tables.isEmpty || tables.contains(n)
     def load(n: String) = spark.read.parquet(s"$src/$n.parquet")
     def keyStride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
@@ -80,35 +87,35 @@ object GenScale {
       (0 until copies).map(build).reduce(_ unionByName _)
 
     // dims: fixed across scale factors (the driver's pattern)
-    writeOne(load("region"), "region")
-    writeOne(load("nation"), "nation")
+    if (want("region")) writeOne(load("region"), "region")
+    if (want("nation")) writeOne(load("nation"), "nation")
 
-    val customer = load("customer"); val cStride = keyStride(customer, "c_custkey")
-    writeOne(shards { i =>
+    lazy val customer = load("customer"); lazy val cStride = keyStride(customer, "c_custkey")
+    if (want("customer")) writeOne(shards { i =>
       customer.select(
         (col("c_custkey") + lit(i * cStride)).as("c_custkey"),
         (if (i == 0) col("c_name") else concat(col("c_name"), lit(s"#$i"))).as("c_name"),
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
     }, "customer")
 
-    val supplier = load("supplier"); val sStride = keyStride(supplier, "s_suppkey")
-    writeOne(shards { i =>
+    lazy val supplier = load("supplier"); lazy val sStride = keyStride(supplier, "s_suppkey")
+    if (want("supplier")) writeOne(shards { i =>
       supplier.select(
         (col("s_suppkey") + lit(i * sStride)).as("s_suppkey"),
         (if (i == 0) col("s_name") else concat(col("s_name"), lit(s"#$i"))).as("s_name"),
         col("s_nationkey"), col("s_acctbal"))
     }, "supplier")
 
-    val part = load("part"); val pStride = keyStride(part, "p_partkey")
-    writeOne(shards { i =>
+    lazy val part = load("part"); lazy val pStride = keyStride(part, "p_partkey")
+    if (want("part")) writeOne(shards { i =>
       part.select(
         (col("p_partkey") + lit(i * pStride)).as("p_partkey"),
         col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
         col("p_retailprice"))
     }, "part")
 
-    val orders = load("orders"); val oStride = keyStride(orders, "o_orderkey")
-    writeOne(shards { i =>
+    lazy val orders = load("orders"); lazy val oStride = keyStride(orders, "o_orderkey")
+    if (want("orders")) writeOne(shards { i =>
       orders.select(
         (col("o_orderkey") + lit(i * oStride)).as("o_orderkey"),
         (col("o_custkey") + lit(i * cStride)).as("o_custkey"),
@@ -116,8 +123,8 @@ object GenScale {
         col("o_orderpriority"))
     }, "orders")
 
-    val lineitem = load("lineitem")
-    writeOne(shards { i =>
+    lazy val lineitem = load("lineitem")
+    if (want("lineitem")) writeOne(shards { i =>
       lineitem.select(
         (col("l_orderkey") + lit(i * oStride)).as("l_orderkey"),
         (col("l_partkey") + lit(i * pStride)).as("l_partkey"),
@@ -130,10 +137,10 @@ object GenScale {
     // events: read through the dtype-conditional loader (the source
     // is TIMESTAMP(NANOS); the copy lands as TIMESTAMP_NTZ micros —
     // identical values on both the Spark and DuckDB read paths)
-    val events = graft.sources.Tables.events(spark, src)
-    val eStride = keyStride(events, "event_id")
-    val uStride = keyStride(events, "user_id")
-    writeOne(shards { i =>
+    lazy val events = graft.sources.Tables.events(spark, src)
+    lazy val eStride = keyStride(events, "event_id")
+    lazy val uStride = keyStride(events, "user_id")
+    if (want("events")) writeOne(shards { i =>
       events.select(
         (col("event_id") + lit(i * eStride)).as("event_id"),
         col("ts"),
@@ -145,15 +152,15 @@ object GenScale {
     // word/char structure and stopword stats preserved, gram space
     // disjoint across shards. n_chars recomputed (the driver's
     // n_chars == length(text) invariant, preserved).
-    val docs = load("documents"); val dStride = keyStride(docs, "doc_id")
-    val stopArr = array(graft.operators.TextQueries.stopwords.map(w => lit(w)): _*)
+    lazy val docs = load("documents"); lazy val dStride = keyStride(docs, "doc_id")
+    lazy val stopArr = array(graft.operators.TextQueries.stopwords.map(w => lit(w)): _*)
     def shardText(i: Int): Column =
       if (i == 0) col("text")
       else array_join(
         transform(split(col("text"), " "),
           w => when(length(w) === 0 || array_contains(stopArr, w), w)
             .otherwise(concat(w, lit(s"q$i")))), " ")
-    writeOne(shards { i =>
+    if (want("documents")) writeOne(shards { i =>
       docs.select(
         (col("doc_id") + lit(i * dStride)).as("doc_id"),
         shardText(i).as("text"), col("lang"), col("source"))
@@ -163,13 +170,13 @@ object GenScale {
     // embeddings: fixed affine dim permutation per shard — an
     // ISOMETRY (intra-shard geometry exact), cross-shard cosines
     // decorrelated. a = 2i+1 is odd hence coprime to 64.
-    val emb = load("embeddings"); val vStride = keyStride(emb, "vec_id")
+    lazy val emb = load("embeddings"); lazy val vStride = keyStride(emb, "vec_id")
     def shardVec(i: Int): Column =
       if (i == 0) col("embedding")
       else transform(sequence(lit(0), lit(63)),
         j => element_at(col("embedding"),
           (((lit(2 * i + 1) * j + lit(7 * i)) % 64) + 1).cast("int")))
-    writeOne(shards { i =>
+    if (want("embeddings")) writeOne(shards { i =>
       emb.select(
         (col("vec_id") + lit(i * vStride)).as("vec_id"),
         shardVec(i).as("embedding"), col("label"))
