@@ -54,6 +54,12 @@ object Explain {
       // v02/d05 are the DOCUMENTED exact anchors: the all-pairs BNLJ
       // IS their semantics (v08/d06 are the blocked scale paths) —
       // pinned so a "fix" can't silently change what they anchor
+      // t28: the manifest agg is keyed (shard, source) — never a
+      // single-partition funnel; the prefix sum itself is the
+      // two-pass RDD form (ExistingRDD leaf), audited in
+      // ShardWriterSpec's partitioning-invariance test
+      "t28_shard_manifest" ->
+        Seq("HashAggregate", "!CartesianProduct", "!Exchange SinglePartition"),
       "v02_knn_batch" -> Seq("BroadcastNestedLoopJoin"),
       "d05_embed_neardup" -> Seq("BroadcastNestedLoopJoin"),
       // v08: the scale path must NOT be the anchor's shape

@@ -633,14 +633,16 @@ object ExtendedQueries {
     // round-6-identical to the list form (checked exhaustively at
     // sf0.1) and vectorize ~50× better; candidate keys are
     // pre-computed in their own projection (two-relation join keys
-    // defeat DuckDB's hash-join planner). With n <= 69 the candidate
-    // ring has < 5 distinct members and lb falls back to -2 (keep
-    // everything) — the small-corpus path is the old plan exactly.
+    // defeat DuckDB's hash-join planner); DISTINCT because at n < 65
+    // the ring wraps and duplicate cids would inflate the row_number
+    // past genuinely distinct candidates, making rk=5 an unsound
+    // (too-high) bound. With n <= 5 fewer than 5 distinct candidates
+    // exist and lb falls back to -2 (keep everything).
     "e01_knn_classify" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[64]) AS v, label FROM embeddings),
         |nn AS (SELECT count(*) AS n FROM e),
         |candkeys AS (
-        |  SELECT q.vec_id AS qid, (q.vec_id + js.j) % nn.n AS cid
+        |  SELECT DISTINCT q.vec_id AS qid, (q.vec_id + js.j) % nn.n AS cid
         |  FROM (SELECT vec_id FROM e) q, (SELECT unnest(range(1, 65)) AS j) js, nn),
         |cand AS (
         |  SELECT k.qid, round(array_cosine_similarity(c.v, q.v), 6) AS cos,

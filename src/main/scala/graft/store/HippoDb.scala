@@ -300,8 +300,17 @@ object HippoDb {
         s"deleteDocuments: a victim snapshot already exists at $scratch — " +
         "a prior takedown crashed mid-cascade; finish it with " +
         "resumeDeleteDocuments before starting a new one")
+    // The snapshot stores BOTH halves of the takedown's identity:
+    // victim fact ids (the fact-keyed cascade) AND the doc ids (the
+    // doc-keyed steps) — so a resume replays exactly the crashed
+    // takedown instead of trusting a caller to re-type the right ids.
+    import spark.implicits._
     spark.read.parquet(s"$dir/facts")
-      .filter(col("doc_id").isin(docIds: _*)).select("fact_id")
+      .filter(col("doc_id").isin(docIds: _*))
+      .select(col("fact_id"), lit(null).cast("long").as("victim_doc"))
+      .unionByName(docIds.distinct.map(d => (null.asInstanceOf[java.lang.Long], d))
+        .toDF("fact_id", "victim_doc")
+        .select(col("fact_id").cast("long"), col("victim_doc")))
       .write.mode(SaveMode.Overwrite).parquet(scratch)
     val report = runDeleteCascade(spark, dir, docIds, indexDirs, sketchDirs)
     // Success path ONLY: a crash above leaves the snapshot for
@@ -313,19 +322,20 @@ object HippoDb {
   }
 
   /** RESUME a takedown that crashed mid-cascade: replays every
-    * remaining step from the durable victim snapshot
-    * [[deleteDocuments]] left at `dir/_delete_victims_tmp`. Pass the
-    * SAME docIds as the crashed run (the snapshot holds fact ids;
-    * doc-keyed steps — the facts swap, span provenance, sketch
-    * ghost-match removal — need the doc ids again). Every step is
-    * idempotent against partial application, except index tombstones
-    * which are at-least-once (duplicate tombstone ids are harmless:
-    * the serving anti-join and compaction both key on id membership).
-    * The returned report counts what THIS run removed — components
-    * already swapped before the crash report zero. */
-  def resumeDeleteDocuments(spark: SparkSession, dir: String, docIds: Seq[Long],
+    * remaining step from the durable snapshot [[deleteDocuments]]
+    * left at `dir/_delete_victims_tmp`. The snapshot is
+    * SELF-DESCRIBING — it carries both the victim fact ids and the
+    * doc ids of the crashed run, so resume cannot be pointed at the
+    * wrong takedown (a mistyped doc list would half-apply a different
+    * erasure and then clear the one record able to finish the real
+    * one). Every step is idempotent against partial application,
+    * except index tombstones which are at-least-once (duplicate
+    * tombstone ids are harmless: the serving anti-join and compaction
+    * both key on id membership). The returned report counts what THIS
+    * run removed — components already swapped before the crash report
+    * zero. */
+  def resumeDeleteDocuments(spark: SparkSession, dir: String,
       indexDirs: Seq[String] = Nil, sketchDirs: Seq[String] = Nil): DeleteReport = {
-    require(docIds.nonEmpty, "resumeDeleteDocuments: empty docIds")
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val fs = p(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val scratch = s"$dir/_delete_victims_tmp"
@@ -333,6 +343,12 @@ object HippoDb {
       throw new IllegalStateException(
         s"resumeDeleteDocuments: no victim snapshot at $scratch — " +
         "nothing to resume (the prior takedown committed, or never staged)")
+    val snap = spark.read.parquet(scratch)
+    val docIds = snap.filter(col("victim_doc").isNotNull)
+      .select("victim_doc").collect().map(_.getLong(0)).toSeq
+    require(docIds.nonEmpty,
+      s"resumeDeleteDocuments: snapshot at $scratch carries no doc ids — " +
+      "it predates the self-describing format; finish the takedown manually")
     val report = runDeleteCascade(spark, dir, docIds, indexDirs, sketchDirs)
     if (!fs.delete(p(scratch), true))
       throw new java.io.IOException(
@@ -353,6 +369,7 @@ object HippoDb {
     val fs = p(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val scratch = s"$dir/_delete_victims_tmp"
     val victims = spark.read.parquet(scratch)
+      .filter(col("fact_id").isNotNull).select("fact_id")
     locally {
       // facts: drop the victim docs' rows. The victim count still
       // PRESENT is measured live (resume-safe: zero after the

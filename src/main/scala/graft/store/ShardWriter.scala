@@ -97,7 +97,14 @@ object ShardWriter {
     val assigned = assignShards(spark, docs, tokenBudget)
     assigned.write.mode(SaveMode.Overwrite).partitionBy("shard")
       .parquet(s"$outDir/data")
-    val m = manifestOf(assigned)
+    // Manifest from the WRITTEN files, not the lazy assignment plan:
+    // re-evaluating `assigned` would run the global range shuffle +
+    // prefix passes a second time (the corpus is too big to cache at
+    // the target scale), and counting what actually landed doubles as
+    // a write verification. The shard partition column reads back
+    // inferred — cast it to the assignment's long.
+    val m = manifestOf(spark.read.parquet(s"$outDir/data")
+      .withColumn("shard", col("shard").cast("long")))
     m.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/manifest")
     spark.read.parquet(s"$outDir/manifest").orderBy("shard", "source")
   }

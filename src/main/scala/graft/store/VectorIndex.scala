@@ -53,22 +53,54 @@ object VectorIndex {
     n
   }
 
-  /** A REBUILD defines a FRESH id space for the dir: stale
-    * tombstones from the previous build would silently filter the
-    * rebuilt (live) rows out of every serving path — and the next
-    * compactTombstones would then permanently delete them from the
-    * rewritten artifacts. Every build* entry clears the set before
-    * returning (the same stale-state discipline as buildIvf's
-    * two-level-artifact clear and buildIvfPq's err_appends reset).
-    * Tombstones are DIR-scoped: artifact families sharing a dir
-    * share the set, so rebuild them together per corpus version —
-    * the cadence HippoDb/Graft already use. */
-  private def clearTombstones(spark: SparkSession, dir: String): Unit = {
+  /** A REBUILD makes its input ids LIVE: a stale tombstone for an id
+    * the new build ingests would silently filter the rebuilt row out
+    * of every serving path — and the next compactTombstones would
+    * permanently delete it from the rewritten artifacts. Every
+    * build* entry therefore REVIVES its input ids from the dir's
+    * tombstone set before returning. Revival is scoped to the build
+    * input, never the whole set: tombstones are DIR-scoped and other
+    * artifact families sharing the dir may NOT have been rebuilt —
+    * wiping the set wholesale on a single-family refresh would
+    * resurrect taken-down ids in the families still holding their
+    * rows (a silent takedown violation). Ids absent from the build
+    * input stay tombstoned; once every family rebuilds over the
+    * post-delete corpus the residue set filters nothing and the next
+    * compaction clears it. */
+  private def reviveTombstones(spark: SparkSession, dir: String,
+      liveIds: DataFrame): Unit = {
     val hp = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(hp) && !fs.delete(hp, true))
-      throw new java.io.IOException(
-        s"rebuild: stale tombstone set $dir/tombstones was not cleared")
+    if (!fs.exists(hp)) return
+    val t = spark.read.parquet(s"$dir/tombstones")
+    val total = t.count()
+    val kept = t.join(liveIds.select("vec_id"), Seq("vec_id"), "left_anti")
+    val keptN = kept.count()
+    if (keptN == total) return // nothing revived
+    if (keptN == 0) {
+      if (!fs.delete(hp, true))
+        throw new java.io.IOException(
+          s"rebuild: emptied tombstone set $dir/tombstones was not cleared")
+    } else
+      HippoDb.verifiedSwap(spark, s"$dir/tombstones", kept,
+        hadRows = total > 0, expected = Some(keptN))
+  }
+
+  /** Append a delta into a partitionBy(cluster) artifact — with the
+    * one repair case the merge-on-read lifecycle can produce: a FULLY
+    * compacted artifact was rewritten FLAT (an empty partitioned
+    * write emits no files at all, see compactTombstones), and a
+    * partitioned append beside that root-level schema file would
+    * leave a mixed layout every later read rejects (conflicting
+    * directory structures). An empty artifact is therefore
+    * OVERWRITTEN back into the partitioned layout; a non-empty one
+    * appends normally. */
+  private def writePartitionedDelta(spark: SparkSession, path: String,
+      delta: DataFrame): Unit = {
+    val mode =
+      if (spark.read.parquet(path).isEmpty) SaveMode.Overwrite
+      else SaveMode.Append
+    delta.write.mode(mode).partitionBy("cluster").parquet(path)
   }
 
   private def tombstonesAt(spark: SparkSession, dir: String): Option[DataFrame] = {
@@ -151,7 +183,7 @@ object VectorIndex {
       val dim = cb(0)(0).length * m
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/pq.json"),
         s"""{"format": "graft-pq-v1", "m": $m, "k": $k, "dim": $dim}""")
-      clearTombstones(spark, dir)
+      reviveTombstones(spark, dir, cached)
     } finally cached.unpersist()
   }
 
@@ -200,7 +232,7 @@ object VectorIndex {
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/sq_model")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/sq.json"),
         s"""{"format": "graft-sq8-v1", "dim": ${mins.length}}""")
-      clearTombstones(spark, dir)
+      reviveTombstones(spark, dir, cached)
     } finally cached.unpersist()
   }
 
@@ -239,7 +271,7 @@ object VectorIndex {
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/bq_model")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/bq.json"),
         s"""{"format": "graft-bq-v1", "dim": ${means.length}}""")
-      clearTombstones(spark, dir)
+      reviveTombstones(spark, dir, cached)
     } finally cached.unpersist()
   }
 
@@ -285,7 +317,7 @@ object VectorIndex {
           throw new java.io.IOException(
             s"buildIvf: stale artifact $p was not cleared")
       }
-      clearTombstones(spark, dir)
+      reviveTombstones(spark, dir, cached)
     } finally cached.unpersist()
   }
 
@@ -322,7 +354,7 @@ object VectorIndex {
       if (bfs.exists(bp) && !bfs.delete(bp, true))
         throw new java.io.IOException(
           s"buildIvfTwoLevel: stale cell bounds $dir/ivf_cellbounds were not cleared")
-      clearTombstones(spark, dir)
+      reviveTombstones(spark, dir, cached)
     } finally cached.unpersist()
   }
 
@@ -403,8 +435,7 @@ object VectorIndex {
     try {
       val n = assigned.count()
       if (n > 0) {
-        assigned.write.mode(SaveMode.Append).partitionBy("cluster")
-          .parquet(s"$dir/ivf_vectors")
+        writePartitionedDelta(spark, s"$dir/ivf_vectors", assigned)
         // Appended members can exceed a cell's recorded radius, so
         // the adaptive-probe bounds are no longer sound — invalidate
         // them (re-run buildCellBounds on the maintenance cadence).
@@ -754,7 +785,7 @@ object VectorIndex {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$dir/ivfpq.json"),
           s"""{"format": "graft-ivfpq-v1", "nCells": $nCells, "m": $m, "k": $k, "dim": $dim}""")
-        clearTombstones(spark, dir)
+        reviveTombstones(spark, dir, cached)
       } finally res.unpersist()
     } finally cached.unpersist()
   }
@@ -836,8 +867,7 @@ object VectorIndex {
       try {
         val n = enc.count()
         if (n > 0) {
-          enc.write.mode(SaveMode.Append).partitionBy("cluster")
-            .parquet(s"$dir/ivfpq_codes")
+          writePartitionedDelta(spark, s"$dir/ivfpq_codes", enc)
           // Drift sample: the batch's per-cell quantization error
           // under the FROZEN models accumulates beside the build
           // baseline — driftReport compares the two.
@@ -985,8 +1015,14 @@ object VectorIndex {
     }
     val flat = Seq("pq_codes", "sq_codes", "bq_sigs").filter(exists)
     val debt = tombstonesAt(spark, dir).flatMap { t =>
+      // LIVE rows (physical minus tombstoned) in the denominator: a
+      // physical count would compress the dial exactly in the
+      // heavy-deletion regime the 10% policy governs (90% deleted
+      // would read 0.9 instead of 9.0)
       val live = (partitioned ++ flat).map(a =>
-        spark.read.parquet(s"$dir/$a").count()).maxOption.getOrElse(0L)
+        spark.read.parquet(s"$dir/$a")
+          .join(broadcast(t), Seq("vec_id"), "left_anti").count())
+        .maxOption.getOrElse(0L)
       if (live == 0) None
       else Some(t.select("vec_id").distinct().count().toDouble / live)
     }

@@ -216,6 +216,60 @@ class DeleteSpec extends SparkSpec {
     } finally e.unpersist()
   }
 
+  test("single-family rebuild over a post-delete corpus must NOT resurrect the id in co-located families") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("vecpartial").toString
+    val e = plantedVectors.cache()
+    try {
+      VectorIndex.buildIvf(spark, e, tmp, nCells = 4)
+      VectorIndex.buildBq(spark, e, tmp)
+      VectorIndex.tombstone(spark, tmp, Seq(7L).toDF("vec_id"))
+      // operator refreshes ONLY the BQ family, over the corpus the
+      // takedown left (id 7 excluded) — the tombstone protects the
+      // untouched ivf_vectors, which still physically holds row 7,
+      // and must survive this rebuild
+      VectorIndex.buildBq(spark, e.filter(col("vec_id") =!= 7L), tmp)
+      val qv = e.filter(col("vec_id") === 3L).select("v")
+        .head().getSeq[Double](0).toArray
+      assert(!VectorIndex.annIvf(spark, tmp, qv, 5, 4, Some(3L))
+        .collect().map(_.getLong(0)).contains(7L),
+        "partial-family rebuild resurrected a taken-down id in the IVF family")
+      // and compaction still physically removes it everywhere
+      val removed = VectorIndex.compactTombstones(spark, tmp)
+      assert(removed("ivf_vectors") == 1L)
+      assert(removed("bq_sigs") == 0L, "the refreshed family never held the id")
+    } finally e.unpersist()
+  }
+
+  test("a fully compacted (flat-empty) partitioned artifact accepts appends and serves again") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("vecflatappend").toString
+    val e = plantedVectors.cache()
+    try {
+      VectorIndex.buildIvf(spark, e, tmp, nCells = 4)
+      VectorIndex.tombstone(spark, tmp, (0L until 60L).toDF("vec_id"))
+      VectorIndex.compactTombstones(spark, tmp)
+      // the empty artifact was rewritten FLAT (schema-only); a
+      // partitioned append beside the root-level file would leave a
+      // mixed layout every later read rejects — the append must
+      // restore the partitioned layout instead
+      val batch = (100L until 120L).map(id =>
+        (id, Array.tabulate(8)(j => math.sin(id * 1.7 + j * 0.9) + 0.1)))
+        .toDF("vec_id", "v")
+      assert(VectorIndex.appendIvf(spark, tmp, batch) == 20L)
+      val back = spark.read.parquet(s"$tmp/ivf_vectors")
+      assert(back.count() == 20L, "mixed flat+partitioned layout broke the read")
+      assert(new java.io.File(s"$tmp/ivf_vectors").listFiles()
+        .exists(_.getName.startsWith("cluster=")),
+        "append did not restore the partitioned layout")
+      val qv = batch.filter(col("vec_id") === 100L).select("v")
+        .head().getSeq[Double](0).toArray
+      val got = VectorIndex.annIvf(spark, tmp, qv, 5, 4, Some(100L))
+        .collect().map(_.getLong(0))
+      assert(got.nonEmpty && got.forall(_ >= 100L))
+    } finally e.unpersist()
+  }
+
   test("compacting a FULLY tombstoned index empties every artifact without losing schema") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("vecall").toString
@@ -281,7 +335,10 @@ class DeleteSpec extends SparkSpec {
     // died before the edge/embedding cascade. A naive re-run would
     // compute an empty victim set from the already-filtered facts
     // and orphan 101/102's edges + embeddings forever.
-    facts.filter(col("doc_id") === 1L).select("fact_id")
+    facts.filter(col("doc_id") === 1L)
+      .select(col("fact_id"), lit(null).cast("long").as("victim_doc"))
+      .unionByName(Seq(1L).toDF("victim_doc")
+        .select(lit(null).cast("long").as("fact_id"), col("victim_doc")))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$tmp/_delete_victims_tmp")
     facts.filter(col("doc_id") =!= 1L)
@@ -292,8 +349,9 @@ class DeleteSpec extends SparkSpec {
       HippoDb.deleteDocuments(spark, tmp, Seq(2L))
     }
     assert(ex.getMessage.contains("resumeDeleteDocuments"))
-    // resume finishes the cascade from the snapshot
-    val r = HippoDb.resumeDeleteDocuments(spark, tmp, Seq(1L))
+    // resume finishes the cascade from the SELF-DESCRIBING snapshot —
+    // no caller-supplied doc list to mistype
+    val r = HippoDb.resumeDeleteDocuments(spark, tmp)
     assert(r.factsDeleted == 0L, "facts were already swapped pre-crash")
     assert(r.edgesDeleted == 2L && r.embeddingsDeleted == 2L &&
       r.entitiesPruned == 1L, s"resume left orphans: $r")
@@ -306,7 +364,7 @@ class DeleteSpec extends SparkSpec {
     assert(nF == 1 && nE == 1 && missing == 0)
     // with the snapshot cleared, resume has nothing to do
     intercept[IllegalStateException] {
-      HippoDb.resumeDeleteDocuments(spark, tmp, Seq(1L))
+      HippoDb.resumeDeleteDocuments(spark, tmp)
     }
   }
 
