@@ -399,6 +399,145 @@ object VectorQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** v15 dials: the IVF twin of v08's LSH dial — cells GROW with the
+    * corpus (target members per cell fixed), probes per query fixed,
+    * so candidate volume per query is probe × target = CONSTANT and
+    * total work linear in n. This is the rung that survived the
+    * second scale decade: v08's fixed 4-bit LSH cells hold n/16
+    * vectors each (~12.5k at 200k — the measured >40 GB spill), while
+    * these cells hold ~[[V15CellTarget]] at every n. */
+  val V15CellTarget = 250
+  val V15Probe = 4
+  val V15TwoLevelCells = 64
+
+  /** v15: IVF-CELL-BLOCKED batch k-NN — v08's semantics (every
+    * label-0 vector gets its top-k neighbours) with the LSH blocking
+    * replaced by the e01c cell blocking, because the LSH dial is
+    * REGIME-BOUND in corpus size (bucket occupancy ∝ n at fixed
+    * bits; measured: v08 fine at 20k, 4×10⁹ candidate pairs and a
+    * disk-exhausting shuffle spill at 200k) while cells ∝ n keep the
+    * per-query candidate count constant. Fit is scale-routed like
+    * e01c (two-level above [[V15TwoLevelCells]]); scoring inside
+    * probed cells is the EXACT raw cosine (the cells already bound
+    * the candidates — no signature pass needed), pooled map-side by
+    * TopKAgg, round-6 re-ranked. Same premise note as e01c/v07:
+    * cell pruning rests on neighbour concentration — near-exact on
+    * clustered corpora (the spec's planted regime), a pinned
+    * recall band on this synthetic near-random stress corpus where
+    * v08's multi-table LSH is the better small-n tool. The two forms
+    * are complements: v08 for ≤~20k-per-shard near-random regimes,
+    * v15 for the 100 TB corpus sizes where v08's dial explodes.
+    * *rows-only* (VectorSpec: planted-clustered recall, stress band,
+    * plan needles, every-query coverage). */
+  def v15KnnBatchIvf(spark: SparkSession, dir: String): DataFrame =
+    knnBatchIvf(spark, emb(spark, dir), k = 3)
+
+  /** Reusable IVF-cell-blocked batch k-NN over (vec_id, v, label)
+    * rows; queries = label-0 rows (v02/v08's query set). */
+  def knnBatchIvf(spark: SparkSession, e0: DataFrame, k: Int,
+      nProbe: Int = V15Probe,
+      twoLevelCells: Int = V15TwoLevelCells): DataFrame = {
+    import e0.sparkSession.implicits._
+    val spark = e0.sparkSession
+    val e = e0.withColumn("nv", normNative(col("v")))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .cache()
+    try {
+      val n = e.count()
+      val nCells = math.max(8, (n / V15CellTarget).toInt)
+      val (assigned, centroids, coarse) =
+        if (nCells >= twoLevelCells) {
+          val (a, flat, c) = KMeans.fitTwoLevel(
+            spark, e.select(col("vec_id"), col("v")), nCells, 2)
+          (a, flat, c)
+        } else {
+          val (a, cs, _) = KMeans.fit(
+            spark, e.select(col("vec_id"), col("v")), nCells, 2,
+            trackInertia = false)
+          (a, cs, null: Array[Array[Double]])
+        }
+      val out = batchIvfPlan(spark, e, assigned, centroids, coarse, k, nProbe)
+        .orderBy("query_id", "rk")
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(out.collect(): _*)),
+        out.schema)
+    } finally e.unpersist()
+  }
+
+  /** The LAZY v15 plan over a prepped (vec_id, v, label, nv) relation
+    * with a flat fit — the audit hook (the cellBlockedLazy
+    * convention): the entry's driver-side pin hides the shape behind
+    * a LocalTableScan. */
+  private[graft] def knnBatchIvfLazy(spark: SparkSession,
+      e: DataFrame, k: Int, nProbe: Int = V15Probe): DataFrame = {
+    val n = e.count()
+    val nCells = math.max(8, (n / V15CellTarget).toInt)
+    val (assigned, centroids, _) = KMeans.fit(
+      spark, e.select(col("vec_id"), col("v")), nCells, 2, trackInertia = false)
+    batchIvfPlan(spark, e, assigned, centroids,
+      null: Array[Array[Double]], k, nProbe)
+  }
+
+  /** The shared v15 plan body: coarse-first probe (coarse == null →
+    * full-model probe), exact cosine inside probed cells only
+    * (probe × cellTarget candidates per query, never all-pairs),
+    * TopKAgg partials, round-6 re-rank. */
+  private def batchIvfPlan(spark: SparkSession, e: DataFrame,
+      assigned: DataFrame, centroids: Array[Array[Double]],
+      coarse: Array[Array[Double]], k: Int, nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val corpusCells = e.select(col("vec_id"), col("v"), col("nv"))
+      .join(assigned, "vec_id")
+    val bc = spark.sparkContext.broadcast(centroids)
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    def sqDist(v: Array[Double], c: Array[Double]): Double = {
+      var d = 0.0; var j = 0
+      while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+      d
+    }
+    val probes = e.filter(col("label") === 0)
+      .select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        val cs = bc.value
+        val cg = bcCoarse.value
+        val cand: Array[Int] =
+          if (cg == null) Array.range(0, cs.length)
+          else {
+            val k2 = cs.length / cg.length
+            val gds = new Array[(Double, Int)](cg.length)
+            var g = 0
+            while (g < cg.length) { gds(g) = (sqDist(v, cg(g)), g); g += 1 }
+            gds.sortBy(_._1).take(graft.operators.ExtendedQueries.E01cCoarseProbe)
+              .flatMap { case (_, grp) =>
+                grp * k2 until math.min((grp + 1) * k2, cs.length)
+              }
+          }
+        val ds = new Array[(Double, Int)](cand.length)
+        var i = 0
+        while (i < cand.length) {
+          ds(i) = (sqDist(v, cs(cand(i))), cand(i)); i += 1
+        }
+        ds.sortBy(_._1).take(nProbe).map { case (_, cell) => (id, cell) }
+      }
+      .toDF("query_id", "cluster")
+    val scored = probes
+      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nv").as("nq")), "query_id")
+      .join(corpusCells, "cluster")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        cosinePreRaw(col("v"), col("qv"), col("nv"), col("nq")).as("rawcos"),
+        col("vec_id"))
+    val byCos = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.groupBy("query_id")
+      .agg(org.apache.spark.sql.graft.TopKAgg.topK(col("rawcos"), col("vec_id"), k + 8).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), round(col("t.cos"), 6).as("cos"), col("t.vec_id").as("vec_id"))
+      .withColumn("rk", row_number().over(byCos))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "cos", "rk")
+  }
+
   /** The shared LSH cell-blocked SCORING kernel of v08/e01b: rows
     * matching `isQuery` become queries, every row is corpus, and the
     * result is (qid, rawcos, vec_id) for each candidate pair sharing
@@ -598,6 +737,7 @@ object VectorQueries {
     "v06_knn_agg" -> (v06KnnAgg _),
     "v07_ann_ivf" -> (v07AnnIvf _),
     "v08_knn_batch_ann" -> (v08KnnBatchAnn _),
+    "v15_knn_batch_ivf" -> (v15KnnBatchIvf _),
     "v11_range_search" -> (v11RangeSearch _))
 
   private val probeList = GraphQueries.ProbeUnion.map(e => s"'$e'").mkString(", ")

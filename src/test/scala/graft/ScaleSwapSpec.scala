@@ -56,6 +56,70 @@ class ScaleSwapSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "d13 plans a BNLJ")
   }
 
+  test("v15: IVF-cell-blocked batch kNN is near-exact where its premise holds (clustered corpus)") {
+    import spark.implicits._
+    // directionally separated clusters (the AdaptiveProbeSpec corpus
+    // shape): label 0 = queries, neighbours concentrate in-cell
+    val planted = (0 until 600).map { i =>
+      val c = i % 8
+      (i.toLong,
+        Array.tabulate(8)(j =>
+          (if (j == c) 4.0 else 0.0) + 0.3 * math.sin(i * 2.3 + j * 1.1)),
+        c)
+    }.toDF("vec_id", "v", "label")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < a.length) { d += a(j)*b(j); na += a(j)*a(j); nb += b(j)*b(j); j += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val rows = (0 until 600).map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        (if (j == i % 8) 4.0 else 0.0) + 0.3 * math.sin(i * 2.3 + j * 1.1)), i % 8)
+    }
+    val exact = rows.filter(_._3 == 0).flatMap { case (qid, qv, _) =>
+      rows.filter(_._1 != qid)
+        .map { case (id, v, _) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3)
+        .map { case (id, _) => (qid, id) }
+    }.toSet
+    val got = VectorQueries.knnBatchIvf(spark, planted, k = 3)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    info(s"v15 clustered-corpus pair recall = $recall (${exact.size} exact pairs)")
+    assert(recall >= 0.95, s"clustered recall $recall < 0.95")
+    assert(got.map(_._1) == exact.map(_._1), "every query must get neighbours")
+  }
+
+  test("v15: stress-corpus recall vs v02 pinned; plan is cell-bounded (no all-pairs join)") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.normNative
+    val exact = VectorQueries.v02KnnBatch(spark, sf001)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = VectorQueries.v15KnnBatchIvf(spark, sf001)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(_._1) == exact.map(_._1), "every v02 query must be answered")
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    info(s"v15 stress-corpus pair recall vs v02 = $recall")
+    // near-random embeddings have no neighbour concentration — the
+    // documented IVF-premise failure (e01c/v07's corpus property).
+    // Pin a floor well above the 4/8-cell chance rate without
+    // pretending it is v08 (whose 16-table LSH wins this regime but
+    // explodes at the 200k decade — the two are complements).
+    assert(recall >= 0.4 && recall < 0.97,
+      s"stress recall $recall outside the documented premise-failure band")
+    val planted = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 2.3 + j * 1.1)), i % 4)
+    }.toDF("vec_id", "v", "label")
+      .withColumn("nv", normNative(col("v")))
+    val plan = physicalPlan(VectorQueries.knnBatchIvfLazy(spark, planted, k = 3))
+    assert(plan.contains("ObjectHashAggregate"), "TopKAgg partials missing")
+    assert(!plan.contains("CartesianProduct"), "cartesian in the v15 path")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "BNLJ in the v15 path")
+  }
+
   test("e01c: cell-blocked classify is near-exact where its premise holds (clustered corpus)") {
     import spark.implicits._
     // 600 vectors in 6 well-separated clusters, label = cluster —
