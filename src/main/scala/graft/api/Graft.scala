@@ -409,6 +409,22 @@ final class Graft(
       .join(db.facts, "fact_id")
       .orderBy(col("cos").desc, col("fact_id"))
 
+  /** [[closestFactsIndexed]] through the ADAPTIVE probe
+    * (VectorIndex.annIvfAdaptive): probes the nearest cells, then
+    * only the cells whose per-cell cosine bound could still change
+    * the top-k — the rows EQUAL the all-cells probe exactly at a
+    * fraction of the partitions scanned. Requires
+    * VectorIndex.buildCellBounds for the current index version
+    * (appends invalidate the bounds; the call fails fast rather than
+    * pruning unsoundly). */
+  def closestFactsAdaptive(db: HippoDb, indexDir: String, query: String,
+      k: Int = 5, initialProbe: Int = VectorQueries.IvfProbe): DataFrame =
+    graft.store.VectorIndex.annIvfAdaptive(spark, indexDir,
+        embedder.embed(query).map(_.toDouble), k, initialProbe).result
+      .withColumnRenamed("vec_id", "fact_id")
+      .join(db.facts, "fact_id")
+      .orderBy(col("cos").desc, col("fact_id"))
+
   /** Top-k facts by cosine to a natural-language query. */
   def closestFacts(db: HippoDb, query: String, k: Int = 5): DataFrame =
     db.factEmb

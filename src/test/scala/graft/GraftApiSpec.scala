@@ -161,6 +161,17 @@ class GraftApiSpec extends SparkSpec {
     val scores = partial.map(_.getAs[Double]("cos"))
     assert(scores.sameElements(scores.sorted.reverse))
     assert(partial.forall(r => r.getAs[String]("fact_text") != null))
+    // the ADAPTIVE probe facade: bound-pruned serving must equal the
+    // all-cells rows exactly (its contract), and fail fast while the
+    // bounds artifact is absent
+    intercept[IllegalStateException] {
+      api.closestFactsAdaptive(db, idx, "spark window join", k = 5).collect()
+    }
+    graft.store.VectorIndex.buildCellBounds(spark, idx)
+    val adaptive = api.closestFactsAdaptive(db, idx, "spark window join",
+        k = 5, initialProbe = 2)
+      .select("fact_id", "cos").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(adaptive == brute, s"adaptive serving must equal brute: $adaptive vs $brute")
     // twoLevel build: byte-compatible artifact — the same all-probe
     // equality holds through the hierarchical quantizer's index
     val idx2 = java.nio.file.Files.createTempDirectory("api_ivf2").toString
