@@ -95,6 +95,25 @@ object VectorIndex {
     * directory structures). An empty artifact is therefore
     * OVERWRITTEN back into the partitioned layout; a non-empty one
     * appends normally. */
+  /** Appends must not silently re-ingest DELETED ids: the serving
+    * anti-join would filter the new rows (invisible data loss) and a
+    * later compaction would permanently drop them. An append batch
+    * carrying tombstoned ids fails fast — the caller either meant a
+    * different id space (bug) or is re-adding content, which is a
+    * REBUILD-shaped operation (build* revives its input ids). */
+  private def refuseTombstoned(spark: SparkSession, dir: String,
+      batch: DataFrame, op: String): Unit =
+    tombstonesAt(spark, dir).foreach { t =>
+      val hits = batch.select("vec_id")
+        .join(broadcast(t), Seq("vec_id"), "left_semi")
+        .limit(5).collect().map(_.getLong(0))
+      if (hits.nonEmpty)
+        throw new IllegalArgumentException(
+          s"$op: batch re-ingests tombstoned vec_ids ${hits.mkString(", ")}" +
+          " — deleted ids stay deleted under append; rebuild the artifact" +
+          " (build* revives its input ids) to re-add them")
+    }
+
   private def writePartitionedDelta(spark: SparkSession, path: String,
       delta: DataFrame): Unit = {
     val mode =
@@ -426,6 +445,7 @@ object VectorIndex {
     * still scores true vectors). Returns the appended row count. */
   def appendIvf(spark: SparkSession, dir: String, batch: DataFrame): Long = {
     import spark.implicits._
+    refuseTombstoned(spark, dir, batch, "appendIvf")
     val bc = spark.sparkContext.broadcast(loadIvfCentroids(spark, dir))
     val assigned = batch.select(col("vec_id"), col("v"))
       .as[(Long, Array[Double])]
@@ -859,6 +879,7 @@ object VectorIndex {
     * CHECKPOINTED foreachBatch (StreamOps.ivfPqIngestStream) so the
     * streaming engine never re-delivers a committed batch. */
   def appendIvfPq(spark: SparkSession, dir: String, batch: DataFrame): Long = {
+    refuseTombstoned(spark, dir, batch, "appendIvfPq")
     val (cb, centroids) = loadIvfPqModels(spark, dir)
     val res = IvfPq.assignResiduals(spark,
       batch.select(col("vec_id"), col("v")), centroids).cache()

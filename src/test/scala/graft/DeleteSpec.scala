@@ -270,6 +270,30 @@ class DeleteSpec extends SparkSpec {
     } finally e.unpersist()
   }
 
+  test("appends refuse batches that re-ingest tombstoned ids (deleted stays deleted)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("vecreappend").toString
+    val e = plantedVectors.cache()
+    try {
+      VectorIndex.buildIvf(spark, e, tmp, nCells = 4)
+      VectorIndex.buildIvfPq(spark, e, tmp, nCells = 4)
+      VectorIndex.tombstone(spark, tmp, Seq(7L).toDF("vec_id"))
+      val batch = Seq((7L, Array.tabulate(8)(_ => 1.0)))
+        .toDF("vec_id", "v")
+      val ex = intercept[IllegalArgumentException] {
+        VectorIndex.appendIvf(spark, tmp, batch)
+      }
+      assert(ex.getMessage.contains("7"), s"opaque error: ${ex.getMessage}")
+      intercept[IllegalArgumentException] {
+        VectorIndex.appendIvfPq(spark, tmp, batch)
+      }
+      // a clean batch still appends
+      val clean = Seq((100L, Array.tabulate(8)(_ => 1.0)))
+        .toDF("vec_id", "v")
+      assert(VectorIndex.appendIvf(spark, tmp, clean) == 1L)
+    } finally e.unpersist()
+  }
+
   test("compacting a FULLY tombstoned index empties every artifact without losing schema") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("vecall").toString
