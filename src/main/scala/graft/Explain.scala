@@ -82,12 +82,13 @@ object Explain {
       // cartesian
       "e01b_knn_classify_ann" ->
         Seq("bit_count", "qsig", "ObjectHashAggregate", "!CartesianProduct"),
-      // e01c: like v09/v10, the entry returns its rows MATERIALIZED
-      // driver-side (cache-release contract), so the audited outer
-      // plan is a local relation; the cell-bounded popcount shape
+      // e01c: the entry's O(corpus) rows are pinned EXECUTOR-side
+      // (localCheckpoint — cache-release without a driver collect),
+      // so the audited outer plan is the checkpoint's RDD scan, NOT a
+      // driver-built LocalTableScan; the cell-bounded popcount shape
       // (cluster equi-join, TopKAgg partials, no all-pairs join) is
-      // pinned by ScaleSwapSpec on the inner plan
-      "e01c_knn_classify_ivfbq" -> Seq("LocalTableScan"),
+      // pinned by ScaleSwapSpec on the inner (lazy) plan
+      "e01c_knn_classify_ivfbq" -> Seq("Scan ExistingRDD", "!LocalTableScan"),
       // d06/h08: candidate/probe joins, never a corpus-side broadcast
       "d06_embed_neardup_ann" -> Seq("HashAggregate"),
       // t27: the semantic screen must block on the narrow LSH cell

@@ -259,7 +259,13 @@ object ExtendedQueries {
 
   /** The general cell-blocked classifier over any (vec_id, v, label)
     * relation — the spec drives it with a planted clustered corpus.
-    * Materializes k rows driver-side (cache-release contract). */
+    * The output is one row PER CORPUS VECTOR, so the cache-release
+    * contract is satisfied EXECUTOR-side: `localCheckpoint` pins the
+    * result as executor blocks and cuts the lineage off the scoped
+    * cache (the d07/h16 precedent) — never a driver `collect()`,
+    * which at the 100 TB target would OOM the driver on exactly this
+    * path. Plan-shape audit lives on [[cellBlockedLazy]] (the
+    * checkpoint truncates the visible plan to its RDD scan). */
   private[graft] def knnClassifyCellBlocked(spark: SparkSession,
       e0: DataFrame, nProbe: Int = E01cProbe,
       twoLevelCells: Int = E01cTwoLevelCells): DataFrame = {
@@ -267,12 +273,8 @@ object ExtendedQueries {
       .withColumn("nv", normNative(col("v")))
       .repartition(spark.sparkContext.defaultParallelism)
       .cache()
-    try {
-      val out = cellBlockedLazy(spark, e, nProbe, twoLevelCells)
-      spark.createDataFrame(
-        new java.util.ArrayList(java.util.Arrays.asList(out.collect(): _*)),
-        out.schema)
-    } finally e.unpersist()
+    try cellBlockedLazy(spark, e, nProbe, twoLevelCells).localCheckpoint(true)
+    finally e.unpersist()
   }
 
   /** The LAZY cell-blocked plan over a prepped (vec_id, v, label,
@@ -303,43 +305,14 @@ object ExtendedQueries {
         }
       val means = Bq.train(spark, e)
       val enc = Bq.encode(spark, e, means).join(assigned, "vec_id")
-      // per-query probe cells: one narrow typed map against the
-      // broadcast centroid model (the assignResiduals convention),
-      // keeping the E01cProbe nearest — n × nProbe narrow rows out.
-      // Two-level: candidate child cells are restricted to the
-      // E01cCoarseProbe nearest coarse groups' children, so the
-      // per-query distance count is k1 + coarseProbe·k2, not nCells.
-      val bc = spark.sparkContext.broadcast(centroids)
-      val bcCoarse = spark.sparkContext.broadcast(coarse)
-      def sqDist(v: Array[Double], c: Array[Double]): Double = {
-        var d = 0.0; var j = 0
-        while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
-        d
-      }
-      val probes = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
-        .flatMap { case (id, v) =>
-          val cs = bc.value
-          val cg = bcCoarse.value
-          val cand: Array[Int] =
-            if (cg == null) Array.range(0, cs.length)
-            else {
-              val k2 = cs.length / cg.length
-              val gds = new Array[(Double, Int)](cg.length)
-              var g = 0
-              while (g < cg.length) { gds(g) = (sqDist(v, cg(g)), g); g += 1 }
-              gds.sortBy(_._1).take(E01cCoarseProbe)
-                .flatMap { case (_, grp) =>
-                  grp * k2 until math.min((grp + 1) * k2, cs.length)
-                }
-            }
-          val ds = new Array[(Double, Int)](cand.length)
-          var i = 0
-          while (i < cand.length) {
-            ds(i) = (sqDist(v, cs(cand(i))), cand(i)); i += 1
-          }
-          ds.sortBy(_._1).take(nProbe).map { case (_, cell) => (id, cell) }
-        }
-        .toDF("qid", "cluster")
+      // per-query probe cells via the ONE shared coarse-first kernel
+      // (KMeans.probeCells — also v15's; the assignResiduals
+      // convention so the probe rule cannot drift between paths):
+      // n × nProbe narrow (qid, cluster) rows out; two-level
+      // per-query distance count k1 + coarseProbe·k2, not nCells.
+      val probes = graft.operators.KMeans.probeCells(spark,
+        e.select(col("vec_id"), col("v")), centroids, coarse,
+        nProbe, E01cCoarseProbe)
       // the signature pass, cell-bounded: each corpus vector sits in
       // exactly ONE cell and probe cells are distinct, so candidate
       // pairs are duplicate-free by construction — no distinct.

@@ -143,6 +143,57 @@ object KMeans {
     best
   }
 
+  /** Squared L2 distance — the one metric kernel [[nearestIndex]]
+    * and [[probeCells]] share. */
+  private def sqDist(v: Array[Double], c: Array[Double]): Double = {
+    var d = 0.0; var j = 0
+    while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+    d
+  }
+
+  /** Coarse-first probe-cell selection — THE shared probe kernel for
+    * every cell-blocked batch path (e01c's knnClassifyCellBlocked and
+    * v15's knnBatchIvf call this; the [[nearestIndex]] convention:
+    * one definition so the two-level probe rule cannot drift between
+    * paths). For each query row (id, v): with `coarse == null` every
+    * centroid is ranked (the flat small-corpus path, byte-identical
+    * to the pre-two-level rounds); otherwise only the `coarseProbe`
+    * nearest coarse groups' children are ranked — k1 + coarseProbe·k2
+    * ≈ (1+coarseProbe)·√nCells distances per query instead of nCells.
+    * Emits the `nProbe` nearest cells as narrow (qid, cluster) rows
+    * against the broadcast model (the assignResiduals convention). */
+  private[graft] def probeCells(spark: SparkSession, queries: DataFrame,
+      centroids: Array[Array[Double]], coarse: Array[Array[Double]],
+      nProbe: Int, coarseProbe: Int): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    queries.as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        val cs = bc.value
+        val cg = bcCoarse.value
+        val cand: Array[Int] =
+          if (cg == null) Array.range(0, cs.length)
+          else {
+            val k2 = cs.length / cg.length
+            val gds = new Array[(Double, Int)](cg.length)
+            var g = 0
+            while (g < cg.length) { gds(g) = (sqDist(v, cg(g)), g); g += 1 }
+            gds.sortBy(_._1).take(coarseProbe)
+              .flatMap { case (_, grp) =>
+                grp * k2 until math.min((grp + 1) * k2, cs.length)
+              }
+          }
+        val ds = new Array[(Double, Int)](cand.length)
+        var i = 0
+        while (i < cand.length) {
+          ds(i) = (sqDist(v, cs(cand(i))), cand(i)); i += 1
+        }
+        ds.sortBy(_._1).take(nProbe).map { case (_, cell) => (id, cell) }
+      }
+      .toDF("qid", "cluster")
+  }
+
   def fitTwoLevel(spark: SparkSession, emb: DataFrame, nCells: Int,
       iters: Int, branch: Int = 0)
       : (DataFrame, Array[Array[Double]], Array[Array[Double]]) = {

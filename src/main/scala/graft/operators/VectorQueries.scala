@@ -375,17 +375,48 @@ object VectorQueries {
     * typical top-k neighbour angle of this corpus (synthetic, cos ≈
     * 0.5), so 16 independent tables give ≈ 0.97 per-pair recall —
     * the bits/tables dial trades candidate volume for recall exactly
-    * as in d06. */
+    * as in d06.
+    *
+    * REGIME BOUND, ENFORCED: at fixed bits the expected bucket holds
+    * n/2^bits vectors, so candidate pairs grow ∝ tables·n²/2^bits —
+    * MEASURED at 200k vectors: ~12.5k/bucket → ~4×10⁹ candidate
+    * pairs → >40 GB shuffle spill → disk exhaustion. knnBatchAnn
+    * therefore fails fast when expected bucket occupancy exceeds
+    * [[V08MaxBucketOccupancy]] (double the measured-safe 20k decade's
+    * ~1.25k, a decade under the measured failure), naming the rung
+    * that holds at scale: [[knnBatchIvf]], whose cells ∝ n keep
+    * occupancy constant. */
   val BatchAnnTables = 16
   val BatchAnnBits = 4
+
+  /** Max expected vectors per LSH bucket (n / 2^bits) before
+    * knnBatchAnn refuses to run — the enforcement of v08's measured
+    * regime bound (safe at 20k: ~1.25k/bucket; disk-exhausting at
+    * 200k: ~12.5k/bucket). 2500 ⇒ corpus bound 40k at the shipped
+    * 4-bit dial. */
+  val V08MaxBucketOccupancy = 2500L
 
   def v08KnnBatchAnn(spark: SparkSession, dir: String): DataFrame =
     knnBatchAnn(spark, emb(spark, dir), k = 3)
 
   /** Reusable LSH-blocked batch k-NN over (vec_id, v, label) rows;
-    * queries = label-0 rows (v02's query set). */
-  def knnBatchAnn(spark: SparkSession, e0: DataFrame, k: Int): DataFrame = {
+    * queries = label-0 rows (v02's query set). Fails fast above its
+    * enforced regime bound (see the v08 scaladoc) — `maxOccupancy`
+    * is a test dial, not a user lever. */
+  def knnBatchAnn(spark: SparkSession, e0: DataFrame, k: Int,
+      maxOccupancy: Long = V08MaxBucketOccupancy): DataFrame = {
     val e = e0.withColumn("nv", normNative(col("v"))).cache()
+    val n = e.count()
+    val occupancy = n / (1L << BatchAnnBits)
+    if (occupancy > maxOccupancy) {
+      e.unpersist()
+      throw new IllegalArgumentException(
+        s"knnBatchAnn (v08): corpus of $n vectors puts ~$occupancy in each " +
+        s"${BatchAnnBits}-bit LSH bucket (> $maxOccupancy) — candidate pairs " +
+        s"grow quadratically in occupancy ($BatchAnnTables tables), measured " +
+        "disk-exhausting at 200k vectors. Use knnBatchIvf (v15), whose " +
+        "cells grow with the corpus and keep per-query candidates constant.")
+    }
     val scored = lshScored(e, col("label") === 0, BatchAnnTables, BatchAnnBits, seed = 99L)
       .withColumnRenamed("qid", "query_id")
     val byCos = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
@@ -456,11 +487,15 @@ object VectorQueries {
             trackInertia = false)
           (a, cs, null: Array[Array[Double]])
         }
-      val out = batchIvfPlan(spark, e, assigned, centroids, coarse, k, nProbe)
+      // queries × k rows out — the cache-release contract pins them
+      // EXECUTOR-side (localCheckpoint cuts the lineage off the
+      // scoped cache as executor blocks; the d07/h16 precedent), not
+      // with a driver collect() that would OOM at the 100 TB target.
+      // Plan-shape audit lives on knnBatchIvfLazy (the checkpoint
+      // truncates the visible plan to its RDD scan).
+      batchIvfPlan(spark, e, assigned, centroids, coarse, k, nProbe)
         .orderBy("query_id", "rk")
-      spark.createDataFrame(
-        new java.util.ArrayList(java.util.Arrays.asList(out.collect(): _*)),
-        out.schema)
+        .localCheckpoint(true)
     } finally e.unpersist()
   }
 
@@ -488,38 +523,14 @@ object VectorQueries {
     import spark.implicits._
     val corpusCells = e.select(col("vec_id"), col("v"), col("nv"))
       .join(assigned, "vec_id")
-    val bc = spark.sparkContext.broadcast(centroids)
-    val bcCoarse = spark.sparkContext.broadcast(coarse)
-    def sqDist(v: Array[Double], c: Array[Double]): Double = {
-      var d = 0.0; var j = 0
-      while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
-      d
-    }
-    val probes = e.filter(col("label") === 0)
-      .select(col("vec_id"), col("v")).as[(Long, Array[Double])]
-      .flatMap { case (id, v) =>
-        val cs = bc.value
-        val cg = bcCoarse.value
-        val cand: Array[Int] =
-          if (cg == null) Array.range(0, cs.length)
-          else {
-            val k2 = cs.length / cg.length
-            val gds = new Array[(Double, Int)](cg.length)
-            var g = 0
-            while (g < cg.length) { gds(g) = (sqDist(v, cg(g)), g); g += 1 }
-            gds.sortBy(_._1).take(graft.operators.ExtendedQueries.E01cCoarseProbe)
-              .flatMap { case (_, grp) =>
-                grp * k2 until math.min((grp + 1) * k2, cs.length)
-              }
-          }
-        val ds = new Array[(Double, Int)](cand.length)
-        var i = 0
-        while (i < cand.length) {
-          ds(i) = (sqDist(v, cs(cand(i))), cand(i)); i += 1
-        }
-        ds.sortBy(_._1).take(nProbe).map { case (_, cell) => (id, cell) }
-      }
-      .toDF("query_id", "cluster")
+    // per-query probe cells via the ONE shared coarse-first kernel
+    // (KMeans.probeCells — also e01c's) so the two-level probe rule
+    // cannot drift between the batch paths.
+    val probes = KMeans.probeCells(spark,
+        e.filter(col("label") === 0).select(col("vec_id"), col("v")),
+        centroids, coarse, nProbe,
+        graft.operators.ExtendedQueries.E01cCoarseProbe)
+      .withColumnRenamed("qid", "query_id")
     val scored = probes
       .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nv").as("nq")), "query_id")

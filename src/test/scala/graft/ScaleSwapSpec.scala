@@ -40,6 +40,42 @@ class ScaleSwapSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "v08 plans a BNLJ")
   }
 
+  test("v08: the measured regime bound is ENFORCED — fails fast above occupancy, runs below, names v15") {
+    import spark.implicits._
+    val planted = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 2.3 + j * 1.1)), i % 4)
+    }.toDF("vec_id", "v", "label")
+    // 200 vectors / 2^4 buckets = 12 expected occupancy:
+    // just-above bound → refused, with the scale rung named …
+    val ex = intercept[IllegalArgumentException] {
+      VectorQueries.knnBatchAnn(spark, planted, k = 3, maxOccupancy = 11L)
+    }
+    assert(ex.getMessage.contains("knnBatchIvf"),
+      s"guard must name the rung that holds at scale, got: ${ex.getMessage}")
+    assert(ex.getMessage.contains("200"), "guard must report the corpus size")
+    // … at-the-bound → runs, full coverage
+    val ok = VectorQueries.knnBatchAnn(spark, planted, k = 3, maxOccupancy = 12L)
+    assert(ok.select("query_id").distinct().count() == 50,
+      "below the bound every label-0 query must be answered")
+    // and the shipped default admits the sf-test corpora (the 20k
+    // decade) while refusing the measured 200k failure decade
+    assert(20000L / 16 <= VectorQueries.V08MaxBucketOccupancy)
+    assert(200000L / 16 > VectorQueries.V08MaxBucketOccupancy)
+  }
+
+  test("e01c/v15 entries: O(output) rows are pinned executor-side (RDD scan), never a driver LocalTableScan") {
+    import spark.implicits._
+    val planted = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 2.3 + j * 1.1)), i % 4)
+    }.toDF("vec_id", "v", "label")
+    val e01c = physicalPlan(ExtendedQueries.knnClassifyCellBlocked(spark, planted))
+    assert(e01c.contains("Scan ExistingRDD"), "e01c must scan checkpointed executor blocks")
+    assert(!e01c.contains("LocalTableScan"), "e01c output was collected to the driver")
+    val v15 = physicalPlan(VectorQueries.knnBatchIvf(spark, planted, k = 3))
+    assert(v15.contains("Scan ExistingRDD"), "v15 must scan checkpointed executor blocks")
+    assert(!v15.contains("LocalTableScan"), "v15 output was collected to the driver")
+  }
+
   test("t14: native NFC keeps normalize inside whole-stage codegen (no object pipeline)") {
     val plan = physicalPlan(graft.operators.TextQueries.t14Normalize(spark, sf001))
     assert(!plan.contains("DeserializeToObject"), "t14 fell back to a typed map")
