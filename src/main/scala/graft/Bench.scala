@@ -301,7 +301,7 @@ object Bench {
         f"(median ratio ${noise.medianRatio}%.2f, MAD(log) ${noise.madLog}%.3f, " +
         f"${ratios.size} common queries)")
       absolved.foreach(n => System.err.println(
-        f"[bench]   absolved $n: isolated floor ${isolated(n)}%.2fs <= 2x prev ${prevQ(n)}%.2fs"))
+        f"[bench]   absolved $n: isolated floor ${isolated(n)}%.2fs <= 1.5x prev ${prevQ(n)}%.2fs"))
       if (regressions.nonEmpty) {
         System.err.println(s"[bench] REGRESSION GUARD vs $src: " +
           s"${regressions.size} queries exceed 2x the previous median (isolated floor included):")

@@ -300,18 +300,38 @@ object HippoDb {
         s"deleteDocuments: a victim snapshot already exists at $scratch — " +
         "a prior takedown crashed mid-cascade; finish it with " +
         "resumeDeleteDocuments before starting a new one")
-    // The snapshot stores BOTH halves of the takedown's identity:
-    // victim fact ids (the fact-keyed cascade) AND the doc ids (the
-    // doc-keyed steps) — so a resume replays exactly the crashed
-    // takedown instead of trusting a caller to re-type the right ids.
+    // The snapshot stores the takedown's ENTIRE identity: victim fact
+    // ids (the fact-keyed cascade), the doc ids (the doc-keyed steps),
+    // AND the index/sketch dirs the call named — so a resume replays
+    // exactly the crashed takedown instead of trusting a caller to
+    // re-type the right ids, and a crash AFTER the facts swap but
+    // BEFORE index tombstoning cannot lose the dirs and leave a
+    // persisted index silently serving the deleted facts' vectors.
+    // The snapshot is written to a STAGING path and renamed into
+    // place: the rename is the commit point, so a crash mid-write
+    // leaves no half-snapshot that resume could misread (facts are
+    // untouched at that point — just re-run deleteDocuments, which
+    // clears the stale staging dir itself).
     import spark.implicits._
+    val staging = s"$scratch.staging"
+    if (fs.exists(p(staging))) fs.delete(p(staging), true)
+    val localRows: Seq[(Option[Long], Option[String], Option[String])] =
+      docIds.distinct.map(d => (Some(d), None, None)) ++
+        indexDirs.map(d => (None, Some(d), None)) ++
+        sketchDirs.map(d => (None, None, Some(d)))
     spark.read.parquet(s"$dir/facts")
       .filter(col("doc_id").isin(docIds: _*))
-      .select(col("fact_id"), lit(null).cast("long").as("victim_doc"))
-      .unionByName(docIds.distinct.map(d => (null.asInstanceOf[java.lang.Long], d))
-        .toDF("fact_id", "victim_doc")
-        .select(col("fact_id").cast("long"), col("victim_doc")))
-      .write.mode(SaveMode.Overwrite).parquet(scratch)
+      .select(col("fact_id"), lit(null).cast("long").as("victim_doc"),
+        lit(null).cast("string").as("index_dir"),
+        lit(null).cast("string").as("sketch_dir"))
+      .unionByName(localRows.toDF("victim_doc", "index_dir", "sketch_dir")
+        .select(lit(null).cast("long").as("fact_id"), col("victim_doc"),
+          col("index_dir"), col("sketch_dir")))
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    if (!fs.rename(p(staging), p(scratch)))
+      throw new java.io.IOException(
+        s"deleteDocuments: could not commit the victim snapshot " +
+        s"($staging -> $scratch)")
     val report = runDeleteCascade(spark, dir, docIds, indexDirs, sketchDirs)
     // Success path ONLY: a crash above leaves the snapshot for
     // resumeDeleteDocuments (and forensics).
@@ -324,16 +344,23 @@ object HippoDb {
   /** RESUME a takedown that crashed mid-cascade: replays every
     * remaining step from the durable snapshot [[deleteDocuments]]
     * left at `dir/_delete_victims_tmp`. The snapshot is
-    * SELF-DESCRIBING — it carries both the victim fact ids and the
-    * doc ids of the crashed run, so resume cannot be pointed at the
-    * wrong takedown (a mistyped doc list would half-apply a different
-    * erasure and then clear the one record able to finish the real
-    * one). Every step is idempotent against partial application,
-    * except index tombstones which are at-least-once (duplicate
-    * tombstone ids are harmless: the serving anti-join and compaction
-    * both key on id membership). The returned report counts what THIS
-    * run removed — components already swapped before the crash report
-    * zero. */
+    * SELF-DESCRIBING — it carries the victim fact ids, the doc ids,
+    * AND the index/sketch dirs of the crashed run, so resume cannot
+    * be pointed at the wrong takedown (a mistyped doc list would
+    * half-apply a different erasure and then clear the one record
+    * able to finish the real one) and cannot silently SKIP the index
+    * tombstoning half (a crash after the facts swap used to leave a
+    * resume-with-defaults 'succeeding' while the persisted vector
+    * index kept serving the deleted facts — the r12 ADVICE finding).
+    * `indexDirs`/`sketchDirs` exist only for pre-r13 snapshots that
+    * did not record them; against a recording snapshot they must be
+    * EMPTY or EQUAL to what was recorded — any disagreement fails
+    * fast before a row moves. Every step is idempotent against
+    * partial application, except index tombstones which are
+    * at-least-once (duplicate tombstone ids are harmless: the serving
+    * anti-join and compaction both key on id membership). The
+    * returned report counts what THIS run removed — components
+    * already swapped before the crash report zero. */
   def resumeDeleteDocuments(spark: SparkSession, dir: String,
       indexDirs: Seq[String] = Nil, sketchDirs: Seq[String] = Nil): DeleteReport = {
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -349,7 +376,22 @@ object HippoDb {
     require(docIds.nonEmpty,
       s"resumeDeleteDocuments: snapshot at $scratch carries no doc ids — " +
       "it predates the self-describing format; finish the takedown manually")
-    val report = runDeleteCascade(spark, dir, docIds, indexDirs, sketchDirs)
+    val (ixDirs, skDirs) =
+      if (snap.columns.contains("index_dir")) {
+        val recIx = snap.filter(col("index_dir").isNotNull)
+          .select("index_dir").collect().map(_.getString(0)).toSeq
+        val recSk = snap.filter(col("sketch_dir").isNotNull)
+          .select("sketch_dir").collect().map(_.getString(0)).toSeq
+        require(indexDirs.isEmpty || indexDirs.toSet == recIx.toSet,
+          s"resumeDeleteDocuments: caller-supplied indexDirs $indexDirs " +
+          s"disagree with the snapshot's recorded $recIx — resuming would " +
+          "tombstone the wrong artifacts; pass Nil to use the recording")
+        require(sketchDirs.isEmpty || sketchDirs.toSet == recSk.toSet,
+          s"resumeDeleteDocuments: caller-supplied sketchDirs $sketchDirs " +
+          s"disagree with the snapshot's recorded $recSk")
+        (recIx, recSk)
+      } else (indexDirs, sketchDirs) // pre-r13 snapshot: trust the caller
+    val report = runDeleteCascade(spark, dir, docIds, ixDirs, skDirs)
     if (!fs.delete(p(scratch), true))
       throw new java.io.IOException(
         s"resumeDeleteDocuments: cascade committed but $scratch was not cleared")

@@ -111,9 +111,13 @@ object ShardWriter {
 
   /** The whole shard layout back as ONE DataFrame (the shard id is
     * the partition column) — round-trip contract for downstream
-    * consumers that want the corpus, not the files. */
+    * consumers that want the corpus, not the files. The partition
+    * column infers as int; cast it back to the long every other
+    * surface of the API (assignShards, the manifest) carries, so the
+    * round-trip schema matches what was written. */
   def readShards(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/data")
+      .withColumn("shard", col("shard").cast("long"))
 
   /** t28 query entry: the shard MANIFEST over the t26
     * temperature-flattened mixture of the documents table — the

@@ -53,6 +53,14 @@ object VectorIndex {
     n
   }
 
+  /** The row-holding artifact families that can share one index dir
+    * — and therefore one tombstone set. compactTombstones rewrites
+    * all of them; reviveTombstones purges revived ids from the
+    * NON-rebuilt ones. (name → partition columns.) */
+  private val RowFamilies = Seq(
+    "pq_codes" -> Nil, "sq_codes" -> Nil, "bq_sigs" -> Nil,
+    "ivf_vectors" -> Seq("cluster"), "ivfpq_codes" -> Seq("cluster"))
+
   /** A REBUILD makes its input ids LIVE: a stale tombstone for an id
     * the new build ingests would silently filter the rebuilt row out
     * of every serving path — and the next compactTombstones would
@@ -66,9 +74,22 @@ object VectorIndex {
     * rows (a silent takedown violation). Ids absent from the build
     * input stay tombstoned; once every family rebuilds over the
     * post-delete corpus the residue set filters nothing and the next
-    * compaction clears it. */
+    * compaction clears it.
+    *
+    * PURGE-ON-REVIVE (r13, the r12 ADVICE hole): the tombstone set is
+    * ONE per dir, so lifting an id for the rebuilt family would also
+    * lift it for SIBLING families still holding the id's OLD
+    * (taken-down) row — they would serve stale, supposedly-erased
+    * content until their own rebuild. Before the set shrinks, every
+    * other row-holding family is therefore rewritten WITHOUT the
+    * revived ids (the compactTombstones rewrite, restricted to the
+    * revived sliver). Crash-safe order: the purges land while the
+    * tombstones still filter everything, so no serving path can see
+    * a stale row in any interleaving. */
   private def reviveTombstones(spark: SparkSession, dir: String,
-      liveIds: DataFrame): Unit = {
+      liveIds: DataFrame, rebuiltFamily: String): Unit = {
+    require(RowFamilies.exists(_._1 == rebuiltFamily),
+      s"reviveTombstones: unknown artifact family $rebuiltFamily")
     val hp = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hp)) return
@@ -77,6 +98,24 @@ object VectorIndex {
     val kept = t.join(liveIds.select("vec_id"), Seq("vec_id"), "left_anti")
     val keptN = kept.count()
     if (keptN == total) return // nothing revived
+    val revived = t.join(liveIds.select("vec_id"), Seq("vec_id"), "left_semi")
+      .localCheckpoint(true) // pin: the swaps below must not re-read a moved dir
+    RowFamilies.filter(_._1 != rebuiltFamily).foreach { case (fam, parts) =>
+      val path = s"$dir/$fam"
+      if (fs.exists(new org.apache.hadoop.fs.Path(path))) {
+        val cur = spark.read.parquet(path)
+        val famTotal = cur.count()
+        val del = cur.join(broadcast(revived), Seq("vec_id"), "left_semi").count()
+        if (del > 0)
+          HippoDb.verifiedSwap(spark, path,
+            spark.read.parquet(path)
+              .join(broadcast(revived), Seq("vec_id"), "left_anti"),
+            hadRows = famTotal > 0, expected = Some(famTotal - del),
+            // empty partitioned writes emit no files (see
+            // compactTombstones) — a fully-purged family rewrites flat
+            partitionCols = if (famTotal - del == 0) Nil else parts)
+      }
+    }
     if (keptN == 0) {
       if (!fs.delete(hp, true))
         throw new java.io.IOException(
@@ -154,10 +193,7 @@ object VectorIndex {
       case Some(t) =>
         val fs = new org.apache.hadoop.fs.Path(dir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val artifacts = Seq(
-          "pq_codes" -> Nil, "sq_codes" -> Nil, "bq_sigs" -> Nil,
-          "ivf_vectors" -> Seq("cluster"), "ivfpq_codes" -> Seq("cluster"))
-        val removed = artifacts.flatMap { case (name, parts) =>
+        val removed = RowFamilies.flatMap { case (name, parts) =>
           val path = s"$dir/$name"
           if (!fs.exists(new org.apache.hadoop.fs.Path(path))) None
           else {
@@ -202,7 +238,7 @@ object VectorIndex {
       val dim = cb(0)(0).length * m
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/pq.json"),
         s"""{"format": "graft-pq-v1", "m": $m, "k": $k, "dim": $dim}""")
-      reviveTombstones(spark, dir, cached)
+      reviveTombstones(spark, dir, cached, "pq_codes")
     } finally cached.unpersist()
   }
 
@@ -251,7 +287,7 @@ object VectorIndex {
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/sq_model")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/sq.json"),
         s"""{"format": "graft-sq8-v1", "dim": ${mins.length}}""")
-      reviveTombstones(spark, dir, cached)
+      reviveTombstones(spark, dir, cached, "sq_codes")
     } finally cached.unpersist()
   }
 
@@ -290,7 +326,7 @@ object VectorIndex {
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/bq_model")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/bq.json"),
         s"""{"format": "graft-bq-v1", "dim": ${means.length}}""")
-      reviveTombstones(spark, dir, cached)
+      reviveTombstones(spark, dir, cached, "bq_sigs")
     } finally cached.unpersist()
   }
 
@@ -336,7 +372,7 @@ object VectorIndex {
           throw new java.io.IOException(
             s"buildIvf: stale artifact $p was not cleared")
       }
-      reviveTombstones(spark, dir, cached)
+      reviveTombstones(spark, dir, cached, "ivf_vectors")
     } finally cached.unpersist()
   }
 
@@ -373,7 +409,7 @@ object VectorIndex {
       if (bfs.exists(bp) && !bfs.delete(bp, true))
         throw new java.io.IOException(
           s"buildIvfTwoLevel: stale cell bounds $dir/ivf_cellbounds were not cleared")
-      reviveTombstones(spark, dir, cached)
+      reviveTombstones(spark, dir, cached, "ivf_vectors")
     } finally cached.unpersist()
   }
 
@@ -805,7 +841,7 @@ object VectorIndex {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$dir/ivfpq.json"),
           s"""{"format": "graft-ivfpq-v1", "nCells": $nCells, "m": $m, "k": $k, "dim": $dim}""")
-        reviveTombstones(spark, dir, cached)
+        reviveTombstones(spark, dir, cached, "ivfpq_codes")
       } finally res.unpersist()
     } finally cached.unpersist()
   }

@@ -241,6 +241,37 @@ class DeleteSpec extends SparkSpec {
     } finally e.unpersist()
   }
 
+  test("re-adding a taken-down id via single-family rebuild PURGES the stale row from sibling families") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("vecrevive").toString
+    val e = plantedVectors.cache()
+    try {
+      VectorIndex.buildIvf(spark, e, tmp, nCells = 4)
+      VectorIndex.buildBq(spark, e, tmp)
+      VectorIndex.tombstone(spark, tmp, Seq(7L).toDF("vec_id"))
+      // content RE-ADDED: the BQ family alone rebuilds WITH id 7 in
+      // its input. Reviving the (dir-wide) tombstone must not let the
+      // untouched ivf_vectors — still physically holding the old,
+      // taken-down row 7 — serve it again: the revive purges the
+      // stale row from every non-rebuilt family first.
+      VectorIndex.buildBq(spark, e, tmp)
+      assert(!new java.io.File(s"$tmp/tombstones").exists(),
+        "the revived id was the only tombstone — the set must clear")
+      assert(spark.read.parquet(s"$tmp/ivf_vectors")
+        .filter(col("vec_id") === 7L).count() == 0,
+        "stale pre-takedown row survived in the sibling family")
+      val qv = e.filter(col("vec_id") === 3L).select("v")
+        .head().getSeq[Double](0).toArray
+      assert(!VectorIndex.annIvf(spark, tmp, qv, 5, 4, Some(3L))
+        .collect().map(_.getLong(0)).contains(7L),
+        "IVF serves a stale row the takedown erased")
+      // the REBUILT family serves the re-added content
+      assert(VectorIndex.annBq(spark, tmp, e, 3L, 5, rerank = 60)
+        .collect().map(_.getLong(0)).contains(7L),
+        "the rebuilt family must serve the re-added id")
+    } finally e.unpersist()
+  }
+
   test("a fully compacted (flat-empty) partitioned artifact accepts appends and serves again") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("vecflatappend").toString
@@ -390,6 +421,79 @@ class DeleteSpec extends SparkSpec {
     intercept[IllegalStateException] {
       HippoDb.resumeDeleteDocuments(spark, tmp)
     }
+  }
+
+  test("the victim snapshot records indexDirs — resume tombstones the index without the caller re-typing dirs") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("hipporesumeix").toString
+    val ix = Files.createTempDirectory("hipporesumeix-vec").toString
+    val facts = Seq(
+      (101L, 1L, 0, "alpha fact one", 0, 14),
+      (103L, 2L, 0, "beta fact three", 0, 15))
+      .toDF("fact_id", "doc_id", "chunk_idx", "fact_text", "start", "end")
+    val edges = Seq((101L, "alpha"), (103L, "beta")).toDF("fact_id", "entity")
+    val entities = Seq("alpha", "beta").toDF("entity")
+    val factEmb = Seq((101L, Array(1f, 0f)), (103L, Array(1f, 1f)))
+      .toDF("fact_id", "embedding")
+    HippoDb(facts, edges, entities, factEmb, None).save(tmp)
+    VectorIndex.buildIvf(spark,
+      Seq((101L, Array(1.0, 0.0)), (103L, Array(1.0, 1.0))).toDF("vec_id", "v"),
+      ix, nCells = 4)
+    // Crash window: deleteDocuments(docIds=1, indexDirs=ix) staged its
+    // snapshot and swapped facts, then died BEFORE index tombstoning.
+    // The snapshot (new format) carries the dirs the call named.
+    val snapRows: Seq[(Option[Long], Option[Long], Option[String], Option[String])] =
+      Seq((Some(101L), None, None, None), // victim fact
+        (None, Some(1L), None, None),     // victim doc
+        (None, None, Some(ix), None))     // recorded index dir
+    snapRows.toDF("fact_id", "victim_doc", "index_dir", "sketch_dir")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$tmp/_delete_victims_tmp")
+    facts.filter(col("doc_id") =!= 1L)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$tmp/facts")
+    // a resume with DISAGREEING dirs must fail fast before any step
+    val ex = intercept[IllegalArgumentException] {
+      HippoDb.resumeDeleteDocuments(spark, tmp, indexDirs = Seq("/somewhere/else"))
+    }
+    assert(ex.getMessage.contains("disagree"), s"got: ${ex.getMessage}")
+    assert(new java.io.File(s"$tmp/_delete_victims_tmp").exists(),
+      "a refused resume must leave the snapshot in place")
+    // default resume reads the RECORDED dirs — the index gets its
+    // tombstone without the caller knowing the original call's args
+    val r = HippoDb.resumeDeleteDocuments(spark, tmp)
+    assert(r.tombstonesAppended == 1L,
+      s"recorded indexDir was not tombstoned on resume: $r")
+    assert(spark.read.parquet(s"$ix/tombstones")
+      .as[Long].collect().toSet == Set(101L),
+      "the victim fact's vector must be tombstoned in the recorded index")
+  }
+
+  test("a crash during the snapshot write itself leaves a recoverable state (staging is cleared on retry)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("hippostaging").toString
+    val facts = Seq(
+      (101L, 1L, 0, "alpha fact one", 0, 14),
+      (103L, 2L, 0, "beta fact three", 0, 15))
+      .toDF("fact_id", "doc_id", "chunk_idx", "fact_text", "start", "end")
+    val edges = Seq((101L, "alpha"), (103L, "beta")).toDF("fact_id", "entity")
+    val entities = Seq("alpha", "beta").toDF("entity")
+    val factEmb = Seq((101L, Array(1f, 0f)), (103L, Array(1f, 1f)))
+      .toDF("fact_id", "embedding")
+    HippoDb(facts, edges, entities, factEmb, None).save(tmp)
+    // a prior run died mid-snapshot-write: only the UNCOMMITTED
+    // staging dir exists (facts untouched). A retry must not be
+    // wedged by it — the rename commit point means a half-written
+    // staging dir is garbage, not a takedown record.
+    new java.io.File(s"$tmp/_delete_victims_tmp.staging").mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      s"$tmp/_delete_victims_tmp.staging/part-junk.parquet"), "not parquet")
+    val r = HippoDb.deleteDocuments(spark, tmp, Seq(1L))
+    assert(r.factsDeleted == 1L)
+    assert(!new java.io.File(s"$tmp/_delete_victims_tmp.staging").exists(),
+      "retry must clear the stale staging dir")
+    assert(!new java.io.File(s"$tmp/_delete_victims_tmp").exists(),
+      "committed takedown must clear the snapshot")
   }
 
   test("migrateSourcesProvenance backfills derivable legacy rows; migrated store erases like a new-schema store") {

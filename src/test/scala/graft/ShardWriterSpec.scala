@@ -57,6 +57,12 @@ class ShardWriterSpec extends SparkSpec {
     val out = Files.createTempDirectory("shards").toString
     val manifest = ShardWriter.writeShards(spark, docs, out, Budget)
     val back = ShardWriter.readShards(spark, out)
+    // round-trip schema contract: the partition-inferred int comes
+    // back as the long every other surface (assignment, manifest)
+    // carries for the shard key
+    assert(back.schema("shard").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "readShards must surface the shard key as long")
     // read-back equals the assignment row for row
     val a = ShardWriter.assignShards(spark, docs, Budget)
     val wantRows = a.select("doc_id", "source", "n_tokens", "shard")
