@@ -693,6 +693,38 @@ final class Graft(
     }
   }
 
+  /** [[closestFactsWithEntitiesIndexed]] with the probe depth chosen
+    * by PROOF instead of a fixed nProbe (the r12 SURVEY measured a
+    * 0.6 recall floor at default probes on a selective entity
+    * filter): VectorIndex.annIvfFilteredAdaptive probes until every
+    * unprobed cell's cosine bound provably cannot reach the pooled
+    * k-th, so the ranking equals the all-cells filtered probe — i.e.
+    * the brute [[closestFactsWithEntities]] — EXACTLY, at whatever
+    * probe depth the filter's selectivity demands. Requires
+    * VectorIndex.buildCellBounds to have run on `indexDir` (the
+    * [[closestFactsAdaptive]] convention — adaptive serving fails
+    * fast without bounds; appends keep live bounds extended).
+    * Small-k unranked fallback byte-shared with the other hybrid
+    * forms. */
+  def closestFactsWithEntitiesAdaptive(
+      db: HippoDb, indexDir: String, query: String, entities: Seq[String],
+      union: Boolean = true, k: Int = 5,
+      initialProbe: Int = VectorQueries.IvfProbe): DataFrame = {
+    val filtered = factsByEntities(db, entities, union).select("fact_id")
+    if (k > filtered.count()) {
+      hybridUnranked(db, filtered)
+    } else {
+      graft.store.VectorIndex.annIvfFilteredAdaptive(spark, indexDir,
+          embedder.embed(query).map(_.toDouble), k,
+          filtered.withColumnRenamed("fact_id", "vec_id"), initialProbe)
+        .result
+        .withColumnRenamed("vec_id", "fact_id")
+        .join(db.facts, "fact_id")
+        .select("fact_id", "fact_text", "cos")
+        .orderBy(col("cos").desc, col("fact_id"))
+    }
+  }
+
   /** [[closestFactsWithEntitiesIndexed]] at the COMPRESSED rung: the
     * vector half probes a [[buildFactIndexPq]] IVFADC artifact
     * (VectorIndex.annIvfPqFiltered — candidate semi-join on the

@@ -491,15 +491,52 @@ object VectorIndex {
     try {
       val n = assigned.count()
       if (n > 0) {
-        writePartitionedDelta(spark, s"$dir/ivf_vectors", assigned)
-        // Appended members can exceed a cell's recorded radius, so
-        // the adaptive-probe bounds are no longer sound — invalidate
-        // them (re-run buildCellBounds on the maintenance cadence).
+        // EXTEND the adaptive-probe bounds instead of invalidating
+        // them (VERDICT r12 #4): the per-cell bound
+        // cos(q,x) ≤ q̂·ĉ + r̂ is sound for ANY frozen reference ĉ
+        // provided r̂ covers every member's |x̂ − ĉ| — so an append
+        // batch only needs r̂ ← max(r̂, |x̂ − ĉ|) under the FROZEN
+        // recorded mean (never recomputed), and adaptive serving
+        // stays live (and exact) through streamed ingest. ORDER is
+        // the crash-safety argument: the (possibly looser) bounds
+        // land BEFORE the new rows, so a crash between the two
+        // leaves bounds that over-cover (sound) — never rows a stale
+        // bound could unsoundly prune. Appends into a cell WITHOUT a
+        // bound row (empty at buildCellBounds time) stay unbounded:
+        // annIvfAdaptive probes missing cells unconditionally.
         val bp = new org.apache.hadoop.fs.Path(s"$dir/ivf_cellbounds")
         val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(bp) && !fs.delete(bp, true))
-          throw new java.io.IOException(
-            s"appendIvf: stale cell bounds $dir/ivf_cellbounds were not invalidated")
+        if (fs.exists(bp)) {
+          val bounds = spark.read.parquet(s"$dir/ivf_cellbounds").collect()
+            .map(r => (r.getInt(0),
+              (r.getSeq[Double](1).toArray, r.getDouble(2)))).toMap
+          val bcMeans = spark.sparkContext.broadcast(
+            bounds.map { case (c, (m, _)) => (c, m) })
+          val batchMax = assigned.as[(Long, Array[Double], Int)]
+            .flatMap { case (_, v, c) =>
+              bcMeans.value.get(c).map { m =>
+                var nn = 0.0; var j = 0
+                while (j < v.length) { nn += v(j) * v(j); j += 1 }
+                val inv = if (nn > 0) 1.0 / math.sqrt(nn) else 0.0
+                var d = 0.0; j = 0
+                while (j < m.length) {
+                  val t = v(j) * inv - m(j); d += t * t; j += 1
+                }
+                (c, math.sqrt(d))
+              }
+            }.toDF("cluster", "d")
+            .groupBy("cluster").agg(max("d").as("d"))
+            .as[(Int, Double)].collect().toMap
+          if (batchMax.exists { case (c, d) => d > bounds(c)._2 }) {
+            val extended = bounds.toSeq.sortBy(_._1).map { case (c, (m, r)) =>
+              (c, m.toSeq, math.max(r, batchMax.getOrElse(c, 0.0)))
+            }
+            HippoDb.verifiedSwap(spark, s"$dir/ivf_cellbounds",
+              extended.toDF("cluster", "nc", "rhat").coalesce(1),
+              hadRows = true, expected = Some(bounds.size.toLong))
+          }
+        }
+        writePartitionedDelta(spark, s"$dir/ivf_vectors", assigned)
       }
       n
     } finally assigned.unpersist()
@@ -646,11 +683,13 @@ object VectorIndex {
     * (Cauchy-Schwarz on the residual) — a sound per-cell upper bound
     * evaluable driver-side from nCells×(dim+1) doubles. One
     * distributed pass at BUILD/maintenance time, never query time;
-    * persists one row per cell at `dir/ivf_cellbounds`. STALENESS:
-    * the bound is only sound for the vectors it was computed over —
-    * [[appendIvf]] invalidates (deletes) the artifact, and the
-    * rebuild entries clear it with the other stale state; re-run
-    * this after append batches to restore adaptive serving. */
+    * persists one row per cell at `dir/ivf_cellbounds`. LIFECYCLE:
+    * the bound is sound for any superset radius under the FROZEN
+    * mean, so [[appendIvf]] EXTENDS r̂ in place (adaptive serving
+    * stays live and exact through streamed ingest; re-running this
+    * only TIGHTENS the extended radii back to the true max). The
+    * rebuild entries clear the artifact with the other stale state
+    * (a new model invalidates the cell geometry wholesale). */
   def buildCellBounds(spark: SparkSession, dir: String): Unit = {
     import spark.implicits._
     val vecs = spark.read.parquet(s"$dir/ivf_vectors")
@@ -716,14 +755,39 @@ object VectorIndex {
   def annIvfAdaptive(spark: SparkSession, dir: String,
       queryVec: Array[Double], k: Int,
       initialProbe: Int = VectorQueries.IvfProbe,
-      excludeVecId: Option[Long] = None): AdaptiveProbe = {
+      excludeVecId: Option[Long] = None): AdaptiveProbe =
+    adaptiveCore(spark, dir, queryVec, k, initialProbe, excludeVecId, None)
+
+  /** ADAPTIVE FILTERED probe (VERDICT r12 #5): [[annIvfFiltered]]'s
+    * hybrid semantics under [[annIvfAdaptive]]'s probe-until-
+    * provably-done loop. The per-cell bound is FILTER-OBLIVIOUS — an
+    * upper bound over ALL of a cell's members is in particular an
+    * upper bound over its candidate-filtered subset — so the same
+    * skip rule stays sound under the semi-join and the rows returned
+    * EQUAL the all-cells filtered probe exactly (AdaptiveProbeSpec
+    * pins it). The reference architecture runs the entity filter
+    * INSIDE the index (storage.py:304-337); this is that shape with
+    * the probe depth chosen by proof instead of a fixed-nProbe
+    * recall floor. A selective filter makes the FIRST batch's pool
+    * weaker (fewer candidates → smaller θk), so the adaptive form
+    * probes MORE cells exactly when the fixed dial would silently
+    * lose recall — and still skips every cell the bound excludes. */
+  def annIvfFilteredAdaptive(spark: SparkSession, dir: String,
+      queryVec: Array[Double], k: Int, candidates: DataFrame,
+      initialProbe: Int = VectorQueries.IvfProbe): AdaptiveProbe =
+    adaptiveCore(spark, dir, queryVec, k, initialProbe, None, Some(candidates))
+
+  private def adaptiveCore(spark: SparkSession, dir: String,
+      queryVec: Array[Double], k: Int, initialProbe: Int,
+      excludeVecId: Option[Long],
+      candidates: Option[DataFrame]): AdaptiveProbe = {
     val centroids = loadIvfCentroids(spark, dir)
     val boundsPath = new org.apache.hadoop.fs.Path(s"$dir/ivf_cellbounds")
     val fs = boundsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(boundsPath))
       throw new IllegalStateException(
         s"annIvfAdaptive: no cell bounds at $dir/ivf_cellbounds — run " +
-        "buildCellBounds after build/append (appends invalidate the bounds)")
+        "buildCellBounds after build/rebuild (appends extend live bounds)")
     val bounds = spark.read.parquet(s"$dir/ivf_cellbounds").collect()
       .map(r => (r.getInt(0),
         (r.getSeq[Double](1).toArray, r.getDouble(2)))).toMap
@@ -742,9 +806,11 @@ object VectorIndex {
     }
     val qCol = array(queryVec.toIndexedSeq.map(lit): _*)
     def scoreCells(cells: Seq[Int]): DataFrame = {
-      val scan = minusTombstones(spark, dir,
+      val scan0 = minusTombstones(spark, dir,
         spark.read.parquet(s"$dir/ivf_vectors")
           .filter(col("cluster").isin(cells: _*)))
+      val scan = candidates.foldLeft(scan0)((df, c) =>
+        df.join(broadcast(c.select("vec_id")), Seq("vec_id"), "left_semi"))
       excludeVecId.foldLeft(scan)((df, id) => df.filter(col("vec_id") =!= id))
         .select(col("vec_id"), cosineNative6(col("v"), qCol).as("cos"))
     }

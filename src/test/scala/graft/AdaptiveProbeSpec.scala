@@ -75,6 +75,46 @@ class AdaptiveProbeSpec extends SparkSpec {
     } finally e.unpersist()
   }
 
+  test("FILTERED adaptive probe == all-cells filtered probe exactly, fewer cells, partition-pruned") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("adaptive-filtered").toString
+    val e = clustered(400).cache()
+    try {
+      VectorIndex.buildIvf(spark, e, tmp, nCells = 8)
+      VectorIndex.buildCellBounds(spark, tmp)
+      val nCells = VectorIndex.loadIvfCentroids(spark, tmp).length
+      // a selective candidate filter (every third vector): the bound
+      // is filter-oblivious, so pruning stays sound under the
+      // semi-join — rows must EQUAL the all-cells filtered probe
+      val cands = (0 until 400).filter(_ % 3 == 0)
+        .map(_.toLong).toDF("vec_id")
+      var probed = 0; var total = 0
+      (0 until 8).foreach { qi =>
+        val qv = e.filter(col("vec_id") === qi.toLong)
+          .select("v").head().getSeq[Double](0).toArray
+        val full = rows(VectorIndex.annIvfFiltered(spark, tmp, qv, 5, nCells,
+          cands))
+        val ad = VectorIndex.annIvfFilteredAdaptive(spark, tmp, qv, 5, cands,
+          initialProbe = 2)
+        assert(rows(ad.result) == full,
+          s"filtered adaptive diverged from the all-cells filtered probe for query $qi")
+        probed += ad.probedCells.size
+        total += ad.nCells
+      }
+      info(s"filtered adaptive probed $probed / $total cells across 8 queries")
+      assert(probed < total, "filtered adaptive never skipped a cell")
+      // partition pruning survives the candidate semi-join
+      val qv0 = e.filter(col("vec_id") === 0L)
+        .select("v").head().getSeq[Double](0).toArray
+      val plan = VectorIndex.annIvfFilteredAdaptive(spark, tmp, qv0, 5, cands,
+          initialProbe = 2)
+        .result.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("PartitionFilters: [cluster"),
+        "filtered adaptive scan lost partition pruning")
+    } finally e.unpersist()
+  }
+
   test("underfilled first batch falls back to probing every remaining cell (k > pool)") {
     val tmp = Files.createTempDirectory("adaptive-small").toString
     val e = clustered(40).cache()
@@ -96,9 +136,9 @@ class AdaptiveProbeSpec extends SparkSpec {
     } finally e.unpersist()
   }
 
-  test("append invalidates the bounds; adaptive refuses until rebuilt; tombstones respected") {
+  test("append EXTENDS the bounds under the frozen mean — adaptive stays live and exact; tombstones respected") {
     import spark.implicits._
-    val tmp = Files.createTempDirectory("adaptive-stale").toString
+    val tmp = Files.createTempDirectory("adaptive-extend").toString
     val e = clustered(400).cache()
     try {
       VectorIndex.buildIvf(spark, e, tmp, nCells = 8)
@@ -111,24 +151,48 @@ class AdaptiveProbeSpec extends SparkSpec {
         initialProbe = 2, excludeVecId = Some(3L))
         .result.collect().map(_.getLong(0)).toSet
       assert(!got.contains(11L), "adaptive probe leaked a tombstoned id")
-      // an append can exceed a cell's recorded radius — the bounds
-      // must be invalidated, and adaptive must fail fast, not serve
-      // silently-unsound pruning
-      val extra = Seq((1000L, Array.tabulate(8)(_ => 2.0)))
-        .toDF("vec_id", "v")
-      VectorIndex.appendIvf(spark, tmp, extra)
-      assert(!new java.io.File(s"$tmp/ivf_cellbounds").exists(),
-        "appendIvf must invalidate the cell bounds")
-      intercept[IllegalStateException] {
-        VectorIndex.annIvfAdaptive(spark, tmp, qv, 10, initialProbe = 2)
-      }
-      // rebuild the bounds over old + appended rows: sound again
-      VectorIndex.buildCellBounds(spark, tmp)
+      def radii(): Map[Int, Double] = spark.read
+        .parquet(s"$tmp/ivf_cellbounds").collect()
+        .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+      val before = radii()
+      // The worst case for a stale bound: an appended OUTLIER far
+      // outside its cell's recorded radius (equidistant from every
+      // axis cluster) that is the TRUE top-1 for a query aimed at it.
+      // Without the r̂ extension the adaptive probe could prune its
+      // cell and silently miss it — with the extension, serving stays
+      // live (no rebuild) and still row-equal to the all-cells probe.
+      val outlier = Array.tabulate(8)(_ => 2.0)
+      VectorIndex.appendIvf(spark, tmp, Seq((1000L, outlier)).toDF("vec_id", "v"))
+      assert(new java.io.File(s"$tmp/ivf_cellbounds").exists(),
+        "appendIvf must keep the bounds live (extended), not invalidate them")
+      val after = radii()
+      assert(after.keySet == before.keySet, "append must not add/drop bound rows")
+      assert(after.exists { case (c, r) => r > before(c) },
+        "the outlier append must have extended its cell's radius")
+      assert(after.forall { case (c, r) => r >= before(c) },
+        "extension may only grow radii under the frozen mean")
       val nCells = VectorIndex.loadIvfCentroids(spark, tmp).length
-      val full = rows(VectorIndex.annIvf(spark, tmp, qv, 10, nCells, Some(3L)))
-      val ad = VectorIndex.annIvfAdaptive(spark, tmp, qv, 10,
+      // adaptive == all-cells probe, both for the original query ...
+      val full3 = rows(VectorIndex.annIvf(spark, tmp, qv, 10, nCells, Some(3L)))
+      val ad3 = VectorIndex.annIvfAdaptive(spark, tmp, qv, 10,
         initialProbe = 2, excludeVecId = Some(3L))
-      assert(rows(ad.result) == full, "post-append rebuild lost exactness")
+      assert(rows(ad3.result) == full3, "post-append adaptive lost exactness")
+      // ... and for the outlier-aimed query whose true top-1 is the
+      // appended row itself
+      val fullO = rows(VectorIndex.annIvf(spark, tmp, outlier, 10, nCells, None))
+      val adO = VectorIndex.annIvfAdaptive(spark, tmp, outlier, 10,
+        initialProbe = 1)
+      assert(rows(adO.result) == fullO,
+        "adaptive missed the appended outlier a stale bound would hide")
+      assert(fullO.head._1 == 1000L, "the outlier must be its own top-1")
+      // a maintenance buildCellBounds only TIGHTENS the extended radii
+      VectorIndex.buildCellBounds(spark, tmp)
+      val rebuilt = radii()
+      assert(rebuilt.forall { case (c, r) => r <= after(c) + 1e-12 },
+        "recomputed radii must be at most the extended over-cover")
+      val ad3b = VectorIndex.annIvfAdaptive(spark, tmp, qv, 10,
+        initialProbe = 2, excludeVecId = Some(3L))
+      assert(rows(ad3b.result) == full3, "post-maintenance adaptive lost exactness")
     } finally e.unpersist()
   }
 

@@ -208,6 +208,20 @@ class GraftApiSpec extends SparkSpec {
       assert(served == brute,
         s"union=$union all-probe indexed hybrid must equal brute: $served vs $brute")
     }
+    // ADAPTIVE hybrid: the bound-pruned filtered probe must equal
+    // the brute hybrid exactly (the cell bound is filter-oblivious),
+    // at whatever probe depth the filter's selectivity demands
+    graft.store.VectorIndex.buildCellBounds(spark, idx)
+    for ((ents, union) <- Seq((Seq("window"), true), (Seq("window", "spark"), false))) {
+      val n = api.factsByEntities(db, ents, union).count().toInt
+      val k = math.min(3, n)
+      val brute = api.closestFactsWithEntities(db, q, ents, union, k)
+        .collect().map(_.toSeq).toSeq
+      val adaptive = api.closestFactsWithEntitiesAdaptive(db, idx, q, ents,
+        union, k, initialProbe = 2).collect().map(_.toSeq).toSeq
+      assert(adaptive == brute,
+        s"union=$union adaptive hybrid must equal brute: $adaptive vs $brute")
+    }
     // small-k fallback: k > candidates returns ALL candidates
     // unranked through the SHARED hybridUnranked branch — identical
     // rows, vector side never touched
