@@ -109,10 +109,11 @@ object Explain {
       "q13_group_stats" -> Seq("ObjectHashAggregate"),
       // t07: only the top 20 rows may cross to the driver
       "t07_top_tokens" -> Seq("TakeOrderedAndProject", "HashAggregate"),
-      // t07b: the Misra-Gries buffer must PARTIAL-aggregate map-side —
-      // the exchange carries O(k) sketch entries, never the token stream
+      // t07b (r13 two-pass): the RETURNED plan is the certified pass-2
+      // aggregation pinned to executor blocks (the sketch pass runs
+      // eagerly before it); only the top k rows cross at the end
       "t07b_top_tokens_sketch" ->
-        Seq("partial_freqsketch", "TakeOrderedAndProject"),
+        Seq("Scan ExistingRDD", "TakeOrderedAndProject"),
       // h09: the 2-hop frontier expansion dedups reached entities via
       // anti-join, never collecting frontiers to the driver
       "h09_khop_neighbours" -> Seq("LeftAnti", "HashAggregate"),

@@ -70,12 +70,16 @@ object Bq {
     var qSig = 0L
     var j = 0
     while (j < qv.length) { if (qv(j) >= means(j)) qSig |= (1L << j); j += 1 }
+    // density-scaled pool (Pq.scaledPool): 1-bit codes are the rung
+    // most exposed to rank noise at scale; the floor keeps the
+    // small-corpus behavior identical
+    val poolN = Pq.scaledPool(enc.count(), k, rerank)
     val pool = enc
       .filter(col("vec_id") =!= queryVecId)
       .select(col("vec_id"),
         bitwise_not_count_guard(col("sig"), qSig).as("hamming"))
       .orderBy(col("hamming"), col("vec_id"))
-      .limit(rerank * k)
+      .limit(poolN)
     Pq.exactRerank(pool, emb, qv, k)
   }
 

@@ -182,6 +182,10 @@ object IvfPq {
     // compressed rung.
     val probed = candidates.foldLeft(probed0)((df, c) =>
       df.join(broadcast(c.select("vec_id")), Seq("vec_id"), "left_semi"))
+    // density-scaled pool over what the ADC pass actually RANKS —
+    // the probed (and candidate-filtered) sliver, not the corpus
+    // (Pq.scaledPool; the partition-pruned count is one cheap job)
+    val poolN = Pq.scaledPool(probed.count(), k, rerank)
     val pool = excludeVecId
       .foldLeft(probed)((df, id) => df.filter(col("vec_id") =!= id))
       .select(col("vec_id"), col("cluster").cast("int"), col("codes"), col("norm"))
@@ -195,7 +199,7 @@ object IvfPq {
       }
       .toDF("vec_id", "approx_cos")
       .orderBy(col("approx_cos").desc, col("vec_id"))
-      .limit(rerank * k)
+      .limit(poolN)
     Pq.exactRerank(pool, emb, qv, k)
   }
 

@@ -108,6 +108,9 @@ object Sq {
     }
     val bcW = spark.sparkContext.broadcast(w)
     val off = offset
+    // density-scaled pool (Pq.scaledPool): fixed dials collapse a
+    // decade up; the floor keeps the small-corpus behavior identical
+    val poolN = Pq.scaledPool(enc.count(), k, rerank)
     val pool = enc.select(col("vec_id"), col("codes"), col("norm"))
       .as[(Long, Array[Int], Double)]
       .filter(_._1 != queryVecId)
@@ -119,7 +122,7 @@ object Sq {
       }
       .toDF("vec_id", "approx_cos")
       .orderBy(col("approx_cos").desc, col("vec_id"))
-      .limit(rerank * k)
+      .limit(poolN)
     Pq.exactRerank(pool, emb, qv, k)
   }
 

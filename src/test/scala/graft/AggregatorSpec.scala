@@ -157,4 +157,44 @@ class AggregatorSpec extends SparkSpec {
         s"$t count ${sketch(t)} outside the n/k bound of $c")
     }
   }
+
+  test("twoPassTopTokens: certified-exact on a skewed stream (budget < vocab, D > 0); exact fallback on a flat one") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    def exactTopK(toks: org.apache.spark.sql.DataFrame, k: Int) =
+      rows(toks.groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(k))
+    // Skewed: 3 heavy hitters over 200 light tokens, budget 16 —
+    // the sketch EVICTS (vocab 203 > 15 counters), D > 0, yet the
+    // k-th candidate's exact count clears the bound: the certificate
+    // must pass and the rows must equal the brute top-k.
+    val skewed = (Seq.fill(300)("aaa") ++ Seq.fill(250)("bbb") ++
+      Seq.fill(200)("ccc") ++ (0 until 200).flatMap(i => Seq.fill(2)(f"w$i%03d")))
+    val skewedDf = spark.createDataset(
+      new scala.util.Random(11).shuffle(skewed)).toDF("token").repartition(7)
+    val got = graft.operators.TextQueries.twoPassTopTokens(
+      spark, skewedDf, k = 3, budget = 16)
+    assert(rows(got) == exactTopK(skewedDf, 3),
+      "certified two-pass diverged from the exact top-k")
+    assert(plan(got).contains("Scan ExistingRDD"),
+      "the certified path must serve from the bounded pass-2 blocks")
+    // Flat: 200 tokens x 5 each — no sublinear exact top-k exists;
+    // the certificate must FAIL and the fallback must still be exact
+    // (never a lossy answer).
+    val flatDf = spark.createDataset(
+      new scala.util.Random(13).shuffle(
+        (0 until 200).flatMap(i => Seq.fill(5)(f"w$i%03d")): Seq[String]))
+      .toDF("token").repartition(7)
+    val gotFlat = graft.operators.TextQueries.twoPassTopTokens(
+      spark, flatDf, k = 3, budget = 16)
+    assert(rows(gotFlat) == exactTopK(flatDf, 3),
+      "fallback must still return the exact top-k")
+    assert(!plan(gotFlat).contains("Scan ExistingRDD"),
+      "a failed certificate must fall back to the full aggregation")
+  }
 }

@@ -63,6 +63,22 @@ class VectorSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"ADC pool must be top-k, plan:\n$plan")
   }
 
+  test("scaledPool: floor below the crossover (historical dial intact), density-fraction above") {
+    import graft.operators.Pq
+    // floor regime: everything up to rerank*k*density streams the
+    // historical rerank*k pool byte-identically
+    assert(Pq.scaledPool(500L, 10, Pq.Rerank) == 80)
+    assert(Pq.scaledPool(20000L, 10, Pq.Rerank) == 80)
+    assert(Pq.scaledPool(Pq.Rerank.toLong * 10 * Pq.PoolDensity, 10, Pq.Rerank) == 80)
+    // density regime: the pool is a fixed FRACTION of the ranked
+    // stream — the dial that held SQ8 at 1.0 recall while the fixed
+    // pools collapsed a decade up
+    assert(Pq.scaledPool(200000L, 10, Pq.Rerank) == 200000 / Pq.PoolDensity)
+    assert(Pq.scaledPool(2000000L, 10, Pq.Rerank) == 2000000 / Pq.PoolDensity)
+    // monotone in the stream, floor respected at tiny k
+    assert(Pq.scaledPool(0L, 3, 4) == 12)
+  }
+
   test("LSH buckets are deterministic across invocations") {
     val a = VectorQueries.v05AnnLsh(spark, sf0001).collect().toSeq
     val b = VectorQueries.v05AnnLsh(spark, sf0001).collect().toSeq
