@@ -126,19 +126,31 @@ object AnnLadder {
       }
       println(f"[ladder] two-level build: ${"nCells"}%-7s ${"flat s"}%-8s ${"two s"}%-8s ${"dist/vec flat"}%-14s ${"dist/vec two"}%-13s inertia ratio")
       // the 1024-cell point only makes sense on corpora big enough to
-      // populate the cells (and the flat side is the expensive one)
-      val cellsSweep = if (n >= 10000) Seq(64, 256, 1024) else Seq(64, 256)
+      // populate the cells (and the flat side is the expensive one).
+      // LADDER_SWEEP=two skips the flat fits (the 2M decade: a flat
+      // 256-cell fit was already 572 s at 200k — measuring it once
+      // more a decade up would be hours spent re-proving the known
+      // wall); LADDER_SWEEP=none skips the sweep entirely.
+      val sweepMode = sys.env.getOrElse("LADDER_SWEEP", "full")
+      val cellsSweep =
+        if (sweepMode == "none") Seq.empty[Int]
+        else if (n >= 10000) Seq(64, 256, 1024)
+        else Seq(64, 256)
       for (nCells <- cellsSweep) {
-        val t0 = System.nanoTime()
-        val (fa, fc, _) = KMeans.fit(spark, e, nCells, 2, trackInertia = false)
-        fa.count()
-        val tFlat = (System.nanoTime() - t0) / 1e9
+        val (tFlat, flatInertia) =
+          if (sweepMode == "two") (Double.NaN, Double.NaN)
+          else {
+            val t0 = System.nanoTime()
+            val (fa, fc, _) = KMeans.fit(spark, e, nCells, 2, trackInertia = false)
+            fa.count()
+            ((System.nanoTime() - t0) / 1e9, inertiaOf(fa, fc))
+          }
         val t1 = System.nanoTime()
         val (ta, tc, _) = KMeans.fitTwoLevel(spark, e, nCells, 2)
         val tTwo = (System.nanoTime() - t1) / 1e9 // checkpointed: materialized
         val k1 = math.max(2, math.ceil(math.sqrt(nCells.toDouble)).toInt)
         val k2 = math.max(1, math.ceil(nCells.toDouble / k1).toInt)
-        val ratio = inertiaOf(ta, tc) / inertiaOf(fa, fc)
+        val ratio = inertiaOf(ta, tc) / flatInertia
         println(f"[ladder] two-level build: $nCells%-7d $tFlat%-8.1f $tTwo%-8.1f ${nCells}%-14d ${k1 + k2}%-13d $ratio%.3f")
       }
     }
