@@ -23,6 +23,10 @@ object AnnLadder {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
+      // TypedImperativeAggregate (TopKAgg/sketches) keys per partition
+      // before sort-based fallback: the 128-row default externally sorts
+      // every large pool stage (the measured 2M-decade spill)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 262144)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -58,6 +62,25 @@ object AnnLadder {
     println(f"[ladder] ${"strategy"}%-12s ${"cand bytes/vec"}%-34s recall@10")
     rungs.foreach { case (name, bytes, ids) =>
       println(f"[ladder] $name%-12s $bytes%-34s ${recall(ids)}%.2f")
+    }
+
+    // POOL SWEEP (LADDER_POOLSWEEP=1): the rerank-pool/recall curve
+    // for the three code rungs most exposed to rank noise — the
+    // measured basis for Pq.PoolDensity (the shipped dial) and for
+    // the capacity-planner trade the scaladocs document: pool is the
+    // recall lever, the exact re-rank pays pool×dim per query.
+    if (sys.env.get("LADDER_POOLSWEEP").contains("1")) {
+      println(f"[ladder] pool sweep (rerank floor multiplier -> effective pool = max(r*k, n/${Pq.PoolDensity}))")
+      for (r <- Seq(8, 32, 128, 512)) {
+        val pool = Pq.scaledPool(n, 10, r)
+        val pq = recall(Pq.annPq(spark, e, 0L, 10, rerank = r)
+          .collect().map(_.getLong(0)).toSeq)
+        val adc = recall(IvfPq.annIvfPq(spark, e, 0L, 10, rerank = r)
+          .collect().map(_.getLong(0)).toSeq)
+        val bq = recall(Bq.annBq(spark, e, 0L, 10, rerank = r)
+          .collect().map(_.getLong(0)).toSeq)
+        println(f"[ladder] pool sweep: rerank=$r%-4d pool=$pool%-7d PQ $pq%.2f  IVFADC $adc%.2f  BQ $bq%.2f")
+      }
     }
 
     // FILTERED (hybrid) serving forms (r11): the same top-10 under a

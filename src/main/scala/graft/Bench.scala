@@ -187,6 +187,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // TypedImperativeAggregate (TopKAgg/sketches) keys per partition
+      // before sort-based fallback: the 128-row default externally sorts
+      // every large pool stage (the measured 2M-decade spill)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 262144)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -227,10 +231,20 @@ object Bench {
       }
     }
     System.gc()
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to repeats).map { _ =>
+    val results = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val times = (1 to repeats).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // A THROWN query must not be timed: recording the throw's
+        // milliseconds as a "median" would report a phantom speedup
+        // (e.g. v08's regime-bound fail-fast above 40k vectors reads
+        // as a 1000x win) and poison the next round's trend baseline.
+        // Failed repeats are dropped; a query with zero successful
+        // repeats is reported absent, with the reason on stderr.
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // Isolate runs: clearCache() drops per-query cached plans, but
         // broadcast blocks (BroadcastExchange results) are only
@@ -240,9 +254,9 @@ object Bench {
         // pressure.
         spark.catalog.clearCache()
         System.gc()
-        dt
+        if (ok) Some(dt) else None
       }
-      name -> median(times)
+      if (times.isEmpty) None else Some(name -> median(times))
     }.toMap
     // Trend guard: median vs the previous round's number.
     val prev = prevBench(sfDir)

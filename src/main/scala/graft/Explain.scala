@@ -15,6 +15,10 @@ object Explain {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
+      // TypedImperativeAggregate (TopKAgg/sketches) keys per partition
+      // before sort-based fallback: the 128-row default externally sorts
+      // every large pool stage (the measured 2M-decade spill)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 262144)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -47,6 +47,10 @@ object GenScale {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      // TypedImperativeAggregate (TopKAgg/sketches) keys per partition
+      // before sort-based fallback: the 128-row default externally sorts
+      // every large pool stage (the measured 2M-decade spill)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 262144)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

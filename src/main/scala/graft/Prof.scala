@@ -12,6 +12,10 @@ object Prof {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      // TypedImperativeAggregate (TopKAgg/sketches) keys per partition
+      // before sort-based fallback: the 128-row default externally sorts
+      // every large pool stage (the measured 2M-decade spill)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 262144)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -710,7 +710,13 @@ final class Graft(
       db: HippoDb, indexDir: String, query: String, entities: Seq[String],
       union: Boolean = true, k: Int = 5,
       initialProbe: Int = VectorQueries.IvfProbe): DataFrame = {
+    // Pinned once: the adaptive loop scores cells in (at least) two
+    // batches, each semi-joining the candidates — without the pin the
+    // entity-filter aggregation subtree would execute three times per
+    // call (count + both batches). The relation is broadcast-bounded
+    // by construction, so the checkpoint is small.
     val filtered = factsByEntities(db, entities, union).select("fact_id")
+      .localCheckpoint(true)
     if (k > filtered.count()) {
       hybridUnranked(db, filtered)
     } else {

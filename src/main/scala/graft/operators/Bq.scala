@@ -96,8 +96,10 @@ object Bq {
     val cached = e.select(col("vec_id"), col("v")).cache()
     try {
       val means = train(spark, cached)
-      val enc = encode(spark, cached, means)
-      val res = bqTopK(spark, enc, means, cached, queryVecId, k, rerank)
+      // cached signatures: scaledPool's stream count must not re-encode
+      val enc = encode(spark, cached, means).cache()
+      val res = try bqTopK(spark, enc, means, cached, queryVecId, k, rerank)
+        finally enc.unpersist()
       spark.createDataFrame(
         new java.util.ArrayList(java.util.Arrays.asList(res.collect(): _*)),
         res.schema)

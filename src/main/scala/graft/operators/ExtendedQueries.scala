@@ -316,12 +316,35 @@ object ExtendedQueries {
       // the signature pass, cell-bounded: each corpus vector sits in
       // exactly ONE cell and probe cells are distinct, so candidate
       // pairs are duplicate-free by construction — no distinct.
+      //
+      // POOL-STAGE MEMORY SHAPE (the measured 2M-decade lesson): the
+      // pair stream leaves the cluster join partitioned by CLUSTER,
+      // so one partition sees every qid probing its clusters —
+      // n/shufflePartitions·(probe·cellTarget/…) distinct qids, each
+      // carrying an E01bPool-entry TopKAgg buffer. At 2M vectors
+      // that is ~250k buffers × ~10 KB = GBs per partition: the
+      // ObjectHashAggregate partial falls back to sort-based
+      // aggregation and externally SORTS the whole 2×10⁹-row pair
+      // stream — measured: >70 GB of spill and disk exhaustion.
+      // The repartition below bounds BOTH hazards by hashing the
+      // narrow pair rows by qid into partitions of
+      // ≤ [[VectorQueries.E01cPoolQidsPerPartition]] queries each:
+      // the agg map stays ~160 MB/partition and any fallback sort is
+      // partition-local and bounded. Partial aggregation loses
+      // nothing here — the pool buffer (320) exceeds a qid's
+      // per-partition candidate count (~250), so map-side combine
+      // never reduced this stream anyway. Below the decade the
+      // partition count clamps to defaultParallelism: small-SF plans
+      // keep their shape and timing.
+      val poolParts = VectorQueries.poolAggPartitions(
+        spark, n, VectorQueries.E01cPoolQidsPerPartition)
       val pool = probes
         .join(enc.select(col("vec_id").as("qid"), col("sig").as("qsig")), "qid")
         .join(enc.select(col("cluster"), col("vec_id"), col("sig")), "cluster")
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
           bit_count(col("sig").bitwiseXOR(col("qsig"))).cast("double").as("ham"))
+        .repartition(poolParts, col("qid"))
         .groupBy("qid")
         .agg(org.apache.spark.sql.graft.TopKAgg.topK(-col("ham"), col("vec_id"), E01bPool).as("top"))
         .select(col("qid"), explode(col("top")).as("t"))

@@ -182,10 +182,13 @@ object IvfPq {
     // compressed rung.
     val probed = candidates.foldLeft(probed0)((df, c) =>
       df.join(broadcast(c.select("vec_id")), Seq("vec_id"), "left_semi"))
-    // density-scaled pool over what the ADC pass actually RANKS —
-    // the probed (and candidate-filtered) sliver, not the corpus
-    // (Pq.scaledPool; the partition-pruned count is one cheap job)
-    val poolN = Pq.scaledPool(probed.count(), k, rerank)
+    // density-scaled pool over what the ADC pass RANKS — the probed
+    // sliver (Pq.scaledPool). Counted BEFORE the candidate semi-join:
+    // on the persisted path that keeps the count a partition-pruned
+    // metadata read (no broadcast-join re-execution per query), and a
+    // filtered stream only ever needs a SMALLER pool, so sizing from
+    // the unfiltered sliver over-covers (conservative).
+    val poolN = Pq.scaledPool(probed0.count(), k, rerank)
     val pool = excludeVecId
       .foldLeft(probed)((df, id) => df.filter(col("vec_id") =!= id))
       .select(col("vec_id"), col("cluster").cast("int"), col("codes"), col("norm"))

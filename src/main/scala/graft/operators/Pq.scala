@@ -221,8 +221,11 @@ object Pq {
     val cached = e.select(col("vec_id"), col("v")).cache()
     try {
       val cb = train(spark, cached, m, nCent)
-      val enc = encode(spark, cached, cb)
-      val res = adcTopK(spark, enc, cb, cached, queryVecId, k, rerank)
+      // codes are tiny (M ints + a double per vector) — cache them so
+      // scaledPool's stream count doesn't re-run the encode map
+      val enc = encode(spark, cached, cb).cache()
+      val res = try adcTopK(spark, enc, cb, cached, queryVecId, k, rerank)
+        finally enc.unpersist()
       // Materialize the k rows ON THE DRIVER (not localCheckpoint:
       // its executor-stored blocks have no lineage, so an executor
       // loss after return would permanently break the DataFrame) —

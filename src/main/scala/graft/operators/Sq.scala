@@ -134,8 +134,10 @@ object Sq {
     val cached = e.select(col("vec_id"), col("v")).cache()
     try {
       val (mins, maxs) = train(spark, cached)
-      val enc = encode(spark, cached, mins, maxs)
-      val res = sqTopK(spark, enc, mins, maxs, cached, queryVecId, k, rerank)
+      // cached codes: scaledPool's stream count must not re-encode
+      val enc = encode(spark, cached, mins, maxs).cache()
+      val res = try sqTopK(spark, enc, mins, maxs, cached, queryVecId, k, rerank)
+        finally enc.unpersist()
       spark.createDataFrame(
         new java.util.ArrayList(java.util.Arrays.asList(res.collect(): _*)),
         res.schema)

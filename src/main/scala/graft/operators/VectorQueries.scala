@@ -430,6 +430,29 @@ object VectorQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** Partition count for a qid-keyed pool aggregation over a pair
+    * stream (the e01c/v15 TopKAgg stages): partitions grow with the
+    * query count so each holds ≤ qidsPerPartition queries' buffers —
+    * bounding the ObjectHashAggregate map (keys × buffer size) AND
+    * any sort-based fallback (partition-local, never the whole pair
+    * stream; the measured 2M-decade failure mode: a cluster-
+    * partitioned pair stream put ~250k pool buffers in one partition,
+    * fell back, and externally sorted 2×10⁹ rows to disk
+    * exhaustion). Clamped to [defaultParallelism, 4096] so small
+    * corpora keep their historical plan shape. */
+  private[graft] def poolAggPartitions(spark: SparkSession, nQids: Long,
+      qidsPerPartition: Long): Int =
+    math.min(4096L, math.max(spark.sparkContext.defaultParallelism.toLong,
+      (nQids + qidsPerPartition - 1) / qidsPerPartition)).toInt
+
+  /** e01c pool-stage queries per partition: E01bPool(320)-entry
+    * buffers ≈ 10 KB each → ~160 MB of agg map per partition. */
+  val E01cPoolQidsPerPartition = 16384L
+
+  /** v15 pool-stage queries per partition: (k+8)-entry buffers are
+    * ~200 B each → a few MB of agg map per partition even here. */
+  val V15PoolQidsPerPartition = 262144L
+
   /** v15 dials: the IVF twin of v08's LSH dial — cells GROW with the
     * corpus (target members per cell fixed), probes per query fixed,
     * so candidate volume per query is probe × target = CONSTANT and
@@ -540,7 +563,15 @@ object VectorQueries {
         cosinePreRaw(col("v"), col("qv"), col("nv"), col("nq")).as("rawcos"),
         col("vec_id"))
     val byCos = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    scored.groupBy("query_id")
+    // qid-repartition before the pool agg: bounds the agg map and
+    // any sort fallback to a partition's slice of the pair stream
+    // (see poolAggPartitions — the measured 2M-decade lever; at
+    // small n this clamps to defaultParallelism and the plan shape
+    // is unchanged)
+    val poolParts = poolAggPartitions(
+      spark, e.filter(col("label") === 0).count(), V15PoolQidsPerPartition)
+    scored.repartition(poolParts, col("query_id"))
+      .groupBy("query_id")
       .agg(org.apache.spark.sql.graft.TopKAgg.topK(col("rawcos"), col("vec_id"), k + 8).as("top"))
       .select(col("query_id"), explode(col("top")).as("t"))
       .select(col("query_id"), round(col("t.cos"), 6).as("cos"), col("t.vec_id").as("vec_id"))

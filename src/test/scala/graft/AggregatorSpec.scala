@@ -158,6 +158,28 @@ class AggregatorSpec extends SparkSpec {
     }
   }
 
+  test("FreqSketch pass-1 plan partial-aggregates map-side (the sketch exchange carries O(k), never the token stream)") {
+    // The t07b entry's returned plan is the pass-2 checkpoint scan,
+    // so the Explain audit no longer sees the sketch half — this pin
+    // replaces the old partial_freqsketch needle: the scale premise
+    // (per-partition MG buffers, O(k) entries over the exchange)
+    // must stay visible in the aggregation plan itself.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val toks = graft.sources.Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .as[String]
+    val plan = toks
+      .select(new graft.functions.FreqSketch(50).toColumn.name("top"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("partial_freqsketch"),
+      "the MG sketch must partial-aggregate map-side")
+    assert(plan.contains("ObjectHashAggregate"),
+      "the typed aggregator must run as ObjectHashAggregate")
+  }
+
   test("twoPassTopTokens: certified-exact on a skewed stream (budget < vocab, D > 0); exact fallback on a flat one") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
