@@ -265,15 +265,30 @@ object ExtendedQueries {
     * cache (the d07/h16 precedent) — never a driver `collect()`,
     * which at the 100 TB target would OOM the driver on exactly this
     * path. Plan-shape audit lives on [[cellBlockedLazy]] (the
-    * checkpoint truncates the visible plan to its RDD scan). */
+    * checkpoint truncates the visible plan to its RDD scan).
+    *
+    * MEASURED 2M-decade adjudication: the pair stream itself is
+    * healthy post-repartition (see cellBlockedLazy), but the EXACT
+    * RE-RANK stage is the entry's data-movement wall — classifying
+    * every corpus vector re-ranks a `pool`-candidate sliver per
+    * query, i.e. pool×n wide join rows (320 × 2M × ~1 KB ≈ 300 GB of
+    * sort I/O at 2M — beyond this single node's 76 GB scratch; on a
+    * cluster the bytes are LINEAR in n at fixed pool, each query's
+    * re-rank cost constant, so the design holds where aggregate
+    * shuffle space does). `pool` is the shipped lever: it trades
+    * re-rank volume for vote-agreement headroom (e01b's 320 default
+    * absorbs full-corpus BQ noise; cell-screened candidates — ~1000
+    * per query — tolerate less), and a disk-bounded single node runs
+    * pool 32–64 at a measurable agreement cost. */
   private[graft] def knnClassifyCellBlocked(spark: SparkSession,
       e0: DataFrame, nProbe: Int = E01cProbe,
-      twoLevelCells: Int = E01cTwoLevelCells): DataFrame = {
+      twoLevelCells: Int = E01cTwoLevelCells,
+      poolSize: Int = E01bPool): DataFrame = {
     val e = e0
       .withColumn("nv", normNative(col("v")))
       .repartition(spark.sparkContext.defaultParallelism)
       .cache()
-    try cellBlockedLazy(spark, e, nProbe, twoLevelCells).localCheckpoint(true)
+    try cellBlockedLazy(spark, e, nProbe, twoLevelCells, poolSize).localCheckpoint(true)
     finally e.unpersist()
   }
 
@@ -284,7 +299,8 @@ object ExtendedQueries {
     * materialization hides behind a LocalTableScan. */
   private[graft] def cellBlockedLazy(spark: SparkSession,
       e: DataFrame, nProbe: Int,
-      twoLevelCells: Int = E01cTwoLevelCells): DataFrame = {
+      twoLevelCells: Int = E01cTwoLevelCells,
+      poolSize: Int = E01bPool): DataFrame = {
     import spark.implicits._
     {
       val n = e.count()
@@ -338,15 +354,23 @@ object ExtendedQueries {
       // keep their shape and timing.
       val poolParts = VectorQueries.poolAggPartitions(
         spark, n, VectorQueries.E01cPoolQidsPerPartition)
-      val pool = probes
+      val pairs = probes
         .join(enc.select(col("vec_id").as("qid"), col("sig").as("qsig")), "qid")
         .join(enc.select(col("cluster"), col("vec_id"), col("sig")), "cluster")
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
           bit_count(col("sig").bitwiseXOR(col("qsig"))).cast("double").as("ham"))
-        .repartition(poolParts, col("qid"))
+      // the repartition is the BIG-decade lever only: below it the
+      // raised fallback threshold already keeps the agg map hashed
+      // (≤ ~25k keys/partition at 200k) and the extra exchange is
+      // pure overhead (measured +72 s at 200k)
+      val prePool =
+        if (poolParts > spark.sparkContext.defaultParallelism)
+          pairs.repartition(poolParts, col("qid"))
+        else pairs
+      val pool = prePool
         .groupBy("qid")
-        .agg(org.apache.spark.sql.graft.TopKAgg.topK(-col("ham"), col("vec_id"), E01bPool).as("top"))
+        .agg(org.apache.spark.sql.graft.TopKAgg.topK(-col("ham"), col("vec_id"), poolSize).as("top"))
         .select(col("qid"), explode(col("top")).as("t"))
         .select(col("qid"), col("t.vec_id").as("vec_id"))
       val scored = pool

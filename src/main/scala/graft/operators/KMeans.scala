@@ -35,6 +35,23 @@ object KMeans {
     * convergence trace is a diagnostics concern, not a fit one.
     * spreadSeed=false keeps the legacy first-k init (the quality
     * comparison's baseline; not a serving mode). */
+  /** Above this k the fit's per-iteration assignment routes through
+    * a BROADCAST-MODEL typed map (nearestIndex) instead of the
+    * literal argmin expression: the expression path recompiles its
+    * k×dim literals through janino EVERY iteration (no cache — new
+    * centroid literals each time) and its compile + eval cost is the
+    * measured wall, not the FLOPs — AnnLadder at 200k: flat fit
+    * 138.7 s at 64 cells / 571.8 s at 256, where the typed-map form
+    * of the same arithmetic runs the 2M corpus at 90 centroids in
+    * under a minute. The two paths share the argmin semantics and
+    * the first-index tie rule (assignExpr's array_min struct ties to
+    * the lowest i; nearestIndex keeps the first strict minimum) —
+    * float-rounding of |v−c|² vs c²−2v·c can differ at the last ulp,
+    * which is a TRAINING-trajectory detail (the frozen-model serving
+    * rule is nearestIndex everywhere); below the threshold the
+    * literal path runs byte-identically to every prior round. */
+  val FitExprMaxK = 64
+
   def fit(spark: SparkSession, emb: DataFrame, k: Int, iters: Int,
       trackInertia: Boolean = true, spreadSeed: Boolean = true)
       : (DataFrame, Array[Array[Double]], Seq[Double]) = {
@@ -56,8 +73,18 @@ object KMeans {
       array_min(array(scored: _*)).getField("i")
     }
 
+    def assign(cs: Array[Array[Double]]): DataFrame =
+      if (k < FitExprMaxK) e.withColumn("cluster", assignExpr(cs))
+      else {
+        import spark.implicits._
+        val bc = spark.sparkContext.broadcast(cs)
+        e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+          .map { case (id, v) => (id, v, nearestIndex(v, bc.value)) }
+          .toDF("vec_id", "v", "cluster")
+      }
+
     for (_ <- 0 until iters) {
-      val assigned = e.withColumn("cluster", assignExpr(centroids))
+      val assigned = assign(centroids)
       // new centroid = elementwise mean; (cluster, dim) keyed agg
       val sums = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -83,7 +110,7 @@ object KMeans {
         inertias += assigned.select(sum(distToOwn)).head().getDouble(0)
       }
     }
-    val finalAssign = e.withColumn("cluster", assignExpr(centroids))
+    val finalAssign = assign(centroids)
       .select("vec_id", "cluster")
     (finalAssign, centroids, inertias.toSeq)
   }

@@ -565,12 +565,17 @@ object VectorQueries {
     val byCos = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     // qid-repartition before the pool agg: bounds the agg map and
     // any sort fallback to a partition's slice of the pair stream
-    // (see poolAggPartitions — the measured 2M-decade lever; at
-    // small n this clamps to defaultParallelism and the plan shape
-    // is unchanged)
+    // (see poolAggPartitions). BIG-decade lever only — when the
+    // count clamps to defaultParallelism the raised fallback
+    // threshold already keeps the agg hashed and the extra exchange
+    // is pure overhead (measured +23 s at 200k).
     val poolParts = poolAggPartitions(
       spark, e.filter(col("label") === 0).count(), V15PoolQidsPerPartition)
-    scored.repartition(poolParts, col("query_id"))
+    val preAgg =
+      if (poolParts > spark.sparkContext.defaultParallelism)
+        scored.repartition(poolParts, col("query_id"))
+      else scored
+    preAgg
       .groupBy("query_id")
       .agg(org.apache.spark.sql.graft.TopKAgg.topK(col("rawcos"), col("vec_id"), k + 8).as("top"))
       .select(col("query_id"), explode(col("top")).as("t"))
