@@ -360,15 +360,17 @@ object ExtendedQueries {
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
           bit_count(col("sig").bitwiseXOR(col("qsig"))).cast("double").as("ham"))
-      // the repartition is the BIG-decade lever only: below it the
-      // raised fallback threshold already keeps the agg map hashed
-      // (≤ ~25k keys/partition at 200k) and the extra exchange is
-      // pure overhead (measured +72 s at 200k)
-      val prePool =
-        if (poolParts > spark.sparkContext.defaultParallelism)
-          pairs.repartition(poolParts, col("qid"))
-        else pairs
-      val pool = prePool
+      // ALWAYS bound the pool agg's keys for THIS stage: its buffers
+      // are E01bPool entries (~10 KB/key), so cluster-partitioned
+      // input holds every qid probing a partition's cells — measured
+      // at 200k under the raised fallback threshold: 25k keys ×
+      // 10 KB/partition thrashes (232 s) where the qid-bounded map
+      // (≤16k keys → ≤160 MB) hash-aggregates cleanly (173 s), and
+      // at 2M the unbounded form exhausted the disk outright. v15's
+      // pool keeps the conditional form — its (k+8)-entry buffers
+      // are two orders smaller.
+      val pool = pairs
+        .repartition(poolParts, col("qid"))
         .groupBy("qid")
         .agg(org.apache.spark.sql.graft.TopKAgg.topK(-col("ham"), col("vec_id"), poolSize).as("top"))
         .select(col("qid"), explode(col("top")).as("t"))
