@@ -26,6 +26,9 @@ import graft.functions.VectorFunctions._
 object Bq {
 
   val Rerank = 16 // 1 bit/dim needs a wider pool than SQ8's 4×
+  // Measured routing (SURVEY §8k): at 200k near-random/dim-64 the
+  // shipped density holds BQ at recall@10 0.60 (a 2.5% pool buys
+  // 1.00); SQ8 holds 1.00 untuned at 72 B — see Pq.RoutingNote.
 
   /** Per-dimension mean — the centering model (dim doubles). */
   def train(spark: SparkSession, e: DataFrame): Array[Double] = {

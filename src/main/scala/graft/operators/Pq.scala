@@ -63,6 +63,16 @@ object Pq {
   def scaledPool(streamN: Long, k: Int, rerank: Int): Int =
     math.max(rerank.toLong * k, streamN / PoolDensity).toInt
 
+  /** MEASURED ROUTING (the 200k/2M ladder + pool sweep, SURVEY §8k):
+    * on a near-random corpus at dim=64 the 8-byte code rungs are
+    * information-limited — at 200k the shipped density holds PQ at
+    * recall@10 0.20 (pool 5120 ≈ 2.5% of corpus buys 0.70) while
+    * **SQ8 holds 1.00 at every measured decade at 72 B/vec with no
+    * tuning**: when the corpus regime is unknown, route to
+    * Sq/VectorIndex.annSq and spend PQ/BQ's 16 B only where the
+    * corpus (or a budgeted pool from the sweep curve) cooperates. */
+  val RoutingNote = "SQ8 is the fixed-dial rung that holds every measured decade"
+
   private[operators] def argmin(cb: Array[Array[Double]], v: Array[Double], off: Int): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
