@@ -298,6 +298,18 @@ object Bench {
       }
     }.flatten.toMap
     val prevQ = prev.map(_._2).getOrElse(Map.empty[String, Double])
+    // VANISHED queries (r13 ADVICE): a query whose every repeat threw
+    // is dropped from `results`, so the ratio guard — which compares
+    // only queries common to prev and current — cannot flag the
+    // hardest regression of all: working → crashing. Report any
+    // query that was in the previous round's baseline, is still a
+    // declared (and selected) entry, but produced zero successful
+    // repeats this run.
+    val vanished = prevQ.keySet
+      .filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
+      .diff(results.keySet)
+      .toSeq.sorted
     // Absolution line is 1.5x, deliberately TIGHTER than the 2x flag:
     // the isolated number is a min-of-N floor after a quiesce, which
     // sits below the median even on a quiet machine — absolving at
@@ -324,6 +336,10 @@ object Bench {
           System.err.println(f"[bench]   $n: ${r}%.2fx (now ${results(n)}%.2fs$iso)")
         }
       } else System.err.println(s"[bench] trend guard vs $src: no >2x regressions survive isolation")
+      if (vanished.nonEmpty)
+        System.err.println(s"[bench] VANISHED vs $src: " +
+          s"${vanished.mkString(", ")} were measured last round but every " +
+          "repeat FAILED this run — a working-to-crashing regression, not a ratio")
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -340,8 +356,12 @@ object Bench {
     val absJson = absolved.map("\"" + _ + "\"").mkString("[", ",", "]")
     val noiseJson =
       f"""{"verdict":"${noise.verdict}","median_ratio":${noise.medianRatio},"mad_log":${noise.madLog},"isolated":$isoJson,"absolved":$absJson}"""
+    // "vanished" (names only, no numeric pairs — invisible to the
+    // truncation-recovery scan) sits after "regressions" with the
+    // other trailers.
+    val vanJson = vanished.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"prev":$prevName,"regressions":$regJson,"noise":$noiseJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"prev":$prevName,"regressions":$regJson,"vanished":$vanJson,"noise":$noiseJson}"""
     println(line)
     // The stdout line is what the driver captures, but its wrapper has
     // TRUNCATED the line's head in past rounds (BENCH_r07 lost the

@@ -710,14 +710,22 @@ final class Graft(
       db: HippoDb, indexDir: String, query: String, entities: Seq[String],
       union: Boolean = true, k: Int = 5,
       initialProbe: Int = VectorQueries.IvfProbe): DataFrame = {
-    // Pinned once: the adaptive loop scores cells in (at least) two
-    // batches, each semi-joining the candidates — without the pin the
-    // entity-filter aggregation subtree would execute three times per
-    // call (count + both batches). The relation is broadcast-bounded
-    // by construction, so the checkpoint is small.
-    val filtered = factsByEntities(db, entities, union).select("fact_id")
-      .localCheckpoint(true)
-    if (k > filtered.count()) {
+    // Materialized ONCE, driver-side: the adaptive loop scores cells
+    // in (at least) two batches, each semi-joining the candidates —
+    // without a pin the entity-filter aggregation subtree would
+    // execute three times per call (count + both batches). The
+    // relation is broadcast-bounded by construction, so it collects
+    // to a local relation instead of localCheckpoint(true), which
+    // would LEAK one pinned executor block per call for the session
+    // lifetime (the sibling closestFactsWithEntities documents
+    // exactly this hazard — r13 ADVICE).
+    val factIds = factsByEntities(db, entities, union).select("fact_id")
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val filtered = {
+      import spark.implicits._
+      factIds.toDF("fact_id")
+    }
+    if (k > factIds.length) {
       hybridUnranked(db, filtered)
     } else {
       graft.store.VectorIndex.annIvfFilteredAdaptive(spark, indexDir,

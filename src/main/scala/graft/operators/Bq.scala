@@ -67,7 +67,8 @@ object Bq {
   /** Hamming candidate pool + exact re-rank. The pool pass is a pure
     * codegen'd column expression (xor + bit_count) — no typed map. */
   def bqTopK(spark: SparkSession, enc: DataFrame, means: Array[Double],
-      emb: DataFrame, queryVecId: Long, k: Int, rerank: Int = Rerank): DataFrame = {
+      emb: DataFrame, queryVecId: Long, k: Int, rerank: Int = Rerank,
+      streamN: Option[Long] = None): DataFrame = {
     val qv = emb.filter(col("vec_id") === queryVecId)
       .select("v").head().getSeq[Double](0).toArray
     var qSig = 0L
@@ -75,8 +76,9 @@ object Bq {
     while (j < qv.length) { if (qv(j) >= means(j)) qSig |= (1L << j); j += 1 }
     // density-scaled pool (Pq.scaledPool): 1-bit codes are the rung
     // most exposed to rank noise at scale; the floor keeps the
-    // small-corpus behavior identical
-    val poolN = Pq.scaledPool(enc.count(), k, rerank)
+    // small-corpus behavior identical. streamN folds the count out
+    // of the per-query path (the adcTopK convention).
+    val poolN = Pq.scaledPool(streamN.getOrElse(enc.count()), k, rerank)
     val pool = enc
       .filter(col("vec_id") =!= queryVecId)
       .select(col("vec_id"),
@@ -98,11 +100,13 @@ object Bq {
       rerank: Int = Rerank): DataFrame = {
     val cached = e.select(col("vec_id"), col("v")).cache()
     try {
+      // corpus count = pool streamN (encode is 1:1): the signature
+      // stream is consumed exactly once by the scoring pass — no
+      // cache, no count job (the annPq convention)
+      val n = cached.count()
       val means = train(spark, cached)
-      // cached signatures: scaledPool's stream count must not re-encode
-      val enc = encode(spark, cached, means).cache()
-      val res = try bqTopK(spark, enc, means, cached, queryVecId, k, rerank)
-        finally enc.unpersist()
+      val enc = encode(spark, cached, means)
+      val res = bqTopK(spark, enc, means, cached, queryVecId, k, rerank, Some(n))
       spark.createDataFrame(
         new java.util.ArrayList(java.util.Arrays.asList(res.collect(): _*)),
         res.schema)

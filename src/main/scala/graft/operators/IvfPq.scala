@@ -225,14 +225,21 @@ object IvfPq {
       val res = assignResiduals(spark, cached, centroids).cache()
       try {
         val cb = Pq.train(spark, res, m, nCent)
-        val enc = encodeResiduals(spark, res, cb)
-        val qv = cached.filter(col("vec_id") === queryVecId)
-          .select("v").head().getSeq[Double](0).toArray
-        val out = adcCellTopK(spark, enc, cb, centroids, cached, qv,
-          Some(queryVecId), k, nProbe, rerank)
-        spark.createDataFrame(
-          new java.util.ArrayList(java.util.Arrays.asList(out.collect(): _*)),
-          out.schema)
+        // The IVFADC pool sizes on the PROBED sliver (query-dependent
+        // — no build metadata can replace it), so the kernel's count
+        // job stays; cache the codes so the count doesn't re-encode,
+        // and release only AFTER the collect materializes the plan
+        // (the r13 ADVICE ordering hole).
+        val enc = encodeResiduals(spark, res, cb).cache()
+        try {
+          val qv = cached.filter(col("vec_id") === queryVecId)
+            .select("v").head().getSeq[Double](0).toArray
+          val out = adcCellTopK(spark, enc, cb, centroids, cached, qv,
+            Some(queryVecId), k, nProbe, rerank)
+          spark.createDataFrame(
+            new java.util.ArrayList(java.util.Arrays.asList(out.collect(): _*)),
+            out.schema)
+        } finally enc.unpersist()
       } finally res.unpersist()
     } finally cached.unpersist()
   }

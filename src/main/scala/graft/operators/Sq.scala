@@ -83,12 +83,60 @@ object Sq {
       .toDF("vec_id", "codes", "norm")
   }
 
+  /** PACKED 16-BIT scalar encode for the batch rerank rungs (VERDICT
+    * r13 #3): (vec_id, codes: BINARY of 2·dim bytes big-endian,
+    * norm = |v|) — the [[encode]] affine scheme at 65536 steps per
+    * dimension instead of 256, packed so a BROADCAST of the whole
+    * code table is 2·dim bytes + one double per vector (~144 B at
+    * dim 64 — ~300 MB at 2M vectors, 4× under full f64). The
+    * e01b/e01c exact-rerank stage attaches these via broadcast hash
+    * joins and scores pairs IN-STAGE, so the pool×n candidate stream
+    * never shuffles a full vector.
+    *
+    * 16 bits, not 8, is a MEASURED requirement, not caution: the
+    * rerank cut must preserve the relative ORDER of a pool whose
+    * members can differ by ~1e-4 in cosine (the planted clustered
+    * spec: label-relevant angular gaps of 1e-4 under large shared
+    * components). 8-bit steps (~5e-3 on a normalized corpus) wiped
+    * that order — clustered accuracy 0.95 → 0.61; 16-bit steps
+    * (~2e-5) resolve it with margin. Code c decodes as
+    * min_d + c · (max_d − min_d)/65535. */
+  def encodePackedU16(spark: SparkSession, e: DataFrame,
+      mins: Array[Double], maxs: Array[Double]): DataFrame = {
+    import spark.implicits._
+    val bcMn = spark.sparkContext.broadcast(mins)
+    val bcMx = spark.sparkContext.broadcast(maxs)
+    e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val mn = bcMn.value; val mx = bcMx.value
+        require(v.length == mn.length,
+          s"vector dim ${v.length} != index dim ${mn.length}")
+        var n2 = 0.0
+        val codes = new Array[Byte](2 * v.length)
+        var j = 0
+        while (j < v.length) {
+          n2 += v(j) * v(j)
+          val range = mx(j) - mn(j)
+          val c =
+            if (range <= 0) 0
+            else math.max(0, math.min(65535,
+              math.round((v(j) - mn(j)) / range * 65535.0).toInt))
+          codes(2 * j) = ((c >> 8) & 0xFF).toByte
+          codes(2 * j + 1) = (c & 0xFF).toByte
+          j += 1
+        }
+        (id, codes, math.sqrt(n2))
+      }
+      .toDF("vec_id", "codes", "norm")
+  }
+
   /** Byte-weighted scoring + exact re-rank over an already-encoded
     * code table — the query half, shared so a persisted-codes path
     * cannot drift from the one-shot form. */
   def sqTopK(spark: SparkSession, enc: DataFrame,
       mins: Array[Double], maxs: Array[Double], emb: DataFrame,
-      queryVecId: Long, k: Int, rerank: Int = Rerank): DataFrame = {
+      queryVecId: Long, k: Int, rerank: Int = Rerank,
+      streamN: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val qv = emb.filter(col("vec_id") === queryVecId)
       .select("v").head().getSeq[Double](0).toArray
@@ -109,8 +157,11 @@ object Sq {
     val bcW = spark.sparkContext.broadcast(w)
     val off = offset
     // density-scaled pool (Pq.scaledPool): fixed dials collapse a
-    // decade up; the floor keeps the small-corpus behavior identical
-    val poolN = Pq.scaledPool(enc.count(), k, rerank)
+    // decade up; the floor keeps the small-corpus behavior identical.
+    // streamN folds the count out of the per-query path (the adcTopK
+    // convention: metadata n on persisted paths, corpus count on
+    // one-shots; explicit count only as the fallback).
+    val poolN = Pq.scaledPool(streamN.getOrElse(enc.count()), k, rerank)
     val pool = enc.select(col("vec_id"), col("codes"), col("norm"))
       .as[(Long, Array[Int], Double)]
       .filter(_._1 != queryVecId)
@@ -133,11 +184,14 @@ object Sq {
       rerank: Int = Rerank): DataFrame = {
     val cached = e.select(col("vec_id"), col("v")).cache()
     try {
+      // corpus count = pool streamN (encode is 1:1): the code stream
+      // is consumed exactly once by the scoring pass — no codes
+      // cache, no count job (the annPq convention)
+      val n = cached.count()
       val (mins, maxs) = train(spark, cached)
-      // cached codes: scaledPool's stream count must not re-encode
-      val enc = encode(spark, cached, mins, maxs).cache()
-      val res = try sqTopK(spark, enc, mins, maxs, cached, queryVecId, k, rerank)
-        finally enc.unpersist()
+      val enc = encode(spark, cached, mins, maxs)
+      val res = sqTopK(spark, enc, mins, maxs, cached, queryVecId, k,
+        rerank, Some(n))
       spark.createDataFrame(
         new java.util.ArrayList(java.util.Arrays.asList(res.collect(): _*)),
         res.schema)

@@ -487,7 +487,15 @@ object VectorQueries {
     knnBatchIvf(spark, emb(spark, dir), k = 3)
 
   /** Reusable IVF-cell-blocked batch k-NN over (vec_id, v, label)
-    * rows; queries = label-0 rows (v02/v08's query set). */
+    * rows; queries = label-0 rows (v02/v08's query set).
+    *
+    * Durability caveat (library surface): the returned frame is
+    * pinned via localCheckpoint(true), whose executor-stored blocks
+    * have NO lineage — on a real cluster an executor loss after
+    * return permanently breaks the frame (harmless under local
+    * masters). A deployment that must survive executor churn should
+    * write the result out (or enable reliable checkpointing) instead
+    * of holding the returned handle. */
   def knnBatchIvf(spark: SparkSession, e0: DataFrame, k: Int,
       nProbe: Int = V15Probe,
       twoLevelCells: Int = V15TwoLevelCells): DataFrame = {

@@ -231,13 +231,14 @@ object VectorIndex {
       m: Int = Pq.M, k: Int = Pq.K, iters: Int = 3): Unit = {
     val cached = e.select(col("vec_id"), col("v")).cache()
     try {
+      val n = cached.count()
       val cb = Pq.train(spark, cached, m, k, iters)
       Pq.encode(spark, cached, cb)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/pq_codes")
       writeCodebookRows(spark, cb, s"$dir/pq_codebook")
       val dim = cb(0)(0).length * m
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/pq.json"),
-        s"""{"format": "graft-pq-v1", "m": $m, "k": $k, "dim": $dim}""")
+        s"""{"format": "graft-pq-v1", "m": $m, "k": $k, "dim": $dim, "n": $n}""")
       reviveTombstones(spark, dir, cached, "pq_codes")
     } finally cached.unpersist()
   }
@@ -266,7 +267,23 @@ object VectorIndex {
     val cb = loadPqCodebook(spark, dir)
     val enc = minusTombstones(spark, dir, spark.read.parquet(s"$dir/pq_codes"))
     Pq.adcTopK(spark, enc, cb,
-      emb.select(col("vec_id"), col("v")), queryVecId, k, rerank)
+      emb.select(col("vec_id"), col("v")), queryVecId, k, rerank,
+      metaCount(dir, "pq.json"))
+  }
+
+  /** The build-time row count from an artifact's metadata echo — the
+    * pool-sizing streamN without a per-query count job (VERDICT r13
+    * #5). A tombstoned serving stream is only ever SMALLER than the
+    * build count, so a metadata-sized pool over-covers (conservative:
+    * pool is a recall lever, never a correctness one). Pre-n
+    * artifacts (older builds) return None and the kernel falls back
+    * to its explicit count. */
+  private def metaCount(dir: String, file: String): Option[Long] = {
+    val p = java.nio.file.Paths.get(s"$dir/$file")
+    if (!java.nio.file.Files.exists(p)) None
+    else """"n":\s*(\d+)""".r
+      .findFirstMatchIn(java.nio.file.Files.readString(p))
+      .map(_.group(1).toLong)
   }
 
   // ------------------------------------------------------------ SQ8
@@ -279,6 +296,7 @@ object VectorIndex {
     import spark.implicits._
     val cached = e.select(col("vec_id"), col("v")).cache()
     try {
+      val n = cached.count()
       val (mins, maxs) = Sq.train(spark, cached)
       Sq.encode(spark, cached, mins, maxs)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/sq_codes")
@@ -286,7 +304,7 @@ object VectorIndex {
         .toDF("dim", "mn", "mx")
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/sq_model")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/sq.json"),
-        s"""{"format": "graft-sq8-v1", "dim": ${mins.length}}""")
+        s"""{"format": "graft-sq8-v1", "dim": ${mins.length}, "n": $n}""")
       reviveTombstones(spark, dir, cached, "sq_codes")
     } finally cached.unpersist()
   }
@@ -307,7 +325,8 @@ object VectorIndex {
     val (mins, maxs) = loadSqModel(spark, dir)
     val enc = minusTombstones(spark, dir, spark.read.parquet(s"$dir/sq_codes"))
     Sq.sqTopK(spark, enc, mins, maxs,
-      emb.select(col("vec_id"), col("v")), queryVecId, k, rerank)
+      emb.select(col("vec_id"), col("v")), queryVecId, k, rerank,
+      metaCount(dir, "sq.json"))
   }
 
   // ------------------------------------------------------------ BQ
@@ -319,13 +338,14 @@ object VectorIndex {
     import spark.implicits._
     val cached = e.select(col("vec_id"), col("v")).cache()
     try {
+      val n = cached.count()
       val means = Bq.train(spark, cached)
       Bq.encode(spark, cached, means)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/bq_sigs")
       means.indices.map(i => (i, means(i))).toDF("dim", "m")
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/bq_model")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/bq.json"),
-        s"""{"format": "graft-bq-v1", "dim": ${means.length}}""")
+        s"""{"format": "graft-bq-v1", "dim": ${means.length}, "n": $n}""")
       reviveTombstones(spark, dir, cached, "bq_sigs")
     } finally cached.unpersist()
   }
@@ -339,7 +359,8 @@ object VectorIndex {
     rows.foreach(r => means(r.getInt(0)) = r.getDouble(1))
     val enc = minusTombstones(spark, dir, spark.read.parquet(s"$dir/bq_sigs"))
     Bq.bqTopK(spark, enc, means,
-      emb.select(col("vec_id"), col("v")), queryVecId, k, rerank)
+      emb.select(col("vec_id"), col("v")), queryVecId, k, rerank,
+      metaCount(dir, "bq.json"))
   }
 
   // ------------------------------------------------------------ IVF
@@ -1141,13 +1162,23 @@ object VectorIndex {
       // LIVE rows (physical minus tombstoned) in the denominator: a
       // physical count would compress the dial exactly in the
       // heavy-deletion regime the 10% policy governs (90% deleted
-      // would read 0.9 instead of 9.0)
-      val live = (partitioned ++ flat).map(a =>
-        spark.read.parquet(s"$dir/$a")
-          .join(broadcast(t), Seq("vec_id"), "left_anti").count())
-        .maxOption.getOrElse(0L)
-      if (live == 0) None
-      else Some(t.select("vec_id").distinct().count().toDouble / live)
+      // would read 0.9 instead of 9.0). ONE job for all families
+      // (VERDICT r13 #8): union the tagged id scans, anti-join the
+      // broadcast tombstones once, count per family — instead of F
+      // separate scan+anti-join jobs.
+      val fams = partitioned ++ flat
+      if (fams.isEmpty) None
+      else {
+        val live = fams.map(a => spark.read.parquet(s"$dir/$a")
+            .select(col("vec_id"), lit(a).as("fam")))
+          .reduce(_ unionAll _)
+          .join(broadcast(t.select("vec_id")), Seq("vec_id"), "left_anti")
+          .groupBy("fam").count()
+          .collect().map(_.getLong(1)) // ≤ F rows
+        val maxLive = if (live.isEmpty) 0L else live.max
+        if (maxLive == 0) None
+        else Some(t.select("vec_id").distinct().count().toDouble / maxLive)
+      }
     }
     IndexHealth(drift, imbalance, debt)
   }

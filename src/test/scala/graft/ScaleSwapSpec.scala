@@ -253,6 +253,28 @@ class ScaleSwapSpec extends SparkSpec {
       s"agreement $agree outside the documented premise-failure band")
   }
 
+  test("e01c: the scalar-coded rerank cut preserves the full-pool exact rerank predictions (sf0.01)") {
+    import graft.functions.VectorFunctions.toDouble
+    // The r13 2M wall was the exact re-rank at pool×n wide rows; the
+    // shipped fix cuts the Hamming pool to k+8 by SQ8 byte-code
+    // cosine first (sqCutPool). Fit/encode are deterministic, so the
+    // two forms see IDENTICAL Hamming pools — agreement here isolates
+    // exactly what the cut changes (SQ8 rank noise inside the pool).
+    val e = graft.sources.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+    val cut = ExtendedQueries.knnClassifyCellBlocked(spark, e)
+      .select("vec_id", "pred_label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val full = ExtendedQueries.knnClassifyCellBlocked(spark, e, sqRerank = false)
+      .select("vec_id", "pred_label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(cut.keySet == full.keySet,
+      "the SQ8 cut must answer every query the full-pool form answers")
+    val agree = full.count { case (id, p) => cut(id) == p }.toDouble / full.size
+    info(s"e01c coded-cut vs full-pool prediction agreement = $agree over ${full.size}")
+    assert(agree >= 0.97, s"coded-cut agreement $agree < 0.97")
+  }
+
   test("e01b: ANN classify prediction agreement >= 0.97 with e01 (sf0.01)") {
     val exact = ExtendedQueries.e01KnnClassify(spark, sf001)
       .select("vec_id", "pred_label").collect()
