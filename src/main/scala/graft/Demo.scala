@@ -226,6 +226,22 @@ object Demo {
     val folded = spark.sql("SELECT graft_nfc('Cafe\u0301') = 'Caf\u00e9' AS ok").head().getBoolean(0)
     println(s"[demo] SQL graft_nfc folds decomposed accents: $folded")
 
+    // The capacity planner: which quantization rung fits a memory
+    // budget at a recall floor, measured on THIS corpus (panel
+    // ladder over a deterministic sample — VERDICT r13 #4).
+    locally {
+      import org.apache.spark.sql.functions.col
+      import graft.functions.VectorFunctions.toDouble
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val (pick, rows) = graft.store.VectorIndex.recommendRung(spark, emb,
+        memoryBudgetBytes = 1L << 30, recallFloor = 0.9)
+      rows.foreach(p => println(
+        f"[demo] rung ${p.rung}%-12s ${p.bytesPerVec}%4d B/vec resident=${p.residentBytes}%8d " +
+        f"fits=${p.fitsBudget} recall mean=${p.meanRecall}%.2f min=${p.minRecall}%.2f"))
+      println(s"[demo] recommendRung(1 GiB, floor 0.9) -> ${pick.map(_.rung).getOrElse("NONE")}")
+    }
+
     val story = fullStory(spark, dir)
     println(s"[demo] full story: ${story.nLoaded} loaded -> ${story.nCurated} curated -> " +
       s"${story.nFacts} facts / ${story.nEntities} entities (integrity ${story.integrity})")

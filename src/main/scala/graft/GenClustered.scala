@@ -1,0 +1,54 @@
+package graft
+// Clustered-corpus generator for the premise-dependent scale
+// measurements (VERDICT r13 #7): GenScale's permuted-replica decades
+// measure the NEAR-RANDOM stress regime, but e01c/v15/SemDeDup's
+// production premise is neighbour CONCENTRATION — previously spec'd
+// only at sf0.01 plants. This writes that regime at any size: nC
+// well-separated directional clusters (the SkewCorpusSpec /
+// ScaleSwapSpec planted geometry, scaled), label = cluster % 64 so
+// label-0 rows (the v02/v08/v15 query convention) exist in every
+// 64th cluster. Deterministic, no RNG state: every value is a pure
+// function of (vec_id, dim index, cluster).
+//
+// Usage: runMain graft.GenClustered [outDir] [n] [dim] [nClusters]
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+object GenClustered {
+  /** Member i of cluster c: 4.0 on each of two cluster-hash-chosen
+    * axes + 0.3·sin jitter on every axis — separation/jitter ratio
+    * matches the planted specs (in-cluster cosine ≈ 0.99+, cross ≲
+    * 0.5 except axis-sharing neighbours). */
+  def vecOf(id: Long, c: Long, dim: Int): Array[Double] = {
+    val a1 = ((c * 2654435761L) % dim + dim).toInt % dim
+    val a2 = ((c * 40503L + 7) % dim + dim).toInt % dim
+    Array.tabulate(dim) { j =>
+      (if (j == a1 || j == a2) 4.0 else 0.0) +
+        0.3 * math.sin(id * 2.3 + j * 1.1)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/root/repo/testdata_clustered2m")
+    val n = args.lift(1).map(_.toLong).getOrElse(2000000L)
+    val dim = args.lift(2).map(_.toInt).getOrElse(64)
+    val nC = args.lift(3).map(_.toLong).getOrElse(2000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("ERROR")
+    // interleaved membership (id % nC) so the corpus is NOT sorted by
+    // cluster — storage order must not encode the geometry (the
+    // hash-spread-seeding lesson: sorted corpora hide seeding bugs)
+    spark.range(0, n, 1, 32)
+      .map { id =>
+        val c = id % nC
+        (id, vecOf(id, c, dim).map(_.toFloat), (c % 64).toInt)
+      }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$out/embeddings.parquet")
+    println(s"[genclustered] wrote $n vectors, dim=$dim, $nC clusters -> $out")
+    spark.stop()
+  }
+}

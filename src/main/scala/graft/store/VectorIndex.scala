@@ -1182,4 +1182,78 @@ object VectorIndex {
     }
     IndexHealth(drift, imbalance, debt)
   }
+
+  // ------------------------------------------------- rung planning
+
+  /** One rung's capacity-planner row: resident candidate-pass bytes
+    * per vector, the resident table at the FULL corpus size, whether
+    * that fits the stated budget, and panel recall@k (mean and min)
+    * measured on a deterministic sample of the ACTUAL corpus. */
+  final case class RungPlan(rung: String, bytesPerVec: Int,
+      residentBytes: Long, fitsBudget: Boolean,
+      meanRecall: Double, minRecall: Double)
+
+  /** CAPACITY-PLANNER API (VERDICT r13 #4) — the §8k routing tables
+    * as an executable decision instead of scaladoc guidance: measure
+    * the quantization ladder's panel recall on a deterministic
+    * hash-spread SAMPLE of the actual corpus (sample × brute truth
+    * is linear and bounded), size each rung's resident candidate
+    * table at the FULL corpus count, and return the cheapest rung
+    * that meets `recallFloor` within `memoryBudgetBytes` — plus
+    * every rung's row, cheapest-first, so the planner's evidence
+    * ships with its answer.
+    *
+    * Why a sample is honest here: recall is corpus-REGIME-dependent
+    * (the measured PQ 0.20-at-200k vs 1.00-at-2M lesson), but the
+    * density-scaled pools hold the pool/corpus FRACTION constant
+    * (n/[[graft.operators.Pq.PoolDensity]]) above the small-corpus
+    * floor, so a sample at the same fraction measures the same
+    * code-resolution question the full corpus poses — on the actual
+    * embedding geometry, not a synthetic stand-in. The panel is
+    * hash-spread and seeding-independent (AnnPanel's bias note);
+    * sampling uses a THIRD salt ("sample") so sample membership,
+    * panel membership, and model seeds are three independent
+    * orderings. LSH is excluded (a one-shot operator — no persisted
+    * artifact to recommend); brute is included as the always-exact,
+    * most-expensive rung. IVF's row shares brute's RESIDENT bytes —
+    * its lever is scan pruning (nProbe/nCells of the files), not
+    * residency; its recall row prices that pruning.
+    *
+    * Returns (recommendation — None when nothing meets both
+    * constraints — and all rows cheapest-first). Driver cost: one
+    * sample collect bounded by `sampleN`, plus the panel ladder on
+    * the sample. */
+  def recommendRung(spark: SparkSession, e: DataFrame,
+      memoryBudgetBytes: Long, recallFloor: Double,
+      sampleN: Int = 20000, panelN: Int = graft.operators.AnnPanel.PanelSize,
+      k: Int = 10): (Option[RungPlan], Seq[RungPlan]) = {
+    import graft.operators.AnnPanel
+    require(recallFloor >= 0 && recallFloor <= 1,
+      s"recallFloor must be in [0, 1], got $recallFloor")
+    val fullN = e.select("vec_id").count()
+    require(fullN > 0, "recommendRung: empty corpus")
+    val sample = e.select(col("vec_id"), col("v"))
+      .orderBy(xxhash64(lit("sample"), col("vec_id")), col("vec_id"))
+      .limit(sampleN).cache()
+    try {
+      val n = sample.count()
+      val dim = sample.select(size(col("v"))).head().getInt(0)
+      val panel = AnnPanel.panelQueries(spark, sample,
+        math.min(panelN.toLong, n).toInt)
+      val truth = AnnPanel.bruteTruth(spark, sample, panel, k)
+      val measured = AnnPanel.measureRungs(spark, sample, panel, truth,
+        k, dim, n, only = Set("ivf", "pq", "adc", "sq", "bq"))
+      val rows = (AnnPanel.RungRecall("v01 brute", s"${8 * dim} (full f64)",
+        8 * dim + 8, 1.0, 1.0, Seq.fill(panel.length)(1.0)) +: measured)
+        .map { r =>
+          val resident = r.bytesPerVec.toLong * fullN
+          RungPlan(r.name, r.bytesPerVec, resident,
+            resident <= memoryBudgetBytes, r.mean, r.min)
+        }
+        .sortBy(p => (p.bytesPerVec, p.rung))
+      val pick = rows.filter(p => p.fitsBudget && p.meanRecall >= recallFloor)
+        .sortBy(p => (p.bytesPerVec, -p.meanRecall, p.rung)).headOption
+      (pick, rows)
+    } finally sample.unpersist()
+  }
 }

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.toDouble
+import graft.operators.AnnPanel
+import graft.store.VectorIndex
+
+/** VectorIndex.recommendRung (VERDICT r13 #4): the §8k routing tables
+  * as an executable API. Driven on the planted CLUSTERED corpus (the
+  * regime the coded rungs' premise holds in) and the near-random
+  * sf0.01 stress corpus, plus the panel machinery's bias contract.
+  */
+class RungPlannerSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def clustered(n: Int = 600, dim: Int = 8) =
+    (0 until n).map { i =>
+      val c = i % dim
+      (i.toLong, Array.tabulate(dim)(j =>
+        (if (j == c) 4.0 else 0.0) + 0.3 * math.sin(i * 2.3 + j * 1.1)))
+    }.toDF("vec_id", "v")
+
+  test("panel is hash-spread and independent of the model-seeding order") {
+    val e = clustered()
+    val panel = AnnPanel.panelQueries(spark, e)
+    assert(panel.length == AnnPanel.PanelSize)
+    assert(panel.map(_._1).distinct.length == panel.length)
+    // the seeding order is smallest xxhash64(vec_id) — the panel must
+    // NOT be that set (the v07 seed-query-bias trap): overlap should
+    // be at the chance rate, not total
+    val seeds = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(AnnPanel.PanelSize).collect().map(_.getLong(0)).toSet
+    val overlap = panel.map(_._1).count(seeds.contains)
+    info(s"panel/seed overlap = $overlap of ${panel.length}")
+    assert(overlap < panel.length / 2,
+      s"panel overlaps the seed set in $overlap of ${panel.length} queries — seed-biased")
+    // deterministic: same corpus, same panel
+    assert(AnnPanel.panelQueries(spark, e).map(_._1).toSeq ==
+      panel.map(_._1).toSeq)
+  }
+
+  test("brute truth: one-pass panel truth equals a per-query exact recompute") {
+    val e = clustered(200)
+    val panel = AnnPanel.panelQueries(spark, e, 4)
+    val truth = AnnPanel.bruteTruth(spark, e, panel, 3)
+    val rows = e.as[(Long, Array[Double])].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < a.length) { d += a(j)*b(j); na += a(j)*a(j); nb += b(j)*b(j); j += 1 }
+      d / math.sqrt(na * nb)
+    }
+    panel.foreach { case (qid, qv) =>
+      val exact = rows.filter(_._1 != qid)
+        .map { case (id, v) =>
+          (id, BigDecimal(cos(qv, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        }
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSet
+      assert(truth(qid) == exact, s"truth mismatch for panel query $qid")
+    }
+  }
+
+  test("recommendRung: clustered corpus — cheapest rung meeting the floor wins; reports are consistent") {
+    val e = clustered()
+    val (pick, rows) = VectorIndex.recommendRung(spark, e,
+      memoryBudgetBytes = 1L << 30, recallFloor = 0.9, sampleN = 600)
+    assert(rows.nonEmpty && rows == rows.sortBy(p => (p.bytesPerVec, p.rung)),
+      "rows must come back cheapest-first")
+    val brute = rows.find(_.rung.contains("brute")).get
+    assert(brute.meanRecall == 1.0 && brute.minRecall == 1.0)
+    rows.foreach { p =>
+      assert(p.residentBytes == p.bytesPerVec.toLong * 600, s"resident bytes wrong for ${p.rung}")
+      assert(p.fitsBudget, s"${p.rung} must fit a 1 GiB budget at n=600")
+      assert(p.minRecall <= p.meanRecall + 1e-12)
+    }
+    rows.foreach(p => info(f"${p.rung}%-12s ${p.bytesPerVec}%4d B/vec mean ${p.meanRecall}%.2f min ${p.minRecall}%.2f"))
+    assert(pick.isDefined, "a 1 GiB budget and 0.9 floor must be satisfiable here")
+    val p = pick.get
+    assert(p.meanRecall >= 0.9 && p.fitsBudget)
+    // no cheaper rung may also meet the floor — p IS the recommendation
+    assert(!rows.exists(r => r.bytesPerVec < p.bytesPerVec &&
+      r.fitsBudget && r.meanRecall >= 0.9),
+      s"${p.rung} recommended but a cheaper rung meets the floor")
+  }
+
+  test("recommendRung: constraints bind — impossible floor and tiny budget both return None; floor 0 returns the cheapest") {
+    val e = clustered(300)
+    // a floor above 1.0 is rejected as a contract violation
+    intercept[IllegalArgumentException] {
+      VectorIndex.recommendRung(spark, e, 1L << 30, recallFloor = 1.5, sampleN = 300)
+    }
+    // budget below even BQ's 16 B/vec: nothing fits
+    val (noneBudget, rowsB) = VectorIndex.recommendRung(spark, e,
+      memoryBudgetBytes = 10L, recallFloor = 0.0, sampleN = 300)
+    assert(noneBudget.isEmpty, "10 bytes must fit nothing")
+    assert(rowsB.forall(!_.fitsBudget))
+    // floor 0, huge budget: the cheapest rung by resident bytes wins
+    val (cheap, rows) = VectorIndex.recommendRung(spark, e,
+      memoryBudgetBytes = 1L << 30, recallFloor = 0.0, sampleN = 300)
+    assert(cheap.isDefined)
+    assert(cheap.get.bytesPerVec == rows.map(_.bytesPerVec).min,
+      "floor 0 must recommend the cheapest rung")
+  }
+
+  test("recommendRung: stress corpus (sf0.01) — brute stays exact, SQ8 meets a 0.95 floor the 8-byte rungs may not") {
+    val e = graft.sources.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val (pick, rows) = VectorIndex.recommendRung(spark, e,
+      memoryBudgetBytes = 1L << 30, recallFloor = 0.95, sampleN = 500)
+    rows.foreach(p => info(f"${p.rung}%-12s ${p.bytesPerVec}%4d B/vec mean ${p.meanRecall}%.2f min ${p.minRecall}%.2f"))
+    assert(pick.isDefined, "SQ8 (or cheaper) should meet 0.95 on the stress corpus")
+    val sq = rows.find(_.rung.contains("SQ8")).get
+    assert(sq.meanRecall >= 0.95,
+      s"SQ8 mean ${sq.meanRecall} below the floor its routing guidance promises")
+    assert(pick.get.meanRecall >= 0.95)
+  }
+}
