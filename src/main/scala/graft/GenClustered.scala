@@ -14,16 +14,29 @@ package graft
 import org.apache.spark.sql.{SaveMode, SparkSession}
 
 object GenClustered {
-  /** Member i of cluster c: 4.0 on each of two cluster-hash-chosen
-    * axes + 0.3·sin jitter on every axis — separation/jitter ratio
-    * matches the planted specs (in-cluster cosine ≈ 0.99+, cross ≲
-    * 0.5 except axis-sharing neighbours). */
-  def vecOf(id: Long, c: Long, dim: Int): Array[Double] = {
+  /** Members per subgroup — the neighbourhood granularity. */
+  val SubSize = 20L
+
+  /** Member of cluster c, subgroup s: 4.0 on two cluster-hash-chosen
+    * axes (coarse separation) + 0.5·sin SUBGROUP jitter shared by the
+    * subgroup's ~[[SubSize]] members (the neighbourhood) + 0.05·sin
+    * individual noise. The hierarchy is the honest model of the
+    * production premise: a query's TRUE top-k are its subgroup mates
+    * (cosine gap solid at every level), and that concentration is
+    * what cell pruning exploits. A FLAT cluster (jitter purely
+    * per-id) plants the opposite: within a cluster every member is
+    * equidistant-random, top-k identity is driven by noise no
+    * sub-cluster structure can index, and pair recall degrades to
+    * probedCells/clusterCells even though LABEL concentration (and
+    * thus classify agreement) stays perfect — both regimes were
+    * measured at 2M, see SURVEY §8l. */
+  def vecOf(id: Long, c: Long, sub: Long, dim: Int): Array[Double] = {
     val a1 = ((c * 2654435761L) % dim + dim).toInt % dim
     val a2 = ((c * 40503L + 7) % dim + dim).toInt % dim
     Array.tabulate(dim) { j =>
       (if (j == a1 || j == a2) 4.0 else 0.0) +
-        0.3 * math.sin(id * 2.3 + j * 1.1)
+        0.5 * math.sin((c * 977L + sub) * 1.7 + j * 0.9) +
+        0.05 * math.sin(id * 2.3 + j * 1.1)
     }
   }
 
@@ -43,7 +56,8 @@ object GenClustered {
     spark.range(0, n, 1, 32)
       .map { id =>
         val c = id % nC
-        (id, vecOf(id, c, dim).map(_.toFloat), (c % 64).toInt)
+        val sub = (id / nC) / SubSize
+        (id, vecOf(id, c, sub, dim).map(_.toFloat), (c % 64).toInt)
       }
       .toDF("vec_id", "embedding", "label")
       .write.mode(SaveMode.Overwrite)

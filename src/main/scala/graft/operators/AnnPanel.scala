@@ -89,7 +89,22 @@ object AnnPanel {
     val fullBytes = 8 * dim + 8
     val out = scala.collection.mutable.ListBuffer.empty[RungRecall]
 
-    if (want("lsh"))
+    // LADDER_SKIP (comma list of rung tags, e.g. "lsh"): an EXPLICIT
+    // skip dial for rungs whose measurement cost stops being
+    // informative at a decade — at 2M the fixed-dial LSH candidate
+    // pass dedups ~1M candidates PER PANEL QUERY (n·tables/2^bits is
+    // a scale-invariant ~50% of the corpus on near-random data:
+    // near-brute recall at near-brute cost, the regime v08's guard
+    // refuses for the batch form). Never silent: the skip is an env
+    // the runner sets, this line says what was dropped and why, and
+    // the table's absent row shows it.
+    val envSkip = sys.env.get("LADDER_SKIP")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    if (want("lsh") && envSkip("lsh"))
+      System.err.println(s"[panel] LSH rung skipped by LADDER_SKIP at n=$n: " +
+        s"~${n * VectorQueries.LshTables / (1L << VectorQueries.LshBits)} candidates/query " +
+        "— near-brute cost on this corpus; the scale rungs are IVF/v15")
+    if (want("lsh") && !envSkip("lsh"))
       out += summarize("v05 LSH", s"${8 * dim} on candidate sliver", fullBytes,
         truth, panel.map { case (qid, _) =>
           qid -> ids(VectorQueries.annLsh(e, qid, k))
