@@ -65,7 +65,7 @@ object AnnLadder {
         val pool = Pq.scaledPool(n, k, r)
         val rs = AnnPanel.measureRungs(spark, e, panel, truth, k, dim, n,
           only = Set("pq", "adc", "bq"),
-          rerankPq = r, rerankBq = r)
+          rerankPq = r, rerankBq = r, rerankAdc = r)
         val by = rs.map(x => x.name -> x).toMap
         def mm(name: String) = by.get(name)
           .map(x => f"${x.mean}%.2f/${x.min}%.2f").getOrElse("-")

@@ -84,7 +84,10 @@ object AnnPanel {
       k: Int, dim: Int, n: Long,
       only: Set[String] = Set.empty,
       rerankPq: Int = Pq.Rerank, rerankSq: Int = Sq.Rerank,
-      rerankBq: Int = Bq.Rerank): Seq[RungRecall] = {
+      rerankBq: Int = Bq.Rerank, rerankAdc: Int = Pq.Rerank): Seq[RungRecall] = {
+    require(panel.nonEmpty && truth.nonEmpty,
+      s"measureRungs needs a non-empty panel with truth (panel=${panel.length}, " +
+      s"truth=${truth.size}) — a 1-vector corpus has no non-self neighbours")
     def want(tag: String) = only.isEmpty || only(tag)
     val fullBytes = 8 * dim + 8
     val out = scala.collection.mutable.ListBuffer.empty[RungRecall]
@@ -115,7 +118,11 @@ object AnnPanel {
     if (want("ivf")) locally {
       val (assigned, centroids, _) = KMeans.fit(spark, e,
         VectorQueries.IvfCells, 2, trackInertia = false)
-      val withCell = e.join(assigned, "vec_id")
+      // cached: 16 panel queries would otherwise each re-run the
+      // assignment map + corpus join (the r14 review finding; the
+      // coded rungs already cache their enc the same way)
+      val withCell = e.join(assigned, "vec_id").cache()
+      try {
       val got = panel.map { case (qid, qv) =>
         val cells = centroids.zipWithIndex.map { case (c, i) =>
           var d = 0.0; var j = 0
@@ -133,6 +140,7 @@ object AnnPanel {
       }.toMap
       out += summarize(
         s"v07 IVF", s"${8 * dim} in probed cells", fullBytes, truth, got)
+      } finally withCell.unpersist()
     }
 
     // PQ: one train+encode, per-query ADC through the shared kernel.
@@ -161,7 +169,7 @@ object AnnPanel {
           enc.count()
           val got = panel.map { case (qid, qv) =>
             qid -> ids(IvfPq.adcCellTopK(spark, enc, cb, centroids, e, qv,
-              Some(qid), k, IvfPq.Probe, rerankPq))
+              Some(qid), k, IvfPq.Probe, rerankAdc))
           }.toMap
           out += summarize("v10 IVFADC",
             s"${Pq.M} codes + 8 norm, probed cells", Pq.M + 8, truth, got)

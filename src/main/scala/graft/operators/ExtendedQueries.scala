@@ -181,11 +181,13 @@ object ExtendedQueries {
       .agg(org.apache.spark.sql.graft.TopKAgg.topK(-col("ham"), col("vec_id"), E01bPool).as("top"))
       .select(col("qid"), explode(col("top")).as("t"))
       .select(col("qid"), col("t.vec_id").as("vec_id"))
-    // SQ8 cut + exact re-rank + vote (the shared tail): the Hamming
-    // pool narrows to k+8 by byte-code cosine before any full vector
-    // is touched — pool×n rows stay payload-free, the exact stage is
-    // (k+8)×n (see sqCutPool).
-    rerankAndVote(spark, e, pool, k = 5, sqCut = true)
+    // Coded cut + exact re-rank + vote (the shared tail): the Hamming
+    // pool narrows to k+8 by coded cosine before any full vector is
+    // touched — pool×n rows stay payload-free, the exact stage is
+    // (k+8)×n (see sqCutPool). The coded table stays session-cached
+    // like `e` above (this form is lazy — nothing here can scope a
+    // release); the eager e01c entry releases its own.
+    rerankAndVote(spark, e, pool, k = 5, Some(buildCodedTable(spark, e)))
   }
 
   /** e01c dials: target vectors per coarse cell (nCells = n / target
@@ -293,9 +295,16 @@ object ExtendedQueries {
       .withColumn("nv", normNative(col("v")))
       .repartition(spark.sparkContext.defaultParallelism)
       .cache()
-    try cellBlockedLazy(spark, e, nProbe, twoLevelCells, poolSize, sqRerank)
-      .localCheckpoint(true)
-    finally e.unpersist()
+    try {
+      // the coded table is built HERE (not inside the lazy plan) so
+      // this eager entry can release its cache right after the
+      // checkpoint materializes — no per-call leak (the r13 ADVICE
+      // lesson on the adaptive-hybrid pin)
+      val coded = if (sqRerank) Some(buildCodedTable(spark, e)) else None
+      try cellBlockedLazy(spark, e, nProbe, twoLevelCells, poolSize, coded)
+        .localCheckpoint(true)
+      finally coded.foreach(_.release())
+    } finally e.unpersist()
   }
 
   /** The LAZY cell-blocked plan over a prepped (vec_id, v, label,
@@ -303,11 +312,14 @@ object ExtendedQueries {
     * physical shape (cell-bounded bit_count pass, TopKAgg partials,
     * no all-pairs join) that the entry's driver-side
     * materialization hides behind a LocalTableScan. */
+  /** `coded = None` runs the full-pool exact rerank (the measurement
+    * baseline); audit callers wanting the shipped cut shape pass
+    * their own [[buildCodedTable]] result (and own its release). */
   private[graft] def cellBlockedLazy(spark: SparkSession,
       e: DataFrame, nProbe: Int,
       twoLevelCells: Int = E01cTwoLevelCells,
       poolSize: Int = E01bPool,
-      sqRerank: Boolean = true): DataFrame = {
+      coded: Option[CodedTable] = None): DataFrame = {
     import spark.implicits._
     {
       val n = e.count()
@@ -382,10 +394,10 @@ object ExtendedQueries {
         .agg(org.apache.spark.sql.graft.TopKAgg.topK(-col("ham"), col("vec_id"), poolSize).as("top"))
         .select(col("qid"), explode(col("top")).as("t"))
         .select(col("qid"), col("t.vec_id").as("vec_id"))
-      // SQ8 cut + exact re-rank + vote (the shared tail) — the r13
+      // Coded cut + exact re-rank + vote (the shared tail) — the r13
       // 2M wall was THIS entry's exact stage at pool×n wide rows;
       // the cut bounds it to (k+8)×n (see sqCutPool).
-      rerankAndVote(spark, e, pool, k = 5, sqCut = sqRerank)
+      rerankAndVote(spark, e, pool, k = 5, coded)
     }
   }
 
@@ -419,8 +431,23 @@ object ExtendedQueries {
     * that the same cut runs as co-partitioned id-joins of the code
     * table (still 3.5× under full vectors). Zero-norm members rank
     * last (the v09 guard — an unguarded /0 floats NaN to the top). */
-  private def sqCutPool(spark: SparkSession, e: DataFrame,
-      pool: DataFrame, k: Int): DataFrame = {
+  /** The CACHED 16-bit code table [[sqCutPool]] scores against —
+    * built ONCE per entry call (train + encodePackedU16 over the
+    * normalized corpus) and attached to BOTH sides of the pool via
+    * broadcast joins. The cache matters: the two broadcast exchanges
+    * cannot canonicalize equal (typed-map subtrees), so without it
+    * the full-corpus encode would run twice per call (the r14 review
+    * finding). Lifecycle: the EAGER entry (knnClassifyCellBlocked)
+    * releases it right after its checkpoint materializes; e01b's
+    * lazy form keeps it under the same session-scoped convention as
+    * its own corpus cache (cleared by clearCache). */
+  private[graft] final case class CodedTable(penc: DataFrame,
+      mins: Array[Double], steps: Array[Double]) {
+    def release(): Unit = penc.unpersist()
+  }
+
+  private[graft] def buildCodedTable(spark: SparkSession,
+      e: DataFrame): CodedTable = {
     // NORMALIZED coding (the planted-cluster lesson, found by
     // ScaleSwapSpec the day this shipped): ABSOLUTE SQ8 codes resolve
     // every dimension against the CORPUS-WIDE range, so a small-norm
@@ -435,10 +462,15 @@ object ExtendedQueries {
       when(col("nv") > 0, transform(col("v"), x => x / col("nv")))
         .otherwise(col("v")).as("v"))
     val (mins, maxs) = Sq.train(spark, xh)
-    val penc = Sq.encodePackedU16(spark, xh, mins, maxs)
-    val steps = Array.tabulate(mins.length)(j => (maxs(j) - mins(j)) / 65535.0)
-    val bcMn = spark.sparkContext.broadcast(mins)
-    val bcSt = spark.sparkContext.broadcast(steps)
+    CodedTable(Sq.encodePackedU16(spark, xh, mins, maxs).cache(), mins,
+      Array.tabulate(mins.length)(j => (maxs(j) - mins(j)) / 65535.0))
+  }
+
+  private def sqCutPool(spark: SparkSession, coded: CodedTable,
+      pool: DataFrame, k: Int): DataFrame = {
+    val penc = coded.penc
+    val bcMn = spark.sparkContext.broadcast(coded.mins)
+    val bcSt = spark.sparkContext.broadcast(coded.steps)
     val approxCos = udf { (ca: Array[Byte], na: Double, cb: Array[Byte], nb: Double) =>
       if (na <= 0 || nb <= 0) Double.NegativeInfinity
       else {
@@ -453,12 +485,17 @@ object ExtendedQueries {
         d
       }
     }
+    // Both sides attach from the one CACHED code table (see
+    // CodedTable — exchange reuse cannot fire across typed-map
+    // subtrees, so the cache is what makes the encode run once).
+    val pa = penc.as("pa")
+    val pb = penc.as("pb")
     pool
-      .join(broadcast(penc), "vec_id")
-      .join(broadcast(penc.select(col("vec_id").as("qid"),
-        col("codes").as("qcodes"), col("norm").as("qnorm"))), "qid")
-      .select(col("qid"), col("vec_id"),
-        approxCos(col("codes"), col("norm"), col("qcodes"), col("qnorm")).as("acos"))
+      .join(broadcast(pa), pool("vec_id") === col("pa.vec_id"))
+      .join(broadcast(pb), pool("qid") === col("pb.vec_id"))
+      .select(pool("qid"), pool("vec_id"),
+        approxCos(col("pa.codes"), col("pa.norm"),
+          col("pb.codes"), col("pb.norm")).as("acos"))
       .groupBy("qid")
       .agg(org.apache.spark.sql.graft.TopKAgg.topK(
         col("acos"), col("vec_id"), k + SqRerankKeep).as("top"))
@@ -473,8 +510,8 @@ object ExtendedQueries {
     * over the cut sliver via vec_id equi-joins, then the byte-shared
     * e01 ranking + majority vote. */
   private def rerankAndVote(spark: SparkSession, e: DataFrame,
-      pool: DataFrame, k: Int, sqCut: Boolean): DataFrame = {
-    val cut = if (sqCut) sqCutPool(spark, e, pool, k) else pool
+      pool: DataFrame, k: Int, coded: Option[CodedTable]): DataFrame = {
+    val cut = coded.map(c => sqCutPool(spark, c, pool, k)).getOrElse(pool)
     val scored = cut
       .join(e.select(col("vec_id"), col("v"), col("nv")), "vec_id")
       .join(e.select(col("vec_id").as("qid"), col("v").as("pqv"),

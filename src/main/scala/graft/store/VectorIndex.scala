@@ -1203,13 +1203,17 @@ object VectorIndex {
     * every rung's row, cheapest-first, so the planner's evidence
     * ships with its answer.
     *
-    * Why a sample is honest here: recall is corpus-REGIME-dependent
-    * (the measured PQ 0.20-at-200k vs 1.00-at-2M lesson), but the
-    * density-scaled pools hold the pool/corpus FRACTION constant
-    * (n/[[graft.operators.Pq.PoolDensity]]) above the small-corpus
-    * floor, so a sample at the same fraction measures the same
-    * code-resolution question the full corpus poses — on the actual
-    * embedding geometry, not a synthetic stand-in. The panel is
+    * Why a sample is honest here — BY CONSTRUCTION, not assumption
+    * (the r14 review caught the assumption version): recall is
+    * corpus-REGIME-dependent AND pool-fraction-dependent. At full
+    * scale the density term (stream/[[graft.operators.Pq.PoolDensity]])
+    * sets the coded rungs' pool fraction, but on a small sample the
+    * rerank·k FLOOR would dominate and measure a more forgiving pool
+    * fraction than production serving (e.g. BQ's floor of 160 is
+    * 0.8% of a 20k sample while full-scale density is 0.39%). Each
+    * coded rung's rerank is therefore OVERRIDDEN so the sample pool
+    * matches the full-corpus pool FRACTION of its own scored stream
+    * (the IVFADC stream is its probed sliver). The panel is
     * hash-spread and seeding-independent (AnnPanel's bias note);
     * sampling uses a THIRD salt ("sample") so sample membership,
     * panel membership, and model seeds are three independent
@@ -1219,19 +1223,27 @@ object VectorIndex {
     * its lever is scan pruning (nProbe/nCells of the files), not
     * residency; its recall row prices that pruning.
     *
-    * Returns (recommendation — None when nothing meets both
+    * The pick requires meanRecall ≥ recallFloor AND minRecall ≥
+    * `minRecallFloor` (default 0 — opt-in): the panel exists because
+    * means hide worst-case query classes, so the worst-case dial is
+    * part of the contract, not a printout.
+    *
+    * Returns (recommendation — None when nothing meets the
     * constraints — and all rows cheapest-first). Driver cost: one
     * sample collect bounded by `sampleN`, plus the panel ladder on
     * the sample. */
   def recommendRung(spark: SparkSession, e: DataFrame,
       memoryBudgetBytes: Long, recallFloor: Double,
       sampleN: Int = 20000, panelN: Int = graft.operators.AnnPanel.PanelSize,
-      k: Int = 10): (Option[RungPlan], Seq[RungPlan]) = {
-    import graft.operators.AnnPanel
+      k: Int = 10, minRecallFloor: Double = 0.0): (Option[RungPlan], Seq[RungPlan]) = {
+    import graft.operators.{AnnPanel, Bq, IvfPq, Pq, Sq}
     require(recallFloor >= 0 && recallFloor <= 1,
       s"recallFloor must be in [0, 1], got $recallFloor")
+    require(minRecallFloor >= 0 && minRecallFloor <= 1,
+      s"minRecallFloor must be in [0, 1], got $minRecallFloor")
     val fullN = e.select("vec_id").count()
-    require(fullN > 0, "recommendRung: empty corpus")
+    require(fullN >= 2,
+      s"recommendRung: corpus of $fullN vectors has no non-self neighbours to rank")
     val sample = e.select(col("vec_id"), col("v"))
       .orderBy(xxhash64(lit("sample"), col("vec_id")), col("vec_id"))
       .limit(sampleN).cache()
@@ -1241,8 +1253,22 @@ object VectorIndex {
       val panel = AnnPanel.panelQueries(spark, sample,
         math.min(panelN.toLong, n).toInt)
       val truth = AnnPanel.bruteTruth(spark, sample, panel, k)
+      // pool-fraction matching (see scaladoc): rerank override so
+      // max(rerank·k, sampleStream/density) ≈ fullPool · (n/fullN)
+      def matchRerank(defaultRerank: Int, streamFull: Long): Int = {
+        val poolFull = math.max(defaultRerank.toLong * k,
+          streamFull / Pq.PoolDensity)
+        val poolSample = math.max(k.toLong,
+          math.round(poolFull.toDouble * n / fullN))
+        math.max(1, math.ceil(poolSample.toDouble / k).toInt)
+      }
+      val adcStreamFull = math.max(1L, fullN * IvfPq.Probe / IvfPq.Cells)
       val measured = AnnPanel.measureRungs(spark, sample, panel, truth,
-        k, dim, n, only = Set("ivf", "pq", "adc", "sq", "bq"))
+        k, dim, n, only = Set("ivf", "pq", "adc", "sq", "bq"),
+        rerankPq = matchRerank(Pq.Rerank, fullN),
+        rerankSq = matchRerank(Sq.Rerank, fullN),
+        rerankBq = matchRerank(Bq.Rerank, fullN),
+        rerankAdc = matchRerank(Pq.Rerank, adcStreamFull))
       val rows = (AnnPanel.RungRecall("v01 brute", s"${8 * dim} (full f64)",
         8 * dim + 8, 1.0, 1.0, Seq.fill(panel.length)(1.0)) +: measured)
         .map { r =>
@@ -1251,7 +1277,8 @@ object VectorIndex {
             resident <= memoryBudgetBytes, r.mean, r.min)
         }
         .sortBy(p => (p.bytesPerVec, p.rung))
-      val pick = rows.filter(p => p.fitsBudget && p.meanRecall >= recallFloor)
+      val pick = rows.filter(p => p.fitsBudget && p.meanRecall >= recallFloor &&
+          p.minRecall >= minRecallFloor)
         .sortBy(p => (p.bytesPerVec, -p.meanRecall, p.rung)).headOption
       (pick, rows)
     } finally sample.unpersist()

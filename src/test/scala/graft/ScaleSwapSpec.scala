@@ -225,12 +225,22 @@ class ScaleSwapSpec extends SparkSpec {
       (i.toLong, Array.tabulate(16)(j => math.sin(i * 2.3 + j * 1.1)), i % 4)
     }.toDF("vec_id", "v", "label")
       .withColumn("nv", normNative(col("v")))
-    val plan = physicalPlan(
-      ExtendedQueries.cellBlockedLazy(spark, planted, nProbe = 4))
-    assert(plan.contains("bit_count"), "popcount scoring missing")
-    assert(plan.contains("ObjectHashAggregate"), "TopKAgg partials missing")
-    assert(!plan.contains("CartesianProduct"), "cartesian in the blocked path")
-    assert(!plan.contains("BroadcastNestedLoopJoin"), "BNLJ in the blocked path")
+    val coded = ExtendedQueries.buildCodedTable(spark, planted)
+    try {
+      val plan = physicalPlan(
+        ExtendedQueries.cellBlockedLazy(spark, planted, nProbe = 4,
+          coded = Some(coded)))
+      assert(plan.contains("bit_count"), "popcount scoring missing")
+      assert(plan.contains("ObjectHashAggregate"), "TopKAgg partials missing")
+      assert(!plan.contains("CartesianProduct"), "cartesian in the blocked path")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), "BNLJ in the blocked path")
+      // the coded cut's two broadcast sides must both read the CACHED
+      // code table (the r14 review finding: un-cached, the full-corpus
+      // encode ran twice per call — typed-map exchanges cannot
+      // canonicalize equal, so the cache is the dedup)
+      assert(plan.contains("InMemoryTableScan"),
+        "sqCutPool's broadcasts must attach from the cached code table")
+    } finally coded.release()
   }
 
   test("e01c: on the near-random stress corpus the premise-failure number is pinned, coverage total (sf0.01)") {
