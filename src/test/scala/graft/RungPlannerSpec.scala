@@ -103,6 +103,28 @@ class RungPlannerSpec extends SparkSpec {
       "floor 0 must recommend the cheapest rung")
   }
 
+  test("recommendRung: minRecallFloor binds — a rung passing on mean is rejected on its worst panel query") {
+    import graft.functions.VectorFunctions.toDouble
+    // stress corpus, deterministic panel: BQ reads mean 0.88 / min
+    // 0.60 — with recallFloor 0.85 alone the cheap BQ wins; a
+    // minRecallFloor of 0.9 must reject it (worst-case query classes
+    // are the reason the panel exists) and push the pick to a rung
+    // whose MIN also clears.
+    val e = graft.sources.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val (pick, rows) = VectorIndex.recommendRung(spark, e,
+      memoryBudgetBytes = 1L << 30, recallFloor = 0.85, sampleN = 500,
+      minRecallFloor = 0.9)
+    assert(pick.isDefined, "SQ8/brute must satisfy both floors")
+    val p = pick.get
+    assert(p.meanRecall >= 0.85 && p.minRecall >= 0.9)
+    // some cheaper rung passed the mean floor but failed the min gate
+    // (otherwise this test isn't exercising the gate)
+    assert(rows.exists(r => r.bytesPerVec < p.bytesPerVec &&
+      r.fitsBudget && r.meanRecall >= 0.85 && r.minRecall < 0.9),
+      s"expected a mean-passing/min-failing cheaper rung; got ${rows}")
+  }
+
   test("recommendRung: stress corpus (sf0.01) — brute stays exact, SQ8 meets a 0.95 floor the 8-byte rungs may not") {
     val e = graft.sources.Tables.embeddings(spark, sf001)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
