@@ -20,12 +20,18 @@ object AgreeCheck {
     spark.sparkContext.setLogLevel("ERROR")
     val e = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+    // second arg "shuffle" times the coded cut's co-partitioned
+    // id-join route (broadcastMaxBytes = 0 — the r15 route's
+    // crossover measurement); default times the broadcast route.
+    val bcMax = if (args.lift(1).contains("shuffle")) 0L
+                else ExtendedQueries.SqCutBroadcastMaxBytes
     def preds(sqCut: Boolean) = {
       val t0 = System.nanoTime()
-      val p = ExtendedQueries.knnClassifyCellBlocked(spark, e, sqRerank = sqCut)
+      val p = ExtendedQueries.knnClassifyCellBlocked(spark, e,
+          sqRerank = sqCut, sqCutMin = 0L, sqCutBroadcastMax = bcMax)
         .select(col("vec_id"), col("pred_label"))
       val out = p.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
-      System.err.println(f"[agree] sqCut=$sqCut: ${out.size} predictions in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      System.err.println(f"[agree] sqCut=$sqCut bcMax=$bcMax: ${out.size} predictions in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       out
     }
     val cut = preds(sqCut = true)

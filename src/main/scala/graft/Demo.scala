@@ -240,6 +240,16 @@ object Demo {
         f"[demo] rung ${p.rung}%-12s ${p.bytesPerVec}%4d B/vec resident=${p.residentBytes}%8d " +
         f"fits=${p.fitsBudget} recall mean=${p.meanRecall}%.2f min=${p.minRecall}%.2f"))
       println(s"[demo] recommendRung(1 GiB, floor 0.9) -> ${pick.map(_.rung).getOrElse("NONE")}")
+      // the dir form (VERDICT r14 #8): plan where the artifacts live,
+      // persist the evidence beside them, read it back like a console
+      val idx = java.nio.file.Files.createTempDirectory("demo-rungplan").toString
+      graft.store.VectorIndex.buildIvf(spark, emb, idx)
+      val (dirPick, _) = graft.store.VectorIndex.recommendRung(spark, idx,
+        memoryBudgetBytes = 1L << 30, recallFloor = 0.9)
+      val persisted = graft.store.VectorIndex.loadRungPlan(spark, idx)
+        .filter(col("recommended")).select("rung").collect().map(_.getString(0))
+      println(s"[demo] recommendRung(dir) -> ${dirPick.map(_.rung).getOrElse("NONE")}; " +
+        s"persisted rung_plan flags ${persisted.mkString(",")}")
     }
 
     val story = fullStory(spark, dir)

@@ -80,12 +80,13 @@ object Explain {
       "e05_centroid_classify" ->
         Seq("!BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin",
           "!BroadcastHashJoin", "dotproduct"),
-      // e01b (r10 BQ re-base): candidate scoring must be the
-      // codegen'd xor+popcount over the signature longs, pooled by
-      // the map-side TopKAgg partial — no LSH table explosion, no
-      // cartesian
-      "e01b_knn_classify_ann" ->
-        Seq("bit_count", "qsig", "ObjectHashAggregate", "!CartesianProduct"),
+      // e01b (r15 eager re-base, the e01c convention): the entry now
+      // scopes its corpus/coded caches and pins its O(n) rows
+      // executor-side, so the audited outer plan is the checkpoint's
+      // RDD scan; the signature-pass shape (codegen'd xor+popcount,
+      // TopKAgg partials, no cartesian) is pinned by ScaleSwapSpec
+      // on the inner (lazy) plan
+      "e01b_knn_classify_ann" -> Seq("Scan ExistingRDD", "!LocalTableScan"),
       // e01c: the entry's O(corpus) rows are pinned EXECUTOR-side
       // (localCheckpoint — cache-release without a driver collect),
       // so the audited outer plan is the checkpoint's RDD scan, NOT a

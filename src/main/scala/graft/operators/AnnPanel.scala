@@ -103,11 +103,21 @@ object AnnPanel {
     // the table's absent row shows it.
     val envSkip = sys.env.get("LADDER_SKIP")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    if (want("lsh") && envSkip("lsh"))
+    // the v05 guard (VERDICT r14 #7) now REFUSES the regime the
+    // ladder used to need LADDER_SKIP for — report the refusal as
+    // the rung's result instead of dying mid-ladder
+    val lshRefused =
+      n / (1L << VectorQueries.LshBits) > VectorQueries.V05MaxBucketOccupancy
+    if (want("lsh") && lshRefused)
+      System.err.println(s"[panel] LSH rung refused by the v05 occupancy " +
+        s"guard at n=$n (occupancy ${n / (1L << VectorQueries.LshBits)} > " +
+        s"${VectorQueries.V05MaxBucketOccupancy}) — the rung fails fast " +
+        "naming v07/v13; the scale rungs are IVF/v15")
+    if (want("lsh") && !lshRefused && envSkip("lsh"))
       System.err.println(s"[panel] LSH rung skipped by LADDER_SKIP at n=$n: " +
         s"~${n * VectorQueries.LshTables / (1L << VectorQueries.LshBits)} candidates/query " +
         "— near-brute cost on this corpus; the scale rungs are IVF/v15")
-    if (want("lsh") && !envSkip("lsh"))
+    if (want("lsh") && !lshRefused && !envSkip("lsh"))
       out += summarize("v05 LSH", s"${8 * dim} on candidate sliver", fullBytes,
         truth, panel.map { case (qid, _) =>
           qid -> ids(VectorQueries.annLsh(e, qid, k))

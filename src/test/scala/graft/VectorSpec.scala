@@ -79,6 +79,26 @@ class VectorSpec extends SparkSpec {
     assert(Pq.scaledPool(0L, 3, 4) == 12)
   }
 
+  test("v05: the occupancy regime bound is ENFORCED — fails fast above it naming v07/v13, runs at it") {
+    // VERDICT r14 #7: the 2M panel skipped v05 at ~10^6 candidates/
+    // query with nothing refusing — the same unguarded-regime smell
+    // v08 had before its fail-fast.
+    import graft.functions.VectorFunctions.toDouble
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val n = e.count() // 100 vectors / 2^4 buckets = 6 occupancy
+    val ex = intercept[IllegalArgumentException] {
+      VectorQueries.annLsh(e, queryVecId = 0, k = 10,
+        maxOccupancy = n / 16 - 1)
+    }
+    assert(ex.getMessage.contains("annIvf") && ex.getMessage.contains("annSq"),
+      s"guard must name the rungs that hold at scale, got: ${ex.getMessage}")
+    assert(ex.getMessage.contains(n.toString), "guard must report the corpus size")
+    val ok = VectorQueries.annLsh(e, queryVecId = 0, k = 10,
+      maxOccupancy = n / 16)
+    assert(ok.count() == 10, "at the bound the query must still answer")
+  }
+
   test("LSH buckets are deterministic across invocations") {
     val a = VectorQueries.v05AnnLsh(spark, sf0001).collect().toSeq
     val b = VectorQueries.v05AnnLsh(spark, sf0001).collect().toSeq
