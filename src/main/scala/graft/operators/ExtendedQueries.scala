@@ -258,6 +258,18 @@ object ExtendedQueries {
     * √nCells distances instead of nCells. */
   val E01cCoarseProbe = 4
 
+  /** Cell-size CAP for the cell-blocked fits (VERDICT r14 #3 — the
+    * clustered hot-cell wall): cells above this many members split
+    * recursively at build (KMeans.splitOversized) so a probe scans
+    * at most ~cap vectors however dense the hottest cluster is. 2×
+    * the 250-member target: tight enough to bound the measured
+    * hot-cell premium (clustered-2M e01c 688 s vs 284 s stress —
+    * probe frequency and cell size BOTH rise with density, the
+    * quadratic the cap cuts), loose enough that every sf-scale test
+    * corpus (≤ ~64k vectors, cells ≤ a few hundred) never splits and
+    * keeps its pinned plans/bands byte-identical. */
+  val E01cCellCap = 500
+
   /** e01c: the COMPOSITION RUNG e01b's scaladoc names — coarse-cell
     * pruning first, the BQ signature pass within probed cells. The
     * sf1.0 gate measured why it exists: e01b's one-popcount-per-pair
@@ -336,7 +348,8 @@ object ExtendedQueries {
       poolSize: Int = E01bPool,
       sqRerank: Boolean = true,
       sqCutMin: Long = SqCutMinVectors,
-      sqCutBroadcastMax: Long = SqCutBroadcastMaxBytes): DataFrame = {
+      sqCutBroadcastMax: Long = SqCutBroadcastMaxBytes,
+      cellCap: Int = E01cCellCap): DataFrame = {
     val e = e0
       .withColumn("nv", normNative(col("v")))
       .repartition(spark.sparkContext.defaultParallelism)
@@ -353,7 +366,8 @@ object ExtendedQueries {
         Some(buildCodedTable(spark, e, n)
           .copy(broadcastMaxBytes = sqCutBroadcastMax))
         else None
-      try cellBlockedLazy(spark, e, nProbe, twoLevelCells, poolSize, coded, n)
+      try cellBlockedLazy(spark, e, nProbe, twoLevelCells, poolSize, coded, n,
+          cellCap)
         .localCheckpoint(true)
       finally coded.foreach(_.release())
     } finally e.unpersist()
@@ -372,7 +386,8 @@ object ExtendedQueries {
       twoLevelCells: Int = E01cTwoLevelCells,
       poolSize: Int = E01bPool,
       coded: Option[CodedTable] = None,
-      knownN: Long = -1L): DataFrame = {
+      knownN: Long = -1L,
+      cellCap: Int = E01cCellCap): DataFrame = {
     import spark.implicits._
     {
       val n = if (knownN >= 0) knownN else e.count()
@@ -380,17 +395,16 @@ object ExtendedQueries {
       // scale routing: above the threshold the model comes from the
       // two-level quantizer and probing is coarse-first; below it
       // the flat fit + full-model probe (coarse = null) are the
-      // byte-identical small-corpus path.
-      val (assigned, centroids, coarse) =
-        if (nCells >= twoLevelCells) {
-          val (a, flat, c) = graft.operators.KMeans.fitTwoLevel(
-            spark, e.select(col("vec_id"), col("v")), nCells, 2)
-          (a, flat, c)
-        } else {
-          val (a, cs, _) = graft.operators.KMeans.fit(
-            spark, e.select(col("vec_id"), col("v")), nCells, 2, trackInertia = false)
-          (a, cs, null: Array[Array[Double]])
-        }
+      // byte-identical small-corpus path. Either way the model then
+      // passes the CELL-SIZE CAP (KMeans.splitOversized — VERDICT
+      // r14 #3): hot cells split to ≤ ~E01cCellCap members so probe
+      // cost is bounded by the cap, not the densest cluster; corpora
+      // whose cells all fit (every sf-scale corpus) come back
+      // untouched, keeping the pinned stress band byte-identical.
+      val model = graft.operators.KMeans.fitCells(
+        spark, e.select(col("vec_id"), col("v")), nCells, 2,
+        twoLevelCells, cellCap, E01cCellTarget)
+      val assigned = model.assign
       val means = Bq.train(spark, e)
       val enc = Bq.encode(spark, e, means).join(assigned, "vec_id")
       // per-query probe cells via the ONE shared coarse-first kernel
@@ -399,8 +413,8 @@ object ExtendedQueries {
       // n × nProbe narrow (qid, cluster) rows out; two-level
       // per-query distance count k1 + coarseProbe·k2, not nCells.
       val probes = graft.operators.KMeans.probeCells(spark,
-        e.select(col("vec_id"), col("v")), centroids, coarse,
-        nProbe, E01cCoarseProbe)
+        e.select(col("vec_id"), col("v")), model.centroids, model.coarse,
+        nProbe, E01cCoarseProbe, model.children)
       // the signature pass, cell-bounded: each corpus vector sits in
       // exactly ONE cell and probe cells are distinct, so candidate
       // pairs are duplicate-free by construction — no distinct.

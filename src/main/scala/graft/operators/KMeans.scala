@@ -49,8 +49,14 @@ object KMeans {
     * float-rounding of |v−c|² vs c²−2v·c can differ at the last ulp,
     * which is a TRAINING-trajectory detail (the frozen-model serving
     * rule is nearestIndex everywhere); below the threshold the
-    * literal path runs byte-identically to every prior round. */
-  val FitExprMaxK = 64
+    * literal path runs byte-identically to every prior round.
+    * Was 64 through r15 (the historical-trajectory pin); the r15
+    * ADVICE re-based it to 32 so the hot k=64 fits (e01c's flat-
+    * routing maximum, the ladder's 64-cell sweep point — the
+    * measured 138.7 s/200k janino wall) take the fast path. The
+    * shipped sf-scale entries fit k ≤ 8 cells (untouched); the
+    * 33–64 band's trajectories shift by ulp-level rounding only. */
+  val FitExprMaxK = 32
 
   def fit(spark: SparkSession, emb: DataFrame, k: Int, iters: Int,
       trackInertia: Boolean = true, spreadSeed: Boolean = true)
@@ -175,13 +181,44 @@ object KMeans {
     best
   }
 
-  /** Squared L2 distance — the one metric kernel [[nearestIndex]]
-    * and [[probeCells]] share. */
-  private def sqDist(v: Array[Double], c: Array[Double]): Double = {
+  /** Squared L2 distance — the one metric kernel [[nearestIndex]],
+    * [[probeCells]] and v15's bounded re-probe share. */
+  private[graft] def sqDist(v: Array[Double], c: Array[Double]): Double = {
     var d = 0.0; var j = 0
     while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
     d
   }
+
+  /** The uniform contiguous group→children index fitTwoLevel's flat
+    * id space implies (group g owns cells g·k2 until (g+1)·k2) —
+    * what every caller probed with before cell splitting made the
+    * layout explicit. `null` coarse (flat model) has no groups. */
+  private[graft] def uniformChildren(nFlat: Int,
+      coarse: Array[Array[Double]]): Array[Array[Int]] =
+    if (coarse == null) null
+    else {
+      val k2 = nFlat / coarse.length
+      Array.tabulate(coarse.length)(g =>
+        Array.range(g * k2, math.min((g + 1) * k2, nFlat)))
+    }
+
+  /** The candidate cells a query may probe — THE one definition the
+    * probe ([[probeCells]]) and v15's bounded re-probe both use, so
+    * "which cells were reachable" can never drift between round one
+    * and the re-probe round. Flat model (coarse == null): every
+    * cell. Two-level: the `coarseProbe` nearest groups' children per
+    * the EXPLICIT children index (uniform before any split; split
+    * cells stay listed under their parent's group). */
+  private[graft] def candidateCells(v: Array[Double],
+      cs: Array[Array[Double]], coarse: Array[Array[Double]],
+      children: Array[Array[Int]], coarseProbe: Int): Array[Int] =
+    if (coarse == null) Array.range(0, cs.length)
+    else {
+      val gds = new Array[(Double, Int)](coarse.length)
+      var g = 0
+      while (g < coarse.length) { gds(g) = (sqDist(v, coarse(g)), g); g += 1 }
+      gds.sortBy(_._1).take(coarseProbe).flatMap { case (_, grp) => children(grp) }
+    }
 
   /** Coarse-first probe-cell selection — THE shared probe kernel for
     * every cell-blocked batch path (e01c's knnClassifyCellBlocked and
@@ -190,32 +227,26 @@ object KMeans {
     * paths). For each query row (id, v): with `coarse == null` every
     * centroid is ranked (the flat small-corpus path, byte-identical
     * to the pre-two-level rounds); otherwise only the `coarseProbe`
-    * nearest coarse groups' children are ranked — k1 + coarseProbe·k2
+    * nearest coarse groups' children (per the explicit `children`
+    * index — see [[CellModel]]) are ranked — k1 + coarseProbe·k2
     * ≈ (1+coarseProbe)·√nCells distances per query instead of nCells.
     * Emits the `nProbe` nearest cells as narrow (qid, cluster) rows
     * against the broadcast model (the assignResiduals convention). */
   private[graft] def probeCells(spark: SparkSession, queries: DataFrame,
       centroids: Array[Array[Double]], coarse: Array[Array[Double]],
-      nProbe: Int, coarseProbe: Int): DataFrame = {
+      nProbe: Int, coarseProbe: Int,
+      children: Array[Array[Int]] = null): DataFrame = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(centroids)
     val bcCoarse = spark.sparkContext.broadcast(coarse)
+    val bcChildren = spark.sparkContext.broadcast(
+      if (children != null) children
+      else uniformChildren(centroids.length, coarse))
     queries.as[(Long, Array[Double])]
       .flatMap { case (id, v) =>
         val cs = bc.value
-        val cg = bcCoarse.value
-        val cand: Array[Int] =
-          if (cg == null) Array.range(0, cs.length)
-          else {
-            val k2 = cs.length / cg.length
-            val gds = new Array[(Double, Int)](cg.length)
-            var g = 0
-            while (g < cg.length) { gds(g) = (sqDist(v, cg(g)), g); g += 1 }
-            gds.sortBy(_._1).take(coarseProbe)
-              .flatMap { case (_, grp) =>
-                grp * k2 until math.min((grp + 1) * k2, cs.length)
-              }
-          }
+        val cand = candidateCells(v, cs, bcCoarse.value, bcChildren.value,
+          coarseProbe)
         val ds = new Array[(Double, Int)](cand.length)
         var i = 0
         while (i < cand.length) {
@@ -299,6 +330,188 @@ object KMeans {
         (pinned, flat, coarse)
       } finally withCoarse.unpersist()
     } finally e.unpersist()
+  }
+
+  /** A fitted cell model for the cell-blocked batch kernels (e01c /
+    * v15): flat assignment + centroids, the optional coarse level
+    * (null = flat probe), and the EXPLICIT group→children index
+    * (null when coarse is null) that [[probeCells]] and the v15
+    * re-probe route through — uniform g·k2 blocks straight out of
+    * [[fitTwoLevel]], extended in place by [[splitOversized]] when a
+    * hot cell splits (children stay under their parent's group, so
+    * the coarse-first probe reaches them without re-fitting level 1). */
+  private[graft] final case class CellModel(assign: DataFrame,
+      centroids: Array[Array[Double]], coarse: Array[Array[Double]],
+      children: Array[Array[Int]])
+
+  /** Hot cells split into ceil(members/target) children, but never
+    * more: a degenerate fit that dumped the corpus into one cell
+    * must not demand a million-child sub-fit in one round (the next
+    * round splits the still-hot children recursively). */
+  val SplitMaxChildren = 256
+
+  /** Split rounds before [[splitOversized]] stops chasing stragglers:
+    * each round splits at target granularity, so 3 rounds bound the
+    * residual at cap·(cap/target)⁻ᵏ — in practice one round clears
+    * real corpora and round 2 the Lloyd's-collapse stragglers. */
+  val SplitMaxRounds = 3
+
+  /** THE routed fit for the cell-blocked batch entries — flat below
+    * `twoLevelCells` (byte-identical to every prior round), two-level
+    * above (the r13 scale routing), then [[splitOversized]] caps
+    * member counts at `cellCap`. Callers probe via [[probeCells]]
+    * with the model's children index. */
+  private[graft] def fitCells(spark: SparkSession, emb: DataFrame,
+      nCells: Int, iters: Int, twoLevelCells: Int,
+      cellCap: Int, cellTarget: Int): CellModel = {
+    val base =
+      if (nCells >= twoLevelCells) {
+        val (a, flat, c) = fitTwoLevel(spark, emb, nCells, iters)
+        CellModel(a, flat, c, uniformChildren(flat.length, c))
+      } else {
+        val (a, cs, _) = fit(spark, emb, nCells, iters, trackInertia = false)
+        CellModel(a, cs, null, null)
+      }
+    if (cellCap <= 0) base
+    else splitOversized(spark, emb, base, cellCap, cellTarget, iters)
+  }
+
+  /** CELL-SIZE CAP (VERDICT r14 #3 — the clustered hot-cell wall):
+    * nCells ∝ n makes cells AVERAGE `target` members, but on real
+    * (clustered) corpora k-means concentrates mass — a cell that
+    * captures several dense clusters holds thousands of members, and
+    * since probe frequency rises with the same density, hot cells
+    * are probed MOST exactly where scans are LONGEST (the measured
+    * 2.4× clustered-vs-stress premium at 2M: 688 vs 284 s). This
+    * post-pass bounds probe cost by the CAP, not by the hottest
+    * cluster's density: any cell above `cap` members splits into
+    * ceil(members/target) children via one keyed Lloyd's pass over
+    * ALL hot cells simultaneously (fitTwoLevel's level-2 machinery:
+    * per-cell hash-spread seeds, broadcast child model, typed-map
+    * argmin, (cell, sub, dim)-keyed centroid agg — never a
+    * per-cell driver loop), recursively up to [[SplitMaxRounds]].
+    * Child 0 reuses the parent's flat id (its centroid moves);
+    * children 1.. append new flat ids REGISTERED UNDER THE PARENT'S
+    * COARSE GROUP, so the coarse-first probe reaches split cells
+    * without touching level 1. Corpora whose cells all fit under
+    * `cap` (every sf-scale test corpus) return the input model
+    * UNTOUCHED — plans, trajectories and pinned bands stay
+    * byte-identical below the decade scales. */
+  private[graft] def splitOversized(spark: SparkSession, emb: DataFrame,
+      model: CellModel, cap: Int, target: Int, iters: Int,
+      maxRounds: Int = SplitMaxRounds): CellModel = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    require(cap >= target, s"splitOversized wants cap >= target, got $cap < $target")
+    var cur = model
+    var round = 0
+    var stable = false
+    while (round < maxRounds && !stable) {
+      val hot = cur.assign.groupBy("cluster")
+        .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+        .as[(Int, Long)].collect().sortBy(_._1) // ≤ nCells rows
+      if (hot.isEmpty) stable = true
+      else {
+        val kSub: Map[Int, Int] = hot.map { case (c, n) =>
+          c -> math.min(SplitMaxChildren,
+            math.max(2, math.ceil(n.toDouble / target).toInt))
+        }.toMap
+        val hotIds = hot.map(_._1)
+        val members = emb.select(col("vec_id"), col("v"))
+          .join(cur.assign.filter(col("cluster").isin(hotIds: _*)), "vec_id")
+          .select(col("vec_id"), col("v"), col("cluster"))
+          .as[(Long, Array[Double], Int)].cache()
+        try {
+          // per-hot-cell hash-spread seeds (the fitTwoLevel child
+          // convention): one window over the hot slice, never a sort
+          val maxK = kSub.values.max
+          val seeds = members.toDF("vec_id", "v", "cluster")
+            .withColumn("rk", row_number().over(
+              Window.partitionBy("cluster")
+                .orderBy(xxhash64(col("vec_id")), col("vec_id"))))
+            .filter(col("rk") <= maxK)
+            .select(col("cluster"), (col("rk") - 1).cast("int").as("sub"), col("v"))
+            .as[(Int, Int, Array[Double])].collect() // ≤ hot·maxK rows
+            .filter { case (c, s, _) => s < kSub(c) }
+          val seedsByCell = seeds.groupBy(_._1)
+          var children: Map[Int, Array[Array[Double]]] = kSub.map {
+            case (c, ks) =>
+              // a hot cell has > cap ≥ target members, so ks real
+              // seeds always exist — the pad arm is only the guard
+              val got = seedsByCell.getOrElse(c, Array.empty).sortBy(_._2).map(_._3)
+              c -> (got ++ Array.fill(ks - got.length)(cur.centroids(c)))
+          }
+          def assignSub(cs: Map[Int, Array[Array[Double]]]) = {
+            val bc = spark.sparkContext.broadcast(cs)
+            members.map { case (id, v, c) =>
+              (id, c, nearestIndex(v, bc.value(c)), v)
+            }
+          }
+          for (_ <- 0 until iters) {
+            val sums = assignSub(children).toDF("vec_id", "cell", "sub", "v")
+              .select(col("cell"), col("sub"), posexplode(col("v")).as(Seq("dim", "x")))
+              .groupBy("cell", "sub", "dim")
+              .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+              .collect() // ≤ Σ kSub · dim rows only
+            val byCS = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+            children = children.map { case (c, cs0) =>
+              c -> Array.tabulate(cs0.length) { s =>
+                byCS.get((c, s)) match {
+                  case Some(rows) =>
+                    rows.sortBy(_.getInt(2)).map(r => r.getDouble(3) / r.getLong(4))
+                  case None => cs0(s) // empty child keeps its seed
+                }
+              }
+            }
+          }
+          // flat-id allocation: child 0 reuses the parent slot,
+          // children 1.. append (deterministic: parents in id order)
+          var nextId = cur.centroids.length
+          val newIds = scala.collection.mutable.Map.empty[Int, Array[Int]]
+          hotIds.foreach { c =>
+            newIds(c) = Array.tabulate(kSub(c)) { s =>
+              if (s == 0) c else { val id = nextId; nextId += 1; id }
+            }
+          }
+          val newCentroids = new Array[Array[Double]](nextId)
+          cur.centroids.copyToArray(newCentroids)
+          hotIds.foreach { c =>
+            val ids = newIds(c)
+            children(c).zipWithIndex.foreach { case (cc, s) =>
+              newCentroids(ids(s)) = cc
+            }
+          }
+          val newChildren =
+            if (cur.children == null) null
+            else {
+              val groupOf = cur.children.zipWithIndex.flatMap {
+                case (cs, g) => cs.map(_ -> g)
+              }.toMap
+              val grown = cur.children.map(
+                scala.collection.mutable.ArrayBuffer.from(_))
+              hotIds.foreach { c =>
+                newIds(c).drop(1).foreach(grown(groupOf(c)) += _)
+              }
+              grown.map(_.toArray)
+            }
+          val bcModel = spark.sparkContext.broadcast(children)
+          val bcIds = spark.sparkContext.broadcast(newIds.toMap)
+          val reassigned = members.map { case (id, v, c) =>
+            (id, bcIds.value(c)(nearestIndex(v, bcModel.value(c))))
+          }.toDF("vec_id", "cluster")
+          // pin each round's assignment so rounds don't stack lazy
+          // union/typed-map lineage over the scoped caches (the
+          // fitTwoLevel convention)
+          val newAssign = cur.assign
+            .filter(!col("cluster").isin(hotIds: _*))
+            .unionAll(reassigned)
+            .localCheckpoint(true)
+          cur = CellModel(newAssign, newCentroids, cur.coarse, newChildren)
+        } finally members.unpersist()
+      }
+      round += 1
+    }
+    cur
   }
 
   /** e02 query entry (*rows-only*; KMeansSpec asserts convergence). */

@@ -487,6 +487,26 @@ object VectorQueries {
   val V15Probe = 4
   val V15TwoLevelCells = 64
 
+  /** v15 cell-size cap — shared rationale with
+    * [[graft.operators.ExtendedQueries.E01cCellCap]] (VERDICT r14
+    * #3): bound probe cost by the cap, not the densest cluster. */
+  val V15CellCap = 500
+
+  /** Re-probe budget for v15's BOUNDED ADAPTIVE TOP-UP (VERDICT r14
+    * #2 — the clustered-2M min-recall 0.00 miss): after the fixed
+    * nProbe pool, each query re-probes up to this many additional
+    * candidate cells, chosen as the best cells by per-cell cosine
+    * UPPER BOUND (q̂·ĉ + r̂ — annIvfAdaptive's bound, batched) among
+    * those that could still beat its pooled k-th. On clustered
+    * corpora the bound is tight, so almost every query re-probes
+    * ZERO cells while the straddle query re-probes exactly the cell
+    * it missed; on near-random corpora the bound is loose and every
+    * query pays the full budget — the cap is what keeps the stress
+    * decade at ≤ (1 + budget/nProbe)× the fixed-probe work instead
+    * of degenerating to brute force. 0 disables (the fixed-dial
+    * measurement baseline the band specs pin). */
+  val V15ReprobeMax = 4
+
   /** v15: IVF-CELL-BLOCKED batch k-NN — v08's semantics (every
     * label-0 vector gets its top-k neighbours) with the LSH blocking
     * replaced by the e01c cell blocking, because the LSH dial is
@@ -521,7 +541,9 @@ object VectorQueries {
     * of holding the returned handle. */
   def knnBatchIvf(spark: SparkSession, e0: DataFrame, k: Int,
       nProbe: Int = V15Probe,
-      twoLevelCells: Int = V15TwoLevelCells): DataFrame = {
+      twoLevelCells: Int = V15TwoLevelCells,
+      reprobeMax: Int = V15ReprobeMax,
+      cellCap: Int = V15CellCap): DataFrame = {
     import e0.sparkSession.implicits._
     val spark = e0.sparkSession
     val e = e0.withColumn("nv", normNative(col("v")))
@@ -530,24 +552,15 @@ object VectorQueries {
     try {
       val n = e.count()
       val nCells = math.max(8, (n / V15CellTarget).toInt)
-      val (assigned, centroids, coarse) =
-        if (nCells >= twoLevelCells) {
-          val (a, flat, c) = KMeans.fitTwoLevel(
-            spark, e.select(col("vec_id"), col("v")), nCells, 2)
-          (a, flat, c)
-        } else {
-          val (a, cs, _) = KMeans.fit(
-            spark, e.select(col("vec_id"), col("v")), nCells, 2,
-            trackInertia = false)
-          (a, cs, null: Array[Array[Double]])
-        }
+      val model = KMeans.fitCells(spark, e.select(col("vec_id"), col("v")),
+        nCells, 2, twoLevelCells, cellCap, V15CellTarget)
       // queries × k rows out — the cache-release contract pins them
       // EXECUTOR-side (localCheckpoint cuts the lineage off the
       // scoped cache as executor blocks; the d07/h16 precedent), not
       // with a driver collect() that would OOM at the 100 TB target.
       // Plan-shape audit lives on knnBatchIvfLazy (the checkpoint
       // truncates the visible plan to its RDD scan).
-      batchIvfPlan(spark, e, assigned, centroids, coarse, k, nProbe)
+      batchIvfPlan(spark, e, model, k, nProbe, reprobeMax)
         .orderBy("query_id", "rk")
         .localCheckpoint(true)
     } finally e.unpersist()
@@ -558,42 +571,104 @@ object VectorQueries {
     * convention): the entry's driver-side pin hides the shape behind
     * a LocalTableScan. */
   private[graft] def knnBatchIvfLazy(spark: SparkSession,
-      e: DataFrame, k: Int, nProbe: Int = V15Probe): DataFrame = {
+      e: DataFrame, k: Int, nProbe: Int = V15Probe,
+      reprobeMax: Int = V15ReprobeMax): DataFrame = {
     val n = e.count()
     val nCells = math.max(8, (n / V15CellTarget).toInt)
-    val (assigned, centroids, _) = KMeans.fit(
-      spark, e.select(col("vec_id"), col("v")), nCells, 2, trackInertia = false)
-    batchIvfPlan(spark, e, assigned, centroids,
-      null: Array[Array[Double]], k, nProbe)
+    val model = KMeans.fitCells(spark, e.select(col("vec_id"), col("v")),
+      nCells, 2, twoLevelCells = Int.MaxValue, V15CellCap, V15CellTarget)
+    batchIvfPlan(spark, e, model, k, nProbe, reprobeMax)
   }
+
+  /** Per-cell cosine-bound stats over the IN-ENTRY fit — the batched
+    * twin of VectorIndex.buildCellBounds (same math, same soundness
+    * argument): for cell c, the mean ĉ of its NORMALIZED members and
+    * the max residual radius r̂, so for any member x and unit query
+    * q̂: cos(q, x) ≤ q̂·ĉ + r̂. Memberless cells get radius −∞ (they
+    * can contribute nothing, so the re-probe must never pick them).
+    * Two keyed passes over the cached corpus; driver state is
+    * nCells × (dim + 1) doubles. */
+  private[graft] def cellBoundStats(spark: SparkSession, e: DataFrame,
+      assign: DataFrame, nCellsFlat: Int)
+      : (Array[Array[Double]], Array[Double]) = {
+    import spark.implicits._
+    val xh = e.select(col("vec_id"),
+        when(col("nv") > 0, transform(col("v"), x => x / col("nv")))
+          .otherwise(col("v")).as("xhat"))
+      .join(assign, "vec_id")
+      .select(col("cluster"), col("xhat"))
+      .as[(Int, Array[Double])].cache()
+    try {
+      val meanRows = xh.toDF("cluster", "xhat")
+        .select(col("cluster"), posexplode(col("xhat")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim").agg(avg("x").as("m"))
+        .collect() // nCells × dim rows only
+      val means = new Array[Array[Double]](nCellsFlat)
+      meanRows.groupBy(_.getInt(0)).foreach { case (c, rows) =>
+        val m = new Array[Double](rows.map(_.getInt(1)).max + 1)
+        rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+        means(c) = m
+      }
+      val radii = Array.fill(nCellsFlat)(Double.NegativeInfinity)
+      val bcM = spark.sparkContext.broadcast(means)
+      xh.map { case (c, x) =>
+          val m = bcM.value(c)
+          var d = 0.0; var j = 0
+          while (j < m.length) { val t = x(j) - m(j); d += t * t; j += 1 }
+          (c, math.sqrt(d))
+        }.toDF("cluster", "d")
+        .groupBy("cluster").agg(max("d").as("r"))
+        .as[(Int, Double)].collect() // nCells rows only
+        .foreach { case (c, r) => radii(c) = r }
+      (means, radii)
+    } finally xh.unpersist()
+  }
+
+  /** Margin under the pooled k-th below which a cell's upper bound
+    * must fall before the re-probe skips it: the final ordering
+    * rounds to 6 decimals with vec_id tie-break, so a bound within
+    * 1e-6 of θk could still round-tie into the top-k. */
+  private val ReprobeMargin = 1e-6
 
   /** The shared v15 plan body: coarse-first probe (coarse == null →
     * full-model probe), exact cosine inside probed cells only
-    * (probe × cellTarget candidates per query, never all-pairs),
-    * TopKAgg partials, round-6 re-rank. */
+    * (probe × cellCap candidates per query, never all-pairs),
+    * TopKAgg partials, then — with `reprobeMax > 0` — the BOUNDED
+    * ADAPTIVE TOP-UP (VERDICT r14 #2): each query's pooled k-th
+    * cosine θk joins back to its vector, the shared candidate-cell
+    * rule re-derives which cells it COULD have probed, and the
+    * unprobed ones whose bound q̂·ĉ + r̂ ≥ θk − margin re-probe in
+    * bound order up to the budget — one extra keyed join round, the
+    * batched form of annIvfAdaptive's loop. A query whose pool
+    * already provably dominates every unprobed cell (the clustered
+    * common case) re-probes nothing; the straddle query re-probes
+    * exactly the cell it missed. Final round-6 re-rank over the
+    * union. reprobeMax = 0 is the fixed-dial baseline plan,
+    * byte-identical to r14. */
   private def batchIvfPlan(spark: SparkSession, e: DataFrame,
-      assigned: DataFrame, centroids: Array[Array[Double]],
-      coarse: Array[Array[Double]], k: Int, nProbe: Int): DataFrame = {
+      model: KMeans.CellModel, k: Int, nProbe: Int,
+      reprobeMax: Int): DataFrame = {
     import spark.implicits._
+    val coarseProbe = graft.operators.ExtendedQueries.E01cCoarseProbe
     val corpusCells = e.select(col("vec_id"), col("v"), col("nv"))
-      .join(assigned, "vec_id")
+      .join(model.assign, "vec_id")
+    val queries = e.filter(col("label") === 0).select(col("vec_id"), col("v"))
     // per-query probe cells via the ONE shared coarse-first kernel
     // (KMeans.probeCells — also e01c's) so the two-level probe rule
     // cannot drift between the batch paths.
-    val probes = KMeans.probeCells(spark,
-        e.filter(col("label") === 0).select(col("vec_id"), col("v")),
-        centroids, coarse, nProbe,
-        graft.operators.ExtendedQueries.E01cCoarseProbe)
+    val probes = KMeans.probeCells(spark, queries,
+        model.centroids, model.coarse, nProbe, coarseProbe, model.children)
       .withColumnRenamed("qid", "query_id")
-    val scored = probes
-      .join(e.select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nv").as("nq")), "query_id")
+    val qPayload = e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("nv").as("nq"))
+    def scoreCells(cellPairs: DataFrame): DataFrame = cellPairs
+      .join(qPayload, "query_id")
       .join(corpusCells, "cluster")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"),
         cosinePreRaw(col("v"), col("qv"), col("nv"), col("nq")).as("rawcos"),
         col("vec_id"))
-    val byCos = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    val scored = scoreCells(probes)
     // qid-repartition before the pool agg: bounds the agg map and
     // any sort fallback to a partition's slice of the pair stream
     // (see poolAggPartitions). BIG-decade lever only — when the
@@ -602,13 +677,78 @@ object VectorQueries {
     // is pure overhead (measured +23 s at 200k).
     val poolParts = poolAggPartitions(
       spark, e.filter(col("label") === 0).count(), V15PoolQidsPerPartition)
-    val preAgg =
-      if (poolParts > spark.sparkContext.defaultParallelism)
-        scored.repartition(poolParts, col("query_id"))
-      else scored
-    preAgg
-      .groupBy("query_id")
-      .agg(org.apache.spark.sql.graft.TopKAgg.topK(col("rawcos"), col("vec_id"), k + 8).as("top"))
+    def pool(pairs: DataFrame): DataFrame = {
+      val pre =
+        if (poolParts > spark.sparkContext.defaultParallelism)
+          pairs.repartition(poolParts, col("query_id"))
+        else pairs
+      pre.groupBy("query_id")
+        .agg(org.apache.spark.sql.graft.TopKAgg.topK(
+          col("rawcos"), col("vec_id"), k + 8).as("top"))
+    }
+    val top1 = pool(scored)
+    val merged =
+      if (reprobeMax <= 0) top1
+      else {
+        val (bMeans, bRadii) = cellBoundStats(spark, e, model.assign,
+          model.centroids.length)
+        val bcCs = spark.sparkContext.broadcast(model.centroids)
+        val bcCoarse = spark.sparkContext.broadcast(model.coarse)
+        val bcChildren = spark.sparkContext.broadcast(
+          if (model.children != null) model.children
+          else KMeans.uniformChildren(model.centroids.length, model.coarse))
+        val bcMeans = spark.sparkContext.broadcast(bMeans)
+        val bcRadii = spark.sparkContext.broadcast(bRadii)
+        // θk per query: the pooled k-th's raw cosine; a pool shorter
+        // than k (or a query with no pool rows at all) means nothing
+        // is provably dominated yet → θ = −∞, re-probe fills the
+        // budget with the best-bound cells.
+        val theta = top1.select(col("query_id"),
+          when(size(col("top")) >= k,
+            element_at(col("top"), k).getField("cos"))
+            .otherwise(lit(Double.NegativeInfinity)).as("theta"))
+        val reprobes = queries
+          .withColumnRenamed("vec_id", "query_id")
+          .join(theta, Seq("query_id"), "left")
+          .select(col("query_id"), col("v"),
+            coalesce(col("theta"), lit(Double.NegativeInfinity)).as("theta"))
+          .as[(Long, Array[Double], Double)]
+          .flatMap { case (id, v, th) =>
+            val cs = bcCs.value
+            val cand = KMeans.candidateCells(v, cs, bcCoarse.value,
+              bcChildren.value, coarseProbe)
+            val ds = new Array[(Double, Int)](cand.length)
+            var i = 0
+            while (i < cand.length) {
+              ds(i) = (KMeans.sqDist(v, cs(cand(i))), cand(i)); i += 1
+            }
+            val ranked = ds.sortBy(_._1)
+            var qn = 0.0; var j = 0
+            while (j < v.length) { qn += v(j) * v(j); j += 1 }
+            val inv = if (qn > 0) 1.0 / math.sqrt(qn) else 0.0
+            val ms = bcMeans.value; val rs = bcRadii.value
+            ranked.drop(nProbe).map { case (_, c) =>
+              val m = ms(c)
+              val ub =
+                if (m == null) Double.NegativeInfinity
+                else {
+                  var d = 0.0; var t = 0
+                  while (t < m.length) { d += v(t) * inv * m(t); t += 1 }
+                  math.min(1.0, d + rs(c))
+                }
+              (ub, c)
+            }.filter(_._1 >= th - ReprobeMargin)
+              .sortBy { case (ub, c) => (-ub, c) }
+              .take(reprobeMax)
+              .map { case (_, c) => (id, c) }
+          }.toDF("query_id", "cluster")
+        val round1 = top1.select(col("query_id"), explode(col("top")).as("t"))
+          .select(col("query_id"), col("t.cos").as("rawcos"),
+            col("t.vec_id").as("vec_id"))
+        pool(round1.unionAll(scoreCells(reprobes)))
+      }
+    val byCos = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    merged
       .select(col("query_id"), explode(col("top")).as("t"))
       .select(col("query_id"), round(col("t.cos"), 6).as("cos"), col("t.vec_id").as("vec_id"))
       .withColumn("rk", row_number().over(byCos))

@@ -377,12 +377,32 @@ object VectorIndex {
     * the inverted-file layout: an nProbe query's `cluster IN (...)`
     * filter becomes a partition filter and only nProbe/nCells of the
     * files are opened at all. */
+  /** `cellCap > 0` additionally bounds every cell's member count by
+    * splitting hot cells at build (KMeans.splitOversized — the
+    * rebuild-with-split lever [[indexHealth]]'s imbalance dial names;
+    * VERDICT r14 #3): probe cost then scales with the cap, not the
+    * densest cluster. The flat layout is CAP-AGNOSTIC — split cells
+    * are just more partitions and more centroid rows, so every
+    * serving path (partition-pruned probe, filtered, adaptive,
+    * tombstones) is inherited unchanged. Default 0 (off) keeps
+    * existing builds byte-identical. */
   def buildIvf(spark: SparkSession, e: DataFrame, dir: String,
-      nCells: Int = VectorQueries.IvfCells, iters: Int = 2): Unit = {
+      nCells: Int = VectorQueries.IvfCells, iters: Int = 2,
+      cellCap: Int = 0): Unit = {
     val cached = e.select(col("vec_id"), col("v")).cache()
     try {
-      val (assigned, centroids, _) =
-        KMeans.fit(spark, cached, nCells, iters, trackInertia = false)
+      val (assigned, centroids) =
+        if (cellCap > 0) {
+          val target = math.max(1, (cellCap + 1) / 2)
+          val m = KMeans.fitCells(spark, cached, nCells, iters,
+            twoLevelCells = Int.MaxValue, cellCap = cellCap,
+            cellTarget = target)
+          (m.assign, m.centroids)
+        } else {
+          val (a, cs, _) =
+            KMeans.fit(spark, cached, nCells, iters, trackInertia = false)
+          (a, cs)
+        }
       cached.join(assigned, "vec_id")
         .write.mode(SaveMode.Overwrite).partitionBy("cluster")
         .parquet(s"$dir/ivf_vectors")
@@ -1121,7 +1141,13 @@ object VectorIndex {
     *  - imbalance (max cell / mean cell) > [[ImbalanceThreshold]]:
     *    appends piled into few cells, so a probe landing on a hot
     *    cell scans a multiple of its fair share — REBUILD (only a
-    *    re-fit re-partitions the space; compaction cannot).
+    *    re-fit re-partitions the space; compaction cannot). The
+    *    remediation lever is REBUILD-WITH-SPLIT: `buildIvf(...,
+    *    cellCap = …)` caps member counts by splitting hot cells at
+    *    build (KMeans.splitOversized), so the re-probed dial reads
+    *    ≤ cap/mean however clustered the corpus — the measured
+    *    clustered-2M premium (e01c 688 vs 284 s stress) is this
+    *    dial's regime.
     *  - tombstone debt (tombstoned ids / live artifact rows) >
     *    [[TombstoneDebtThreshold]] (10%): every query is paying the
     *    anti-join over a set that is no longer small and the

@@ -90,4 +90,54 @@ class IndexHealthSpec extends SparkSpec {
       assert(h2.healthy, s"post-compaction health: $h2")
     } finally e.unpersist()
   }
+
+  test("rebuild-with-split (buildIvf cellCap) clears the append-pile imbalance; cap enforced; all-probe stays brute-exact") {
+    import spark.implicits._
+    // VERDICT r14 #3's remediation lever, end to end: imbalance
+    // arrives the way it does in production — appends piling into a
+    // FROZEN model's hot cell (the proven trip above) — and the
+    // remediation is a rebuild whose cellCap BOUNDS the hot cell's
+    // member count by splitting at build. The flat layout is cap-
+    // agnostic, so probing every cell is still exactly brute force.
+    val tmp = Files.createTempDirectory("health-split").toString
+    val e = cloud(0 until 200, 0.0).cache()
+    try {
+      VectorIndex.buildIvf(spark, e, tmp, nCells = 8)
+      val pile = (1000 until 1800).map { id =>
+        (id.toLong, Array.tabulate(8)(j =>
+          0.0 + 0.05 * math.sin(id * 2.3 + j * 1.1)))
+      }.toDF("vec_id", "v")
+      VectorIndex.appendIvf(spark, tmp, pile)
+      val before = VectorIndex.indexHealth(spark, tmp)
+      assert(before.imbalanceRebuild,
+        s"append pile must trip the imbalance dial, got ${before.imbalance}")
+      // the remediation: rebuild over the LIVE corpus with the cap
+      val combined = e.unionAll(pile).cache()
+      try {
+        VectorIndex.buildIvf(spark, combined, tmp, nCells = 8, cellCap = 200)
+        val after = VectorIndex.indexHealth(spark, tmp)
+        info(s"imbalance before=${before.imbalance} after=${after.imbalance}")
+        assert(!after.imbalanceRebuild,
+          s"capped rebuild must clear the dial, got ${after.imbalance}")
+        // the cap actually binds: no cell above it, and the tight
+        // 800-member pile had to split into extra cells
+        val sizes = spark.read.parquet(s"$tmp/ivf_vectors")
+          .groupBy("cluster").count().collect().map(_.getLong(1))
+        assert(sizes.max <= 200, s"cap violated: max cell ${sizes.max}")
+        val nCellsAfter = spark.read.parquet(s"$tmp/ivf_centroids")
+          .select("c").distinct().count().toInt
+        assert(nCellsAfter > 8, "the pile must actually have split")
+        // all-probe == brute force, independent of the split layout
+        val qv = combined.filter(col("vec_id") === 0).head.getSeq[Double](1).toArray
+        val served = VectorIndex.annIvf(spark, tmp, qv,
+            k = 10, nProbe = nCellsAfter, excludeVecId = Some(0L))
+          .collect().map(_.getLong(0))
+        val brute = graft.operators.VectorQueries.bruteTopK(spark,
+            combined.withColumn("label", lit(0)), Array((0L, qv)), 10)
+          .orderBy("rk").collect().map(_.getLong(1))
+        assert(served.sameElements(brute),
+          "all-probe serving over the split layout must equal brute force")
+      } finally combined.unpersist()
+    } finally e.unpersist()
+  }
 }

@@ -127,25 +127,40 @@ class ScaleSwapSpec extends SparkSpec {
     assert(got.map(_._1) == exact.map(_._1), "every query must get neighbours")
   }
 
-  test("v15: stress-corpus recall vs v02 pinned; plan is cell-bounded (no all-pairs join)") {
+  test("v15: fixed-dial stress band pinned; the shipped bounded top-up recovers v02 exactly; plan is cell-bounded") {
     import spark.implicits._
-    import graft.functions.VectorFunctions.normNative
+    import graft.functions.VectorFunctions.{normNative, toDouble}
     val exact = VectorQueries.v02KnnBatch(spark, sf001)
       .select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // FIXED-DIAL baseline (reprobeMax = 0 — the pre-r15 plan): the
+    // documented IVF-premise failure on near-random embeddings
+    // (e01c/v07's corpus property). Pin a floor well above the
+    // 4/8-cell chance rate without pretending it is v08 (whose
+    // 16-table LSH wins this regime but explodes at the 200k decade
+    // — the two are complements).
+    val e = graft.sources.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+    val fixed = VectorQueries.knnBatchIvf(spark, e, k = 3, reprobeMax = 0)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fixed.map(_._1) == exact.map(_._1), "every v02 query must be answered")
+    val fixedRecall = exact.intersect(fixed).size.toDouble / exact.size
+    info(s"v15 fixed-dial stress-corpus pair recall vs v02 = $fixedRecall")
+    assert(fixedRecall >= 0.4 && fixedRecall < 0.97,
+      s"fixed-dial stress recall $fixedRecall outside the documented premise-failure band")
+    // SHIPPED form (VERDICT r14 #2 — the bounded adaptive top-up):
+    // at this sf the budget covers every unprobed cell (8 cells,
+    // probe 4, budget 4) and the skip rule is the sound per-cell
+    // bound, so the result must equal v02 EXACTLY — the batched form
+    // of annIvfAdaptive's provable exactness. This is the straddle
+    // fix's strongest local pin: every fixed-dial miss above is a
+    // recovered straddle.
     val got = VectorQueries.v15KnnBatchIvf(spark, sf001)
       .select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got.map(_._1) == exact.map(_._1), "every v02 query must be answered")
-    val recall = exact.intersect(got).size.toDouble / exact.size
-    info(s"v15 stress-corpus pair recall vs v02 = $recall")
-    // near-random embeddings have no neighbour concentration — the
-    // documented IVF-premise failure (e01c/v07's corpus property).
-    // Pin a floor well above the 4/8-cell chance rate without
-    // pretending it is v08 (whose 16-table LSH wins this regime but
-    // explodes at the 200k decade — the two are complements).
-    assert(recall >= 0.4 && recall < 0.97,
-      s"stress recall $recall outside the documented premise-failure band")
+    assert(got == exact,
+      s"budget-exhaustive top-up must recover v02 exactly (recall ${exact.intersect(got).size.toDouble / exact.size})")
     val planted = (0 until 200).map { i =>
       (i.toLong, Array.tabulate(16)(j => math.sin(i * 2.3 + j * 1.1)), i % 4)
     }.toDF("vec_id", "v", "label")
