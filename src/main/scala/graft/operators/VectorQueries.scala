@@ -727,20 +727,28 @@ object VectorQueries {
             while (j < v.length) { qn += v(j) * v(j); j += 1 }
             val inv = if (qn > 0) 1.0 / math.sqrt(qn) else 0.0
             val ms = bcMeans.value; val rs = bcRadii.value
-            ranked.drop(nProbe).map { case (_, c) =>
+            // Rank the survivors by CENTROID DISTANCE — the probe
+            // order's continuation — and use the bound only as the
+            // sound FILTER. Ranking by the bound itself is a trap on
+            // the premise regime (found at clustered-2M): many cells'
+            // q̂·ĉ + r̂ exceeds 1 and any clipped/loose bound TIES,
+            // so a budget ranked on it picks arbitrary cells while
+            // the straddled next-nearest cell waits outside the
+            // budget.
+            ranked.drop(nProbe).map { case (d, c) =>
               val m = ms(c)
               val ub =
                 if (m == null) Double.NegativeInfinity
                 else {
-                  var d = 0.0; var t = 0
-                  while (t < m.length) { d += v(t) * inv * m(t); t += 1 }
-                  math.min(1.0, d + rs(c))
+                  var s = 0.0; var t = 0
+                  while (t < m.length) { s += v(t) * inv * m(t); t += 1 }
+                  s + rs(c)
                 }
-              (ub, c)
-            }.filter(_._1 >= th - ReprobeMargin)
-              .sortBy { case (ub, c) => (-ub, c) }
+              (d, c, ub)
+            }.filter(_._3 >= th - ReprobeMargin)
+              .sortBy { case (d, c, _) => (d, c) }
               .take(reprobeMax)
-              .map { case (_, c) => (id, c) }
+              .map { case (_, c, _) => (id, c) }
           }.toDF("query_id", "cluster")
         val round1 = top1.select(col("query_id"), explode(col("top")).as("t"))
           .select(col("query_id"), col("t.cos").as("rawcos"),
