@@ -4,7 +4,7 @@ package graft
 // knnClassifyCellBlocked and v15's knnBatchIvf on a corpus dir at a
 // given cellCap, so the split pass's cost is MEASURED per regime
 // instead of argued. Usage: runMain graft.ProfCap <dir> <cellCap>
-// [e01c|v15|both]
+// [e01c|v15|both] [reprobeMax]
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -32,9 +32,11 @@ object ProfCap {
       t(s"e01c cellCap=$cap") {
         ExtendedQueries.knnClassifyCellBlocked(spark, e, cellCap = cap).count()
       }
+    val reprobe = args.lift(3).map(_.toInt).getOrElse(VectorQueries.V15ReprobeMax)
     if (which == "v15" || which == "both")
-      t(s"v15 cellCap=$cap") {
-        VectorQueries.knnBatchIvf(spark, e, k = 3, cellCap = cap).count()
+      t(s"v15 cellCap=$cap reprobe=$reprobe") {
+        VectorQueries.knnBatchIvf(spark, e, k = 3, reprobeMax = reprobe,
+          cellCap = cap).count()
       }
     spark.stop()
   }

@@ -653,11 +653,25 @@ object VectorQueries {
     val corpusCells = e.select(col("vec_id"), col("v"), col("nv"))
       .join(model.assign, "vec_id")
     val queries = e.filter(col("label") === 0).select(col("vec_id"), col("v"))
+    // SMALL-MODEL DEGENERATION of the top-up: when the flat model's
+    // whole cell count fits inside probe + budget, the adaptive
+    // round could only ever re-probe "all remaining cells" (the
+    // bound filter can merely REMOVE provably-useless scans — trivial
+    // work at that scale, while the bound-stats jobs are not), so
+    // probe them all in ROUND ONE instead: same rows out, and the
+    // plan keeps the fixed dial's single-stage shape. Measured at
+    // sf0.1: the staged form paid ~3 s of fixed scheduling overhead
+    // (bound stats + θk join + checkpoint + second agg) against a
+    // 1.7 s query; this form pays only the extra cells' scoring.
+    val exhaustive = reprobeMax > 0 && model.coarse == null &&
+      model.centroids.length <= nProbe + reprobeMax
+    val effProbe = if (exhaustive) model.centroids.length else nProbe
+    val topUp = reprobeMax > 0 && !exhaustive
     // per-query probe cells via the ONE shared coarse-first kernel
     // (KMeans.probeCells — also e01c's) so the two-level probe rule
     // cannot drift between the batch paths.
     val probes = KMeans.probeCells(spark, queries,
-        model.centroids, model.coarse, nProbe, coarseProbe, model.children)
+        model.centroids, model.coarse, effProbe, coarseProbe, model.children)
       .withColumnRenamed("qid", "query_id")
     val qPayload = e.select(col("vec_id").as("query_id"), col("v").as("qv"),
       col("nv").as("nq"))
@@ -686,10 +700,17 @@ object VectorQueries {
         .agg(org.apache.spark.sql.graft.TopKAgg.topK(
           col("rawcos"), col("vec_id"), k + 8).as("top"))
     }
-    val top1 = pool(scored)
     val merged =
-      if (reprobeMax <= 0) top1
+      if (!topUp) pool(scored)
       else {
+        // The round-1 pool feeds BOTH θk and the final union — left
+        // lazy, the whole pair-stream aggregation would execute twice
+        // in one action (exchange reuse dedups the shuffle, not the
+        // agg above it; measured as v15's 2× wall at the 2M decades).
+        // Its rows are bounded (queries × (k+8) narrow structs), so
+        // pin it executor-side once, the repo's cache-release
+        // convention.
+        val top1 = pool(scored).localCheckpoint(true)
         val (bMeans, bRadii) = cellBoundStats(spark, e, model.assign,
           model.centroids.length)
         val bcCs = spark.sparkContext.broadcast(model.centroids)
