@@ -406,7 +406,17 @@ object ExtendedQueries {
         twoLevelCells, cellCap, E01cCellTarget)
       val assigned = model.assign
       val means = Bq.train(spark, e)
-      val enc = Bq.encode(spark, e, means).join(assigned, "vec_id")
+      // The signature relation feeds BOTH sides of the pairs join
+      // (qsig projection + cluster-keyed corpus side) — left lazy,
+      // the encode AND its shuffle join with the assignment execute
+      // twice per action (the v15 round-1-pool lesson, same round).
+      // Above the decade crossover pin it once as executor blocks
+      // (n narrow rows: vec_id, two sig longs, cluster); below it
+      // the recompute is cheaper than the materialization barrier
+      // and small-SF plans keep their audited shape.
+      val encLazy = Bq.encode(spark, e, means).join(assigned, "vec_id")
+      val enc = if (n >= SqCutMinVectors) encLazy.localCheckpoint(true)
+        else encLazy
       // per-query probe cells via the ONE shared coarse-first kernel
       // (KMeans.probeCells — also v15's; the assignResiduals
       // convention so the probe rule cannot drift between paths):

@@ -560,7 +560,7 @@ object VectorQueries {
       // with a driver collect() that would OOM at the 100 TB target.
       // Plan-shape audit lives on knnBatchIvfLazy (the checkpoint
       // truncates the visible plan to its RDD scan).
-      batchIvfPlan(spark, e, model, k, nProbe, reprobeMax)
+      batchIvfPlan(spark, e, model, k, nProbe, reprobeMax, n)
         .orderBy("query_id", "rk")
         .localCheckpoint(true)
     } finally e.unpersist()
@@ -577,7 +577,7 @@ object VectorQueries {
     val nCells = math.max(8, (n / V15CellTarget).toInt)
     val model = KMeans.fitCells(spark, e.select(col("vec_id"), col("v")),
       nCells, 2, twoLevelCells = Int.MaxValue, V15CellCap, V15CellTarget)
-    batchIvfPlan(spark, e, model, k, nProbe, reprobeMax)
+    batchIvfPlan(spark, e, model, k, nProbe, reprobeMax, n)
   }
 
   /** Per-cell cosine-bound stats over the IN-ENTRY fit — the batched
@@ -647,12 +647,24 @@ object VectorQueries {
     * byte-identical to r14. */
   private def batchIvfPlan(spark: SparkSession, e: DataFrame,
       model: KMeans.CellModel, k: Int, nProbe: Int,
-      reprobeMax: Int): DataFrame = {
+      reprobeMax: Int, knownN: Long = -1L): DataFrame = {
     import spark.implicits._
     val coarseProbe = graft.operators.ExtendedQueries.E01cCoarseProbe
-    val corpusCells = e.select(col("vec_id"), col("v"), col("nv"))
+    val n = if (knownN >= 0) knownN else e.count()
+    val corpusCellsLazy = e.select(col("vec_id"), col("v"), col("nv"))
       .join(model.assign, "vec_id")
     val queries = e.filter(col("label") === 0).select(col("vec_id"), col("v"))
+    // Both scoring rounds join the assigned corpus — left lazy, the
+    // corpus⋈assignment shuffle join executes once per round. Above
+    // the decade crossover pin it once (the e01c signature-relation
+    // lesson, same round); below it the recompute is cheaper than
+    // the barrier and the audited small-SF plan shape is preserved.
+    val willReprobe = reprobeMax > 0 && (model.coarse != null ||
+      model.centroids.length > nProbe + reprobeMax)
+    val corpusCells =
+      if (willReprobe && n >= graft.operators.ExtendedQueries.SqCutMinVectors)
+        corpusCellsLazy.localCheckpoint(true)
+      else corpusCellsLazy
     // SMALL-MODEL DEGENERATION of the top-up: when the flat model's
     // whole cell count fits inside probe + budget, the adaptive
     // round could only ever re-probe "all remaining cells" (the
