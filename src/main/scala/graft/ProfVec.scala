@@ -37,7 +37,9 @@ object ProfVec {
       val p = KMeans.probeCells(spark,
         e.filter(col("label") === 0).select(col("vec_id"), col("v")),
         centroids, coarse, VectorQueries.V15Probe,
-        graft.operators.ExtendedQueries.E01cCoarseProbe)
+        graft.operators.ExtendedQueries.E01cCoarseProbe,
+        // fresh fitTwoLevel layout — the uniform index IS its children
+        KMeans.uniformChildren(centroids.length, coarse))
         .withColumnRenamed("qid", "query_id")
         .localCheckpoint(true)
       p.count(); p

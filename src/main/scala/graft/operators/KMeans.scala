@@ -81,10 +81,12 @@ object KMeans {
 
     def assign(cs: Array[Array[Double]]): DataFrame =
       // <= so k == FitExprMaxK keeps the HISTORICAL literal path (the
-      // scaladoc's "above this k" reading — the r13 ADVICE boundary):
-      // the typed map's |v−c|² and the expression's c²−2v·c can
-      // differ at the last ulp, which would silently move a pinned
-      // k=64 training trajectory between rounds.
+      // scaladoc's "above this k" reading): the typed map's |v−c|²
+      // and the expression's c²−2v·c can differ at the last ulp,
+      // which would silently move a pinned training trajectory
+      // between rounds — the boundary is k=32 since the r15 rebase
+      // (33–64 trajectories DELIBERATELY moved to the typed-map path
+      // then; every k ≤ 32 trajectory is pinned to the literal path).
       if (k <= FitExprMaxK) e.withColumn("cluster", assignExpr(cs))
       else {
         import spark.implicits._
@@ -231,17 +233,27 @@ object KMeans {
     * index — see [[CellModel]]) are ranked — k1 + coarseProbe·k2
     * ≈ (1+coarseProbe)·√nCells distances per query instead of nCells.
     * Emits the `nProbe` nearest cells as narrow (qid, cluster) rows
-    * against the broadcast model (the assignResiduals convention). */
+    * against the broadcast model (the assignResiduals convention).
+    *
+    * `children` is REQUIRED alongside a two-level model (pass
+    * [[CellModel.children]], or [[uniformChildren]] for a fresh
+    * un-split fitTwoLevel layout): silently synthesizing the uniform
+    * index here was the r15 ADVICE footgun — on a post-split model
+    * (centroids grown past k1·k2) the synthesized k2 = nFlat/k1
+    * regroups appended split-cell ids into the WRONG coarse groups.
+    * A flat model (coarse == null) takes children == null. */
   private[graft] def probeCells(spark: SparkSession, queries: DataFrame,
       centroids: Array[Array[Double]], coarse: Array[Array[Double]],
       nProbe: Int, coarseProbe: Int,
-      children: Array[Array[Int]] = null): DataFrame = {
+      children: Array[Array[Int]]): DataFrame = {
     import spark.implicits._
+    require(coarse == null || children != null,
+      "probeCells: a two-level model needs its explicit children index " +
+      "(CellModel.children, or KMeans.uniformChildren for an un-split " +
+      "fitTwoLevel layout) — synthesizing it here mis-groups split cells")
     val bc = spark.sparkContext.broadcast(centroids)
     val bcCoarse = spark.sparkContext.broadcast(coarse)
-    val bcChildren = spark.sparkContext.broadcast(
-      if (children != null) children
-      else uniformChildren(centroids.length, coarse))
+    val bcChildren = spark.sparkContext.broadcast(children)
     queries.as[(Long, Array[Double])]
       .flatMap { case (id, v) =>
         val cs = bc.value
@@ -406,10 +418,17 @@ object KMeans {
     var cur = model
     var round = 0
     var stable = false
+    // NO-PROGRESS cells (r15 ADVICE): a hot cell whose largest child
+    // kept EVERY member (e.g. > cap exact duplicates — identical
+    // seeds → identical child centroids → the strict-< tie sends all
+    // members to the first child) cannot be shrunk by re-splitting;
+    // freeze it so later rounds don't burn their budget re-proving it.
+    var frozen = Set.empty[Int]
     while (round < maxRounds && !stable) {
       val hot = cur.assign.groupBy("cluster")
         .agg(count(lit(1)).as("n")).filter(col("n") > cap)
         .as[(Int, Long)].collect().sortBy(_._1) // ≤ nCells rows
+        .filterNot { case (c, _) => frozen(c) }
       if (hot.isEmpty) stable = true
       else {
         val kSub: Map[Int, Int] = hot.map { case (c, n) =>
@@ -464,22 +483,44 @@ object KMeans {
               }
             }
           }
-          // flat-id allocation: child 0 reuses the parent slot,
-          // children 1.. append (deterministic: parents in id order)
-          var nextId = cur.centroids.length
-          val newIds = scala.collection.mutable.Map.empty[Int, Array[Int]]
-          hotIds.foreach { c =>
-            newIds(c) = Array.tabulate(kSub(c)) { s =>
-              if (s == 0) c else { val id = nextId; nextId += 1; id }
-            }
+          // FINAL sub-assignment, materialized ONCE (it feeds both the
+          // child-count pass and the flat-id mapping — the
+          // twice-consumed-subtree convention): narrow (id, cell, sub)
+          // rows, pinned executor-side.
+          val subAssign = {
+            val bcModel = spark.sparkContext.broadcast(children)
+            members.map { case (id, v, c) =>
+              (id, c, nearestIndex(v, bcModel.value(c)))
+            }.toDF("vec_id", "cell", "sub").localCheckpoint(true)
           }
+          // member counts per child: MEMBERLESS children are pruned
+          // BEFORE any flat id is allocated (r15 ADVICE — un-pruned
+          // clone centroids of a duplicate-heavy cell would silently
+          // break the cap accounting AND tie with the real cell in
+          // probeCells' sqDist ranking, filling probe slots with
+          // cells whose partitions scan nothing while genuinely-near
+          // cells wait outside the nProbe budget).
+          val childCounts = subAssign.groupBy("cell", "sub").count()
+            .as[(Int, Int, Long)].collect() // ≤ Σ kSub rows
+          val liveSubs: Map[Int, Array[Int]] = childCounts.groupBy(_._1)
+            .map { case (c, rows) => c -> rows.map(_._2).sorted }
+          val maxChild: Map[Int, Long] = childCounts.groupBy(_._1)
+            .map { case (c, rows) => c -> rows.map(_._3).max }
+          val prevN = hot.toMap
+          frozen ++= hotIds.filter(c => maxChild.getOrElse(c, 0L) >= prevN(c))
+          // flat-id allocation: the FIRST live sub reuses the parent
+          // slot, later live subs append (deterministic: parents in id
+          // order, subs in index order)
+          var nextId = cur.centroids.length
+          val newIds: Map[Int, Map[Int, Int]] = hotIds.map { c =>
+            c -> liveSubs(c).zipWithIndex.map { case (s, i) =>
+              s -> (if (i == 0) c else { val id = nextId; nextId += 1; id })
+            }.toMap
+          }.toMap
           val newCentroids = new Array[Array[Double]](nextId)
           cur.centroids.copyToArray(newCentroids)
           hotIds.foreach { c =>
-            val ids = newIds(c)
-            children(c).zipWithIndex.foreach { case (cc, s) =>
-              newCentroids(ids(s)) = cc
-            }
+            newIds(c).foreach { case (s, id) => newCentroids(id) = children(c)(s) }
           }
           val newChildren =
             if (cur.children == null) null
@@ -490,15 +531,15 @@ object KMeans {
               val grown = cur.children.map(
                 scala.collection.mutable.ArrayBuffer.from(_))
               hotIds.foreach { c =>
-                newIds(c).drop(1).foreach(grown(groupOf(c)) += _)
+                newIds(c).values.filter(_ != c).toArray.sorted
+                  .foreach(grown(groupOf(c)) += _)
               }
               grown.map(_.toArray)
             }
-          val bcModel = spark.sparkContext.broadcast(children)
-          val bcIds = spark.sparkContext.broadcast(newIds.toMap)
-          val reassigned = members.map { case (id, v, c) =>
-            (id, bcIds.value(c)(nearestIndex(v, bcModel.value(c))))
-          }.toDF("vec_id", "cluster")
+          val bcIds = spark.sparkContext.broadcast(newIds)
+          val reassigned = subAssign.as[(Long, Int, Int)]
+            .map { case (id, c, s) => (id, bcIds.value(c)(s)) }
+            .toDF("vec_id", "cluster")
           // pin each round's assignment so rounds don't stack lazy
           // union/typed-map lineage over the scoped caches (the
           // fitTwoLevel convention)
@@ -510,6 +551,23 @@ object KMeans {
         } finally members.unpersist()
       }
       round += 1
+    }
+    // Surface the residual (maintenance-path only — a clean split
+    // never pays this action): the cap is BEST-EFFORT, bounded by
+    // SplitMaxRounds and Lloyd's separability, so operators leaning
+    // on the indexHealth rebuild-with-split lever must know when the
+    // dial stayed tripped.
+    if (!stable || frozen.nonEmpty) {
+      val resid = cur.assign.groupBy("cluster")
+        .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+        .as[(Int, Long)].collect()
+      if (resid.nonEmpty)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"splitOversized: ${resid.length} cell(s) still above cap=$cap " +
+          s"after $round round(s) (max members ${resid.map(_._2).max}; " +
+          s"${frozen.size} frozen as unsplittable, e.g. exact-duplicate " +
+          "mass) — probe cost in those cells is bounded by their size, " +
+          "not the cap")
     }
     cur
   }

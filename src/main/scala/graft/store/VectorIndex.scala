@@ -377,11 +377,16 @@ object VectorIndex {
     * the inverted-file layout: an nProbe query's `cluster IN (...)`
     * filter becomes a partition filter and only nProbe/nCells of the
     * files are opened at all. */
-  /** `cellCap > 0` additionally bounds every cell's member count by
-    * splitting hot cells at build (KMeans.splitOversized — the
-    * rebuild-with-split lever [[indexHealth]]'s imbalance dial names;
-    * VERDICT r14 #3): probe cost then scales with the cap, not the
-    * densest cluster. The flat layout is CAP-AGNOSTIC — split cells
+  /** `cellCap > 0` additionally splits hot cells at build
+    * (KMeans.splitOversized — the rebuild-with-split lever
+    * [[indexHealth]]'s imbalance dial names; VERDICT r14 #3): probe
+    * cost then scales with the cap, not the densest cluster. The cap
+    * is BEST-EFFORT — bounded by KMeans.SplitMaxRounds and Lloyd's
+    * separability (a mass of > cap exact-duplicate vectors cannot be
+    * split and is frozen with a logged warning), so a rebuild-with-
+    * split can leave the imbalance dial tripped on degenerate
+    * corpora; re-read indexHealth after the rebuild rather than
+    * assuming the dial cleared. The flat layout is CAP-AGNOSTIC — split cells
     * are just more partitions and more centroid rows, so every
     * serving path (partition-pruned probe, filtered, adaptive,
     * tombstones) is inherited unchanged. Default 0 (off) keeps

@@ -97,6 +97,47 @@ class CellCapSpec extends SparkSpec {
     } finally e.unpersist()
   }
 
+  test("splitOversized: a > cap exact-duplicate mass appends no memberless clones (r16, ADVICE r15 #1)") {
+    // 800 EXACT duplicates (unsplittable: identical seeds → identical
+    // child centroids → the strict-< tie keeps every member in the
+    // first child) + 400 jittered vectors on other axes. The old code
+    // appended memberless clone centroids of the duplicate point for
+    // SplitMaxRounds rounds; now the memberless children prune and
+    // the cell freezes after round one.
+    val e = ((0 until 800).map(i =>
+        (i.toLong, Array.tabulate(8)(j => if (j == 0) 4.0 else 0.0))) ++
+      (800 until 1200).map(i =>
+        (i.toLong, Array.tabulate(8)(j =>
+          (if (j == 2 + i % 4) 4.0 else 0.0) + 0.4 * math.sin(i * 2.3 + j * 1.1)))))
+      .toDF("vec_id", "v").cache()
+    try {
+      val model = KMeans.fitCells(spark, e, nCells = 4, iters = 2,
+        twoLevelCells = 64, cellCap = 150, cellTarget = 75)
+      val assign = model.assign.collect().map(r => (r.getLong(0), r.getInt(1)))
+      assert(assign.length == 1200 && assign.map(_._1).distinct.length == 1200,
+        "assignment must stay a partition")
+      val counts = assign.groupBy(_._2).map { case (c, xs) => c -> xs.length }
+      // every APPENDED centroid must hold members — memberless clones
+      // would tie with the real cell in probeCells' ranking and fill
+      // probe slots with cells whose partitions scan nothing
+      val appended = model.centroids.indices.filter(_ >= 4)
+      assert(appended.forall(c => counts.getOrElse(c, 0) > 0),
+        s"memberless appended centroids: ${appended.filterNot(c => counts.getOrElse(c, 0) > 0)}")
+      // the duplicate mass itself stays over cap (best-effort bound) —
+      // but as ONE honest cell, not cap + clones
+      val dupCell = assign.find(_._1 == 0L).get._2
+      assert(counts(dupCell) >= 800, "the duplicate mass must stay together")
+      // and the splittable jittered cells still split under the cap
+      assert(counts.filter(_._1 != dupCell).values.forall(_ <= 150),
+        "separable cells must still respect the cap")
+      // determinism holds through the freeze path
+      val again = KMeans.fitCells(spark, e, nCells = 4, iters = 2,
+        twoLevelCells = 64, cellCap = 150, cellTarget = 75)
+        .assign.collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      assert(again.sameElements(assign.sortBy(_._1)))
+    } finally e.unpersist()
+  }
+
   test("e01c: forced cell cap keeps clustered-corpus accuracy (the capped fit serves)") {
     // the ScaleSwapSpec clustered corpus, scaled so the cap binds:
     // 1200 vectors in 6 clusters of 200, cap 250 < several cell sizes
