@@ -552,32 +552,95 @@ object VectorQueries {
     try {
       val n = e.count()
       val nCells = math.max(8, (n / V15CellTarget).toInt)
-      val model = KMeans.fitCells(spark, e.select(col("vec_id"), col("v")),
-        nCells, 2, twoLevelCells, cellCap, V15CellTarget)
       // queries × k rows out — the cache-release contract pins them
       // EXECUTOR-side (localCheckpoint cuts the lineage off the
       // scoped cache as executor blocks; the d07/h16 precedent), not
       // with a driver collect() that would OOM at the 100 TB target.
       // Plan-shape audit lives on knnBatchIvfLazy (the checkpoint
       // truncates the visible plan to its RDD scan).
-      batchIvfPlan(spark, e, model, k, nProbe, reprobeMax, n)
-        .orderBy("query_id", "rk")
-        .localCheckpoint(true)
+      val plan =
+        if (smallModelExhaustive(nCells, nProbe, reprobeMax, twoLevelCells))
+          bruteBatchPlan(spark, e, k)
+        else {
+          val model = KMeans.fitCells(spark, e.select(col("vec_id"), col("v")),
+            nCells, 2, twoLevelCells, cellCap, V15CellTarget)
+          batchIvfPlan(spark, e, model, k, nProbe, reprobeMax, n)
+        }
+      plan.orderBy("query_id", "rk").localCheckpoint(true)
     } finally e.unpersist()
+  }
+
+  /** SMALL-MODEL DEGENERATION of the adaptive top-up (VERDICT r15
+    * #3): when the flat model's whole cell count fits inside
+    * probe + budget, the adaptive round could only ever re-probe
+    * "all remaining cells" — every (query, vector) pair gets scored
+    * regardless, so the cell machinery (fit + probe join + cell
+    * equi-join + bound stats) computes what IS a brute scan. Route
+    * straight to the v02/v06 TopKAgg brute kernel instead: same rows
+    * (cells partition the corpus, so probing all of them enumerates
+    * exactly the non-self pairs the cross join does; pooling and
+    * re-rank are the SAME code), minus the fit — measured at sf0.1
+    * as most of v15's 2.76 s. Decided on the PRE-split cell count:
+    * a cap-split can only grow a tiny flat model, and where it would
+    * have (rare: a clustered sub-2k corpus), brute is EXACT, which
+    * dominates the budgeted top-up it replaces. In this regime the
+    * query side is bounded by the corpus (≤ (nProbe + reprobeMax) ×
+    * cellTarget vectors), so the broadcast cross join is exactly
+    * v02/v06's sanctioned bounded-batch shape — never the unbounded
+    * regime, which keeps the cell-blocked plan. */
+  private[graft] def smallModelExhaustive(nCells: Int, nProbe: Int,
+      reprobeMax: Int, twoLevelCells: Int): Boolean =
+    reprobeMax > 0 && nCells < twoLevelCells && nCells <= nProbe + reprobeMax
+
+  /** The v06 TopKAgg brute kernel in v15's column contract — the
+    * exhaustive small-model arm (see [[smallModelExhaustive]]):
+    * corpus streams, bounded queries broadcast, TopKAgg pools
+    * map-side, shared round-6 re-rank. */
+  private def bruteBatchPlan(spark: SparkSession, e: DataFrame,
+      k: Int): DataFrame = {
+    val q = e.filter(col("label") === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nv").as("nq"))
+    val pooled = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        cosinePreRaw(col("v"), col("qv"), col("nv"), col("nq")).as("rawcos"),
+        col("vec_id"))
+      .groupBy("query_id")
+      .agg(org.apache.spark.sql.graft.TopKAgg.topK(
+        col("rawcos"), col("vec_id"), k + 8).as("top"))
+    rerankPools(pooled, k)
+  }
+
+  /** The shared v15 final re-rank: explode the pooled top structs,
+    * round(6), rank with the vec_id tie-break — one definition so the
+    * brute and cell-blocked arms cannot drift. */
+  private def rerankPools(merged: DataFrame, k: Int): DataFrame = {
+    val byCos = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    merged
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), round(col("t.cos"), 6).as("cos"), col("t.vec_id").as("vec_id"))
+      .withColumn("rk", row_number().over(byCos))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "cos", "rk")
   }
 
   /** The LAZY v15 plan over a prepped (vec_id, v, label, nv) relation
     * with a flat fit — the audit hook (the cellBlockedLazy
     * convention): the entry's driver-side pin hides the shape behind
-    * a LocalTableScan. */
+    * a LocalTableScan. Routes exactly like the entry (brute kernel in
+    * the exhaustive small-model regime, cell-blocked otherwise). */
   private[graft] def knnBatchIvfLazy(spark: SparkSession,
       e: DataFrame, k: Int, nProbe: Int = V15Probe,
       reprobeMax: Int = V15ReprobeMax): DataFrame = {
     val n = e.count()
     val nCells = math.max(8, (n / V15CellTarget).toInt)
-    val model = KMeans.fitCells(spark, e.select(col("vec_id"), col("v")),
-      nCells, 2, twoLevelCells = Int.MaxValue, V15CellCap, V15CellTarget)
-    batchIvfPlan(spark, e, model, k, nProbe, reprobeMax, n)
+    if (smallModelExhaustive(nCells, nProbe, reprobeMax, Int.MaxValue))
+      bruteBatchPlan(spark, e, k)
+    else {
+      val model = KMeans.fitCells(spark, e.select(col("vec_id"), col("v")),
+        nCells, 2, twoLevelCells = Int.MaxValue, V15CellCap, V15CellTarget)
+      batchIvfPlan(spark, e, model, k, nProbe, reprobeMax, n)
+    }
   }
 
   /** Per-cell cosine-bound stats over the IN-ENTRY fit — the batched
@@ -659,31 +722,21 @@ object VectorQueries {
     // the decade crossover pin it once (the e01c signature-relation
     // lesson, same round); below it the recompute is cheaper than
     // the barrier and the audited small-SF plan shape is preserved.
-    val willReprobe = reprobeMax > 0 && (model.coarse != null ||
-      model.centroids.length > nProbe + reprobeMax)
+    // NOTE: the small-model exhaustive regime never reaches here —
+    // the entry routes it to the brute kernel PRE-fit (see
+    // [[smallModelExhaustive]]); a post-split flat model that shrank
+    // back under probe + budget cannot exist (splits only grow).
+    val topUp = reprobeMax > 0
+    val willReprobe = topUp
     val corpusCells =
       if (willReprobe && n >= graft.operators.ExtendedQueries.SqCutMinVectors)
         corpusCellsLazy.localCheckpoint(true)
       else corpusCellsLazy
-    // SMALL-MODEL DEGENERATION of the top-up: when the flat model's
-    // whole cell count fits inside probe + budget, the adaptive
-    // round could only ever re-probe "all remaining cells" (the
-    // bound filter can merely REMOVE provably-useless scans — trivial
-    // work at that scale, while the bound-stats jobs are not), so
-    // probe them all in ROUND ONE instead: same rows out, and the
-    // plan keeps the fixed dial's single-stage shape. Measured at
-    // sf0.1: the staged form paid ~3 s of fixed scheduling overhead
-    // (bound stats + θk join + checkpoint + second agg) against a
-    // 1.7 s query; this form pays only the extra cells' scoring.
-    val exhaustive = reprobeMax > 0 && model.coarse == null &&
-      model.centroids.length <= nProbe + reprobeMax
-    val effProbe = if (exhaustive) model.centroids.length else nProbe
-    val topUp = reprobeMax > 0 && !exhaustive
     // per-query probe cells via the ONE shared coarse-first kernel
     // (KMeans.probeCells — also e01c's) so the two-level probe rule
     // cannot drift between the batch paths.
     val probes = KMeans.probeCells(spark, queries,
-        model.centroids, model.coarse, effProbe, coarseProbe, model.children)
+        model.centroids, model.coarse, nProbe, coarseProbe, model.children)
       .withColumnRenamed("qid", "query_id")
     val qPayload = e.select(col("vec_id").as("query_id"), col("v").as("qv"),
       col("nv").as("nq"))
@@ -788,13 +841,7 @@ object VectorQueries {
             col("t.vec_id").as("vec_id"))
         pool(round1.unionAll(scoreCells(reprobes)))
       }
-    val byCos = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    merged
-      .select(col("query_id"), explode(col("top")).as("t"))
-      .select(col("query_id"), round(col("t.cos"), 6).as("cos"), col("t.vec_id").as("vec_id"))
-      .withColumn("rk", row_number().over(byCos))
-      .filter(col("rk") <= k)
-      .select("query_id", "vec_id", "cos", "rk")
+    rerankPools(merged, k)
   }
 
   /** The shared LSH cell-blocked SCORING kernel of v08/e01b: rows

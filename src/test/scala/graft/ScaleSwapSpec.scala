@@ -161,14 +161,30 @@ class ScaleSwapSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == exact,
       s"budget-exhaustive top-up must recover v02 exactly (recall ${exact.intersect(got).size.toDouble / exact.size})")
+    // EXHAUSTIVE small-model regime (r16, VERDICT r15 #3): the whole
+    // cell count fits inside probe + budget, so the entry routes to
+    // the v02/v06 brute kernel — broadcast bounded queries (the
+    // sanctioned bounded-batch BNLJ shape), TopKAgg partials, no fit.
     val planted = (0 until 200).map { i =>
       (i.toLong, Array.tabulate(16)(j => math.sin(i * 2.3 + j * 1.1)), i % 4)
     }.toDF("vec_id", "v", "label")
       .withColumn("nv", normNative(col("v")))
-    val plan = physicalPlan(VectorQueries.knnBatchIvfLazy(spark, planted, k = 3))
+    val brutePlan = physicalPlan(VectorQueries.knnBatchIvfLazy(spark, planted, k = 3))
+    assert(brutePlan.contains("ObjectHashAggregate"), "TopKAgg partials missing")
+    assert(!brutePlan.contains("CartesianProduct"), "cartesian in the v15 path")
+    assert(brutePlan.contains("BroadcastNestedLoopJoin"),
+      "exhaustive small-model arm must take the broadcast brute kernel")
+    // NON-exhaustive regime (the scale shape): cells exceed
+    // probe + budget, so the plan must stay cell-blocked — keyed
+    // equi-joins only, NOTHING broadcast-O(corpus), no BNLJ.
+    val planted2 = (0 until 3000).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 2.3 + j * 1.1)), i % 4)
+    }.toDF("vec_id", "v", "label")
+      .withColumn("nv", normNative(col("v")))
+    val plan = physicalPlan(VectorQueries.knnBatchIvfLazy(spark, planted2, k = 3))
     assert(plan.contains("ObjectHashAggregate"), "TopKAgg partials missing")
     assert(!plan.contains("CartesianProduct"), "cartesian in the v15 path")
-    assert(!plan.contains("BroadcastNestedLoopJoin"), "BNLJ in the v15 path")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "BNLJ in the v15 scale path")
   }
 
   test("e01c: cell-blocked classify is near-exact where its premise holds (clustered corpus)") {
