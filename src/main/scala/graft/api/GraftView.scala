@@ -1,5 +1,7 @@
 package graft.api
 
+import graft.plans.Pins.Pinned
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -85,7 +87,7 @@ final class GraftView(spark: SparkSession, api: Graft) {
     // to reliable storage instead (the connectedComponents note) —
     // local blocks have no lineage to recompute from after an
     // executor loss.
-    var visited = seeds.localCheckpoint()
+    var visited = seeds.pinned
     var frontier = visited
     var links: Option[DataFrame] = None
     var round = 0
@@ -106,10 +108,10 @@ final class GraftView(spark: SparkSession, api: Graft) {
             .orderBy(col("value").desc, col("entity"))
           nb.withColumn("rk", row_number().over(w)).filter(col("rk") <= p).drop("rk")
         case None => nb
-      }).localCheckpoint()
+      }).pinned
       links = Some(links.map(_.unionByName(kept)).getOrElse(kept))
-      frontier = kept.select(col("entity")).exceptAll(visited).distinct().localCheckpoint()
-      visited = visited.unionByName(frontier).distinct().localCheckpoint()
+      frontier = kept.select(col("entity")).exceptAll(visited).distinct().pinned
+      visited = visited.unionByName(frontier).distinct().pinned
       // The frontier is already materialized — isEmpty is a cheap
       // local check, and without it every post-exhaustion round
       // would run (and eagerly checkpoint) real edge-join/window

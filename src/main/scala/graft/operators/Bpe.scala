@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.plans.Pins.Pinned
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -84,7 +86,7 @@ object Bpe {
             // against a materialized leaf instead of re-optimizing an
             // ever-deeper replace chain (planning cost grew faster
             // than the 31-row execution at cadence 8)
-            .localCheckpoint()
+            .pinned
           round += 1
         }
       }

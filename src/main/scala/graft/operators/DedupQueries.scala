@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.plans.Pins.Pinned
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -542,10 +544,10 @@ object DedupQueries {
     // expensive) edge subtree exactly once. In a fault-tolerant
     // production run, checkpoint() to reliable storage instead —
     // same lineage cut, plus recoverability.
-    val sym = edges.toDF("u", "v").localCheckpoint()
-    val both = sym.union(sym.select(col("v"), col("u"))).localCheckpoint()
+    val sym = edges.toDF("u", "v").pinned
+    val both = sym.union(sym.select(col("v"), col("u"))).pinned
     var lab = both.select(col("u").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+      .withColumn("comp", col("id")).pinned
     var moved = 1L
     var round = 0
     while (moved > 0 && round < 64) {
@@ -556,7 +558,7 @@ object DedupQueries {
       val hop = lab.join(viaN, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        .pinned
       // Pointer jump (comp := min(comp, comp(comp))): halves the
       // remaining chain length every round, so long duplicate chains
       // converge in O(log diameter) rounds instead of O(diameter) —
@@ -568,7 +570,7 @@ object DedupQueries {
           col("x.comp") === col("y.cid"), "left")
         .select(col("x.id").as("id"),
           least(col("x.comp"), coalesce(col("ccomp"), col("x.comp"))).as("comp"))
-        .localCheckpoint()
+        .pinned
       moved = next.join(lab.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") =!= col("prev")).count()
       lab = next

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.plans.Pins.Pinned
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -203,7 +205,7 @@ object ExtendedQueries {
       // the r14 ADVICE finding).
       val coded = if (n >= SqCutMinVectors) Some(buildCodedTable(spark, e, n))
                   else None
-      try e01bLazy(spark, e, coded).localCheckpoint(true)
+      try e01bLazy(spark, e, coded).pinned
       finally coded.foreach(_.release())
     } finally e.unpersist()
   }
@@ -336,12 +338,12 @@ object ExtendedQueries {
     * agreement); `poolSize` remains the recall dial for the Hamming
     * screen itself.
     *
-    * Durability caveat (library surface): the returned frame is
-    * pinned via localCheckpoint(true) — executor blocks with NO
-    * lineage, so an executor loss after return permanently breaks
-    * the frame on a real cluster (harmless under local masters).
-    * Deployments surviving executor churn should persist the result
-    * or enable reliable checkpointing. */
+    * Durability: the returned frame is pinned via
+    * [[graft.plans.Pins.pin]] — executor blocks (no lineage; an
+    * executor loss after return breaks the frame on a real cluster,
+    * harmless under local masters) by default, a RELIABLE checkpoint
+    * when `spark.graft.checkpointDir` is set. Deployments surviving
+    * executor churn set the dial (or write the result out). */
   private[graft] def knnClassifyCellBlocked(spark: SparkSession,
       e0: DataFrame, nProbe: Int = E01cProbe,
       twoLevelCells: Int = E01cTwoLevelCells,
@@ -368,7 +370,7 @@ object ExtendedQueries {
         else None
       try cellBlockedLazy(spark, e, nProbe, twoLevelCells, poolSize, coded, n,
           cellCap)
-        .localCheckpoint(true)
+        .pinned
       finally coded.foreach(_.release())
     } finally e.unpersist()
   }
@@ -415,7 +417,7 @@ object ExtendedQueries {
       // the recompute is cheaper than the materialization barrier
       // and small-SF plans keep their audited shape.
       val encLazy = Bq.encode(spark, e, means).join(assigned, "vec_id")
-      val enc = if (n >= SqCutMinVectors) encLazy.localCheckpoint(true)
+      val enc = if (n >= SqCutMinVectors) encLazy.pinned
         else encLazy
       // per-query probe cells via the ONE shared coarse-first kernel
       // (KMeans.probeCells — also v15's; the assignResiduals

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.plans.Pins.Pinned
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -577,7 +579,7 @@ object GraphQueries {
       val out = rank.select(col("entity"), round(col("rank"), 6).as("rank"))
         .filter(col("rank") > 0)
         .orderBy("entity")
-      if (release) out.localCheckpoint() else out
+      if (release) out.pinned else out
     } finally if (release) { g.unpersist(); deg.unpersist() }
   }
 

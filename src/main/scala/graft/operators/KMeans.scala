@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.plans.Pins.Pinned
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -337,7 +339,7 @@ object KMeans {
         // materialize before the caches release (drop-in contract:
         // fit() returns a plan over its own cached input; here the
         // upstream caches are scoped, so pin the small result)
-        val pinned = assign.localCheckpoint(true)
+        val pinned = assign.pinned
         val flat = Array.tabulate(k1e * k2)(i => finalChildren(i / k2)(i % k2))
         (pinned, flat, coarse)
       } finally withCoarse.unpersist()
@@ -491,7 +493,7 @@ object KMeans {
             val bcModel = spark.sparkContext.broadcast(children)
             members.map { case (id, v, c) =>
               (id, c, nearestIndex(v, bcModel.value(c)))
-            }.toDF("vec_id", "cell", "sub").localCheckpoint(true)
+            }.toDF("vec_id", "cell", "sub").pinned
           }
           // member counts per child: MEMBERLESS children are pruned
           // BEFORE any flat id is allocated (r15 ADVICE — un-pruned
@@ -546,7 +548,7 @@ object KMeans {
           val newAssign = cur.assign
             .filter(!col("cluster").isin(hotIds: _*))
             .unionAll(reassigned)
-            .localCheckpoint(true)
+            .pinned
           cur = CellModel(newAssign, newCentroids, cur.coarse, newChildren)
         } finally members.unpersist()
       }

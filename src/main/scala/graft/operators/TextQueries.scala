@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.plans.Pins.Pinned
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -211,7 +213,7 @@ object TextQueries {
     val exact = toks
       .groupBy(when(col("token").isin(candSet: _*), col("token")).as("token"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .pinned
     val rows = exact.collect().map(r =>
       (if (r.isNullAt(0)) None else Some(r.getString(0)), r.getLong(1)))
     val n = rows.map(_._2).sum

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.plans.Pins.Pinned
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -532,13 +534,13 @@ object VectorQueries {
   /** Reusable IVF-cell-blocked batch k-NN over (vec_id, v, label)
     * rows; queries = label-0 rows (v02/v08's query set).
     *
-    * Durability caveat (library surface): the returned frame is
-    * pinned via localCheckpoint(true), whose executor-stored blocks
-    * have NO lineage — on a real cluster an executor loss after
-    * return permanently breaks the frame (harmless under local
-    * masters). A deployment that must survive executor churn should
-    * write the result out (or enable reliable checkpointing) instead
-    * of holding the returned handle. */
+    * Durability: the returned frame is pinned via
+    * [[graft.plans.Pins.pin]] — executor blocks (no lineage; an
+    * executor loss after return breaks the frame on a real cluster,
+    * harmless under local masters) by default, a RELIABLE checkpoint
+    * when `spark.graft.checkpointDir` is set. A deployment that must
+    * survive executor churn sets the dial (or writes the result out)
+    * instead of holding the volatile handle. */
   def knnBatchIvf(spark: SparkSession, e0: DataFrame, k: Int,
       nProbe: Int = V15Probe,
       twoLevelCells: Int = V15TwoLevelCells,
@@ -566,7 +568,7 @@ object VectorQueries {
             nCells, 2, twoLevelCells, cellCap, V15CellTarget)
           batchIvfPlan(spark, e, model, k, nProbe, reprobeMax, n)
         }
-      plan.orderBy("query_id", "rk").localCheckpoint(true)
+      plan.orderBy("query_id", "rk").pinned
     } finally e.unpersist()
   }
 
@@ -730,7 +732,7 @@ object VectorQueries {
     val willReprobe = topUp
     val corpusCells =
       if (willReprobe && n >= graft.operators.ExtendedQueries.SqCutMinVectors)
-        corpusCellsLazy.localCheckpoint(true)
+        corpusCellsLazy.pinned
       else corpusCellsLazy
     // per-query probe cells via the ONE shared coarse-first kernel
     // (KMeans.probeCells — also e01c's) so the two-level probe rule
@@ -775,7 +777,7 @@ object VectorQueries {
         // Its rows are bounded (queries × (k+8) narrow structs), so
         // pin it executor-side once, the repo's cache-release
         // convention.
-        val top1 = pool(scored).localCheckpoint(true)
+        val top1 = pool(scored).pinned
         val (bMeans, bRadii) = cellBoundStats(spark, e, model.assign,
           model.centroids.length)
         val bcCs = spark.sparkContext.broadcast(model.centroids)

@@ -1,5 +1,7 @@
 package graft.store
 
+import graft.plans.Pins.Pinned
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -159,7 +161,7 @@ object SketchIndex {
         .groupBy("batch_doc")
         .agg(count(lit(1)).as("n_hist_dups"), max("j").as("best_j"))
         .orderBy("batch_doc")
-        .localCheckpoint()
+        .pinned
     } finally bSigs.unpersist()
   }
 
@@ -232,7 +234,7 @@ object SketchIndex {
         .groupBy("batch_doc")
         .agg(count(lit(1)).as("n_hist_dups"), min("hamming").as("best_hamming"))
         .orderBy("batch_doc")
-        .localCheckpoint() // batch-bounded rows; release bSigs safely
+        .pinned // batch-bounded rows; release bSigs safely
     } finally bSigs.unpersist()
   }
 

@@ -1,5 +1,7 @@
 package graft.store
 
+import graft.plans.Pins.Pinned
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -99,7 +101,7 @@ object VectorIndex {
     val keptN = kept.count()
     if (keptN == total) return // nothing revived
     val revived = t.join(liveIds.select("vec_id"), Seq("vec_id"), "left_semi")
-      .localCheckpoint(true) // pin: the swaps below must not re-read a moved dir
+      .pinned // pin: the swaps below must not re-read a moved dir
     RowFamilies.filter(_._1 != rebuiltFamily).foreach { case (fam, parts) =>
       val path = s"$dir/$fam"
       if (fs.exists(new org.apache.hadoop.fs.Path(path))) {
