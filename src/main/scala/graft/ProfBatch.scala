@@ -1,0 +1,69 @@
+package graft
+// A/B harness for the PERSISTED batch k-NN rung (VERDICT r15 #1, the
+// ProfCap convention — not library surface): builds the IVF artifact
+// once (timed), then times VectorIndex.annIvfBatch against the
+// in-entry v15 (which refits per call), so the no-refit saving is
+// MEASURED per decade instead of argued. Also reports pair agreement
+// between the two forms (they share one kernel; the model differs
+// only if the build dials do). Usage:
+//   runMain graft.ProfBatch <corpusDir> [k] [reprobeMax] [idxDir]
+// An existing idxDir is REUSED (the serving premise: build once,
+// query many) — delete it to re-measure the build.
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.VectorQueries
+import graft.store.VectorIndex
+
+object ProfBatch {
+  def t[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    System.err.println(f"[profbatch] $name: ${(System.nanoTime() - t0) / 1e9}%.1fs"); r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/repo/testdata_vec2m")
+    val k = args.lift(1).map(_.toInt).getOrElse(3)
+    val reprobe = args.lift(2).map(_.toInt).getOrElse(VectorQueries.V15ReprobeMax)
+    val idxDir = args.lift(3).getOrElse(dir.stripSuffix("/") + "_ivfidx")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 262144)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+    val n = e.count()
+    val nCells = math.max(8, (n / VectorQueries.V15CellTarget).toInt)
+    System.err.println(s"[profbatch] n=$n nCells=$nCells reprobe=$reprobe idx=$idxDir")
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/ivf_vectors"))) {
+      t("build (buildIvf + buildCellBounds, v15 dials)") {
+        VectorIndex.buildIvf(spark,
+          e.withColumn("nv", normNative(col("v")))
+            .repartition(spark.sparkContext.defaultParallelism),
+          idxDir, nCells = nCells, iters = 2,
+          cellCap = VectorQueries.V15CellCap)
+        VectorIndex.buildCellBounds(spark, idxDir)
+      }
+    } else System.err.println(s"[profbatch] reusing existing index at $idxDir")
+    val queries = e.filter(col("label") === 0).select("vec_id", "v")
+    val persisted = t(s"annIvfBatch (persisted, no refit)") {
+      val r = VectorIndex.annIvfBatch(spark, idxDir, queries, k,
+        reprobeMax = reprobe).select("query_id", "vec_id")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      System.err.println(s"[profbatch]   rows=${r.size}"); r
+    }
+    val inMem = t(s"knnBatchIvf (in-entry refit)") {
+      val r = VectorQueries.knnBatchIvf(spark, e, k, reprobeMax = reprobe)
+        .select("query_id", "vec_id")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      System.err.println(s"[profbatch]   rows=${r.size}"); r
+    }
+    val agree = persisted.intersect(inMem).size.toDouble / math.max(1, inMem.size)
+    System.err.println(f"[profbatch] pair agreement persisted vs in-entry: $agree%.4f")
+    spark.stop()
+  }
+}

@@ -197,7 +197,9 @@ object ExtendedQueries {
           "the signature pass scores ALL n² pairs (one popcount each), " +
           "quadratic in the corpus. Use e01cKnnClassifyIvfBq " +
           "(knnClassifyCellBlocked), whose cells grow with the corpus and " +
-          "keep per-query candidates constant.")
+          "keep per-query candidates constant; " +
+          "VectorIndex.recommendBatchRung prices every batch rung on a " +
+          "sample of your corpus.")
       // Coded cut only where it pays (VERDICT r14 #6): the cut's
       // fixed cost (train + full-corpus 16-bit encode) buys nothing
       // below [[SqCutMinVectors]] — pool×n is already small — and

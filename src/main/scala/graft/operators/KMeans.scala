@@ -216,12 +216,32 @@ object KMeans {
   private[graft] def candidateCells(v: Array[Double],
       cs: Array[Array[Double]], coarse: Array[Array[Double]],
       children: Array[Array[Int]], coarseProbe: Int): Array[Int] =
+    candidateCellsExtended(v, cs, coarse, children, coarseProbe, _ => false)
+
+  /** [[candidateCells]] plus ADMITTED STRADDLE GROUPS (r16, VERDICT
+    * r15 #2 — the cross-coarse-group scope hole): beyond the
+    * `coarseProbe` nearest groups, any group `groupAdmit` accepts is
+    * included too. The adaptive top-up passes a per-group cosine
+    * upper bound (q̂·ĝ + R̂g, the cell bound one level up) ≥ θk, so a
+    * query whose true neighbour sits in the 5th-nearest coarse group
+    * becomes REACHABLE exactly when that group could still beat the
+    * pooled k-th — while provably-dominated groups stay excluded and
+    * the common case pays coarse.length extra bound evaluations,
+    * never extra scans. ONE definition with the fixed-scope rule so
+    * the two cannot drift. */
+  private[graft] def candidateCellsExtended(v: Array[Double],
+      cs: Array[Array[Double]], coarse: Array[Array[Double]],
+      children: Array[Array[Int]], coarseProbe: Int,
+      groupAdmit: Int => Boolean): Array[Int] =
     if (coarse == null) Array.range(0, cs.length)
     else {
       val gds = new Array[(Double, Int)](coarse.length)
       var g = 0
       while (g < coarse.length) { gds(g) = (sqDist(v, coarse(g)), g); g += 1 }
-      gds.sortBy(_._1).take(coarseProbe).flatMap { case (_, grp) => children(grp) }
+      val ranked = gds.sortBy(_._1)
+      (ranked.take(coarseProbe) ++
+        ranked.drop(coarseProbe).filter { case (_, grp) => groupAdmit(grp) })
+        .flatMap { case (_, grp) => children(grp) }
     }
 
   /** Coarse-first probe-cell selection — THE shared probe kernel for

@@ -439,8 +439,11 @@ object VectorQueries {
         s"knnBatchAnn (v08): corpus of $n vectors puts ~$occupancy in each " +
         s"${BatchAnnBits}-bit LSH bucket (> $maxOccupancy) — candidate pairs " +
         s"grow quadratically in occupancy ($BatchAnnTables tables), measured " +
-        "disk-exhausting at 200k vectors. Use knnBatchIvf (v15), whose " +
-        "cells grow with the corpus and keep per-query candidates constant.")
+        "disk-exhausting at 200k vectors. Use knnBatchIvf (v15) or the " +
+        "persisted VectorIndex.annIvfBatch, whose cells grow with the corpus " +
+        "and keep per-query candidates constant — " +
+        "VectorIndex.recommendBatchRung prices every batch rung on a sample " +
+        "of your corpus.")
     }
     val scored = lshScored(e, col("label") === 0, BatchAnnTables, BatchAnnBits, seed = 99L)
       .withColumnRenamed("qid", "query_id")
@@ -713,12 +716,9 @@ object VectorQueries {
   private def batchIvfPlan(spark: SparkSession, e: DataFrame,
       model: KMeans.CellModel, k: Int, nProbe: Int,
       reprobeMax: Int, knownN: Long = -1L): DataFrame = {
-    import spark.implicits._
-    val coarseProbe = graft.operators.ExtendedQueries.E01cCoarseProbe
     val n = if (knownN >= 0) knownN else e.count()
     val corpusCellsLazy = e.select(col("vec_id"), col("v"), col("nv"))
       .join(model.assign, "vec_id")
-    val queries = e.filter(col("label") === 0).select(col("vec_id"), col("v"))
     // Both scoring rounds join the assigned corpus — left lazy, the
     // corpus⋈assignment shuffle join executes once per round. Above
     // the decade crossover pin it once (the e01c signature-relation
@@ -728,36 +728,126 @@ object VectorQueries {
     // the entry routes it to the brute kernel PRE-fit (see
     // [[smallModelExhaustive]]); a post-split flat model that shrank
     // back under probe + budget cannot exist (splits only grow).
-    val topUp = reprobeMax > 0
-    val willReprobe = topUp
     val corpusCells =
-      if (willReprobe && n >= graft.operators.ExtendedQueries.SqCutMinVectors)
+      if (reprobeMax > 0 && n >= graft.operators.ExtendedQueries.SqCutMinVectors)
         corpusCellsLazy.pinned
       else corpusCellsLazy
-    // per-query probe cells via the ONE shared coarse-first kernel
-    // (KMeans.probeCells — also e01c's) so the two-level probe rule
-    // cannot drift between the batch paths.
-    val probes = KMeans.probeCells(spark, queries,
-        model.centroids, model.coarse, nProbe, coarseProbe, model.children)
-      .withColumnRenamed("qid", "query_id")
+    val queries = e.filter(col("label") === 0).select(col("vec_id"), col("v"))
     val qPayload = e.select(col("vec_id").as("query_id"), col("v").as("qv"),
       col("nv").as("nq"))
-    def scoreCells(cellPairs: DataFrame): DataFrame = cellPairs
+    batchIvfCore(spark, _ => corpusCells, queries, qPayload,
+      model.centroids, model.coarse, model.children, k, nProbe, reprobeMax,
+      nQueries = e.filter(col("label") === 0).count(),
+      bounds = () => cellBoundStats(spark, e, model.assign,
+        model.centroids.length),
+      pruneScan = false)
+  }
+
+  /** Per-GROUP cosine bounds DERIVED driver-side from the cell bounds
+    * (r16, VERDICT r15 #2) — zero extra distributed passes: with ĝ
+    * any fixed reference (here the unweighted mean of the group's
+    * bounded child means) and R̂g = max over bounded children c of
+    * (r̂c + |ĉc − ĝ|), every member x of any child satisfies
+    * |x̂ − ĝ| ≤ |x̂ − ĉc| + |ĉc − ĝ| ≤ r̂c + |ĉc − ĝ| ≤ R̂g, so
+    * cos(q, x) ≤ q̂·ĝ + R̂g — the cell bound's Cauchy-Schwarz argument
+    * one level up, sound for ANY reference point (no member counts
+    * needed). Unbounded children (+∞ radius — persisted appends into
+    * cells without a build-time bound row) make their group
+    * unbounded (must-probe); groups with no bounded children get
+    * (null, −∞) — nothing to gain. */
+  private[graft] def groupBoundsFromCells(children: Array[Array[Int]],
+      means: Array[Array[Double]], radii: Array[Double])
+      : (Array[Array[Double]], Array[Double]) = {
+    val gMeans = new Array[Array[Double]](children.length)
+    val gRadii = Array.fill(children.length)(Double.NegativeInfinity)
+    var g = 0
+    while (g < children.length) {
+      val live = children(g).filter(c => means(c) != null &&
+        radii(c) != Double.NegativeInfinity)
+      if (live.nonEmpty) {
+        val dim = means(live(0)).length
+        val m = new Array[Double](dim)
+        live.foreach { c =>
+          var j = 0
+          while (j < dim) { m(j) += means(c)(j); j += 1 }
+        }
+        var j = 0
+        while (j < dim) { m(j) /= live.length; j += 1 }
+        gMeans(g) = m
+        gRadii(g) = live.map { c =>
+          if (radii(c) == Double.PositiveInfinity) Double.PositiveInfinity
+          else {
+            var d = 0.0; var t = 0
+            while (t < dim) { val x = means(c)(t) - m(t); d += x * x; t += 1 }
+            radii(c) + math.sqrt(d)
+          }
+        }.max
+      }
+      g += 1
+    }
+    (gMeans, gRadii)
+  }
+
+  /** THE shared cell-blocked batch k-NN kernel — v15's in-entry form
+    * ([[batchIvfPlan]]) and the persisted serving twin
+    * (VectorIndex.annIvfBatch) both route here, so probe rule,
+    * scoring, pooling, top-up and re-rank CANNOT drift between them.
+    *
+    *  - `cellScan(cells)` returns the (vec_id, v, nv, cluster) corpus
+    *    rows for the given cells. The in-entry form ignores the list
+    *    (its assignment join restricts per-query anyway); the
+    *    persisted form turns it into a `cluster IN (...)` PARTITION
+    *    filter, so non-probed cells never open a file. When
+    *    `pruneScan` is set the probe/re-probe relations are pinned
+    *    first (each feeds both the distinct-cell collect — bounded by
+    *    nCells — and the scoring join).
+    *  - coarse-first probe via the ONE shared kernel
+    *    (KMeans.probeCells — also e01c's), exact cosine inside probed
+    *    cells only, TopKAgg partials, per-query θk, then the BOUNDED
+    *    ADAPTIVE TOP-UP (VERDICT r14 #2): unprobed candidate cells
+    *    whose bound q̂·ĉ + r̂ ≥ θk − margin re-probe in centroid-
+    *    distance order up to `reprobeMax`.
+    *  - On TWO-LEVEL models the top-up's candidate scope now extends
+    *    past the coarseProbe nearest groups (r16, VERDICT r15 #2):
+    *    groups whose DERIVED group bound ([[groupBoundsFromCells]])
+    *    could still beat θk admit their children — a cross-coarse-
+    *    group straddle is reachable exactly when it could matter,
+    *    within the same re-probe budget. reprobeMax = 0 is the
+    *    fixed-dial single-stage plan, byte-identical to r14. */
+  private[graft] def batchIvfCore(spark: SparkSession,
+      cellScan: Seq[Int] => DataFrame, queries: DataFrame,
+      qPayload: DataFrame, centroids: Array[Array[Double]],
+      coarse: Array[Array[Double]], children: Array[Array[Int]],
+      k: Int, nProbe: Int, reprobeMax: Int, nQueries: Long,
+      bounds: () => (Array[Array[Double]], Array[Double]),
+      pruneScan: Boolean): DataFrame = {
+    import spark.implicits._
+    val coarseProbe = graft.operators.ExtendedQueries.E01cCoarseProbe
+    val topUp = reprobeMax > 0
+    // per-query probe cells via the ONE shared coarse-first kernel
+    val probes0 = KMeans.probeCells(spark, queries,
+        centroids, coarse, nProbe, coarseProbe, children)
+      .withColumnRenamed("qid", "query_id")
+    val probes = if (pruneScan) probes0.pinned else probes0
+    def scanFor(cellPairs: DataFrame): DataFrame =
+      if (!pruneScan) cellScan(Nil)
+      else cellScan(cellPairs.select(col("cluster")).distinct()
+        .as[Int].collect().toSeq.sorted) // ≤ nCells ints
+    def scoreCells(cellPairs: DataFrame, scan: DataFrame): DataFrame = cellPairs
       .join(qPayload, "query_id")
-      .join(corpusCells, "cluster")
+      .join(scan, "cluster")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"),
         cosinePreRaw(col("v"), col("qv"), col("nv"), col("nq")).as("rawcos"),
         col("vec_id"))
-    val scored = scoreCells(probes)
+    val scored = scoreCells(probes, scanFor(probes))
     // qid-repartition before the pool agg: bounds the agg map and
     // any sort fallback to a partition's slice of the pair stream
     // (see poolAggPartitions). BIG-decade lever only — when the
     // count clamps to defaultParallelism the raised fallback
     // threshold already keeps the agg hashed and the extra exchange
     // is pure overhead (measured +23 s at 200k).
-    val poolParts = poolAggPartitions(
-      spark, e.filter(col("label") === 0).count(), V15PoolQidsPerPartition)
+    val poolParts = poolAggPartitions(spark, nQueries, V15PoolQidsPerPartition)
     def pool(pairs: DataFrame): DataFrame = {
       val pre =
         if (poolParts > spark.sparkContext.defaultParallelism)
@@ -778,15 +868,17 @@ object VectorQueries {
         // pin it executor-side once, the repo's cache-release
         // convention.
         val top1 = pool(scored).pinned
-        val (bMeans, bRadii) = cellBoundStats(spark, e, model.assign,
-          model.centroids.length)
-        val bcCs = spark.sparkContext.broadcast(model.centroids)
-        val bcCoarse = spark.sparkContext.broadcast(model.coarse)
-        val bcChildren = spark.sparkContext.broadcast(
-          if (model.children != null) model.children
-          else KMeans.uniformChildren(model.centroids.length, model.coarse))
+        val (bMeans, bRadii) = bounds()
+        val (gMeans, gRadii) =
+          if (coarse == null) (null, null)
+          else groupBoundsFromCells(children, bMeans, bRadii)
+        val bcCs = spark.sparkContext.broadcast(centroids)
+        val bcCoarse = spark.sparkContext.broadcast(coarse)
+        val bcChildren = spark.sparkContext.broadcast(children)
         val bcMeans = spark.sparkContext.broadcast(bMeans)
         val bcRadii = spark.sparkContext.broadcast(bRadii)
+        val bcGMeans = spark.sparkContext.broadcast(gMeans)
+        val bcGRadii = spark.sparkContext.broadcast(gRadii)
         // θk per query: the pooled k-th's raw cosine; a pool shorter
         // than k (or a query with no pool rows at all) means nothing
         // is provably dominated yet → θ = −∞, re-probe fills the
@@ -795,7 +887,7 @@ object VectorQueries {
           when(size(col("top")) >= k,
             element_at(col("top"), k).getField("cos"))
             .otherwise(lit(Double.NegativeInfinity)).as("theta"))
-        val reprobes = queries
+        val reprobes0 = queries
           .withColumnRenamed("vec_id", "query_id")
           .join(theta, Seq("query_id"), "left")
           .select(col("query_id"), col("v"),
@@ -803,17 +895,30 @@ object VectorQueries {
           .as[(Long, Array[Double], Double)]
           .flatMap { case (id, v, th) =>
             val cs = bcCs.value
-            val cand = KMeans.candidateCells(v, cs, bcCoarse.value,
-              bcChildren.value, coarseProbe)
+            var qn = 0.0; var j = 0
+            while (j < v.length) { qn += v(j) * v(j); j += 1 }
+            val inv = if (qn > 0) 1.0 / math.sqrt(qn) else 0.0
+            // the straddle extension: admit groups past the
+            // coarseProbe scope whose GROUP bound could beat θk
+            val gms = bcGMeans.value; val grs = bcGRadii.value
+            val admit: Int => Boolean =
+              if (gms == null) _ => false
+              else g => {
+                val m = gms(g)
+                m != null && {
+                  var s = 0.0; var t = 0
+                  while (t < m.length) { s += v(t) * inv * m(t); t += 1 }
+                  s + grs(g) >= th - ReprobeMargin
+                }
+              }
+            val cand = KMeans.candidateCellsExtended(v, cs, bcCoarse.value,
+              bcChildren.value, coarseProbe, admit)
             val ds = new Array[(Double, Int)](cand.length)
             var i = 0
             while (i < cand.length) {
               ds(i) = (KMeans.sqDist(v, cs(cand(i))), cand(i)); i += 1
             }
             val ranked = ds.sortBy(_._1)
-            var qn = 0.0; var j = 0
-            while (j < v.length) { qn += v(j) * v(j); j += 1 }
-            val inv = if (qn > 0) 1.0 / math.sqrt(qn) else 0.0
             val ms = bcMeans.value; val rs = bcRadii.value
             // Rank the survivors by CENTROID DISTANCE — the probe
             // order's continuation — and use the bound only as the
@@ -838,10 +943,11 @@ object VectorQueries {
               .take(reprobeMax)
               .map { case (_, c, _) => (id, c) }
           }.toDF("query_id", "cluster")
+        val reprobes = if (pruneScan) reprobes0.pinned else reprobes0
         val round1 = top1.select(col("query_id"), explode(col("top")).as("t"))
           .select(col("query_id"), col("t.cos").as("rawcos"),
             col("t.vec_id").as("vec_id"))
-        pool(round1.unionAll(scoreCells(reprobes)))
+        pool(round1.unionAll(scoreCells(reprobes, scanFor(reprobes))))
       }
     rerankPools(merged, k)
   }
@@ -1031,9 +1137,42 @@ object VectorQueries {
     } finally { pool.unpersist(); () }
   }
 
+  // One persisted-batch artifact per corpus dir per JVM (the
+  // hybridIdxCache convention): "build once per corpus version,
+  // query many times" IS the serving contract the entry demonstrates.
+  private val batchIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** v16: v15's batch-k-NN semantics THROUGH THE PERSISTED INDEX
+    * (VERDICT r15 #1) — the serving twin: the artifact builds once
+    * per corpus version (cached per JVM here, the v03b precedent)
+    * and every batch call pays only the partition-pruned probe + the
+    * bounded top-up, never the fit. Same fit dials as v15, so the
+    * rows match the in-entry form on a shared model. *rows-only*
+    * (BatchIndexSpec: persisted == in-memory v15 rows; PartitionFilters
+    * needle; tombstone hygiene; straddle recovery). */
+  def v16KnnBatchIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val idx = batchIdxCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_v16_ivf").toString
+      val n = e.count()
+      graft.store.VectorIndex.buildIvf(spark,
+        e.withColumn("nv", normNative(col("v")))
+          .repartition(spark.sparkContext.defaultParallelism),
+        p, nCells = math.max(8, (n / V15CellTarget).toInt), iters = 2,
+        cellCap = V15CellCap)
+      graft.store.VectorIndex.buildCellBounds(spark, p)
+      p
+    })
+    graft.store.VectorIndex.annIvfBatch(spark, idx,
+        e.filter(col("label") === 0).select("vec_id", "v"), k = 3)
+      .orderBy("query_id", "rk")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "v16_knn_batch_ivf_persisted" -> (v16KnnBatchIvfPersisted _),
     "v12_mmr" -> (v12Mmr _),
     "v01_knn_facts" -> (v01KnnFacts _),
     "v02_knn_batch" -> (v02KnnBatch _),

@@ -117,4 +117,24 @@ class BenchGuardSpec extends AnyFunSuite {
     val r = Bench.detectNoise(ratios, Set("q1_x"))
     assert(r.verdict == "regression-suspect", s"got ${r.verdict}")
   }
+
+  // ---------------------------------------- known-trade annotations
+
+  test("known trades split from unexplained drift; a blown budget stays a regression (VERDICT r15 #8)") {
+    val trades = Map(
+      "v15_knn_batch_ivf" -> (1.8, "small-model exhaustive arm buys exactness"),
+      "d09_dedup_apply" -> (1.3, "survivor anti-join widened"))
+    val raw = Map(
+      "v15_knn_batch_ivf" -> 1.64, // within its 1.8x budget → trade
+      "d09_dedup_apply" -> 2.4,    // blows its 1.3x budget → regression
+      "h02_entity_neighbours" -> 2.1) // unannotated → regression
+    val (unexplained, annotated) = Bench.classifyRegressions(raw, trades)
+    assert(annotated == Map("v15_knn_batch_ivf" -> 1.64))
+    assert(unexplained.keySet ==
+      Set("d09_dedup_apply", "h02_entity_neighbours"))
+    // no annotations (this round's shipped state): everything flagged
+    // stays unexplained
+    val (u2, a2) = Bench.classifyRegressions(raw, Map.empty)
+    assert(a2.isEmpty && u2 == raw)
+  }
 }

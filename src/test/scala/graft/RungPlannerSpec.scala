@@ -166,6 +166,56 @@ class RungPlannerSpec extends SparkSpec {
       s"refusal must name the missing layout, got: ${ex.getMessage}")
   }
 
+  test("recommendBatchRung: a batch workload routes v08 → the IVF-cell family by corpus size (VERDICT r15 #7)") {
+    // 1600 vectors in 8 directional clusters; queries UNBOUNDED
+    // (nQueries past the broadcast ceiling disqualifies brute)
+    val e = (0 until 1600).map { i =>
+      val c = i % 8
+      (i.toLong, Array.tabulate(8)(j =>
+        (if (j == c) 4.0 else 0.0) + 0.3 * math.sin(i * 2.3 + j * 1.1)))
+    }.toSeq.toDF("vec_id", "v")
+    // SMALL corpus (1600): v08 is inside its occupancy bound and its
+    // candidate volume (= n at these dials) undercuts the cell rungs'
+    // probe×target — the near-random-friendly tool wins the decade
+    val (small, smallRows) = VectorIndex.recommendBatchRung(spark, e,
+      nQueries = VectorIndex.BruteBatchMaxQueries + 1, k = 3,
+      recallFloor = 0.9)
+    smallRows.foreach(p => info(
+      f"small  ${p.rung}%-36s feasible=${p.feasible} cand/q=${p.candidatesPerQuery}%7d mean ${p.meanRecall}%.2f"))
+    assert(small.exists(_.rung.contains("v08")),
+      s"small corpus should route v08, got ${small.map(_.rung)}")
+    // LARGE corpus (same sample, knownN = 200k — the measured v08
+    // failure decade): v08 is infeasible, brute is disqualified by
+    // the unbounded query batch, and the IVF-cell family (persisted
+    // form first — no refit) is what remains
+    val (large, largeRows) = VectorIndex.recommendBatchRung(spark, e,
+      nQueries = VectorIndex.BruteBatchMaxQueries + 1, k = 3,
+      recallFloor = 0.9, knownN = 200000L)
+    largeRows.foreach(p => info(
+      f"large  ${p.rung}%-36s feasible=${p.feasible} cand/q=${p.candidatesPerQuery}%7d mean ${p.meanRecall}%.2f"))
+    assert(!largeRows.find(_.rung.contains("v08")).get.feasible,
+      "v08 must be infeasible at 200k")
+    assert(large.exists(p => p.rung.contains("annIvfBatch") || p.rung.contains("v15")),
+      s"large corpus should route the IVF-cell family, got ${large.map(_.rung)}")
+    assert(large.get.rung.contains("annIvfBatch"),
+      "at equal candidates the persisted (no-refit) form should win the tie")
+    // and a BOUNDED batch at large n routes brute only if nothing
+    // cheaper meets the floor — here the cell family already does
+    val (bounded, _) = VectorIndex.recommendBatchRung(spark, e,
+      nQueries = 1000, k = 3, recallFloor = 0.9, knownN = 200000L)
+    assert(bounded.exists(p => !p.paysFit),
+      "bounded-batch pick should still avoid a per-call fit")
+    // the fail-fasts cite the planner (the discoverability contract)
+    val big = (0 until 41000).map(i =>
+      (i.toLong, Array.tabulate(4)(j => math.sin(i * 2.3 + j)), i % 4))
+      .toSeq.toDF("vec_id", "v", "label")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.VectorQueries.knnBatchAnn(spark, big, k = 3)
+    }
+    assert(ex.getMessage.contains("recommendBatchRung"),
+      "v08's regime fail-fast must cite the batch planner")
+  }
+
   test("recommendRung: stress corpus (sf0.01) — brute stays exact, SQ8 meets a 0.95 floor the 8-byte rungs may not") {
     val e = graft.sources.Tables.embeddings(spark, sf001)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
