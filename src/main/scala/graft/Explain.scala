@@ -109,6 +109,14 @@ object Explain {
       // never a full-corpus cosine scan
       "v03b_hybrid_union_indexed" ->
         Seq("PartitionFilters", "cluster", "LeftSemi", "TakeOrderedAndProject"),
+      // v16 (r16, VERDICT r15 #1): batch k-NN THROUGH the persisted
+      // IVF artifact — the probed-cell union must reach the scan as a
+      // PARTITION filter (non-probed cells never open a file), with
+      // TopKAgg partials and no all-pairs shape anywhere; the probe
+      // relation pins executor-side (Scan ExistingRDD)
+      "v16_knn_batch_ivf_persisted" ->
+        Seq("PartitionFilters", "cluster", "ObjectHashAggregate",
+          "!CartesianProduct", "!BroadcastNestedLoopJoin"),
       // q13: exact percentile is a TypedImperativeAggregate — must
       // partial-aggregate (no row-sort of the whole table)
       "q13_group_stats" -> Seq("ObjectHashAggregate"),

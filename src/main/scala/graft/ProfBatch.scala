@@ -40,23 +40,24 @@ object ProfBatch {
     val fs = new org.apache.hadoop.fs.Path(idxDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/ivf_vectors"))) {
-      t("build (buildIvf + buildCellBounds, v15 dials)") {
+      t("build (buildIvf + buildCellBounds, v15 dials incl. two-level routing)") {
         VectorIndex.buildIvf(spark,
           e.withColumn("nv", normNative(col("v")))
             .repartition(spark.sparkContext.defaultParallelism),
           idxDir, nCells = nCells, iters = 2,
-          cellCap = VectorQueries.V15CellCap)
+          cellCap = VectorQueries.V15CellCap,
+          twoLevelCells = VectorQueries.V15TwoLevelCells)
         VectorIndex.buildCellBounds(spark, idxDir)
       }
     } else System.err.println(s"[profbatch] reusing existing index at $idxDir")
     val queries = e.filter(col("label") === 0).select("vec_id", "v")
-    val persisted = t(s"annIvfBatch (persisted, no refit)") {
+    val persisted = t(s"annIvfBatch (persisted, no refit, FULL batch)") {
       val r = VectorIndex.annIvfBatch(spark, idxDir, queries, k,
         reprobeMax = reprobe).select("query_id", "vec_id")
         .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
       System.err.println(s"[profbatch]   rows=${r.size}"); r
     }
-    val inMem = t(s"knnBatchIvf (in-entry refit)") {
+    val inMem = t(s"knnBatchIvf (in-entry refit, FULL batch)") {
       val r = VectorQueries.knnBatchIvf(spark, e, k, reprobeMax = reprobe)
         .select("query_id", "vec_id")
         .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
@@ -64,6 +65,27 @@ object ProfBatch {
     }
     val agree = persisted.intersect(inMem).size.toDouble / math.max(1, inMem.size)
     System.err.println(f"[profbatch] pair agreement persisted vs in-entry: $agree%.4f")
+    // the SERVING case: a selective batch (1k queries) — the persisted
+    // form pays a pruned scan, the in-entry form still pays the fit
+    val sel = queries.limit(1000).localCheckpoint(true)
+    t(s"annIvfBatch (persisted, SELECTIVE 1k batch)") {
+      val n1 = VectorIndex.annIvfBatch(spark, idxDir, sel, k,
+        reprobeMax = reprobe).count()
+      System.err.println(s"[profbatch]   rows=$n1")
+    }
+    t(s"knnBatchIvf (in-entry refit, 1k of the label-0 queries)") {
+      // in-entry has no query-subset dial — mark all but the 1k as
+      // corpus-only, the label contract
+      val selIds = sel.select("vec_id").collect().map(_.getLong(0)).toSet
+      val bc = spark.sparkContext.broadcast(selIds)
+      import spark.implicits._
+      val relabeled = e.as[(Long, Array[Double], Int)]
+        .map { case (id, v, l) => (id, v, if (bc.value(id)) 0 else 1) }
+        .toDF("vec_id", "v", "label")
+      val n2 = VectorQueries.knnBatchIvf(spark, relabeled, k,
+        reprobeMax = reprobe).count()
+      System.err.println(s"[profbatch]   rows=$n2")
+    }
     spark.stop()
   }
 }

@@ -220,19 +220,26 @@ object KMeans {
 
   /** [[candidateCells]] plus ADMITTED STRADDLE GROUPS (r16, VERDICT
     * r15 #2 — the cross-coarse-group scope hole): beyond the
-    * `coarseProbe` nearest groups, any group `groupAdmit` accepts is
-    * included too. The adaptive top-up passes a per-group cosine
-    * upper bound (q̂·ĝ + R̂g, the cell bound one level up) ≥ θk, so a
-    * query whose true neighbour sits in the 5th-nearest coarse group
-    * becomes REACHABLE exactly when that group could still beat the
-    * pooled k-th — while provably-dominated groups stay excluded and
-    * the common case pays coarse.length extra bound evaluations,
-    * never extra scans. ONE definition with the fixed-scope rule so
-    * the two cannot drift. */
+    * `coarseProbe` nearest groups, up to `maxAdmitted` further groups
+    * `groupAdmit` accepts are included too — nearest (by coarse
+    * distance, the probe order's continuation) first. The adaptive
+    * top-up passes a per-group cosine upper bound (q̂·ĝ + R̂g, the
+    * cell bound one level up) ≥ θk, so a query whose true neighbour
+    * sits in the 5th-nearest coarse group becomes REACHABLE exactly
+    * when that group could still beat the pooled k-th. The CAP is the
+    * cost bound: derived group bounds are LOOSE on spread-out groups
+    * (R̂g covers the whole group's directional spread — measured at
+    * clustered-2M: uncapped admission let ~every group in and the
+    * re-probe flatMap sqDist-ranked all 8000 cells per query, v15
+    * 42 → 122 s), so admission is budget-shaped like the re-probe
+    * itself: the common case pays k1 bound evaluations + ranking
+    * (coarseProbe + maxAdmitted)·k2 cells, never the full flat space.
+    * ONE definition with the fixed-scope rule so the two cannot
+    * drift. */
   private[graft] def candidateCellsExtended(v: Array[Double],
       cs: Array[Array[Double]], coarse: Array[Array[Double]],
       children: Array[Array[Int]], coarseProbe: Int,
-      groupAdmit: Int => Boolean): Array[Int] =
+      groupAdmit: Int => Boolean, maxAdmitted: Int = Int.MaxValue): Array[Int] =
     if (coarse == null) Array.range(0, cs.length)
     else {
       val gds = new Array[(Double, Int)](coarse.length)
@@ -240,7 +247,8 @@ object KMeans {
       while (g < coarse.length) { gds(g) = (sqDist(v, coarse(g)), g); g += 1 }
       val ranked = gds.sortBy(_._1)
       (ranked.take(coarseProbe) ++
-        ranked.drop(coarseProbe).filter { case (_, grp) => groupAdmit(grp) })
+        ranked.drop(coarseProbe).filter { case (_, grp) => groupAdmit(grp) }
+          .take(maxAdmitted))
         .flatMap { case (_, grp) => children(grp) }
     }
 

@@ -512,6 +512,14 @@ object VectorQueries {
     * measurement baseline the band specs pin). */
   val V15ReprobeMax = 4
 
+  /** Straddle-group admission cap for the top-up's candidate-scope
+    * extension (VERDICT r15 #2): at most this many groups past the
+    * coarseProbe scope join the re-probe candidate set, nearest
+    * first among those whose group bound could still beat θk. The
+    * cap is the COST bound — see KMeans.candidateCellsExtended's
+    * measured loose-bound regime. */
+  val V15StraddleGroups = 2
+
   /** v15: IVF-CELL-BLOCKED batch k-NN — v08's semantics (every
     * label-0 vector gets its top-k neighbours) with the LSH blocking
     * replaced by the e01c cell blocking, because the LSH dial is
@@ -912,7 +920,7 @@ object VectorQueries {
                 }
               }
             val cand = KMeans.candidateCellsExtended(v, cs, bcCoarse.value,
-              bcChildren.value, coarseProbe, admit)
+              bcChildren.value, coarseProbe, admit, V15StraddleGroups)
             val ds = new Array[(Double, Int)](cand.length)
             var i = 0
             while (i < cand.length) {

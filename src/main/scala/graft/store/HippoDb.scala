@@ -196,7 +196,15 @@ object HippoDb {
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val tmp = s"${path}_compact_tmp"
     val bak = s"${path}_compact_bak"
-    val w = replacement.write.mode(SaveMode.Overwrite)
+    // repartition ON the partition columns first (the
+    // writeClusterPartitioned convention): a bare partitionBy makes
+    // every task emit a file per value it holds — tasks × values
+    // small files at rewrite time
+    val toWrite =
+      if (partitionCols.nonEmpty)
+        replacement.repartition(partitionCols.map(col): _*)
+      else replacement
+    val w = toWrite.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmp)
     val fs = p(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

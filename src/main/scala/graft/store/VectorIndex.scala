@@ -155,12 +155,26 @@ object VectorIndex {
           " (build* revives its input ids) to re-add them")
     }
 
+  /** THE cluster-partitioned write (r16 — the 2M build wall found by
+    * ProfBatch): `partitionBy("cluster")` alone makes EVERY map task
+    * emit a file into every cell directory it holds rows for —
+    * shufflePartitions × nCells files (measured: 8000 cells × 32
+    * tasks → 256k small files, the write wall-dominating the build).
+    * Repartitioning ON the partition column first co-locates each
+    * cell's rows in one task, so the layout lands as ~one file per
+    * cell — also the shape the probed scan wants (a probe opens
+    * nProbe files, not nProbe × tasks). */
+  private def writeClusterPartitioned(df: DataFrame, path: String,
+      mode: SaveMode): Unit =
+    df.repartition(col("cluster"))
+      .write.mode(mode).partitionBy("cluster").parquet(path)
+
   private def writePartitionedDelta(spark: SparkSession, path: String,
       delta: DataFrame): Unit = {
     val mode =
       if (spark.read.parquet(path).isEmpty) SaveMode.Overwrite
       else SaveMode.Append
-    delta.write.mode(mode).partitionBy("cluster").parquet(path)
+    writeClusterPartitioned(delta, path, mode)
   }
 
   private def tombstonesAt(spark: SparkSession, dir: String): Option[DataFrame] = {
@@ -392,37 +406,67 @@ object VectorIndex {
     * are just more partitions and more centroid rows, so every
     * serving path (partition-pruned probe, filtered, adaptive,
     * tombstones) is inherited unchanged. Default 0 (off) keeps
-    * existing builds byte-identical. */
+    * existing builds byte-identical.
+    *
+    * `twoLevelCells` (r16 — the 2M build wall: a FLAT capped fit at
+    * nCells = 8000 pays 2M × 8000 typed-map distances PER ITERATION,
+    * measured > 15 min, where v15's routed fit runs the same corpus
+    * in ~a minute) routes the capped fit through the two-level
+    * quantizer above the threshold, exactly like the batch entries
+    * (KMeans.fitCells — e01c/v15's routing). When it routes, the
+    * coarse model persists (ivf_coarse + ivf_two_level.json, the
+    * buildIvfTwoLevel artifacts) and the EXPLICIT group→cell index
+    * persists as `ivf_children` — cap splits register children under
+    * the parent's coarse group, so the layout is no longer the
+    * uniform g·k2 blocks the metadata alone implies;
+    * [[annIvfBatch]]'s coarse-first probe loads it. The default
+    * (Int.MaxValue = never) keeps every existing build and spec
+    * byte-identical. */
   def buildIvf(spark: SparkSession, e: DataFrame, dir: String,
       nCells: Int = VectorQueries.IvfCells, iters: Int = 2,
-      cellCap: Int = 0): Unit = {
+      cellCap: Int = 0, twoLevelCells: Int = Int.MaxValue): Unit = {
+    import spark.implicits._
     val cached = e.select(col("vec_id"), col("v")).cache()
     try {
-      val (assigned, centroids) =
+      val model =
         if (cellCap > 0) {
           val target = math.max(1, (cellCap + 1) / 2)
-          val m = KMeans.fitCells(spark, cached, nCells, iters,
-            twoLevelCells = Int.MaxValue, cellCap = cellCap,
+          KMeans.fitCells(spark, cached, nCells, iters,
+            twoLevelCells = twoLevelCells, cellCap = cellCap,
             cellTarget = target)
-          (m.assign, m.centroids)
         } else {
           val (a, cs, _) =
             KMeans.fit(spark, cached, nCells, iters, trackInertia = false)
-          (a, cs)
+          KMeans.CellModel(a, cs, null, null)
         }
-      cached.join(assigned, "vec_id")
-        .write.mode(SaveMode.Overwrite).partitionBy("cluster")
-        .parquet(s"$dir/ivf_vectors")
-      writeCentroidRows(spark, centroids, s"$dir/ivf_centroids")
-      // a flat REBUILD over a dir previously built two-level must
-      // clear the hierarchical artifacts — a stale coarse model +
-      // stale k2 would silently map probes onto the NEW unrelated
-      // flat ids (the buildIvfPq precedent: it clears stale
-      // ivfpq_err_appends the same way)
+      writeClusterPartitioned(cached.join(model.assign, "vec_id"),
+        s"$dir/ivf_vectors", SaveMode.Overwrite)
+      writeCentroidRows(spark, model.centroids, s"$dir/ivf_centroids")
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Seq(s"$dir/ivf_coarse", s"$dir/ivf_two_level.json",
-          s"$dir/ivf_cellbounds").foreach { p =>
+      if (model.coarse != null) {
+        writeCentroidRows(spark, model.coarse, s"$dir/ivf_coarse")
+        val k1 = model.coarse.length
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$dir/ivf_two_level.json"),
+          s"""{"format": "graft-ivf2-v1", "k1": $k1, "k2": ${model.centroids.length / k1}}""")
+        model.children.zipWithIndex
+          .flatMap { case (cs, g) => cs.map(c => (g, c)) }.toSeq
+          .toDF("grp", "cell")
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(s"$dir/ivf_children")
+      }
+      // a rebuild must clear whatever hierarchical artifacts it did
+      // NOT just write — a stale coarse model / children index would
+      // silently map probes onto the NEW unrelated flat ids (the
+      // buildIvfPq precedent: it clears stale ivfpq_err_appends the
+      // same way); cell bounds always invalidate with the model
+      val stale =
+        (if (model.coarse == null)
+          Seq(s"$dir/ivf_coarse", s"$dir/ivf_two_level.json",
+            s"$dir/ivf_children")
+        else Nil) :+ s"$dir/ivf_cellbounds"
+      stale.foreach { p =>
         val hp = new org.apache.hadoop.fs.Path(p)
         if (fs.exists(hp) && !fs.delete(hp, true))
           throw new java.io.IOException(
@@ -451,20 +495,25 @@ object VectorIndex {
     try {
       val (assigned, flat, coarse) =
         KMeans.fitTwoLevel(spark, cached, nCells, iters, branch)
-      cached.join(assigned, "vec_id")
-        .write.mode(SaveMode.Overwrite).partitionBy("cluster")
-        .parquet(s"$dir/ivf_vectors")
+      writeClusterPartitioned(cached.join(assigned, "vec_id"),
+        s"$dir/ivf_vectors", SaveMode.Overwrite)
       writeCentroidRows(spark, flat, s"$dir/ivf_centroids")
       writeCentroidRows(spark, coarse, s"$dir/ivf_coarse")
       val k1 = coarse.length
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$dir/ivf_two_level.json"),
         s"""{"format": "graft-ivf2-v1", "k1": $k1, "k2": ${flat.length / k1}}""")
-      val bp = new org.apache.hadoop.fs.Path(s"$dir/ivf_cellbounds")
-      val bfs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (bfs.exists(bp) && !bfs.delete(bp, true))
-        throw new java.io.IOException(
-          s"buildIvfTwoLevel: stale cell bounds $dir/ivf_cellbounds were not cleared")
+      // stale bounds AND a stale split-children index (this build's
+      // layout is the uniform g·k2 blocks — serving falls back to
+      // uniformChildren when no index is present)
+      val bfs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(s"$dir/ivf_cellbounds", s"$dir/ivf_children").foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        if (bfs.exists(hp) && !bfs.delete(hp, true))
+          throw new java.io.IOException(
+            s"buildIvfTwoLevel: stale artifact $p was not cleared")
+      }
       reviveTombstones(spark, dir, cached, "ivf_vectors")
     } finally cached.unpersist()
   }
@@ -944,7 +993,18 @@ object VectorIndex {
     val (coarse, children) =
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ivf_coarse"))) {
         val c = loadCentroidsAt(spark, s"$dir/ivf_coarse")
-        (c, KMeans.uniformChildren(centroids.length, c))
+        // the EXPLICIT children index when the build persisted one
+        // (capped two-level builds — splits break the uniform
+        // layout); plain buildIvfTwoLevel dirs fall back to the
+        // uniform g·k2 blocks their metadata implies
+        val ch =
+          if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ivf_children"))) {
+            val rows = spark.read.parquet(s"$dir/ivf_children").collect()
+              .map(r => (r.getInt(0), r.getInt(1)))
+            Array.tabulate(c.length)(g =>
+              rows.filter(_._1 == g).map(_._2).sorted)
+          } else KMeans.uniformChildren(centroids.length, c)
+        (c, ch)
       } else (null, null)
     // flat model inside probe + budget: probe-all round one (exact),
     // skip the top-up machinery — the smallModelExhaustive rationale
@@ -961,15 +1021,39 @@ object VectorIndex {
         s"$dir/ivf_cellbounds — run buildCellBounds after build/rebuild " +
         "(appends extend live bounds), or pass reprobeMax = 0 for the " +
         "fixed-dial probe")
-    val q = queries.select(col("vec_id"), col("v"))
+    // the query relation feeds the probe flatMap, BOTH scoring
+    // rounds' payload joins, the θk join and the re-probe flatMap —
+    // pin it once (narrow (id, vector) rows, MEMORY_AND_DISK blocks)
+    // or an uncached upstream lineage re-executes per consumer
+    // (measured at 2M: a parquet-derived query side re-read the
+    // corpus ~5×, +100 s on the batch)
+    val q = graft.plans.Pins.pin(queries.select(col("vec_id"), col("v")))
     val qPayload = q.select(col("vec_id").as("query_id"), col("v").as("qv"),
       normNative(col("v")).as("nq"))
-    val cellScan: Seq[Int] => DataFrame = cells =>
+    def scanCells(cells: Seq[Int]): DataFrame =
       minusTombstones(spark, dir,
         spark.read.parquet(s"$dir/ivf_vectors")
           .filter(col("cluster").isin(cells: _*)))
         .select(col("vec_id"), col("v"), normNative(col("v")).as("nv"),
           col("cluster").cast("int").as("cluster"))
+    // CORPUS-SIZED batches probe (nearly) every cell, so the
+    // partition filter prunes nothing and — when the top-up adds a
+    // SECOND scoring round — both rounds would re-read the whole
+    // artifact from disk (measured at 2M: +100 s over the in-entry
+    // form, whose corpus sits in executor memory). When a round's
+    // probe set covers most of the model AND two rounds will consume
+    // it, pin ONE full scan executor-side and serve both from it —
+    // the in-entry corpusCells shape. Single-round plans (fixed dial)
+    // and selective batches (the serving case) keep the pruned
+    // one-file-per-probed-cell reads and pin nothing: a pin consumed
+    // once is pure materialization overhead.
+    lazy val fullScan =
+      if (effReprobe > 0)
+        graft.plans.Pins.pin(scanCells(Seq.range(0, centroids.length)))
+      else scanCells(Seq.range(0, centroids.length))
+    val cellScan: Seq[Int] => DataFrame = cells =>
+      if (cells.length * 2 >= centroids.length) fullScan
+      else scanCells(cells)
     VectorQueries.batchIvfCore(spark, cellScan, q, qPayload,
       centroids, coarse, children, k, effProbe, effReprobe,
       nQueries = q.count(),
@@ -1036,9 +1120,8 @@ object VectorIndex {
       val res = IvfPq.assignResiduals(spark, cached, centroids).cache()
       try {
         val cb = Pq.train(spark, res, m, k, pqIters)
-        IvfPq.encodeResiduals(spark, res, cb)
-          .write.mode(SaveMode.Overwrite).partitionBy("cluster")
-          .parquet(s"$dir/ivfpq_codes")
+        writeClusterPartitioned(IvfPq.encodeResiduals(spark, res, cb),
+          s"$dir/ivfpq_codes", SaveMode.Overwrite)
         writeCodebookRows(spark, cb, s"$dir/ivfpq_codebook")
         writeCentroidRows(spark, centroids, s"$dir/ivfpq_centroids")
         // Drift baseline: per-cell quantization error of the TRAINING

@@ -44,9 +44,44 @@ class BatchIndexSpec extends SparkSpec {
       e0.withColumn("nv", normNative(col("v")))
         .repartition(spark.sparkContext.defaultParallelism),
       dir, nCells = math.max(8, n / VectorQueries.V15CellTarget),
-      iters = 2, cellCap = VectorQueries.V15CellCap)
+      iters = 2, cellCap = VectorQueries.V15CellCap,
+      twoLevelCells = VectorQueries.V15TwoLevelCells)
     VectorIndex.buildCellBounds(spark, dir)
     dir
+  }
+
+  test("buildIvf(cellCap, twoLevelCells): a split two-level build persists ivf_children; the batch probe reaches split cells") {
+    // CellCapSpec's hot corpus: a 1000-member dense cluster forces
+    // splits UNDER a coarse group — the persisted children index is
+    // what keeps the coarse-first probe correct (uniform g·k2
+    // metadata alone would mis-group the appended ids)
+    val e0 = (0 until 1200).map { i =>
+      val axisOf = if (i < 1000) 0 else 2 + (i % 4)
+      (i.toLong, Array.tabulate(8)(j =>
+        (if (j == axisOf) 4.0 else 0.0) + 0.4 * math.sin(i * 2.3 + j * 1.1)))
+    }.toDF("vec_id", "v").cache()
+    try {
+      val dir = Files.createTempDirectory("graft_batchivf_split").toString
+      VectorIndex.buildIvf(spark, e0, dir, nCells = 8, iters = 2,
+        cellCap = 150, twoLevelCells = 4)
+      VectorIndex.buildCellBounds(spark, dir)
+      assert(new java.io.File(s"$dir/ivf_children").exists(),
+        "split two-level build must persist the explicit children index")
+      assert(new java.io.File(s"$dir/ivf_coarse").exists())
+      val q = e0.filter(col("vec_id") % 40 === 0).select("vec_id", "v")
+      val adaptive = VectorIndex.annIvfBatch(spark, dir, q, k = 3)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // probe-all reference: k1 ≈ 3 ≤ coarseProbe (4) → full scope;
+      // nProbe covers every flat cell → exact by construction
+      val nFlat = VectorIndex.loadIvfCentroids(spark, dir).length
+      val all = VectorIndex.annIvfBatch(spark, dir, q, k = 3,
+          nProbe = nFlat, reprobeMax = 0)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(adaptive == all,
+        "split-layout adaptive batch must equal the probe-all reference")
+    } finally e0.unpersist()
   }
 
   test("annIvfBatch == in-memory v15 rows on a matched model (the serving-twin contract)") {
