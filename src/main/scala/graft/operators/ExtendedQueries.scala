@@ -611,10 +611,32 @@ object ExtendedQueries {
     // stay narrow end to end, so the route trades one exchange of
     // the code table for never holding a corpus-sized copy resident
     // per executor (ScaleSwapSpec pins route agreement + the
-    // no-BroadcastExchange plan shape).
+    // no-BroadcastExchange plan shape). The shuffle arm is HINTED to
+    // a SHUFFLED HASH join (r16, the VERDICT r15 #4 wall-measurement
+    // finding): unhinted, Catalyst picks sort-merge — which SORTS the
+    // pool-pair stream (n × pool rows: 640M at e01c/2M) on each join
+    // key in turn, measured as ~50 GB of sort spill and DISK
+    // EXHAUSTION at exactly the decade the route exists for. The
+    // hash build side is the coded table's per-partition slice
+    // (n/partitions × ~150 B — ~10 MB at 2M/32, and the pool-agg
+    // partition scaling keeps it bounded as n grows), so the pair
+    // stream flows through unsorted.
+    //
+    // COST MODEL, measured (r16): the arm's exchange volume is
+    // pairs × codeBytes — the second attach must carry the first
+    // join's codes through the qid exchange (~160 B/pair; the r15
+    // "rows stay narrow end to end" claim was WRONG by exactly this
+    // term). At e01c/2M that is 640M pairs × 160 B ≈ 100 GB of
+    // shuffle — routine aggregate volume on a multi-executor
+    // cluster, but ABOVE this single node's 51 GB scratch (measured:
+    // disk exhaustion, both the old SMJ form and the hash form). On
+    // one node the broadcast arm therefore covers every corpus that
+    // fits at all (2 GiB of codes ≈ 1.3×10⁷ vectors); the shuffle
+    // arm's regime is a real cluster — or chunk the QUERY side into
+    // batches bounding pairs × codeBytes by the available scratch.
     val broadcastOk = coded.n * coded.bytesPerRow <= broadcastMaxBytes
     val attach: DataFrame => DataFrame =
-      if (broadcastOk) df => broadcast(df) else identity
+      if (broadcastOk) df => broadcast(df) else df => df.hint("SHUFFLE_HASH")
     val pa = attach(penc.as("pa"))
     val pb = attach(penc.as("pb"))
     pool

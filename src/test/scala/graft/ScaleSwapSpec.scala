@@ -352,6 +352,14 @@ class ScaleSwapSpec extends SparkSpec {
             "above the byte budget the code table must NOT broadcast")
           assert(!plan.contains("BroadcastHashJoin"),
             "above the byte budget the attach joins must be shuffle joins")
+          // r16 (VERDICT r15 #4's measured finding): the shuffle arm
+          // must be a HASH join — unhinted sort-merge SORTS the
+          // n×pool pair stream per join key (measured ~50 GB spill →
+          // disk exhaustion at 2M, the decade the route exists for)
+          assert(plan.contains("ShuffledHashJoin"),
+            "the attach joins must hash, never sort, the pair stream")
+          assert(!plan.contains("SortMergeJoin"),
+            "SMJ would sort the corpus-sized pair stream")
           rows(shuffled)
         } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
       assert(viaShuffle == viaBroadcast,
