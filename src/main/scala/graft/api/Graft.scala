@@ -769,6 +769,99 @@ final class Graft(
     }
   }
 
+  /** BATCH retrieval facade (r17, VERDICT r16 #4) — the reference's
+    * retrieval loop (retrieval.py:15-78) runs MANY queries against
+    * the persisted store index (storage.py:266-337), but this facade
+    * served one query per call while the index layer already had the
+    * batched kernel: this is annIvfBatch over [[buildFactIndex]]'s
+    * artifact with the fact payload joined back — ONE bulk
+    * partition-pruned job for the whole query batch instead of
+    * |queries| driver round-trips.
+    *
+    * `queries` are (query_id, text) pairs, embedded driver-side (the
+    * bounded-batch contract; the embed is the same per-text call the
+    * single-query facade pays). Internally the batch runs under
+    * NEGATIVE surrogate ids so a user query_id can never collide
+    * with a fact_id — annIvfBatch excludes vec_id == query_id rows,
+    * a self-exclusion that is meaningless for text queries and must
+    * never silently drop a fact. Returns (query_id, fact_id,
+    * fact_text, cos, rk), ≤ k rows per query. With nProbe and
+    * coarseProbe covering the model, each query's rows equal
+    * [[closestFacts]] EXACTLY (same round-6 cosine, same fact_id
+    * tiebreak — GraftApiSpec pins it); serving probe depths trade
+    * recall for scan bytes, and reprobeMax > 0 (requires
+    * VectorIndex.buildCellBounds on `indexDir`) buys the bounded
+    * adaptive top-up. */
+  def closestFactsBatch(db: HippoDb, indexDir: String,
+      queries: Seq[(Long, String)], k: Int = 5,
+      nProbe: Int = VectorQueries.IvfProbe, reprobeMax: Int = 0,
+      coarseProbe: Int = graft.operators.ExtendedQueries.E01cCoarseProbe)
+      : DataFrame = {
+    import spark.implicits._
+    val qdf = queries.zipWithIndex
+      .map { case ((_, text), i) =>
+        (-(i + 1).toLong, embedder.embed(text).map(_.toDouble)) }
+      .toDF("vec_id", "v")
+    val ids = queries.zipWithIndex
+      .map { case ((qid, _), i) => (-(i + 1).toLong, qid) }
+      .toDF("query_id", "user_query_id")
+    graft.store.VectorIndex.annIvfBatch(spark, indexDir, qdf, k,
+        nProbe, reprobeMax, coarseProbe)
+      .join(broadcast(ids), "query_id")
+      .withColumnRenamed("vec_id", "fact_id")
+      .join(db.facts, "fact_id")
+      .select(col("user_query_id").as("query_id"), col("fact_id"),
+        col("fact_text"), col("cos"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** The ENTITY-FILTERED twin of [[closestFactsBatch]] — the batch
+    * form of [[closestFactsWithEntitiesIndexed]] (the reference's
+    * entity-filtered lookup, storage.py:304-337, at batch shape):
+    * the graph semi-join relation is computed ONCE for the whole
+    * batch and applied INSIDE the index scan (annIvfBatch's
+    * candidate filter — ranking happens within the filtered set,
+    * never post-hoc), and the reference's k > candidates edge
+    * (storage.py:308-309) returns every candidate UNRANKED for every
+    * query — the filter is query-independent, so the branch is too.
+    * Same exactness contract as the single-query hybrid: with probes
+    * covering the model, each query's rows equal
+    * [[closestFactsWithEntities]] exactly (GraftApiSpec pins both
+    * union modes). */
+  def closestFactsWithEntitiesBatch(db: HippoDb, indexDir: String,
+      queries: Seq[(Long, String)], entities: Seq[String],
+      union: Boolean = true, k: Int = 5,
+      nProbe: Int = VectorQueries.IvfProbe, reprobeMax: Int = 0,
+      coarseProbe: Int = graft.operators.ExtendedQueries.E01cCoarseProbe)
+      : DataFrame = {
+    import spark.implicits._
+    val filtered = factsByEntities(db, entities, union).select("fact_id")
+    if (k > filtered.count()) {
+      val ids = queries.map(_._1).toDF("query_id")
+      broadcast(ids).crossJoin(hybridUnranked(db, filtered))
+        .withColumn("rk", lit(null).cast("int"))
+        .select("query_id", "fact_id", "fact_text", "cos", "rk")
+        .orderBy("query_id", "fact_id")
+    } else {
+      val qdf = queries.zipWithIndex
+        .map { case ((_, text), i) =>
+          (-(i + 1).toLong, embedder.embed(text).map(_.toDouble)) }
+        .toDF("vec_id", "v")
+      val ids = queries.zipWithIndex
+        .map { case ((qid, _), i) => (-(i + 1).toLong, qid) }
+        .toDF("query_id", "user_query_id")
+      graft.store.VectorIndex.annIvfBatch(spark, indexDir, qdf, k,
+          nProbe, reprobeMax, coarseProbe,
+          candidates = Some(filtered.withColumnRenamed("fact_id", "vec_id")))
+        .join(broadcast(ids), "query_id")
+        .withColumnRenamed("vec_id", "fact_id")
+        .join(db.facts, "fact_id")
+        .select(col("user_query_id").as("query_id"), col("fact_id"),
+          col("fact_text"), col("cos"), col("rk"))
+        .orderBy("query_id", "rk")
+    }
+  }
+
   /** retrieval.py's loop body: top-k facts + an answer-context blob
     * (the RAG prompt the reference would send to an LLM). */
   def retrieve(db: HippoDb, query: String, k: Int = 10,

@@ -384,7 +384,13 @@ object KMeans {
     * the coarse-first probe reaches them without re-fitting level 1). */
   private[graft] final case class CellModel(assign: DataFrame,
       centroids: Array[Array[Double]], coarse: Array[Array[Double]],
-      children: Array[Array[Int]])
+      children: Array[Array[Int]],
+      // the PRE-split uniform block size (flat cells per coarse group
+      // straight out of fitTwoLevel) — what persisted metadata must
+      // record as k2: splits APPEND flat ids, so deriving k2 as
+      // centroids.length / k1 after a split mis-groups every cell
+      // (r16 ADVICE). 0 when there is no coarse level.
+      baseK2: Int = 0)
 
   /** Hot cells split into ceil(members/target) children, but never
     * more: a degenerate fit that dumped the corpus into one cell
@@ -409,7 +415,8 @@ object KMeans {
     val base =
       if (nCells >= twoLevelCells) {
         val (a, flat, c) = fitTwoLevel(spark, emb, nCells, iters)
-        CellModel(a, flat, c, uniformChildren(flat.length, c))
+        CellModel(a, flat, c, uniformChildren(flat.length, c),
+          baseK2 = flat.length / c.length)
       } else {
         val (a, cs, _) = fit(spark, emb, nCells, iters, trackInertia = false)
         CellModel(a, cs, null, null)
@@ -577,7 +584,8 @@ object KMeans {
             .filter(!col("cluster").isin(hotIds: _*))
             .unionAll(reassigned)
             .pinned
-          cur = CellModel(newAssign, newCentroids, cur.coarse, newChildren)
+          cur = CellModel(newAssign, newCentroids, cur.coarse, newChildren,
+            cur.baseK2)
         } finally members.unpersist()
       }
       round += 1

@@ -828,9 +828,13 @@ object VectorQueries {
       coarse: Array[Array[Double]], children: Array[Array[Int]],
       k: Int, nProbe: Int, reprobeMax: Int, nQueries: Long,
       bounds: () => (Array[Array[Double]], Array[Double]),
-      pruneScan: Boolean): DataFrame = {
+      pruneScan: Boolean,
+      // the coarse-level probe width — every serving entry keeps the
+      // shared e01c dial; Int.MaxValue (with nProbe likewise) is the
+      // PROBE-ALL exactness anchor (v16b — probeCells take()s clamp)
+      coarseProbe: Int = graft.operators.ExtendedQueries.E01cCoarseProbe)
+      : DataFrame = {
     import spark.implicits._
-    val coarseProbe = graft.operators.ExtendedQueries.E01cCoarseProbe
     val topUp = reprobeMax > 0
     // per-query probe cells via the ONE shared coarse-first kernel
     val probes0 = KMeans.probeCells(spark, queries,
@@ -1161,19 +1165,45 @@ object VectorQueries {
     * needle; tombstone hygiene; straddle recovery). */
   def v16KnnBatchIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val idx = batchIdxCache.computeIfAbsent(dir, _ => {
+    graft.store.VectorIndex.annIvfBatch(spark, batchIdx(spark, dir, e),
+        e.filter(col("label") === 0).select("vec_id", "v"), k = 3)
+      .orderBy("query_id", "rk")
+  }
+
+  /** The ONE per-dir persisted batch artifact v16/v16b serve from —
+    * built with v15's fit dials (so the rows match the in-entry form
+    * on a shared model) + cell bounds, cached per JVM. */
+  private def batchIdx(spark: SparkSession, dir: String,
+      e: DataFrame): String =
+    batchIdxCache.computeIfAbsent(dir, _ => {
       val p = java.nio.file.Files.createTempDirectory("graft_v16_ivf").toString
       val n = e.count()
       graft.store.VectorIndex.buildIvf(spark,
         e.withColumn("nv", normNative(col("v")))
           .repartition(spark.sparkContext.defaultParallelism),
         p, nCells = math.max(8, (n / V15CellTarget).toInt), iters = 2,
-        cellCap = V15CellCap)
+        cellCap = V15CellCap, twoLevelCells = V15TwoLevelCells)
       graft.store.VectorIndex.buildCellBounds(spark, p)
       p
     })
-    graft.store.VectorIndex.annIvfBatch(spark, idx,
-        e.filter(col("label") === 0).select("vec_id", "v"), k = 3)
+
+  /** v16b: the persisted batch path's ORACLE ANCHOR (r17, VERDICT r16
+    * #5) — the SAME per-JVM artifact as v16, served PROBE-ALL at the
+    * fixed dial (nProbe = coarseProbe = MaxValue, reprobeMax = 0):
+    * cells partition the corpus, so probing every cell enumerates
+    * exactly the non-self pairs v02's broadcast cross join does, and
+    * scoring/pooling/re-rank are the one shared kernel — the rows
+    * hash-match v02's DuckDB oracle end-to-end THROUGH the disk
+    * artifact (build → partitioned read → tombstone filter → kernel),
+    * making this the first ANN rung with a rows+schema+hash anchor on
+    * its persisted path, not just spec-pinned row equality. The
+    * pruning/regime story stays on v16's line; this entry's partition
+    * filter degenerates to all-partitions BY CONSTRUCTION. */
+  def v16bKnnBatchIvfProbeAll(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    graft.store.VectorIndex.annIvfBatch(spark, batchIdx(spark, dir, e),
+        e.filter(col("label") === 0).select("vec_id", "v"), k = 3,
+        nProbe = Int.MaxValue, reprobeMax = 0, coarseProbe = Int.MaxValue)
       .orderBy("query_id", "rk")
   }
 
@@ -1181,6 +1211,7 @@ object VectorQueries {
 
   val queries: Map[String, Q] = Map(
     "v16_knn_batch_ivf_persisted" -> (v16KnnBatchIvfPersisted _),
+    "v16b_knn_batch_ivf_probeall" -> (v16bKnnBatchIvfProbeAll _),
     "v12_mmr" -> (v12Mmr _),
     "v01_knn_facts" -> (v01KnnFacts _),
     "v02_knn_batch" -> (v02KnnBatch _),
@@ -1209,6 +1240,25 @@ object VectorQueries {
        |    AND p.vec_id NOT IN (SELECT vec_id FROM picked)
        |  GROUP BY p.vec_id, p.rel)""".stripMargin
       .replace("picked", sel)
+
+  /** The batch-k-NN oracle (every label-0 vector's top-3 non-self
+    * neighbours, round-6 cosine, vec_id ties) — v02's brute form AND
+    * v16b's persisted probe-all serve these identical semantics, so
+    * ONE SQL anchors both. */
+  private def batchKnnOracleSql: String =
+    s"""WITH e AS ($embSql),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE label = 0),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    round(list_cosine_similarity(e.v, q.qv), 6) AS cos
+       |  FROM e, q WHERE e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id) AS INT) AS rk
+       |  FROM scored)
+       |SELECT query_id, vec_id, cos, rk FROM ranked WHERE rk <= 3
+       |ORDER BY query_id, rk""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // v12: the same greedy unrolled — pool and pairwise sims are
@@ -1260,20 +1310,12 @@ object VectorQueries {
          |SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cos
          |FROM e, q WHERE vec_id <> 0
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
-    "v02_knn_batch" ->
-      s"""WITH e AS ($embSql),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE label = 0),
-         |scored AS (
-         |  SELECT q.query_id, e.vec_id,
-         |    round(list_cosine_similarity(e.v, q.qv), 6) AS cos
-         |  FROM e, q WHERE e.vec_id <> q.query_id),
-         |ranked AS (
-         |  SELECT query_id, vec_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos DESC, vec_id) AS INT) AS rk
-         |  FROM scored)
-         |SELECT query_id, vec_id, cos, rk FROM ranked WHERE rk <= 3
-         |ORDER BY query_id, rk""".stripMargin,
+    "v02_knn_batch" -> batchKnnOracleSql,
+    // v16b serves the SAME semantics through the persisted artifact
+    // probe-all (exact by construction — see the entry's scaladoc),
+    // so v02's oracle IS its oracle: the first hash anchor through a
+    // persisted ANN path (r17, VERDICT r16 #5).
+    "v16b_knn_batch_ivf_probeall" -> batchKnnOracleSql,
     "v06_knn_agg" ->
       s"""WITH e AS ($embSql),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE label = 1),

@@ -35,13 +35,30 @@ object Pins {
   val CheckpointDirKey = "spark.graft.checkpointDir"
 
   /** Eagerly pin `ds`: reliable `checkpoint` when the dial is set,
-    * `localCheckpoint` (executor blocks) otherwise. */
+    * `localCheckpoint` (executor blocks) otherwise. If the
+    * application already established a DIFFERENT SparkContext
+    * checkpoint dir, that one wins (Spark's checkpoint dir is
+    * context-global and append-only in spirit — re-setting per pin
+    * would scatter files) and a warning names both paths, so a
+    * deployment that set the dial expecting TTL'd scratch placement
+    * is never silently surprised by checkpoints landing elsewhere. */
   def pin[T](ds: Dataset[T]): Dataset[T] = {
     val spark = ds.sparkSession
     spark.conf.getOption(CheckpointDirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        sc.getCheckpointDir match {
+          case None => sc.setCheckpointDir(dir)
+          case Some(est) if !est.startsWith(dir) &&
+              !est.stripPrefix("file:").startsWith(dir) =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"Pins.pin: $CheckpointDirKey=$dir is set, but the " +
+              s"SparkContext checkpoint dir was already established at " +
+              s"$est — reliable checkpoints will land there, not at the " +
+              "dial's path (set the dial before the first checkpointed " +
+              "action, or clear the pre-set dir)")
+          case _ => // established from this dial (UUID subdir) — quiet
+        }
         ds.checkpoint(eager = true)
       case None => ds.localCheckpoint(eager = true)
     }

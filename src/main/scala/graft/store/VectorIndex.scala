@@ -447,9 +447,14 @@ object VectorIndex {
       if (model.coarse != null) {
         writeCentroidRows(spark, model.coarse, s"$dir/ivf_coarse")
         val k1 = model.coarse.length
+        // k2 is the TRUE build block size (pre-split — splits APPEND
+        // flat ids, so centroids.length / k1 would mis-group every
+        // cell once any cell split; r16 ADVICE). Readers use it only
+        // as the uniform-layout fallback: this build always persists
+        // the explicit ivf_children index alongside.
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$dir/ivf_two_level.json"),
-          s"""{"format": "graft-ivf2-v1", "k1": $k1, "k2": ${model.centroids.length / k1}}""")
+          s"""{"format": "graft-ivf2-v1", "k1": $k1, "k2": ${model.baseK2}}""")
         model.children.zipWithIndex
           .flatMap { case (cs, g) => cs.map(c => (g, c)) }.toSeq
           .toDF("grp", "cell")
@@ -531,16 +536,47 @@ object VectorIndex {
     * equals the flat [[annIvf]] exactly (spec-pinned); smaller
     * coarseProbe trades recall for a bounded driver model exactly
     * like nProbe trades it for scan bytes. */
+  /** The group→flat-cell index of a persisted two-level dir: the
+    * EXPLICIT `ivf_children` parquet when the build persisted one
+    * (capped builds — splits break the uniform layout), else the
+    * uniform g·k2 blocks the metadata implies. ONE grouped pass over
+    * the ≤ nCells rows — O(cells), not the O(groups × cells)
+    * filter-per-group shape r16's verdict priced as quadratic-ish at
+    * the 10⁶-cell decade (measured there: see the annIvfBatch
+    * scaladoc's driver-model ceiling). Shared by every coarse-first
+    * reader ([[annIvfBatch]], [[probedScanTwoLevel]]) so the
+    * split-layout rule cannot drift between them. */
+  private def loadChildrenIndex(spark: SparkSession, dir: String,
+      nFlat: Int, coarse: Array[Array[Double]]): Array[Array[Int]] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ivf_children"))) {
+      val byGroup = spark.read.parquet(s"$dir/ivf_children").collect()
+        .map(r => (r.getInt(0), r.getInt(1)))
+        .groupBy(_._1)
+      Array.tabulate(coarse.length)(g =>
+        byGroup.getOrElse(g, Array.empty).map(_._2).sorted)
+    } else KMeans.uniformChildren(nFlat, coarse)
+  }
+
   def probedScanTwoLevel(spark: SparkSession, dir: String,
       queryVec: Array[Double], nProbe: Int, coarseProbe: Int): DataFrame = {
     val coarse = loadCentroidsAt(spark, s"$dir/ivf_coarse")
     val meta = spark.read.json(s"$dir/ivf_two_level.json").head()
     val k2 = meta.getAs[Long]("k2").toInt
     val groups = nearestCells(coarse, queryVec, coarseProbe)
+    // group membership comes from the PERSISTED children index when
+    // present (capped builds append split-cell ids past the uniform
+    // g·k2 blocks — deriving the group as c / k2 would route those
+    // cells to groups ≥ k1 and silently drop them from the probe
+    // even at coarseProbe = k1; r16 ADVICE), uniform blocks otherwise
+    val children = loadChildrenIndex(spark, dir,
+      coarse.length * k2, coarse)
+    val candCells = groups.flatMap(g => children(g))
     // only the probed groups' child rows leave the centroid table
     val childRows = spark.read.parquet(s"$dir/ivf_centroids")
-      .filter((col("c") / k2).cast("int").isin(groups: _*))
-      .collect() // ≤ coarseProbe·k2·dim rows
+      .filter(col("c").isin(candCells: _*))
+      .collect() // ≤ coarseProbe·k2·dim rows (+ that group's splits)
     val byCell = childRows.groupBy(_.getInt(0)).map { case (c, rows) =>
       val dim = rows.map(_.getInt(1)).max + 1
       val v = new Array[Double](dim)
@@ -945,6 +981,14 @@ object VectorIndex {
   private def loadCellBoundArrays(spark: SparkSession, dir: String,
       nCells: Int): (Array[Array[Double]], Array[Double]) = {
     val rows = spark.read.parquet(s"$dir/ivf_cellbounds").collect()
+    // an existing-but-EMPTY bounds dir (buildCellBounds over an empty
+    // corpus, or a partially written artifact) must fail diagnosably,
+    // not with head()'s bare NoSuchElementException (r16 ADVICE)
+    if (rows.isEmpty)
+      throw new IllegalStateException(
+        s"annIvfBatch: $dir/ivf_cellbounds exists but holds no bound " +
+        "rows — rebuild it with buildCellBounds over a non-empty index " +
+        "(or pass reprobeMax = 0 for the fixed-dial probe)")
     val dim = rows.head.getSeq[Double](1).length
     val means = Array.fill(nCells)(new Array[Double](dim))
     val radii = Array.fill(nCells)(Double.PositiveInfinity)
@@ -986,25 +1030,22 @@ object VectorIndex {
     * the plan stays auditable. */
   def annIvfBatch(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, nProbe: Int = VectorQueries.V15Probe,
-      reprobeMax: Int = VectorQueries.V15ReprobeMax): DataFrame = {
+      reprobeMax: Int = VectorQueries.V15ReprobeMax,
+      coarseProbe: Int = graft.operators.ExtendedQueries.E01cCoarseProbe,
+      // optional CANDIDATE filter (a vec_id relation): scans semi-join
+      // it BEFORE scoring, so ranking happens within the candidate
+      // set — the batch twin of annIvfFiltered's contract (the
+      // entity-filtered hybrid composes through this). The adaptive
+      // top-up stays sound: per-cell bounds upper-bound every member,
+      // hence every candidate subset.
+      candidates: Option[DataFrame] = None): DataFrame = {
     val centroids = loadIvfCentroids(spark, dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (coarse, children) =
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ivf_coarse"))) {
         val c = loadCentroidsAt(spark, s"$dir/ivf_coarse")
-        // the EXPLICIT children index when the build persisted one
-        // (capped two-level builds — splits break the uniform
-        // layout); plain buildIvfTwoLevel dirs fall back to the
-        // uniform g·k2 blocks their metadata implies
-        val ch =
-          if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ivf_children"))) {
-            val rows = spark.read.parquet(s"$dir/ivf_children").collect()
-              .map(r => (r.getInt(0), r.getInt(1)))
-            Array.tabulate(c.length)(g =>
-              rows.filter(_._1 == g).map(_._2).sorted)
-          } else KMeans.uniformChildren(centroids.length, c)
-        (c, ch)
+        (c, loadChildrenIndex(spark, dir, centroids.length, c))
       } else (null, null)
     // flat model inside probe + budget: probe-all round one (exact),
     // skip the top-up machinery — the smallModelExhaustive rationale
@@ -1030,12 +1071,15 @@ object VectorIndex {
     val q = graft.plans.Pins.pin(queries.select(col("vec_id"), col("v")))
     val qPayload = q.select(col("vec_id").as("query_id"), col("v").as("qv"),
       normNative(col("v")).as("nq"))
-    def scanCells(cells: Seq[Int]): DataFrame =
-      minusTombstones(spark, dir,
+    def scanCells(cells: Seq[Int]): DataFrame = {
+      val scan = minusTombstones(spark, dir,
         spark.read.parquet(s"$dir/ivf_vectors")
           .filter(col("cluster").isin(cells: _*)))
+      candidates.foldLeft(scan)((s, c) =>
+          s.join(c.select("vec_id"), Seq("vec_id"), "left_semi"))
         .select(col("vec_id"), col("v"), normNative(col("v")).as("nv"),
           col("cluster").cast("int").as("cluster"))
+    }
     // CORPUS-SIZED batches probe (nearly) every cell, so the
     // partition filter prunes nothing and — when the top-up adds a
     // SECOND scoring round — both rounds would re-read the whole
@@ -1058,7 +1102,7 @@ object VectorIndex {
       centroids, coarse, children, k, effProbe, effReprobe,
       nQueries = q.count(),
       bounds = () => loadCellBoundArrays(spark, dir, centroids.length),
-      pruneScan = true)
+      pruneScan = true, coarseProbe = coarseProbe)
       .orderBy("query_id", "rk")
   }
 
@@ -1561,6 +1605,17 @@ object VectorIndex {
     * broadcast query side at ~10⁵–10⁶ vectors). */
   val BruteBatchMaxQueries: Long = 1L << 20
 
+  /** Expected probed-cell coverage above which a batch counts as
+    * CORPUS-SIZED for the [[recommendBatchRung]] pick: the persisted
+    * rung's partition filter prunes ~nothing there, so its disk
+    * re-scan loses to the in-entry cached corpus (the ProfBatch 2M
+    * measurement: 88.8 vs 40.3 s fixed dial at the 597k full batch).
+    * Below the cutoff the pruned read wins (14.9 vs 33.2 s at 1k
+    * queries). 0.95 ≈ "a probe round would open ~every partition
+    * anyway" — the measured regimes sit far on either side (1k
+    * queries at 8k cells → 0.63; 597k → 1.0 to machine precision). */
+  val BatchFullCoverageCutoff = 0.95
+
   /** One batch rung's planner row: whether the rung RUNS at the full
     * corpus/query scale (the enforced regime bounds), the candidate
     * volume each query pays (the work driver at fixed recall),
@@ -1634,6 +1689,25 @@ object VectorIndex {
         else (0.0, 0.0)
       val (v15Mean, v15Min) = pairRecall(VQ.knnBatchIvf(spark, labeled, k))
       val v15Cand = (VQ.V15Probe + VQ.V15ReprobeMax).toLong * VQ.V15CellTarget
+      // EXPECTED PROBED-CELL COVERAGE of the whole batch (r16 verdict
+      // #1): nQueries queries each probing up to probe + budget of
+      // the fullN/target cells leave a cell unprobed with probability
+      // (1 − p/cells)^nQueries. Near-full coverage is the regime
+      // ProfBatch measured at the 597k corpus-sized batch: the
+      // persisted rung's partition filter prunes NOTHING, both
+      // scoring rounds re-read the artifact from disk, and it LOSES
+      // 2× to the in-entry form whose corpus sits in executor memory
+      // (88.8 vs 40.3 s fixed dial; 300–336 vs 135–232 s with
+      // top-up) — while at selective shape (1k-query batch) the
+      // pruned read wins 2–4× the other way (14.9 vs 33.2 s, build
+      // amortized). The pick must encode both directions.
+      val cellsFull = math.max(8L, fullN / VQ.V15CellTarget)
+      val probePer = (VQ.V15Probe + VQ.V15ReprobeMax).toDouble
+      val coverage =
+        if (probePer >= cellsFull) 1.0
+        else 1.0 - math.exp(
+          nQueries.toDouble * math.log1p(-probePer / cellsFull))
+      val probePrunesNothing = coverage >= BatchFullCoverageCutoff
       val rows = Seq(
         BatchRungPlan("v02/v06 brute broadcast",
           nQueries <= BruteBatchMaxQueries, fullN, paysFit = false,
@@ -1647,14 +1721,31 @@ object VectorIndex {
           s"(corpus ~${VQ.V08MaxBucketOccupancy * (1L << VQ.BatchAnnBits)})"),
         BatchRungPlan("v15 IVF-cell-blocked (in-entry fit)",
           feasible = true, v15Cand, paysFit = true, v15Mean, v15Min,
-          "cells ∝ n keep candidates constant; every call pays the fit"),
+          "cells ∝ n keep candidates constant; every call pays the fit. " +
+          "WINS the corpus-sized-batch regime: at ~full probed-cell " +
+          "coverage the cached corpus beats the persisted disk re-scan " +
+          "(ProfBatch 2M×597k: 40.3 vs 88.8 s fixed dial, 135–232 vs " +
+          "300–336 s with top-up)"),
         BatchRungPlan("annIvfBatch (persisted index)",
           feasible = true, v15Cand, paysFit = false, v15Mean, v15Min,
           "v15's kernel over the buildIvf artifact — no refit; " +
-          "buildCellBounds required for the adaptive top-up"))
+          "buildCellBounds required for the adaptive top-up. WINS the " +
+          "SELECTIVE regime (ProfBatch 2M×1k: 14.9 vs 33.2 s, the " +
+          "90.6 s build amortized across calls); at ~full coverage the " +
+          "partition filter prunes nothing and the disk re-scan loses " +
+          s"2× to in-entry (this batch: expected coverage ${
+            f"$coverage%.3f"})"))
+      // selectivity-aware pick: candidates first, then — between the
+      // two kernel-identical IVF forms — the regime ProfBatch measured
+      // (in-entry at probe-prunes-nothing coverage, persisted below
+      // it), then the no-refit preference, name as the stable tiebreak
+      val regimePenalty: BatchRungPlan => Boolean = p =>
+        (probePrunesNothing && p.rung.startsWith("annIvfBatch")) ||
+        (!probePrunesNothing && p.rung.startsWith("v15 "))
       val pick = rows
         .filter(p => p.feasible && p.meanRecall >= recallFloor)
-        .sortBy(p => (p.candidatesPerQuery, p.paysFit, p.rung)).headOption
+        .sortBy(p => (p.candidatesPerQuery, regimePenalty(p), p.paysFit,
+          p.rung)).headOption
       (pick, rows)
     } finally sample.unpersist()
   }

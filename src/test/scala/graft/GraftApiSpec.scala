@@ -193,6 +193,68 @@ class GraftApiSpec extends SparkSpec {
       s"all-probe indexed ball must equal the scan ball: $ballIdx vs $ballScan")
   }
 
+  test("batch retrieval facade: per-query rows equal brute closestFacts / brute hybrid exactly at all-probe (r17, VERDICT r16 #4)") {
+    val idx = java.nio.file.Files.createTempDirectory("api_batch_ivf").toString
+    api.buildFactIndex(db, idx, nCells = 8)
+    // user query ids DELIBERATELY collide with live fact ids — the
+    // facade's surrogate-id contract: a collision must never trigger
+    // annIvfBatch's self-exclusion and silently drop that fact
+    val qs = Seq(0L -> "spark window join", 2L -> "query", 1L -> "stream state")
+    val batch = api.closestFactsBatch(db, idx, qs, k = 5,
+        nProbe = Int.MaxValue, coarseProbe = Int.MaxValue)
+      .collect().groupBy(_.getLong(0))
+    qs.foreach { case (qid, text) =>
+      val brute = api.closestFacts(db, text, k = 5)
+        .select("fact_id", "fact_text", "cos").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      val got = batch(qid).sortBy(_.getInt(4))
+        .map(r => (r.getLong(1), r.getString(2), r.getDouble(3))).toSeq
+      assert(got == brute,
+        s"batch must equal per-query brute closestFacts for '$text': $got vs $brute")
+    }
+    // the TWO-LEVEL artifact serves the same contract (coarse-first
+    // probe through the persisted children index)
+    val idx2 = java.nio.file.Files.createTempDirectory("api_batch_ivf2").toString
+    api.buildFactIndex(db, idx2, nCells = 8, twoLevel = true)
+    val batch2 = api.closestFactsBatch(db, idx2, qs, k = 5,
+        nProbe = Int.MaxValue, coarseProbe = Int.MaxValue)
+      .collect().groupBy(_.getLong(0))
+    qs.foreach { case (qid, text) =>
+      val brute = api.closestFacts(db, text, k = 5)
+        .select("fact_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = batch2(qid).sortBy(_.getInt(4))
+        .map(r => (r.getLong(1), r.getDouble(3))).toSeq
+      assert(got == brute, s"two-level batch facade must equal brute for '$text'")
+    }
+    // entity-filtered twin, both union modes — candidate filtering
+    // happens INSIDE the scan, so ranking matches the brute hybrid
+    for (union <- Seq(true, false)) {
+      val hybrid = api.closestFactsWithEntitiesBatch(db, idx, qs,
+          Seq("window"), union, k = 3,
+          nProbe = Int.MaxValue, coarseProbe = Int.MaxValue)
+        .collect().groupBy(_.getLong(0))
+      qs.foreach { case (qid, text) =>
+        val brute = api.closestFactsWithEntities(db, text, Seq("window"), union, k = 3)
+          .select("fact_id", "cos").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val got = hybrid(qid).sortBy(_.getInt(4))
+          .map(r => (r.getLong(1), r.getDouble(3))).toSeq
+        assert(got == brute,
+          s"entity-filtered batch (union=$union) must equal brute hybrid for '$text'")
+      }
+    }
+    // the k > candidates edge: every candidate returns UNRANKED for
+    // EVERY query (the reference's storage.py:308-309 rule, batched)
+    val nCand = api.factsByEntities(db, Seq("window"), union = true).count()
+    val unranked = api.closestFactsWithEntitiesBatch(db, idx, qs,
+      Seq("window"), union = true, k = nCand.toInt + 1).collect()
+    assert(unranked.length == qs.size * nCand,
+      s"unranked fallback must emit every candidate per query: ${unranked.length}")
+    assert(unranked.forall(r => r.isNullAt(3) && r.isNullAt(4)),
+      "unranked rows carry null cos and null rk")
+  }
+
   test("indexed hybrid facade: all-probe == brute hybrid exactly (both modes), fallback byte-shared, partial probe prunes") {
     val idx = java.nio.file.Files.createTempDirectory("api_hybrid_ivf").toString
     api.buildFactIndex(db, idx, nCells = 8)

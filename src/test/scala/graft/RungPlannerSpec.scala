@@ -197,14 +197,25 @@ class RungPlannerSpec extends SparkSpec {
       "v08 must be infeasible at 200k")
     assert(large.exists(p => p.rung.contains("annIvfBatch") || p.rung.contains("v15")),
       s"large corpus should route the IVF-cell family, got ${large.map(_.rung)}")
-    assert(large.get.rung.contains("annIvfBatch"),
-      "at equal candidates the persisted (no-refit) form should win the tie")
-    // and a BOUNDED batch at large n routes brute only if nothing
-    // cheaper meets the floor — here the cell family already does
-    val (bounded, _) = VectorIndex.recommendBatchRung(spark, e,
-      nQueries = 1000, k = 3, recallFloor = 0.9, knownN = 200000L)
-    assert(bounded.exists(p => !p.paysFit),
-      "bounded-batch pick should still avoid a per-call fit")
+    // BOTH measured regimes of the kernel-identical IVF pair (r17,
+    // VERDICT r16 #1 — the old pin here enshrined the persisted form
+    // winning EVERY tie, the exact shape ProfBatch measured it losing
+    // 2× at: 88.8 vs 40.3 s fixed dial on the 597k corpus-sized
+    // batch). A CORPUS-SIZED batch probes ~every cell — the partition
+    // filter prunes nothing and the persisted disk re-scan loses to
+    // the in-entry cached corpus, so the pick must route in-entry:
+    assert(large.get.rung.contains("v15"),
+      "a corpus-sized batch (expected probed-cell coverage ~1) must " +
+      s"route the in-entry form — ProfBatch's 2× measurement — got ${large.get.rung}")
+    // ... while a SELECTIVE batch (20 queries over an 800-cell model:
+    // coverage ≈ 0.18) keeps the pruned persisted read and its
+    // amortized build (ProfBatch: 14.9 vs 33.2 s at the 1k batch):
+    val (selective, _) = VectorIndex.recommendBatchRung(spark, e,
+      nQueries = 20, k = 3, recallFloor = 0.9, knownN = 200000L)
+    assert(selective.get.rung.contains("annIvfBatch"),
+      s"a selective batch must route the persisted no-refit form, got ${selective.get.rung}")
+    assert(!selective.get.paysFit,
+      "selective-batch pick should avoid a per-call fit")
     // the fail-fasts cite the planner (the discoverability contract)
     val big = (0 until 41000).map(i =>
       (i.toLong, Array.tabulate(4)(j => math.sin(i * 2.3 + j)), i % 4))
