@@ -57,11 +57,30 @@ object Bench {
     * co-tenancy, not a trade). */
   private[graft] val KnownTrades: Map[String, (Double, String)] = Map.empty
 
+  /** Trades may ALSO arrive via `SPARK_GRAFT_TRADES` (r17, VERDICT
+    * r16 #6 — the reporting path had never carried a live annotation
+    * through a real bench): `name:budget:reason[;name:budget:reason…]`
+    * — the harness form for one-round annotations and for driving the
+    * trades split end-to-end without recompiling. Code-shipped trades
+    * stay in [[KnownTrades]]; the env merges over it. */
+  private[graft] def parseTradesEnv(raw: String): Map[String, (Double, String)] =
+    raw.split(';').iterator.map(_.trim).filter(_.nonEmpty).map { entry =>
+      entry.split(":", 3) match {
+        case Array(n, b, reason) => n -> (b.toDouble, reason)
+        case other => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_TRADES entry '$entry' is not name:budget:reason")
+      }
+    }.toMap
+
+  private[graft] def effectiveTrades: Map[String, (Double, String)] =
+    KnownTrades ++ sys.env.get("SPARK_GRAFT_TRADES").map(parseTradesEnv)
+      .getOrElse(Map.empty)
+
   /** Split surviving regressions into (unexplained, annotated):
     * annotated = flagged queries whose ratio sits within their
-    * [[KnownTrades]] budget. */
+    * [[KnownTrades]] (+ env) budget. */
   private[graft] def classifyRegressions(raw: Map[String, Double],
-      trades: Map[String, (Double, String)] = KnownTrades)
+      trades: Map[String, (Double, String)] = effectiveTrades)
       : (Map[String, Double], Map[String, Double]) =
     raw.partition { case (n, r) => !trades.get(n).exists(r <= _._1) }
 
@@ -358,7 +377,7 @@ object Bench {
         f"[bench]   absolved $n: isolated floor ${isolated(n)}%.2fs <= 1.5x prev ${prevQ(n)}%.2fs"))
       tradeHits.toSeq.sortBy(_._1).foreach { case (n, r) =>
         System.err.println(f"[bench]   annotated trade $n: ${r}%.2fx within " +
-          f"budget ${KnownTrades(n)._1}%.2fx — ${KnownTrades(n)._2}")
+          f"budget ${effectiveTrades(n)._1}%.2fx — ${effectiveTrades(n)._2}")
       }
       if (regressions.nonEmpty) {
         System.err.println(s"[bench] REGRESSION GUARD vs $src: " +
@@ -397,7 +416,7 @@ object Bench {
     // truncation-recovery scan's cut, like "noise"'s isolated map.
     val tradeJson = tradeHits.map { case (k, v) =>
       s"\"" + k + "\":{\"ratio\":" + v + ",\"reason\":\"" +
-        KnownTrades(k)._2.replace("\"", "'") + "\"}"
+        effectiveTrades(k)._2.replace("\"", "'") + "\"}"
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","repeats":$repeats,"prev":$prevName,"regressions":$regJson,"trades":$tradeJson,"vanished":$vanJson,"noise":$noiseJson}"""

