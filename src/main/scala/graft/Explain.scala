@@ -117,6 +117,14 @@ object Explain {
       "v16_knn_batch_ivf_persisted" ->
         Seq("PartitionFilters", "cluster", "ObjectHashAggregate",
           "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // v16b (r17, VERDICT r16 #5): the ORACLE anchor through the
+      // SAME persisted artifact — probe-all by construction, so the
+      // partition filter covers every cell, but the kernel shape
+      // (keyed scoring join + TopKAgg partials, no all-pairs
+      // broadcast) must match v16's, never degenerate to v02's BNLJ
+      "v16b_knn_batch_ivf_probeall" ->
+        Seq("ObjectHashAggregate", "!CartesianProduct",
+          "!BroadcastNestedLoopJoin"),
       // q13: exact percentile is a TypedImperativeAggregate — must
       // partial-aggregate (no row-sort of the whole table)
       "q13_group_stats" -> Seq("ObjectHashAggregate"),

@@ -862,6 +862,29 @@ final class Graft(
     }
   }
 
+  /** The reference's retrieval LOOP (retrieval.py:15-78 iterates
+    * [[retrieve]] over a query file) at batch shape — the last piece
+    * of VERDICT r16 #4: ONE [[closestFactsBatch]] job serves every
+    * query's top-k, then the bounded |queries| × k result builds the
+    * same per-query context blobs retrieve emits. Returns the batch
+    * frame plus query_id → prompt. The collect is ≤ |queries| × k
+    * narrow rows — bounded by the batch contract, never the corpus. */
+  def retrieveBatch(db: HippoDb, indexDir: String,
+      queries: Seq[(Long, String)], k: Int = 10,
+      nProbe: Int = VectorQueries.IvfProbe)
+      : (DataFrame, Map[Long, String]) = {
+    val top = closestFactsBatch(db, indexDir, queries, k, nProbe)
+    val byQuery = top.select("query_id", "rk", "fact_text").collect()
+      .groupBy(_.getLong(0))
+    val prompts = queries.map { case (qid, text) =>
+      val context = byQuery.getOrElse(qid, Array.empty)
+        .sortBy(_.getInt(1))
+        .map(r => s"- ${r.getAs[String]("fact_text")}").mkString("\n")
+      qid -> s"Facts:\n$context\nQuestion: $text"
+    }.toMap
+    (top, prompts)
+  }
+
   /** retrieval.py's loop body: top-k facts + an answer-context blob
     * (the RAG prompt the reference would send to an LLM). */
   def retrieve(db: HippoDb, query: String, k: Int = 10,

@@ -84,6 +84,57 @@ class BatchIndexSpec extends SparkSpec {
     } finally e0.unpersist()
   }
 
+  test("split two-level dir: SINGLE-QUERY coarse-first serving reaches split cells; metadata k2 is the true pre-split block (r17, ADVICE)") {
+    // the r16 hole: probedScanTwoLevel derived group membership as
+    // c / k2 from metadata whose k2 was centroids.length / k1 —
+    // wrong after any split — so appended split-cell ids mapped to
+    // groups ≥ k1 and their vectors were UNREACHABLE through
+    // annIvfTwoLevel even at coarseProbe = k1. Same hot corpus as
+    // the batch round-trip test above.
+    val e0 = (0 until 1200).map { i =>
+      val axisOf = if (i < 1000) 0 else 2 + (i % 4)
+      (i.toLong, Array.tabulate(8)(j =>
+        (if (j == axisOf) 4.0 else 0.0) + 0.4 * math.sin(i * 2.3 + j * 1.1)))
+    }.toDF("vec_id", "v").cache()
+    try {
+      val dir = Files.createTempDirectory("graft_two_split").toString
+      VectorIndex.buildIvf(spark, e0, dir, nCells = 8, iters = 2,
+        cellCap = 150, twoLevelCells = 4)
+      val meta = spark.read.json(s"$dir/ivf_two_level.json").head()
+      val k1 = meta.getAs[Long]("k1").toInt
+      val k2 = meta.getAs[Long]("k2").toInt
+      val nFlat = VectorIndex.loadIvfCentroids(spark, dir).length
+      assert(nFlat > k1 * k2,
+        s"the corpus must actually split (nFlat $nFlat vs k1*k2 ${k1 * k2}) " +
+        "or this test pins nothing")
+      // metadata k2 must be the TRUE pre-split block: every ORIGINAL
+      // cell id (< k1*k2) groups as id / k2 in the explicit index
+      val children = spark.read.parquet(s"$dir/ivf_children").collect()
+        .map(r => (r.getInt(1), r.getInt(0))).toMap // cell -> grp
+      (0 until k1 * k2).foreach { c =>
+        assert(children(c) == c / k2,
+          s"original cell $c must group as ${c / k2} under the true k2=$k2")
+      }
+      // and split ids (>= k1*k2) stay under their parent's group
+      assert((k1 * k2 until nFlat).forall(c => children(c) < k1),
+        "split cells must register under a real coarse group")
+      // serving: a dense-cluster query's exact top-3 (flat all-probe
+      // is exact by construction) must be reachable through the
+      // coarse-first path at full scope — on the r16 derivation the
+      // split cells were filtered out of the child-centroid read
+      val qv = e0.filter(col("vec_id") === 500L).head().getSeq[Double](1).toArray
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("vec_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val flatAll = rows(VectorIndex.annIvf(spark, dir, qv, 3,
+        nProbe = nFlat, excludeVecId = Some(500L)))
+      val twoAll = rows(VectorIndex.annIvfTwoLevel(spark, dir, qv, 3,
+        nProbe = nFlat, coarseProbe = k1, excludeVecId = Some(500L)))
+      assert(twoAll == flatAll,
+        s"coarse-first serving at full scope must equal the flat probe: $twoAll vs $flatAll")
+    } finally e0.unpersist()
+  }
+
   test("annIvfBatch == in-memory v15 rows on a matched model (the serving-twin contract)") {
     val e0 = clustered3k.cache()
     try {

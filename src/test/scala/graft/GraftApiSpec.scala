@@ -244,6 +244,14 @@ class GraftApiSpec extends SparkSpec {
           s"entity-filtered batch (union=$union) must equal brute hybrid for '$text'")
       }
     }
+    // retrieveBatch: the reference's retrieval loop at batch shape —
+    // each query's prompt must equal the per-query retrieve's prompt
+    val (_, prompts) = api.retrieveBatch(db, idx, qs, k = 5, nProbe = 8)
+    qs.foreach { case (qid, text) =>
+      val (_, single) = api.retrieve(db, text, k = 5, Some(idx), nProbe = 8)
+      assert(prompts(qid) == single,
+        s"batched prompt must equal per-query retrieve's for '$text'")
+    }
     // the k > candidates edge: every candidate returns UNRANKED for
     // EVERY query (the reference's storage.py:308-309 rule, batched)
     val nCand = api.factsByEntities(db, Seq("window"), union = true).count()
