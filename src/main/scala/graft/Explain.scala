@@ -125,6 +125,13 @@ object Explain {
       "v16b_knn_batch_ivf_probeall" ->
         Seq("ObjectHashAggregate", "!CartesianProduct",
           "!BroadcastNestedLoopJoin"),
+      // v17 (r17): the compressed batch rung — the probed-cell union
+      // must reach the CODE scan as a partition filter (M ints + one
+      // norm per vector streamed, the rung's point), TopKAgg pools,
+      // no all-pairs shape
+      "v17_knn_batch_ivfadc" ->
+        Seq("PartitionFilters", "cluster", "ObjectHashAggregate",
+          "!CartesianProduct", "!BroadcastNestedLoopJoin"),
       // q13: exact percentile is a TypedImperativeAggregate — must
       // partial-aggregate (no row-sort of the whole table)
       "q13_group_stats" -> Seq("ObjectHashAggregate"),

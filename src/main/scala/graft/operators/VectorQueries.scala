@@ -1207,11 +1207,42 @@ object VectorQueries {
       .orderBy("query_id", "rk")
   }
 
+  // one persisted IVFADC artifact per corpus dir per JVM (the
+  // batchIdxCache convention, compressed rung)
+  private val adcIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** v17: BATCH k-NN at the COMPRESSED rung (r17) — annIvfBatch's
+    * IVFADC twin (VectorIndex.annIvfPqBatch) served from a
+    * buildIvfPq artifact: the scan streams M ints + one norm per
+    * corpus vector from the partition-pruned code layout, ADC
+    * scoring against the broadcast codebook, TopKAgg pools, exact
+    * re-rank of the pooled ids only — the batch rung for the 10⁹+
+    * decade where even the probed cells' FLOAT vectors (v16's scan)
+    * are too many bytes. Same per-JVM build-once cadence as v16.
+    * *rows-only* (BatchIndexSpec: probe-all + pool-covering == the
+    * brute batch top-k exactly; clustered-corpus recall band at
+    * serving dials; PartitionFilters needle on ivfpq_codes). */
+  def v17KnnBatchIvfAdc(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val idx = adcIdxCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_v17_ivfpq").toString
+      val n = e.count()
+      graft.store.VectorIndex.buildIvfPq(spark,
+        e.select(col("vec_id"), col("v")), p,
+        nCells = math.max(8, (n / V15CellTarget).toInt))
+      p
+    })
+    graft.store.VectorIndex.annIvfPqBatch(spark, idx, e,
+      e.filter(col("label") === 0).select("vec_id", "v"), k = 3)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
     "v16_knn_batch_ivf_persisted" -> (v16KnnBatchIvfPersisted _),
     "v16b_knn_batch_ivf_probeall" -> (v16bKnnBatchIvfProbeAll _),
+    "v17_knn_batch_ivfadc" -> (v17KnnBatchIvfAdc _),
     "v12_mmr" -> (v12Mmr _),
     "v01_knn_facts" -> (v01KnnFacts _),
     "v02_knn_batch" -> (v02KnnBatch _),

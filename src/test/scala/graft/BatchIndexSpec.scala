@@ -84,6 +84,75 @@ class BatchIndexSpec extends SparkSpec {
     } finally e0.unpersist()
   }
 
+  test("annIvfPqBatch (r17): probe-all + pool-covering equals the brute batch top-k; serving dials hold a clustered recall band; codes scan partition-prunes") {
+    // HIERARCHICAL clusters (the GenClustered premise shape): 12
+    // directional clusters × 10 subgroups — true neighbours are
+    // subgroup mates, separated by a 1.5-unit subgroup axis the
+    // residual codes must resolve. A FLAT cluster (uniform jitter)
+    // would decouple pair recall from usefulness here — top-k
+    // identity inside a tight uniform ball is noise-driven, the
+    // documented §8l finding — so the band is pinned on the regime
+    // the rung exists for.
+    val e0 = (0 until 3000).map { i =>
+      val c = i % 12
+      val s = (i / 12) % 10
+      (i.toLong, Array.tabulate(16)(j =>
+        (if (j == c) 4.0 else 0.0) +
+        (if (j == (c + 1 + s) % 16) 1.5 else 0.0) +
+        0.05 * math.sin(i * 2.3 + j * 1.1)),
+        if (i % 5 == 0) 0 else 1)
+    }.toDF("vec_id", "v", "label").cache()
+    try {
+      val dir = Files.createTempDirectory("graft_batchadc").toString
+      VectorIndex.buildIvfPq(spark, e0.select("vec_id", "v"), dir,
+        nCells = 12)
+      val q = e0.filter(col("label") === 0).select("vec_id", "v")
+      // brute truth: every label-0 query's exact round-6 top-3 with
+      // the vec_id tiebreak (v02's semantics)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+      val brute = e0.withColumn("nv", normNative(col("v")))
+        .crossJoin(broadcast(e0.filter(col("label") === 0)
+          .withColumn("nq", normNative(col("v")))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nq"))))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(graft.functions.VectorFunctions.cosinePreRaw(
+            col("v"), col("qv"), col("nv"), col("nq")), 6).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // EXACT regime: every cell probed, pool covering the corpus —
+      // approximation can only live in pool membership, so this must
+      // equal brute row-for-row
+      val exact = VectorIndex.annIvfPqBatch(spark, dir, e0, q, k = 3,
+        nProbe = 12, rerank = 1200)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact == brute,
+        s"probe-all + covering pool must equal brute (diff ${(exact diff brute).size}/${(brute diff exact).size})")
+      // SERVING dials: clustered corpus, default probe/rerank — the
+      // premise regime must hold a high pair-recall band
+      val served = VectorIndex.annIvfPqBatch(spark, dir, e0, q, k = 3)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = brute.intersect(served).size.toDouble / brute.size
+      assert(recall >= 0.9, s"clustered serving recall $recall below 0.9")
+      // every query answered with k rows
+      assert(served.groupBy(_._1).forall(_._2.size == 3))
+      // the codes scan must partition-prune (the rung's point: probed
+      // cells' code files only)
+      val plan = physicalPlan(VectorIndex.annIvfPqBatch(spark, dir, e0,
+        q.limit(5), k = 3))
+      assert(plan.contains("PartitionFilters: [cluster"),
+        "the ivfpq_codes scan must carry the probe as a partition filter")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        "no all-pairs shape anywhere in the compressed batch plan")
+    } finally e0.unpersist()
+  }
+
   test("split two-level dir: SINGLE-QUERY coarse-first serving reaches split cells; metadata k2 is the true pre-split block (r17, ADVICE)") {
     // the r16 hole: probedScanTwoLevel derived group membership as
     // c / k2 from metadata whose k2 was centroids.length / k1 —
