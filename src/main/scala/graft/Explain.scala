@@ -132,6 +132,13 @@ object Explain {
       "v17_knn_batch_ivfadc" ->
         Seq("PartitionFilters", "cluster", "ObjectHashAggregate",
           "!CartesianProduct", "!BroadcastNestedLoopJoin"),
+      // v17b (r17): the compressed path's ORACLE anchor — probe-all,
+      // so the partition filter covers every cell, but the ADC kernel
+      // shape (keyed scoring join + TopKAgg pools, no all-pairs
+      // broadcast) must match v17's, never degenerate to v02's BNLJ
+      "v17b_knn_batch_ivfadc_probeall" ->
+        Seq("ObjectHashAggregate", "!CartesianProduct",
+          "!BroadcastNestedLoopJoin"),
       // q13: exact percentile is a TypedImperativeAggregate — must
       // partial-aggregate (no row-sort of the whole table)
       "q13_group_stats" -> Seq("ObjectHashAggregate"),

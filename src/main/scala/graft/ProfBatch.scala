@@ -86,6 +86,33 @@ object ProfBatch {
         reprobeMax = reprobe).count()
       System.err.println(s"[profbatch]   rows=$n2")
     }
+    // COMPRESSED rung (r17): annIvfPqBatch over the buildIvfPq
+    // artifact — the same regime table one rung down the ladder. The
+    // scan streams M ints + one norm per corpus vector instead of the
+    // float vectors, so the per-probe BYTES drop ~10× while pool
+    // membership goes approximate (recall reported vs the float
+    // persisted form; exactness stays confined to the re-rank pool).
+    val adcDir = idxDir.stripSuffix("/") + "_adc"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$adcDir/ivfpq_codes"))) {
+      t("build (buildIvfPq, two-level-routed coarse fit)") {
+        VectorIndex.buildIvfPq(spark, e.select(col("vec_id"), col("v")),
+          adcDir, nCells = nCells,
+          twoLevelCells = VectorQueries.V15TwoLevelCells)
+      }
+    } else System.err.println(s"[profbatch] reusing existing ADC index at $adcDir")
+    val adcFull = t("annIvfPqBatch (persisted CODES, FULL batch)") {
+      val r = VectorIndex.annIvfPqBatch(spark, adcDir, e, queries, k)
+        .select("query_id", "vec_id")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      System.err.println(s"[profbatch]   rows=${r.size}"); r
+    }
+    val adcRecall = adcFull.intersect(persisted).size.toDouble /
+      math.max(1, persisted.size)
+    System.err.println(f"[profbatch] ADC pair recall vs float persisted: $adcRecall%.4f")
+    t(s"annIvfPqBatch (persisted CODES, SELECTIVE 1k batch)") {
+      val n3 = VectorIndex.annIvfPqBatch(spark, adcDir, e, sel, k).count()
+      System.err.println(s"[profbatch]   rows=$n3")
+    }
     spark.stop()
   }
 }

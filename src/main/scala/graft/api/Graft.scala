@@ -862,6 +862,52 @@ final class Graft(
     }
   }
 
+  /** [[closestFactsWithEntitiesBatch]] at the COMPRESSED rung — the
+    * batch hybrid that holds at 10⁹+ facts where even the probed
+    * cells' float vectors are too many bytes: the graph semi-join is
+    * computed once for the batch and applied INSIDE the partition-
+    * pruned CODE scan (annIvfPqBatch's candidate filter — ~M bytes
+    * per candidate fact streamed, ranking within the filtered set),
+    * the exact re-rank touches only the pooled ids. Candidate
+    * relation and the k > candidates unranked edge byte-shared with
+    * the float-rung batch form. At probe-all with a pool covering
+    * the candidates each query's rows equal
+    * [[closestFactsWithEntities]] exactly (GraftApiSpec pins it). */
+  def closestFactsWithEntitiesBatchAdc(db: HippoDb, indexDir: String,
+      queries: Seq[(Long, String)], entities: Seq[String],
+      union: Boolean = true, k: Int = 5,
+      nProbe: Int = graft.operators.IvfPq.Probe,
+      rerank: Int = graft.operators.Pq.Rerank): DataFrame = {
+    import spark.implicits._
+    val filtered = factsByEntities(db, entities, union).select("fact_id")
+    if (k > filtered.count()) {
+      val ids = queries.map(_._1).toDF("query_id")
+      broadcast(ids).crossJoin(hybridUnranked(db, filtered))
+        .withColumn("rk", lit(null).cast("int"))
+        .select("query_id", "fact_id", "fact_text", "cos", "rk")
+        .orderBy("query_id", "fact_id")
+    } else {
+      val qdf = queries.zipWithIndex
+        .map { case ((_, text), i) =>
+          (-(i + 1).toLong, embedder.embed(text).map(_.toDouble)) }
+        .toDF("vec_id", "v")
+      val ids = queries.zipWithIndex
+        .map { case ((qid, _), i) => (-(i + 1).toLong, qid) }
+        .toDF("query_id", "user_query_id")
+      graft.store.VectorIndex.annIvfPqBatch(spark, indexDir,
+          db.factEmb.select(col("fact_id").as("vec_id"),
+            toDouble(col("embedding")).as("v")),
+          qdf, k, nProbe, rerank,
+          candidates = Some(filtered.withColumnRenamed("fact_id", "vec_id")))
+        .join(broadcast(ids), "query_id")
+        .withColumnRenamed("vec_id", "fact_id")
+        .join(db.facts, "fact_id")
+        .select(col("user_query_id").as("query_id"), col("fact_id"),
+          col("fact_text"), col("cos"), col("rk"))
+        .orderBy("query_id", "rk")
+    }
+  }
+
   /** The reference's retrieval LOOP (retrieval.py:15-78 iterates
     * [[retrieve]] over a query file) at batch shape — the last piece
     * of VERDICT r16 #4: ONE [[closestFactsBatch]] job serves every
@@ -927,6 +973,36 @@ final class Graft(
       .mkString("\n")
     val prompt = Prompts.question(question, numbered)
     (top, prompt, llm.invoke(prompt))
+  }
+
+  /** [[answer]] at batch shape — the QA loop's missing batch twin
+    * (r17): ONE [[closestFactsBatch]] job retrieves every question's
+    * top-k (partition-pruned, never |queries| driver round-trips),
+    * then the bounded |queries| × k collect builds the same NUMBERED
+    * per-question prompt [[answer]] sends (Prompts.question — facts
+    * enumerated so the model can cite them) and the LLM is invoked
+    * once per question (the unavoidable per-call surface; everything
+    * retrieval-shaped is batched). Returns the batch frame plus
+    * question_id → (prompt, model answer). With probes covering the
+    * model each question's prompt equals the single-query
+    * [[answer]]'s verbatim (GraftApiSpec pins parity). */
+  def answerBatch(db: HippoDb, indexDir: String,
+      questions: Seq[(Long, String)], k: Int = 10,
+      nProbe: Int = VectorQueries.IvfProbe)
+      : (DataFrame, Map[Long, (String, String)]) = {
+    val top = closestFactsBatch(db, indexDir, questions, k, nProbe)
+    val byQuery = top.select("query_id", "rk", "fact_text").collect()
+      .groupBy(_.getLong(0))
+    val out = questions.map { case (qid, text) =>
+      val numbered = byQuery.getOrElse(qid, Array.empty)
+        .sortBy(_.getInt(1))
+        .zipWithIndex
+        .map { case (r, i) => s"${i + 1}. ${r.getAs[String]("fact_text")}" }
+        .mkString("\n")
+      val prompt = Prompts.question(text, numbered)
+      qid -> (prompt, llm.invoke(prompt))
+    }.toMap
+    (top, out)
   }
 }
 

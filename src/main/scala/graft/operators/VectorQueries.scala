@@ -1225,7 +1225,15 @@ object VectorQueries {
     * serving dials; PartitionFilters needle on ivfpq_codes). */
   def v17KnnBatchIvfAdc(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val idx = adcIdxCache.computeIfAbsent(dir, _ => {
+    graft.store.VectorIndex.annIvfPqBatch(spark, adcIdx(spark, dir, e), e,
+      e.filter(col("label") === 0).select("vec_id", "v"), k = 3)
+  }
+
+  /** The ONE per-dir persisted IVFADC artifact v17/v17b serve from
+    * (the batchIdx convention at the compressed rung). */
+  private def adcIdx(spark: SparkSession, dir: String,
+      e: DataFrame): String =
+    adcIdxCache.computeIfAbsent(dir, _ => {
       val p = java.nio.file.Files.createTempDirectory("graft_v17_ivfpq").toString
       val n = e.count()
       graft.store.VectorIndex.buildIvfPq(spark,
@@ -1233,8 +1241,27 @@ object VectorQueries {
         nCells = math.max(8, (n / V15CellTarget).toInt))
       p
     })
+
+  /** v17b: the COMPRESSED batch path's ORACLE ANCHOR (r17) — v16b's
+    * treatment extended down the ladder: the SAME per-JVM IVFADC
+    * artifact as v17, served PROBE-ALL (cells partition the corpus,
+    * so every non-self pair is enumerated) with the re-rank pool
+    * covering the corpus (rerank·k ≥ n), so ADC error can only
+    * reorder POOL MEMBERSHIP — which the covering pool makes total —
+    * and the exact round-6 re-rank restores brute ordering: the rows
+    * hash-match v02's DuckDB oracle end-to-end THROUGH the coded disk
+    * artifact (build → partition-pruned code read → tombstone filter
+    * → ADC → exact re-rank). The compression/regime story stays on
+    * v17's line; this entry's partition filter and pool degenerate BY
+    * CONSTRUCTION — it anchors correctness of the persisted coded
+    * path, not its serving shape. */
+  def v17bKnnBatchIvfAdcProbeAll(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val idx = adcIdx(spark, dir, e)
+    val n = e.count()
     graft.store.VectorIndex.annIvfPqBatch(spark, idx, e,
-      e.filter(col("label") === 0).select("vec_id", "v"), k = 3)
+      e.filter(col("label") === 0).select("vec_id", "v"), k = 3,
+      nProbe = Int.MaxValue, rerank = (n / 3 + 3).toInt)
   }
 
   type Q = (SparkSession, String) => DataFrame
@@ -1243,6 +1270,7 @@ object VectorQueries {
     "v16_knn_batch_ivf_persisted" -> (v16KnnBatchIvfPersisted _),
     "v16b_knn_batch_ivf_probeall" -> (v16bKnnBatchIvfProbeAll _),
     "v17_knn_batch_ivfadc" -> (v17KnnBatchIvfAdc _),
+    "v17b_knn_batch_ivfadc_probeall" -> (v17bKnnBatchIvfAdcProbeAll _),
     "v12_mmr" -> (v12Mmr _),
     "v01_knn_facts" -> (v01KnnFacts _),
     "v02_knn_batch" -> (v02KnnBatch _),
@@ -1347,6 +1375,12 @@ object VectorQueries {
     // so v02's oracle IS its oracle: the first hash anchor through a
     // persisted ANN path (r17, VERDICT r16 #5).
     "v16b_knn_batch_ivf_probeall" -> batchKnnOracleSql,
+    // v17b: probe-all + a corpus-covering re-rank pool make the coded
+    // path exact by construction (ADC error only permutes pool
+    // membership, which the covering pool makes total; the re-rank is
+    // exact round-6 cosine) — v02's oracle anchors the COMPRESSED
+    // persisted path too (r17).
+    "v17b_knn_batch_ivfadc_probeall" -> batchKnnOracleSql,
     "v06_knn_agg" ->
       s"""WITH e AS ($embSql),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE label = 1),

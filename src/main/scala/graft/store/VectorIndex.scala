@@ -1201,11 +1201,25 @@ object VectorIndex {
     *   ivfpq.json        {nCells, m, k, dim} metadata echo */
   def buildIvfPq(spark: SparkSession, e: DataFrame, dir: String,
       nCells: Int = IvfPq.Cells, m: Int = Pq.M, k: Int = Pq.K,
-      coarseIters: Int = 2, pqIters: Int = 3): Unit = {
+      coarseIters: Int = 2, pqIters: Int = 3,
+      twoLevelCells: Int = Int.MaxValue): Unit = {
     val cached = e.select(col("vec_id"), col("v")).cache()
     try {
-      val (_, centroids, _) =
-        KMeans.fit(spark, cached, nCells, coarseIters, trackInertia = false)
+      // at nCells >= twoLevelCells the FLAT coarse fit pays n × nCells
+      // distances per iteration (the wall buildIvf measured at
+      // 2M × 8000: killed at 15+ min where the routed fit takes ~a
+      // minute) — route through fitTwoLevel and keep its FLAT cell
+      // centroids. Correctness is routing-independent here: both the
+      // build layout (assignResiduals' own flat argmin over these
+      // centroids) and the query probe (probeCells, flat) assign
+      // against the same centroid array, so how the centroids were
+      // FITTED changes recall shape only, never self-consistency.
+      val centroids =
+        if (nCells >= twoLevelCells)
+          KMeans.fitTwoLevel(spark, cached, nCells, coarseIters)._2
+        else
+          KMeans.fit(spark, cached, nCells, coarseIters,
+            trackInertia = false)._2
       val res = IvfPq.assignResiduals(spark, cached, centroids).cache()
       try {
         val cb = Pq.train(spark, res, m, k, pqIters)
@@ -1297,10 +1311,19 @@ object VectorIndex {
     * every cell and a pool covering the probed sliver the rows
     * equal the brute batch top-k exactly (BatchIndexSpec pins it);
     * serving dials trade recall for scanned code bytes exactly like
-    * the single-query [[annIvfPq]]. */
+    * the single-query [[annIvfPq]].
+    *
+    * `candidates` (a vec_id relation) semi-joins the code scan
+    * BEFORE scoring — [[annIvfBatch]]'s candidate contract at the
+    * compressed rung (ranking happens within the filtered set, never
+    * post-hoc): the entity-filtered batch hybrid composes through
+    * this, and with probe-all + a pool covering the candidates the
+    * rows equal the brute FILTERED batch top-k exactly. None keeps
+    * the unfiltered plan byte-identical. */
   def annIvfPqBatch(spark: SparkSession, dir: String, emb: DataFrame,
       queries: DataFrame, k: Int, nProbe: Int = IvfPq.Probe,
-      rerank: Int = Pq.Rerank): DataFrame = {
+      rerank: Int = Pq.Rerank,
+      candidates: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val (cb, centroids) = loadIvfPqModels(spark, dir)
     val m = cb.length
@@ -1312,9 +1335,11 @@ object VectorIndex {
         .withColumnRenamed("qid", "query_id"))
     val cells = probes.select(col("cluster")).distinct()
       .as[Int].collect().toSeq.sorted // ≤ nCells ints
-    val scan = minusTombstones(spark, dir,
-      spark.read.parquet(s"$dir/ivfpq_codes")
-        .filter(col("cluster").isin(cells: _*)))
+    val scan = candidates.foldLeft(
+      minusTombstones(spark, dir,
+        spark.read.parquet(s"$dir/ivfpq_codes")
+          .filter(col("cluster").isin(cells: _*))))((s, c) =>
+        s.join(c.select("vec_id"), Seq("vec_id"), "left_semi"))
       .select(col("vec_id"), col("cluster").cast("int").as("cluster"),
         col("codes"), col("norm"))
     val qPayload = q.select(col("vec_id").as("query_id"),

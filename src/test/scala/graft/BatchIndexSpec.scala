@@ -150,6 +150,74 @@ class BatchIndexSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"),
         "no all-pairs shape anywhere in the compressed batch plan")
+      // CANDIDATE filter (r17): the entity-filtered batch hybrid's
+      // contract at the compressed rung — the filter semi-joins the
+      // CODE scan before scoring, so ranking happens within the
+      // candidate set, and probe-all + covering pool must equal the
+      // brute FILTERED batch top-k exactly
+      val candCorpus = e0.filter(col("vec_id") % 3 === 0)
+      val bruteF = candCorpus.withColumn("nv", normNative(col("v")))
+        .crossJoin(broadcast(e0.filter(col("label") === 0)
+          .withColumn("nq", normNative(col("v")))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nq"))))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(graft.functions.VectorFunctions.cosinePreRaw(
+            col("v"), col("qv"), col("nv"), col("nq")), 6).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val filteredAdc = VectorIndex.annIvfPqBatch(spark, dir, e0, q, k = 3,
+        nProbe = 12, rerank = 1200,
+        candidates = Some(candCorpus.select("vec_id")))
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(filteredAdc == bruteF,
+        s"filtered probe-all + covering pool must equal brute filtered " +
+        s"(diff ${(filteredAdc diff bruteF).size}/${(bruteF diff filteredAdc).size})")
+    } finally e0.unpersist()
+  }
+
+  test("buildIvfPq(twoLevelCells): the routed coarse fit serves exactly like the flat one at probe-all + covering pool (r17)") {
+    // the fit ROUTE must not change the serving contract: layout
+    // assignment (assignResiduals' flat argmin) and the query probe
+    // assign against the same centroid array regardless of how the
+    // centroids were fitted, so probe-all + covering pool == brute
+    // holds through the two-level-routed build too (the route exists
+    // for the 2M × 8000-cell fit wall, not for different answers)
+    val e0 = (0 until 600).map { i =>
+      val c = i % 12
+      (i.toLong, Array.tabulate(16)(j =>
+        (if (j == c) 4.0 else 0.0) + 0.05 * math.sin(i * 2.3 + j * 1.1)),
+        if (i % 5 == 0) 0 else 1)
+    }.toDF("vec_id", "v", "label").cache()
+    try {
+      val dir = Files.createTempDirectory("graft_adc2l").toString
+      VectorIndex.buildIvfPq(spark, e0.select("vec_id", "v"), dir,
+        nCells = 12, twoLevelCells = 8) // 12 >= 8 → fitTwoLevel route
+      val q = e0.filter(col("label") === 0).select("vec_id", "v")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+      val brute = e0.withColumn("nv", normNative(col("v")))
+        .crossJoin(broadcast(e0.filter(col("label") === 0)
+          .withColumn("nq", normNative(col("v")))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nq"))))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(graft.functions.VectorFunctions.cosinePreRaw(
+            col("v"), col("qv"), col("nv"), col("nq")), 6).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = VectorIndex.annIvfPqBatch(spark, dir, e0, q, k = 3,
+        nProbe = 12, rerank = 300)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact == brute,
+        s"two-level-routed buildIvfPq must serve brute at probe-all + covering pool " +
+        s"(diff ${(exact diff brute).size}/${(brute diff exact).size})")
     } finally e0.unpersist()
   }
 
@@ -249,6 +317,48 @@ class BatchIndexSpec extends SparkSpec {
       VectorIndex.tombstone(spark, dir, Seq(victim).toDF("vec_id"))
       val after = VectorIndex.annIvfBatch(spark, dir, q, k = 3)
         .collect().map(_.getLong(1))
+      assert(!after.contains(victim), s"tombstoned $victim still served")
+      assert(after.length == 3, "pool must refill after the tombstone")
+    } finally e0.unpersist()
+  }
+
+  test("annIvfPqBatch lifecycle: frozen-model appends are reachable; tombstoned ids vanish and the pool refills (r17)") {
+    // the batch twin of the single-query artifact-lifecycle pins:
+    // probe-all + covering pool make reachability DETERMINISTIC, so
+    // a missed append or a served tombstone cannot hide in recall
+    val e0 = clustered3k.cache()
+    try {
+      val dir = Files.createTempDirectory("graft_adclife").toString
+      val held = e0.filter(col("vec_id") >= 2900) // 100 late arrivals
+      VectorIndex.buildIvfPq(spark,
+        e0.filter(col("vec_id") < 2900).select("vec_id", "v"), dir,
+        nCells = 12)
+      VectorIndex.appendIvfPq(spark, dir, held.select("vec_id", "v"))
+      // a query right next to a held-out vector: its subgroup mates
+      // include appended ids, and probe-all + covering pool MUST
+      // return the true top-3 — appended codes serve like built ones
+      val q = e0.filter(col("vec_id") === 2900).select("vec_id", "v")
+      val got = VectorIndex.annIvfPqBatch(spark, dir, e0, q, k = 3,
+        nProbe = 12, rerank = 1000).collect().map(_.getLong(1))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+      val truth = e0.withColumn("nv", normNative(col("v")))
+        .crossJoin(broadcast(q
+          .withColumn("nq", normNative(col("v")))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nq"))))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(graft.functions.VectorFunctions.cosinePreRaw(
+            col("v"), col("qv"), col("nv"), col("nq")), 6).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3).collect().map(_.getLong(1))
+      assert(got.toSet == truth.toSet,
+        s"appended vectors must serve exactly at probe-all + covering pool: ${got.toSeq} vs ${truth.toSeq}")
+      // tombstone the top hit → it vanishes and the pool refills
+      val victim = got.head
+      VectorIndex.tombstone(spark, dir, Seq(victim).toDF("vec_id"))
+      val after = VectorIndex.annIvfPqBatch(spark, dir, e0, q, k = 3,
+        nProbe = 12, rerank = 1000).collect().map(_.getLong(1))
       assert(!after.contains(victim), s"tombstoned $victim still served")
       assert(after.length == 3, "pool must refill after the tombstone")
     } finally e0.unpersist()

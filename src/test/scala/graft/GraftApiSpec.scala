@@ -263,6 +263,51 @@ class GraftApiSpec extends SparkSpec {
       "unranked rows carry null cos and null rk")
   }
 
+  test("compressed-rung batch hybrid == brute hybrid at probe-all + covering pool; answerBatch == per-query answer (r17)") {
+    val idxPq = java.nio.file.Files.createTempDirectory("api_batch_adc").toString
+    api.buildFactIndexPq(db, idxPq, nCells = 4)
+    // colliding user ids again — the surrogate-id contract is shared
+    val qs = Seq(0L -> "spark window join", 2L -> "query", 1L -> "stream state")
+    val nFacts = db.facts.count().toInt
+    for (union <- Seq(true, false)) {
+      val hybrid = api.closestFactsWithEntitiesBatchAdc(db, idxPq, qs,
+          Seq("window"), union, k = 3,
+          nProbe = Int.MaxValue, rerank = nFacts + 8)
+        .collect().groupBy(_.getLong(0))
+      qs.foreach { case (qid, text) =>
+        val brute = api.closestFactsWithEntities(db, text, Seq("window"),
+            union, k = 3)
+          .select("fact_id", "cos").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val got = hybrid(qid).sortBy(_.getInt(4))
+          .map(r => (r.getLong(1), r.getDouble(3))).toSeq
+        assert(got == brute,
+          s"ADC batch hybrid (union=$union) must equal brute hybrid for '$text': $got vs $brute")
+      }
+    }
+    // the k > candidates unranked edge is byte-shared with the float
+    // form — pin the branch fires at the compressed rung too
+    val nCand = api.factsByEntities(db, Seq("window"), union = true).count()
+    val unranked = api.closestFactsWithEntitiesBatchAdc(db, idxPq, qs,
+      Seq("window"), union = true, k = nCand.toInt + 1).collect()
+    assert(unranked.length == qs.size * nCand &&
+      unranked.forall(r => r.isNullAt(3) && r.isNullAt(4)),
+      "compressed-rung unranked fallback must emit every candidate per query")
+    // answerBatch: the QA loop's batch twin — prompt AND stub-LLM
+    // answer equal the single-query answer's at matching dials
+    val idx = java.nio.file.Files.createTempDirectory("api_answer_ivf").toString
+    api.buildFactIndex(db, idx, nCells = 8)
+    val (_, answers) = api.answerBatch(db, idx, qs, k = 5, nProbe = 8)
+    qs.foreach { case (qid, text) =>
+      val (_, singlePrompt, singleAnswer) =
+        api.answer(db, text, k = 5, Some(idx), nProbe = 8)
+      assert(answers(qid)._1 == singlePrompt,
+        s"batched QA prompt must equal per-query answer's for '$text'")
+      assert(answers(qid)._2 == singleAnswer,
+        s"batched QA answer must equal per-query answer's for '$text'")
+    }
+  }
+
   test("indexed hybrid facade: all-probe == brute hybrid exactly (both modes), fallback byte-shared, partial probe prunes") {
     val idx = java.nio.file.Files.createTempDirectory("api_hybrid_ivf").toString
     api.buildFactIndex(db, idx, nCells = 8)
