@@ -1923,7 +1923,14 @@ object VectorIndex {
           "floats — the decade where even probed FLOAT vectors are " +
           "too many bytes; exact re-rank touches only the pooled ids; " +
           "recall pays the quantization (measured above — the floor " +
-          "decides)"))
+          "decides). ProfBatch 2M same-window: SELECTIVE 1k batch " +
+          "40.3 s vs the float artifact's 148.1 s (the ~10× scan-byte " +
+          "cut, 3.7× wall) at pair recall 0.9991; corpus-sized FULL " +
+          "batch 302.8 vs 102.9 s (per-pair ADC arithmetic with no " +
+          "pruning to pay for it — prefer the float forms there). The " +
+          "pick keeps the float artifact first at equal candidate " +
+          "volume (recall not quantization-bounded); choose this rung " +
+          "deliberately when scan bytes are the binding constraint"))
       // selectivity-aware pick: candidates first, then — between the
       // kernel-identical IVF forms — the regime ProfBatch measured
       // (in-entry at probe-prunes-nothing coverage, where BOTH
