@@ -658,6 +658,43 @@ object StreamOps {
       .start()
   }
 
+  /** st21: STREAMING RETRIEVAL SERVING (r17) — the reference's
+    * interactive retrieval loop (retrieval.py:15-78 blocks on one
+    * query at a time) as an always-on serving stream: queries
+    * (vec_id, v) arrive on a stream, each micro-batch is answered by
+    * ONE partition-pruned [[graft.store.VectorIndex.annIvfBatch]]
+    * job against the PERSISTED index (build once per corpus version,
+    * never a refit — the serving premise), and the per-query top-k
+    * appends under `outDir` tagged by batch id (foreachBatch under a
+    * checkpoint = effectively-once appends, the st08/st12
+    * convention). The batch facade's exactness contract carries over
+    * verbatim: with probes covering the model each micro-batch's
+    * rows equal the one-shot annIvfBatch on the same queries
+    * (StreamingSpec pins it); serving probe depths trade recall for
+    * scan bytes. Retrieval is STATELESS per query — no watermark, no
+    * state store; a replayed micro-batch re-appends under its batch
+    * id and a duplicate query is just a re-ask. At 100 TB this is
+    * the serving tier's shape: the index lives on shared storage,
+    * the stream brings only (id, vector) rows, and each trigger's
+    * cost is the pruned scan its probe set implies. */
+  def retrievalServeStream(queries: DataFrame, indexDir: String,
+      outDir: String, k: Int = 5,
+      nProbe: Int = graft.operators.VectorQueries.IvfProbe,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = queries.writeStream.outputMode(OutputMode.Append)
+    checkpoint.foreach(c => w.option("checkpointLocation", c))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.store.VectorIndex.annIvfBatch(batch.sparkSession, indexDir,
+              batch.select("vec_id", "v"), k, nProbe, reprobeMax = 0)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(outDir)
+        }
+      }
+      .start()
+  }
+
   /** st12: STREAMING MEDIA NEAR-DUP — m05's perceptual-hash check on
     * an always-on media ingest: each micro-batch phash-encodes ONLY
     * ITSELF (a narrow typed map) and pays a band-keyed equi-join +

@@ -451,6 +451,55 @@ class StreamingSpec extends SparkSpec {
       s"streamed contamination rows $got differ from the batch semantics")
   }
 
+  test("st21 streaming retrieval serving: each micro-batch equals the one-shot batch k-NN on the persisted index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a small clustered corpus + its persisted IVF artifact
+    val corpus = (0 until 600).map { i =>
+      val c = i % 6
+      (i.toLong, Array.tabulate(8)(j =>
+        (if (j == c) 3.0 else 0.0) + 0.1 * math.sin(i * 1.7 + j)))
+    }.toDF("vec_id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("st21idx").toString
+    graft.store.VectorIndex.buildIvf(spark, corpus, dir, nCells = 6, iters = 2)
+    val outDir = java.nio.file.Files.createTempDirectory("st21out").toString
+
+    val stream = MemoryStream[(Long, Array[Double])]
+    val q = StreamOps.retrievalServeStream(
+      stream.toDF().toDF("vec_id", "v"), dir, outDir,
+      k = 3, nProbe = Int.MaxValue)
+    try {
+      // two micro-batches of queries drawn from the corpus
+      val b0 = corpus.filter(col("vec_id") < 3).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      val b1 = corpus.filter(col("vec_id") >= 300 && col("vec_id") < 302)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      stream.addData(b0); q.processAllAvailable()
+      stream.addData(b1); q.processAllAvailable()
+    } finally q.stop()
+    val served = spark.read.parquet(outDir)
+    // per batch id, the rows equal the one-shot annIvfBatch on the
+    // same queries at the same dials — the plumbing adds NOTHING
+    for ((ids, bid) <- Seq((Seq(0L, 1L, 2L), 0), (Seq(300L, 301L), 1))) {
+      val oneShot = graft.store.VectorIndex.annIvfBatch(spark, dir,
+          corpus.filter(col("vec_id").isin(ids: _*)), k = 3,
+          nProbe = Int.MaxValue, reprobeMax = 0)
+        .select("query_id", "vec_id", "cos", "rk")
+        .collect().map(_.toString).sorted
+      val got = served.filter(col("batch_id") === bid)
+        .select("query_id", "vec_id", "cos", "rk")
+        .collect().map(_.toString).sorted
+      assert(got.sameElements(oneShot),
+        s"batch $bid served rows must equal the one-shot batch k-NN")
+    }
+    // probe-all over a cell-partitioned corpus is exact: spot-check
+    // a served neighbour is the true subgroup mate
+    val top0 = served.filter(col("batch_id") === 0 &&
+        col("query_id") === 0 && col("rk") === 1)
+      .select("vec_id").head().getLong(0)
+    assert(top0 % 6 == 0, s"query 0's top hit $top0 should share its cluster axis")
+  }
+
   test("st08 streaming span dedup checks micro-batches against the persisted history bloom") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
