@@ -862,6 +862,39 @@ final class Graft(
     }
   }
 
+  /** [[closestFactsBatch]] at the COMPRESSED rung — the unfiltered
+    * batch retrieval that holds at 10⁹+ facts: annIvfPqBatch over a
+    * [[buildFactIndexPq]] artifact streams ~M ints + a norm per
+    * probed fact instead of the float embedding, the exact re-rank
+    * touches only the pooled ids, and the same surrogate-id contract
+    * keeps user query ids from tripping the self-exclusion. At
+    * probe-all with a pool covering the corpus each query's rows
+    * equal [[closestFacts]] exactly (GraftApiSpec pins it); serving
+    * dials trade recall for scanned code bytes. */
+  def closestFactsBatchAdc(db: HippoDb, indexDir: String,
+      queries: Seq[(Long, String)], k: Int = 5,
+      nProbe: Int = graft.operators.IvfPq.Probe,
+      rerank: Int = graft.operators.Pq.Rerank): DataFrame = {
+    import spark.implicits._
+    val qdf = queries.zipWithIndex
+      .map { case ((_, text), i) =>
+        (-(i + 1).toLong, embedder.embed(text).map(_.toDouble)) }
+      .toDF("vec_id", "v")
+    val ids = queries.zipWithIndex
+      .map { case ((qid, _), i) => (-(i + 1).toLong, qid) }
+      .toDF("query_id", "user_query_id")
+    graft.store.VectorIndex.annIvfPqBatch(spark, indexDir,
+        db.factEmb.select(col("fact_id").as("vec_id"),
+          toDouble(col("embedding")).as("v")),
+        qdf, k, nProbe, rerank)
+      .join(broadcast(ids), "query_id")
+      .withColumnRenamed("vec_id", "fact_id")
+      .join(db.facts, "fact_id")
+      .select(col("user_query_id").as("query_id"), col("fact_id"),
+        col("fact_text"), col("cos"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
   /** [[closestFactsWithEntitiesBatch]] at the COMPRESSED rung — the
     * batch hybrid that holds at 10⁹+ facts where even the probed
     * cells' float vectors are too many bytes: the graph semi-join is

@@ -285,6 +285,21 @@ class GraftApiSpec extends SparkSpec {
           s"ADC batch hybrid (union=$union) must equal brute hybrid for '$text': $got vs $brute")
       }
     }
+    // the UNFILTERED coded batch: per-query rows equal brute
+    // closestFacts at probe-all + covering pool (the surrogate-id
+    // contract shared — colliding user ids never drop a fact)
+    val plain = api.closestFactsBatchAdc(db, idxPq, qs, k = 5,
+        nProbe = Int.MaxValue, rerank = nFacts + 8)
+      .collect().groupBy(_.getLong(0))
+    qs.foreach { case (qid, text) =>
+      val brute = api.closestFacts(db, text, k = 5)
+        .select("fact_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = plain(qid).sortBy(_.getInt(4))
+        .map(r => (r.getLong(1), r.getDouble(3))).toSeq
+      assert(got == brute,
+        s"coded batch retrieval must equal brute closestFacts for '$text': $got vs $brute")
+    }
     // the k > candidates unranked edge is byte-shared with the float
     // form — pin the branch fires at the compressed rung too
     val nCand = api.factsByEntities(db, Seq("window"), union = true).count()
