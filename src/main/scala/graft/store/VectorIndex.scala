@@ -1927,10 +1927,15 @@ object VectorIndex {
           "40.3 s vs the float artifact's 148.1 s (the ~10× scan-byte " +
           "cut, 3.7× wall) at pair recall 0.9991; corpus-sized FULL " +
           "batch 302.8 vs 102.9 s (per-pair ADC arithmetic with no " +
-          "pruning to pay for it — prefer the float forms there). The " +
-          "pick keeps the float artifact first at equal candidate " +
-          "volume (recall not quantization-bounded); choose this rung " +
-          "deliberately when scan bytes are the binding constraint"))
+          "pruning to pay for it — prefer the float forms there). " +
+          "Recall is CORPUS-STRUCTURE-DEPENDENT: the same dials read " +
+          "0.3755 on the 200k stress corpus (tight cosine gaps inside " +
+          "the code noise — the documented decoupling regime), which " +
+          "is exactly why THIS planner measures the rung on your " +
+          "corpus before recommending it. The pick keeps the float " +
+          "artifact first at equal candidate volume; choose this rung " +
+          "deliberately when scan bytes are the binding constraint " +
+          "and the measured recall above clears your floor"))
       // selectivity-aware pick: candidates first, then — between the
       // kernel-identical IVF forms — the regime ProfBatch measured
       // (in-entry at probe-prunes-nothing coverage, where BOTH
