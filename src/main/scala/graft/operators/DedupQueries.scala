@@ -35,6 +35,16 @@ object DedupQueries {
   val CharJaccardThreshold = 0.8
   val CosineThreshold = 0.45
 
+  /** Size-routed payload-attach budget (r17, the e01c
+    * SqCutBroadcastMaxBytes convention): candidate-verify joins
+    * broadcast the per-doc payload table (gram hashes / shingles)
+    * only while its measured bytes fit under this; above it the
+    * un-hinted join stays and AQE broadcasts the pair side — the
+    * 100 TB regime, where candidates ≪ corpus. 256 MB ≈ a few
+    * hundred MB resident per executor at the flip point, the
+    * documented broadcast comfort zone (guide §3.1). */
+  val GramBroadcastMaxBytes = 256L * 1024 * 1024
+
   /** Deterministic (a, b) pairs for the universal hash family
     * h_j(x) = (a_j * x + b_j) mod p. */
   def hashParams(n: Int, seed: Long): Array[(Long, Long)] = {
@@ -419,13 +429,30 @@ object DedupQueries {
     // payload re-attach join size borderline for AQE's broadcast
     // decision — measured 4× run-to-run swings when deferred. One
     // stable shuffle of the narrow pair set is the better trade here.
-    // As in d02: join the tiny pair set against the cached gram table
-    // with NO broadcast hints — AQE broadcasts the small pair side at
-    // runtime, the gram payloads never shuffle or broadcast, and the
-    // candidate subtree is evaluated exactly once.
+    //
+    // SIZE-ROUTED payload attach (r17, guide §3.1/§8 + the e01c
+    // sqCutPool convention): this corpus' 0.8 threshold over short
+    // synthetic docs admits a candidate set ~300× the doc count
+    // (sf0.1: 1.53M pairs from 5k docs), so "AQE broadcasts the small
+    // pair side" inverts — the pair side is the BIG side, Catalyst
+    // picks sort-merge, and the second attach shuffles every pair
+    // WITH its first ~2.3 KB gram array attached (measured 16-46 s at
+    // sf0.1, 5-10× run-to-run swings as the borderline AQE decision
+    // flips). When the whole per-doc gram table fits the broadcast
+    // budget, broadcast IT instead: both attaches become map-side
+    // hash joins on the candidate stream and no gram array ever
+    // crosses an exchange (sf0.1: 48 s median → ~4 s). Above the
+    // budget (the 100 TB regime, where a production threshold makes
+    // candidates ≪ corpus) the un-hinted form stays: AQE broadcasts
+    // the genuinely small pair side and the payload table never
+    // moves. sum(sz) reads off the cached g — one tiny job that also
+    // fills the cache before the two consumers race it.
+    val gramBytes = g.agg(sum(col("sz"))).head.getLong(0) * 8L
+    val attach: DataFrame => DataFrame =
+      if (gramBytes <= GramBroadcastMaxBytes) df => broadcast(df) else identity
     candidates
-      .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga"), col("sz").as("sza")), "doc_a")
-      .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb"), col("sz").as("szb")), "doc_b")
+      .join(attach(g.select(col("doc_id").as("doc_a"), col("grams").as("ga"), col("sz").as("sza"))), "doc_a")
+      .join(attach(g.select(col("doc_id").as("doc_b"), col("grams").as("gb"), col("sz").as("szb"))), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("ga"), col("sza"), col("gb"), col("szb"))
       .as[(Long, Long, Array[Long], Int, Array[Long], Int)]
       .map { case (a, b, ga, sza, gb, szb) =>
