@@ -133,9 +133,13 @@ object GraphQueries {
   def h09KhopNeighbours(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir)
     val f1 = e.filter(col("entity") === ProbeEntity).select("fact_id").distinct()
+    // n1 is consumed three times (f2's expansion, the hop-2 anti-join,
+    // and the final union) — cache it so the hop-1 expansion join runs
+    // once per action, not three times (r17, the h12 lesson).
     val n1 = e.join(f1, "fact_id")
       .filter(col("entity") =!= ProbeEntity)
       .select("entity").distinct()
+      .cache()
     val f2 = e.join(n1, "entity").select("fact_id").distinct()
     val n2 = e.join(f2, "fact_id")
       .filter(col("entity") =!= ProbeEntity)
@@ -271,6 +275,15 @@ object GraphQueries {
         lit(ProbeEntity).as("path"))
     var frontier = visited
     for (h <- 1 to PathHops) {
+      // CACHE each round's frontier (r17): the loop consumes
+      // frontier_h twice (next round's expansion join AND the visited
+      // union) and visited_h twice (the anti-join AND the next union),
+      // so without materialization the assembled plan's subtree count
+      // DOUBLES per hop — at 3 hops the expansion join ran ~4-8 times
+      // per action (guide §2.4: remove recomputed shuffles). A lazy
+      // cache is enough: within the one action the first consumer
+      // computes each round, the second reads it back; frontiers are
+      // k-hop balls, tiny beside g. Bench's clearCache() releases.
       frontier = g
         .join(frontier.select(col("entity").as("src"), col("path")), "src")
         .select(col("dst").as("entity"),
@@ -280,7 +293,8 @@ object GraphQueries {
         .groupBy("entity")
         .agg(min("path").as("path"))
         .select(col("entity"), lit(h).as("hops"), col("path"))
-      visited = visited.union(frontier)
+        .cache()
+      visited = visited.union(frontier).cache()
     }
     visited.orderBy("hops", "entity")
   }

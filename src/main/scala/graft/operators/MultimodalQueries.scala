@@ -236,10 +236,17 @@ object MultimodalQueries {
         explode(sequence(lit(0), ((col("len") - FrameSize) / FrameStride).cast("int"))))
       .withColumn("frame",
         expr(s"substring(text, frame_idx * $FrameStride + 1, $FrameSize)"))
+      // codes hoisted out of the per-bin lambda (r17): the original
+      // expression recomputed split(frame,'') + ascii per BIN — 16
+      // char-array materializations per frame; one withColumn makes
+      // it a single pass, the bin counting then scans ints only.
+      // Same values bin-for-bin (the oracle is untouched).
+      .withColumn("codes", expr(
+        s"transform(split(frame, ''), c -> ascii(c) % $FeatBins)"))
       .withColumn("hist", expr(
         s"""transform(sequence(0, ${FeatBins - 1}),
-           |  b -> size(filter(transform(split(frame, ''), c -> ascii(c) % $FeatBins),
-           |    x -> x = b)))""".stripMargin))
+           |  b -> size(filter(codes, x -> x = b)))""".stripMargin))
+      .drop("codes") // explicit prune: codes must not ride the window exchange
       .withColumn("prev_hist", lag("hist", 1).over(w))
       .filter(col("prev_hist").isNotNull)
       .withColumn("dist", expr(
