@@ -1129,7 +1129,10 @@ object DedupQueries {
     * inclusion-exclusion — the union gram set never materializes. */
   def d16SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("source"), col("text"))
+    // g is consumed three times (per-source totals + both self-join
+    // sides) — cache so tokenize + distinct runs once (r17, guide §2.4).
     val g = TextQueries.wordGramRows(d, SourceGram, Seq(col("source"))).distinct()
+      .cache()
     val per = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
     g.select(col("gram"), col("source").as("src_a"))
       .join(g.select(col("gram"), col("source").as("src_b")), "gram")
@@ -1183,7 +1186,12 @@ object DedupQueries {
     * the default; specs turn the dial to prove the band — not the
     * corpus — bounds the pairing). */
   def containmentPairs(d: DataFrame, dfCap: Long): DataFrame = {
+    // g is consumed five times (per-doc sizes, the df band, the banded
+    // relation feeding both candidate sides, and both payload
+    // re-attaches) — cache it so the tokenize + distinct pass runs
+    // once per action, not ~5x (r17, the d04/h12 lesson; guide §2.4).
     val g = TextQueries.wordGramRows(d, ContainGram, Seq(col("doc_id"))).distinct()
+      .cache()
     val per = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val banded = g.join(
       g.groupBy("gram").agg(count(lit(1)).as("df"))

@@ -319,13 +319,20 @@ object GraphQueries {
     * rounded division). */
   def h13Triangles(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir)
+    // und / deg / fwd are each consumed 2-3 times below (deg's union
+    // reads und twice, fwd feeds both wedge sides AND the closing
+    // semi-join, deg attaches twice and reports once) — cache them so
+    // the fact-keyed self-join + distinct runs once per action, not
+    // ~3x (r17, the h12 lesson; guide §2.4).
     val und = e.select(col("fact_id"), col("entity").as("u"))
       .join(e.select(col("fact_id"), col("entity").as("v")), "fact_id")
       .filter(col("u") < col("v"))
       .select("u", "v").distinct()
+      .cache()
     val deg = und.select(col("u").as("entity"))
       .union(und.select(col("v").as("entity")))
       .groupBy("entity").agg(count(lit(1)).as("deg"))
+      .cache()
     // orient u→v iff (deg(u), u) < (deg(v), v)
     val fwd = und
       .join(deg.select(col("entity").as("u"), col("deg").as("du")), "u")
@@ -337,6 +344,7 @@ object GraphQueries {
           .otherwise(col("u")).as("dst"),
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("dv"))
           .otherwise(col("du")).as("ddst"))
+      .cache()
     val wedges = fwd.select(col("src"), col("dst").as("b"), col("ddst").as("db"))
       .join(fwd.select(col("src"), col("dst").as("c"), col("ddst").as("dc")), "src")
       .filter(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
@@ -517,13 +525,18 @@ object GraphQueries {
     * rows distinct per (fact, entity), the entityJaccardPairs
     * contract. `hubCap` exposed for the SkewCorpusSpec dial proof. */
   def adamicAdarPairs(e: DataFrame, hubCap: Long): DataFrame = {
+    // g feeds deg, the capped wedge relation AND the adjacency
+    // anti-join side; gw feeds both wedge sides — cache both so the
+    // fact-keyed self-join + distinct runs once per action (r17, the
+    // h12/h13 lesson; guide §2.4).
     val g = e.select(col("fact_id"), col("entity").as("src"))
       .join(e.select(col("fact_id"), col("entity").as("dst")), "fact_id")
       .filter(col("src") =!= col("dst"))
       .select("src", "dst").distinct()
+      .cache()
     val deg = g.groupBy("src").agg(count(lit(1)).as("deg"))
     val piv = deg.filter(col("deg") <= hubCap)
-    val gw = g.join(piv, "src")
+    val gw = g.join(piv, "src").cache()
     val wedges = gw.select(col("src").as("z"), col("dst").as("a"), col("deg"))
       .join(gw.select(col("src").as("z"), col("dst").as("b")), "z")
       .filter(col("a") < col("b"))
