@@ -126,7 +126,10 @@ object DedupQueries {
     * the (doc_id, shingles) payload table for verification — both
     * cached, since candidates and verify each read them. */
   private def minhashTables(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    minhashTablesOf(Tables.documents(spark, dir))
+    // one parquet split at test SF — without this the 64-hash
+    // signature map runs on one core (the e01 note; cheap at scale)
+    minhashTablesOf(Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism))
 
   /** Band-cell projection of a signature frame — split out so the
     * SketchIndex builder can derive cells from a PERSISTED signature

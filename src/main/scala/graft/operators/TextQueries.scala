@@ -490,7 +490,11 @@ object TextQueries {
   }
 
   def t15BigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    // one parquet split at test SF — parallelize the two tokenize
+    // passes (scoring + model); the identical repartition exchange is
+    // planned once via ReuseExchange (r17, the e01 note; cheap at scale)
     val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
     wordGramRows(docs, 2, Seq(col("doc_id")))
       .join(bigramModel(docs), "gram")
       .groupBy("doc_id")
@@ -536,7 +540,10 @@ object TextQueries {
     * ordered and disjoint. */
   def t16PplBuckets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // one parquet split at test SF — parallelize the tokenize passes
+    // (the t15 note; cheap at scale)
     val docs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
     val rows = wordGramRows(docs, 2, Seq(col("doc_id")))
       .join(bigramModel(docs), "gram")
       .groupBy("doc_id")

@@ -430,7 +430,11 @@ object VectorQueries {
     * is a test dial, not a user lever. */
   def knnBatchAnn(spark: SparkSession, e0: DataFrame, k: Int,
       maxOccupancy: Long = V08MaxBucketOccupancy): DataFrame = {
-    val e = e0.withColumn("nv", normNative(col("v"))).cache()
+    // one parquet split at test SF — parallelize the cell hashing and
+    // the scored verify (the e01 note; cheap at scale)
+    val e = e0.withColumn("nv", normNative(col("v")))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .cache()
     val n = e.count()
     val occupancy = n / (1L << BatchAnnBits)
     if (occupancy > maxOccupancy) {
