@@ -22,8 +22,8 @@ object ProfD04 {
       val t0 = System.nanoTime(); val r = f
       println(f"[profd04] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    // full query, 2 repeats
-    (1 to 2).foreach { i =>
+    // full query, 3 repeats
+    (1 to 3).foreach { i =>
       time(s"full d04 run $i") {
         DedupQueries.d04NgramJaccard(spark, dir).write
           .format("noop").mode("overwrite").save()
