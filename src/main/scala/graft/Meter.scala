@@ -34,6 +34,8 @@ object Meter {
     val shufRead = new AtomicLong
     val shufWrite = new AtomicLong
     val spill = new AtomicLong
+    val cpuNs = new AtomicLong
+    val runMs = new AtomicLong
     val listener = new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
         stages.incrementAndGet()
@@ -44,6 +46,8 @@ object Meter {
           shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           spill.addAndGet(m.diskBytesSpilled)
+          cpuNs.addAndGet(m.executorCpuTime)
+          runMs.addAndGet(m.executorRunTime)
         }
       }
     }
@@ -57,6 +61,7 @@ object Meter {
 
     names.foreach { name =>
       stages.set(0); tasks.set(0); shufRead.set(0); shufWrite.set(0); spill.set(0)
+      cpuNs.set(0); runMs.set(0)
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -64,7 +69,8 @@ object Meter {
       Thread.sleep(500)
       println(f"[meter] $name stages=${stages.get} tasks=${tasks.get} " +
         f"shuffleRead=${shufRead.get} shuffleWrite=${shufWrite.get} " +
-        f"spill=${spill.get} wall=$wall%.2f")
+        f"spill=${spill.get} cpuSec=${cpuNs.get / 1e9}%.2f " +
+        f"runSec=${runMs.get / 1e3}%.2f wall=$wall%.2f")
       spark.catalog.clearCache(); System.gc()
     }
     spark.stop()

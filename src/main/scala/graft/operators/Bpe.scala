@@ -42,6 +42,20 @@ object Bpe {
     * convergence is a no-op (train stops early when no pair is left). */
   val TrainMerges = 12
 
+  /** Size budget for the DRIVER-SIDE merge loop (r17, guide §1.2:
+    * the distributed loop's cost at any SF is pure orchestration —
+    * 2 Spark jobs per merge round on a vocab that the classic BPE
+    * trick already bounded to |distinct words|, not corpus bytes).
+    * Under the budget the word-frequency table is collected once and
+    * the IDENTICAL loop (integer pair counts, same (n desc, l, r)
+    * tie-break, same left-to-right non-overlapping replace) runs on
+    * the driver — a few hundred KB of strings, the PQ-codebook-sized
+    * driver-model convention. Above it (a real corpus' multi-million
+    * word vocab) the distributed rounds stay. Equivalence is exact,
+    * not approximate: pair counts are integer sums (order-free), and
+    * BpeSpec pins both routes merge-for-merge on the same corpus. */
+  val DriverVocabMaxWords = 262144L
+
   /** " c h a r s " — the padded symbol-string form of a word.
     * split('') is code-point based in Spark (UTF8String) and DuckDB
     * both (the m06 parity pin), so multibyte text is safe. */
@@ -53,14 +67,30 @@ object Bpe {
 
   /** Train `nMerges` merges on the documents' text, returning them
     * in rank order. Deterministic: ties break (count desc, left asc,
-    * right asc); stops early when no adjacent pair remains. */
-  def train(spark: SparkSession, docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    * right asc); stops early when no adjacent pair remains.
+    *
+    * SIZE-ROUTED (r17): vocabularies within `driverVocabMax` words
+    * run the merge loop driver-side on the collected word-frequency
+    * table (one Spark job total instead of 2 per round); larger
+    * vocabs keep the distributed rounds. Both routes produce the
+    * identical merge sequence — see [[DriverVocabMaxWords]]. */
+  def train(spark: SparkSession, docs: DataFrame, nMerges: Int,
+      driverVocabMax: Long = DriverVocabMaxWords): Seq[(String, String)] = {
     val vocab = docs
       .select(explode(words(docs)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(padded(col("w")).as("s"), col("freq"))
       .cache()
     try {
+      if (driverVocabMax > 0 && driverVocabMax < Int.MaxValue) {
+        // limit(max+1) bounds the collect: if the (max+1)-th row
+        // exists the vocab is over budget and we fall through to the
+        // distributed loop without ever pulling the full table.
+        val head = vocab.limit(driverVocabMax.toInt + 1).collect()
+        if (head.length <= driverVocabMax)
+          return trainDriver(
+            head.map(r => (r.getString(0), r.getLong(1))), nMerges)
+      }
       val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
       var cur = vocab
       var done = false
@@ -92,6 +122,68 @@ object Bpe {
       }
       merges.toList
     } finally vocab.unpersist()
+  }
+
+  /** The driver-side merge loop — semantics-identical to the
+    * distributed rounds: integer pair counts (sum order can't move
+    * them), the (n desc, l asc, r asc) tie-break under UTF-8 BYTE
+    * order (Spark string comparison is UTF8String byte-wise; naive
+    * JVM String order would diverge on supplementary code points),
+    * and left-to-right non-overlapping merge application (the array
+    * walk below ≡ replace(" l r ", " lr ") on the padded form, which
+    * matches symbol boundaries exactly because symbols contain no
+    * spaces). */
+  private def trainDriver(vocab: Array[(String, Long)],
+      nMerges: Int): Seq[(String, String)] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def byteLt(a: String, b: String): Boolean =
+      java.util.Arrays.compareUnsigned(a.getBytes(utf8), b.getBytes(utf8)) < 0
+    var words: Array[(Array[String], Long)] =
+      vocab.map { case (s, f) => (s.trim.split(" "), f) }
+    val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var done = false
+    var round = 0
+    while (!done && round < nMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (a, f) =>
+        var i = 0
+        while (i < a.length - 1) {
+          val k = (a(i), a(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (l, r) = counts.foldLeft(Option.empty[((String, String), Long)]) {
+          case (best, cand) =>
+            best match {
+              case None => Some(cand)
+              case Some(b) =>
+                val better = cand._2 > b._2 ||
+                  (cand._2 == b._2 && (byteLt(cand._1._1, b._1._1) ||
+                    (cand._1._1 == b._1._1 && byteLt(cand._1._2, b._1._2))))
+                if (better) Some(cand) else best
+            }
+        }.get._1
+        merges += ((l, r))
+        words = words.map { case (a, f) =>
+          if (a.length < 2) (a, f)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < a.length) {
+              if (i < a.length - 1 && a(i) == l && a(i + 1) == r) {
+                out += (l + r); i += 2
+              } else { out += a(i); i += 1 }
+            }
+            (out.toArray, f)
+          }
+        }
+        round += 1
+      }
+    }
+    merges.toList
   }
 
   /** t24 entry: the trained merge table (rank, left, right) —

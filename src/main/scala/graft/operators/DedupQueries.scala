@@ -414,12 +414,19 @@ object DedupQueries {
     // positional bound only under-counts positions, loosening the
     // prune, never tightening it) and the window sorts only the
     // multi-doc grams.
+    // The candidate self-join consumes `prefix` on BOTH sides, and
+    // exchange reuse does not dedup the subtree above the shuffle:
+    // without a cache the whole explode → df-join → window pipeline
+    // (2 exchanges + 2 sorts) runs twice per action (r17 plan audit:
+    // nodes 10-28 duplicated at 32-50). Narrow rows (two longs + two
+    // ints) × prefix length — bounded, same convention as d14/d16.
     val prefix = inv.join(df, "gram")
       .filter(col("gram_df") > 1)
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy("gram_df", "gram")))
       .filter(col("rk") <= floor(col("sz") * (1 - t)) + 1)
       .select("doc_id", "sz", "gram", "rk")
+      .pinned
     val candidates = prefix.as("l").join(prefix.as("r"),
         col("l.gram") === col("r.gram") && col("l.doc_id") < col("r.doc_id") &&
           col("l.sz") >= col("r.sz") * t && col("r.sz") >= col("l.sz") * t &&
@@ -585,8 +592,13 @@ object DedupQueries {
         .join(lab.select(col("id").as("v"), col("comp").as("ncomp")), "v")
         .groupBy(col("u").as("id"))
         .agg(min("ncomp").as("ncomp"))
+      // `prev` (the round-start label) rides along through the two
+      // pinned hops so the convergence count below is a narrow scan
+      // of the pinned result instead of a per-round shuffle join of
+      // `next` against `lab` (r17: one exchange per round removed;
+      // +8 bytes/row in the pins, both dropped at round end).
       val hop = lab.join(viaN, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .pinned
       // Pointer jump (comp := min(comp, comp(comp))): halves the
@@ -598,12 +610,11 @@ object DedupQueries {
       val next = hop.as("x")
         .join(hop.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
           col("x.comp") === col("y.cid"), "left")
-        .select(col("x.id").as("id"),
+        .select(col("x.id").as("id"), col("x.prev").as("prev"),
           least(col("x.comp"), coalesce(col("ccomp"), col("x.comp"))).as("comp"))
         .pinned
-      moved = next.join(lab.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev")).count()
-      lab = next
+      moved = next.filter(col("comp") =!= col("prev")).count()
+      lab = next.select("id", "comp")
       round += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round $round moved=$moved")

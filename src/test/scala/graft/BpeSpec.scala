@@ -32,6 +32,23 @@ class BpeSpec extends SparkSpec {
       merges.toString)
   }
 
+  test("driver-side and distributed train routes produce the identical merge sequence") {
+    // driverVocabMax = 0 forces the distributed rounds on the same
+    // corpora the driver route handles (r17 size routing) — the two
+    // loops must agree merge-for-merge, including the tie-break and
+    // the early stop. Unicode words exercise the UTF-8-byte tie-break
+    // order the driver route replicates from UTF8String.
+    val corpora = Seq(
+      docsOf("aaab aaab aaab aab aab"),
+      docsOf("low lower lowest low low newer newest wider wide"),
+      docsOf("😀😀b 😀b ab ab zz zz"))
+    corpora.foreach { docs =>
+      val dist = Bpe.train(spark, docs, nMerges = 10, driverVocabMax = 0)
+      val drv = Bpe.train(spark, docs, nMerges = 10)
+      assert(drv == dist, s"driver $drv vs distributed $dist")
+    }
+  }
+
   test("encode under the planted table: full-word merges, partial merges, untouched words") {
     val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"), ("aa", "b"))
     // aaab→1 token, aab→1, ab→1, ba→2 (no merge matches " b a "),
