@@ -181,10 +181,16 @@ object GraphQueries {
       .cache()
     val deg = g.groupBy("src").agg(count(lit(1)).as("deg")).cache()
     val n = deg.count() // node-count scalar — the only driver traffic
+    // g ⋈ deg is LOOP-INVARIANT (r17, guide §2.4): attaching deg
+    // inside the round re-joined the full edge list every iteration.
+    // Cached once, each round is ONE keyed join + the agg. Join
+    // re-association only — the per-edge contribution rank/deg and
+    // the summed multiset are unchanged (deg covers every src by
+    // construction, both orders are inner equi-joins on src).
+    val gd = g.join(deg, "src").cache()
     var rank = deg.select(col("src").as("entity"), lit(1.0 / n).as("rank"))
     for (_ <- 0 until RankIters) {
-      rank = g.join(rank.withColumnRenamed("entity", "src"), "src")
-        .join(deg, "src")
+      rank = gd.join(rank.withColumnRenamed("entity", "src"), "src")
         .groupBy(col("dst"))
         .agg((lit(RankTeleport / n) +
           lit(RankDamping) * sum(col("rank") / col("deg"))).as("rank"))
@@ -586,6 +592,10 @@ object GraphQueries {
       .select("src", "dst").distinct()
       .cache()
     val deg = g.groupBy("src").agg(count(lit(1)).as("deg")).cache()
+    // loop-invariant deg attach hoisted out of the rounds — the h10
+    // change, same argument (join re-association, identical per-edge
+    // contribution and summed multiset).
+    val gd = g.join(deg, "src").cache()
     try {
       val tele = RankTeleport / seedEntities.length
       val seeds = seedEntities.toDF("entity")
@@ -593,8 +603,7 @@ object GraphQueries {
       var rank = seeds.select(col("entity"),
         (lit(1.0) / seedEntities.length).as("rank"))
       for (_ <- 0 until RankIters) {
-        val contrib = g.join(rank.withColumnRenamed("entity", "src"), "src")
-          .join(deg, "src")
+        val contrib = gd.join(rank.withColumnRenamed("entity", "src"), "src")
           .groupBy(col("dst"))
           .agg(sum(col("rank") / col("deg")).as("c"))
           .withColumnRenamed("dst", "entity")
@@ -607,7 +616,7 @@ object GraphQueries {
         .filter(col("rank") > 0)
         .orderBy("entity")
       if (release) out.pinned else out
-    } finally if (release) { g.unpersist(); deg.unpersist() }
+    } finally if (release) { g.unpersist(); deg.unpersist(); gd.unpersist() }
   }
 
   /** h18: DEGREE-DISTRIBUTION POWER-LAW FIT — is the entity graph
