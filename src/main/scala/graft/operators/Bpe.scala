@@ -174,7 +174,13 @@ object Bpe {
             var i = 0
             while (i < a.length) {
               if (i < a.length - 1 && a(i) == l && a(i + 1) == r) {
+                // replace(" l r ", " lr ") consumes the trailing
+                // space of the match, so the NEXT symbol's leading
+                // space is gone and it can never start (or join) a
+                // match: copy it unconditionally before re-enabling
+                // matching (" a a a a " -> [aa, a, a], not [aa, aa]).
                 out += (l + r); i += 2
+                if (i < a.length) { out += a(i); i += 1 }
               } else { out += a(i); i += 1 }
             }
             (out.toArray, f)

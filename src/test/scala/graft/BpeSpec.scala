@@ -38,10 +38,19 @@ class BpeSpec extends SparkSpec {
     // loops must agree merge-for-merge, including the tie-break and
     // the early stop. Unicode words exercise the UTF-8-byte tie-break
     // order the driver route replicates from UTF8String.
+    // The lrlr-shaped words (aaaa, abab, banana) pin the boundary-
+    // space semantics: replace(" l r ", " lr ") consumes the shared
+    // space, so back-to-back occurrences merge only once
+    // (" a a a a " -> [aa, a, a]) — the driver walk must skip the
+    // symbol after each merge, not greedily re-match at it.
     val corpora = Seq(
       docsOf("aaab aaab aaab aab aab"),
       docsOf("low lower lowest low low newer newest wider wide"),
-      docsOf("😀😀b 😀b ab ab zz zz"))
+      docsOf("😀😀b 😀b ab ab zz zz"),
+      docsOf("aaaa aaaa aa"),
+      docsOf("abab abab ab"),
+      docsOf("banana banana an an"),
+      docsOf("😀😀😀😀 😀😀"))
     corpora.foreach { docs =>
       val dist = Bpe.train(spark, docs, nMerges = 10, driverVocabMax = 0)
       val drv = Bpe.train(spark, docs, nMerges = 10)
