@@ -127,9 +127,10 @@ object DedupQueries {
     * cached, since candidates and verify each read them. */
   private def minhashTables(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     // one parquet split at test SF — without this the 64-hash
-    // signature map runs on one core (the e01 note; cheap at scale)
-    minhashTablesOf(Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism))
+    // signature map runs on one core; conditional so a many-split
+    // scan at scale is NOT funneled through a full-width exchange
+    minhashTablesOf(graft.plans.Par.ensureParallelism(
+      Tables.documents(spark, dir)))
 
   /** Band-cell projection of a signature frame — split out so the
     * SketchIndex builder can derive cells from a PERSISTED signature
@@ -486,12 +487,12 @@ object DedupQueries {
     * is d06EmbedNeardupAnn's cell-blocking). */
   def d05EmbedNeardup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions._
-    val e = Tables.embeddings(spark, dir)
+    val e = graft.plans.Par.ensureParallelism(Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("nv", normNative(col("v"))) // norm hoisted out of the pair loop
-      // one parquet split at test SF would serialize the pair loop on
-      // one core; repartition keeps the streamed side parallel
-      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("nv", normNative(col("v")))) // norm hoisted out of the pair loop
+      // ^ one parquet split at test SF would serialize the pair loop
+      // on one core; conditional repartition (Par) keeps it parallel
+      // without coalescing a many-split scan at scale
     // Prefilter on the RAW score with a 1e-6 slack margin (any pair
     // whose ROUNDED cos passes the threshold certainly passes raw
     // >= t - 1e-6), then round(6) only the tiny survivor set —

@@ -111,14 +111,13 @@ object ExtendedQueries {
     * and small-n fast path, with no driver-side or broadcast
     * O(corpus) transfer. */
   def e01KnnClassify(spark: SparkSession, dir: String): DataFrame = {
-    // repartition: the corpus arrives as ONE parquet split at test SF
-    // (a few MB), which would serialize the whole all-pairs pass on a
-    // single core; at 100 TB the scan has natural parallelism and this
-    // is a no-op-cheap narrow redistribution.
-    val e = Tables.embeddings(spark, dir)
+    // conditional repartition (Par): the corpus arrives as ONE
+    // parquet split at test SF (a few MB), which would serialize the
+    // whole all-pairs pass on a single core; at 100 TB the scan has
+    // natural parallelism and the exchange is skipped outright.
+    val e = graft.plans.Par.ensureParallelism(Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
-      .withColumn("nv", normNative(col("v")))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("nv", normNative(col("v"))))
       .cache()
     val q = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("nq"))
     // Rank on the RAW cosine (round(6) allocates a BigDecimal per value
@@ -184,10 +183,9 @@ object ExtendedQueries {
 
   def e01bKnnClassifyAnn(spark: SparkSession, dir: String,
       maxVectors: Long = E01bMaxVectors): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = graft.plans.Par.ensureParallelism(Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
-      .withColumn("nv", normNative(col("v")))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("nv", normNative(col("v"))))
       .cache()
     try {
       val n = e.count()
@@ -354,9 +352,8 @@ object ExtendedQueries {
       sqCutMin: Long = SqCutMinVectors,
       sqCutBroadcastMax: Long = SqCutBroadcastMaxBytes,
       cellCap: Int = E01cCellCap): DataFrame = {
-    val e = e0
-      .withColumn("nv", normNative(col("v")))
-      .repartition(spark.sparkContext.defaultParallelism)
+    val e = graft.plans.Par.ensureParallelism(
+        e0.withColumn("nv", normNative(col("v"))))
       .cache()
     try {
       val n = e.count()

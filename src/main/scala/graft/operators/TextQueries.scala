@@ -492,9 +492,9 @@ object TextQueries {
   def t15BigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     // one parquet split at test SF — parallelize the two tokenize
     // passes (scoring + model); the identical repartition exchange is
-    // planned once via ReuseExchange (r17, the e01 note; cheap at scale)
-    val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    // planned once via ReuseExchange. Conditional (Par): a many-split
+    // scan at scale skips the exchange outright.
+    val docs = graft.plans.Par.ensureParallelism(Tables.documents(spark, dir))
     wordGramRows(docs, 2, Seq(col("doc_id")))
       .join(bigramModel(docs), "gram")
       .groupBy("doc_id")
@@ -541,9 +541,8 @@ object TextQueries {
   def t16PplBuckets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // one parquet split at test SF — parallelize the tokenize passes
-    // (the t15 note; cheap at scale)
-    val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    // (the t15 note; conditional, skipped at scale)
+    val docs = graft.plans.Par.ensureParallelism(Tables.documents(spark, dir))
     val rows = wordGramRows(docs, 2, Seq(col("doc_id")))
       .join(bigramModel(docs), "gram")
       .groupBy("doc_id")

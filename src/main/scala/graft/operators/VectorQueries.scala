@@ -431,9 +431,9 @@ object VectorQueries {
   def knnBatchAnn(spark: SparkSession, e0: DataFrame, k: Int,
       maxOccupancy: Long = V08MaxBucketOccupancy): DataFrame = {
     // one parquet split at test SF — parallelize the cell hashing and
-    // the scored verify (the e01 note; cheap at scale)
-    val e = e0.withColumn("nv", normNative(col("v")))
-      .repartition(spark.sparkContext.defaultParallelism)
+    // the scored verify (the e01 note; conditional, skipped at scale)
+    val e = graft.plans.Par.ensureParallelism(
+        e0.withColumn("nv", normNative(col("v"))))
       .cache()
     val n = e.count()
     val occupancy = n / (1L << BatchAnnBits)
@@ -563,8 +563,8 @@ object VectorQueries {
       cellCap: Int = V15CellCap): DataFrame = {
     import e0.sparkSession.implicits._
     val spark = e0.sparkSession
-    val e = e0.withColumn("nv", normNative(col("v")))
-      .repartition(spark.sparkContext.defaultParallelism)
+    val e = graft.plans.Par.ensureParallelism(
+        e0.withColumn("nv", normNative(col("v"))))
       .cache()
     try {
       val n = e.count()
@@ -1023,9 +1023,9 @@ object VectorQueries {
     * both regimes). */
   def lshSweep(spark: SparkSession, e: DataFrame, threshold: Double,
       grid: Seq[(Int, Int)], seed: Long = 77L): Seq[(Int, Int, Long, Long, Double)] = {
-    val cached = e.select(col("vec_id"), col("v"))
-      .withColumn("nv", normNative(col("v")))
-      .repartition(spark.sparkContext.defaultParallelism).cache()
+    val cached = graft.plans.Par.ensureParallelism(
+      e.select(col("vec_id"), col("v"))
+        .withColumn("nv", normNative(col("v")))).cache()
     try {
       val dim = cached.select("v").head().getSeq[Double](0).length
       val exact = cached.as("l").join(cached.as("r"), col("l.vec_id") < col("r.vec_id"))
@@ -1183,8 +1183,8 @@ object VectorQueries {
       val p = java.nio.file.Files.createTempDirectory("graft_v16_ivf").toString
       val n = e.count()
       graft.store.VectorIndex.buildIvf(spark,
-        e.withColumn("nv", normNative(col("v")))
-          .repartition(spark.sparkContext.defaultParallelism),
+        graft.plans.Par.ensureParallelism(
+          e.withColumn("nv", normNative(col("v")))),
         p, nCells = math.max(8, (n / V15CellTarget).toInt), iters = 2,
         cellCap = V15CellCap, twoLevelCells = V15TwoLevelCells)
       graft.store.VectorIndex.buildCellBounds(spark, p)
