@@ -44,21 +44,43 @@ object ProfD04 {
     val inv = g.select(col("doc_id"), col("sz"), explode(col("grams")).as("gram"))
     val df = inv.groupBy("gram").agg(count(lit(1)).as("gram_df"))
     time("inverted index + df") { df.write.format("noop").mode("overwrite").save() }
+    val wDoc = Window.partitionBy("doc_id")
     val prefix = inv.join(df, "gram")
       .filter(col("gram_df") > 1)
       .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy("gram_df", "gram")))
+        wDoc.orderBy("gram_df", "gram")))
+      .withColumn("fsz", count(lit(1)).over(wDoc))
       .filter(col("rk") <= floor(col("sz") * (1 - t)) + 1)
-      .select("doc_id", "sz", "gram", "rk")
+      .select("doc_id", "sz", "fsz", "gram", "rk")
     time("prefix rows") { println("  prefix rows: " + prefix.count()) }
-    val candidates = prefix.as("l").join(prefix.as("r"),
+    time("fsz stats") {
+      prefix.agg(min(col("fsz") / col("sz")), avg(col("fsz") / col("sz")),
+        max(col("fsz") / col("sz"))).show(false) }
+    val matches = prefix.as("l").join(prefix.as("r"),
         col("l.gram") === col("r.gram") && col("l.doc_id") < col("r.doc_id") &&
           col("l.sz") >= col("r.sz") * t && col("r.sz") >= col("l.sz") * t &&
           (least(col("l.sz") - col("l.rk"), col("r.sz") - col("r.rk")) + 1) >=
             ceil((col("l.sz") + col("r.sz")) * (t / (1 + t))))
+    val candidatesOld = matches
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-    time("candidate pairs") { println("  candidates: " + candidates.count()) }
+    time("candidate pairs (old distinct)") {
+      println("  candidates(old): " + candidatesOld.count()) }
+    val tEff = t - 1e-4
+    val candidates = matches
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.sz").as("sza"), col("r.sz").as("szb"),
+        col("l.fsz").as("fsza"), col("r.fsz").as("fszb"),
+        col("l.rk").as("rka"), col("r.rk").as("rkb"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("cnt"), max("sza").as("sza"), max("szb").as("szb"),
+        max("fsza").as("fsza"), max("fszb").as("fszb"),
+        max("rka").as("rka"), max("rkb").as("rkb"))
+      .filter((col("cnt") + least(col("fsza") - col("rka"), col("fszb") - col("rkb"))) >=
+        ceil((col("sza") + col("szb")) * (tEff / (1 + tEff))))
+      .select("doc_a", "doc_b")
+    time("candidate pairs (r18 fsz ubound prune)") {
+      println("  candidates(new): " + candidates.count()) }
     val attached = candidates
       .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga"), col("sz").as("sza")), "doc_a")
       .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb"), col("sz").as("szb")), "doc_b")

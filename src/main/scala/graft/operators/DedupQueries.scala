@@ -176,9 +176,17 @@ object DedupQueries {
     * Write-once callers (SketchIndex.buildCellIndex) use minhashSigs
     * + bandCells directly and persist instead of caching. */
   private[graft] def minhashTablesOf(docs: DataFrame): (DataFrame, DataFrame) = {
-    val sigs = minhashSigs(docs)
-    val docShingles = sigs.select(col("doc_id"), col("shingles")).cache()
-    (bandCells(sigs).cache(), docShingles)
+    // ONE eagerly-filled cache of the signature pass (r18): the r17
+    // form cached the two DERIVED tables, but both subtrees read the
+    // UNCACHED sigs — so the 64-hash map ran once per cache fill, and
+    // with the candidate/verify consumers racing inside one action DAG
+    // it ran up to 4× (the d14 lesson; the "Block already exists"
+    // BlockManager warnings are that race). Cache the expensive pass
+    // itself, fill it with one tiny job, and serve banding/payloads
+    // as cheap projections of the cached rows.
+    val sigs = minhashSigs(docs).cache()
+    sigs.count()
+    (bandCells(sigs), sigs.select(col("doc_id"), col("shingles")))
   }
 
   /** Exact-Jaccard verification of a candidate pair set (columns
@@ -428,6 +436,13 @@ object DedupQueries {
       .filter(col("rk") <= floor(col("sz") * (1 - t)) + 1)
       .select("doc_id", "sz", "gram", "rk")
       .pinned
+    // NOTE (r18 negative result, VERDICT r17 #3): PPJoin's aggregated
+    // overlap ubound — count shared prefix grams per pair and prune
+    // when cnt + min(fsz - rk_max) misses alpha — prunes ZERO of the
+    // 1.53M sf0.1 candidates (measured, ProfD04): this corpus has NO
+    // singleton grams (fsz/sz = 1.0 for every doc) and matches sit
+    // early in the short prefixes, so the bound always clears alpha.
+    // The distinct() stays; the win moved to the verify stage below.
     val candidates = prefix.as("l").join(prefix.as("r"),
         col("l.gram") === col("r.gram") && col("l.doc_id") < col("r.doc_id") &&
           col("l.sz") >= col("r.sz") * t && col("r.sz") >= col("l.sz") * t &&
@@ -441,7 +456,7 @@ object DedupQueries {
     // decision — measured 4× run-to-run swings when deferred. One
     // stable shuffle of the narrow pair set is the better trade here.
     //
-    // SIZE-ROUTED payload attach (r17, guide §3.1/§8 + the e01c
+    // SIZE-ROUTED payload attach (r17→r18, guide §3.1/§8 + the e01c
     // sqCutPool convention): this corpus' 0.8 threshold over short
     // synthetic docs admits a candidate set ~300× the doc count
     // (sf0.1: 1.53M pairs from 5k docs), so "AQE broadcasts the small
@@ -450,32 +465,72 @@ object DedupQueries {
     // WITH its first ~2.3 KB gram array attached (measured 16-46 s at
     // sf0.1, 5-10× run-to-run swings as the borderline AQE decision
     // flips). When the whole per-doc gram table fits the broadcast
-    // budget, broadcast IT instead: both attaches become map-side
-    // hash joins on the candidate stream and no gram array ever
-    // crosses an exchange (sf0.1: 48 s median → ~4 s). Above the
+    // budget, ship IT once as a keyed broadcast map and verify the
+    // naked pair stream against it (r18 — see `verified` below; the
+    // r17 form broadcast-JOINED it, which still re-deserialized both
+    // arrays per pair: sf0.1 median 48 s → ~4 s → ~2 s). Above the
     // budget (the 100 TB regime, where a production threshold makes
     // candidates ≪ corpus) the un-hinted form stays: AQE broadcasts
     // the genuinely small pair side and the payload table never
     // moves. sum(sz) reads off the cached g — one tiny job that also
     // fills the cache before the two consumers race it.
-    val gramBytes = g.agg(sum(col("sz"))).head.getLong(0) * 8L
-    val attach: DataFrame => DataFrame =
-      if (gramBytes <= GramBroadcastMaxBytes) df => broadcast(df) else identity
-    candidates
-      .join(attach(g.select(col("doc_id").as("doc_a"), col("grams").as("ga"), col("sz").as("sza"))), "doc_a")
-      .join(attach(g.select(col("doc_id").as("doc_b"), col("grams").as("gb"), col("sz").as("szb"))), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("ga"), col("sza"), col("gb"), col("szb"))
-      .as[(Long, Long, Array[Long], Int, Array[Long], Int)]
-      .map { case (a, b, ga, sza, gb, szb) =>
-        // Required overlap for round(j,4) >= t, with a 1e-4 slack so a
-        // raw j that ROUNDS UP across the threshold is never cut: the
-        // early-exit merge rejects most candidates in a few steps.
-        val tEff = t - 1e-4
-        val alpha = math.ceil((sza + szb) * tEff / (1 + tEff)).toInt
-        val inter = sortedIntersectionAtLeast(ga, gb, alpha)
-        if (inter < 0) (a, b, 0.0)
-        else (a, b, inter.toDouble / (sza + szb - inter))
+    // coalesce: sum over an EMPTY corpus is null (VERDICT r17 #3's
+    // noted NPE) — route the empty case through the broadcast arm.
+    // The sz×8 estimate ignores row/array overhead (~1.5-2× light),
+    // tolerable under the budget's comfort margin.
+    val gramBytes = g.agg(coalesce(sum(col("sz")), lit(0L)))
+      .head.getLong(0) * 8L
+    val verified =
+      if (gramBytes <= GramBroadcastMaxBytes) {
+        // BROADCAST-MAP verify (r18, guide §2.3/§8 "move the heavy
+        // bytes once"): the r17 broadcast-JOIN arm already shipped
+        // the whole gram table to every executor, but each of the
+        // 1.53M sf0.1 candidate rows still DESERIALIZED both ~4 KB
+        // UnsafeArrayData payloads into fresh Array[Long]s inside the
+        // typed map (~16 µs/pair — the measured 24 CPU-s bulk of
+        // d04). Ship the table once as a keyed map instead (same
+        // bytes, same budget gate): each doc's array materializes
+        // ONCE at broadcast read, and the pair stream stays two naked
+        // longs wide end to end. sz == grams.length (distinct hashes),
+        // so the merge needs no side columns.
+        val bc = spark.sparkContext.broadcast(
+          g.select(col("doc_id"), col("grams"))
+            .as[(Long, Array[Long])].collect().toMap)
+        candidates.as[(Long, Long)]
+          .mapPartitions { it =>
+            val m = bc.value
+            val tEff = t - 1e-4
+            it.map { case (a, b) =>
+              val ga = m(a); val gb = m(b)
+              // Required overlap for round(j,4) >= t, with a 1e-4
+              // slack so a raw j that ROUNDS UP across the threshold
+              // is never cut: the early-exit merge rejects most
+              // candidates in a few steps.
+              val alpha = math.ceil((ga.length + gb.length) * tEff / (1 + tEff)).toInt
+              val inter = sortedIntersectionAtLeast(ga, gb, alpha)
+              if (inter < 0) (a, b, 0.0)
+              else (a, b, inter.toDouble / (ga.length + gb.length - inter))
+            }
+          }
+      } else {
+        // Above the budget (the 100 TB regime, where a production
+        // threshold makes candidates ≪ corpus): the un-hinted join
+        // form stays — AQE broadcasts the genuinely small pair side
+        // and the payload table never moves.
+        candidates
+          .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga"), col("sz").as("sza")), "doc_a")
+          .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb"), col("sz").as("szb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("ga"), col("sza"), col("gb"), col("szb"))
+          .as[(Long, Long, Array[Long], Int, Array[Long], Int)]
+          .map { case (a, b, ga, sza, gb, szb) =>
+            val tEff = t - 1e-4
+            val alpha = math.ceil((sza + szb) * tEff / (1 + tEff)).toInt
+            val inter = sortedIntersectionAtLeast(ga, gb, alpha)
+            if (inter < 0) (a, b, 0.0)
+            else (a, b, inter.toDouble / (sza + szb - inter))
+          }
       }
+    verified
       .toDF("doc_a", "doc_b", "jraw")
       .select(col("doc_a"), col("doc_b"), round(col("jraw"), 4).as("j"))
       .filter(col("j") >= t) // Spark round == DuckDB round (half-up)
@@ -1144,15 +1199,38 @@ object DedupQueries {
     * inclusion-exclusion — the union gram set never materializes. */
   def d16SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("source"), col("text"))
-    // g is consumed three times (per-source totals + both self-join
-    // sides) — cache so tokenize + distinct runs once (r17, guide §2.4).
+    // g is consumed twice (per-source totals + the source-set agg) —
+    // cache so tokenize + distinct runs once (r17, guide §2.4).
     val g = TextQueries.wordGramRows(d, SourceGram, Seq(col("source"))).distinct()
       .cache()
+    // Eager fill (r18, the d04 probe lesson — see containmentPairs):
+    // both consumers race the cache inside one action otherwise.
+    g.count()
     val per = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
-    g.select(col("gram"), col("source").as("src_a"))
-      .join(g.select(col("gram"), col("source").as("src_b")), "gram")
-      .filter(col("src_a") < col("src_b"))
-      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+    // SOURCE-SET COLLAPSE (r18, guide §2.3/§2.4): the r17 self-join
+    // on gram emitted k_g² rows per gram (k_g = sources containing
+    // it — boilerplate grams shared by ALL sources pay the full
+    // sources² fan-out PER GRAM, the measured 15 CPU-s bulk of d16).
+    // Instead: one keyed agg folds each gram to its SORTED source
+    // set, a second agg counts grams per DISTINCT set (a handful of
+    // rows — ≤ min(|grams|, 2^sources)), and only those few rows
+    // expand into pairs via a codegen'd HOF. n_shared(a,b) =
+    // Σ_{sets containing both} cnt — exactly the join's count, with
+    // the gram dimension collapsed before any quadratic work.
+    // sort_array gives UTF8 order, so in-array position order ==
+    // the old src_a < src_b string predicate.
+    val setCnt = g.groupBy("gram")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .groupBy("ss").agg(count(lit(1)).as("cnt"))
+    val pairsOfSet = flatten(transform(col("ss"), (a, ai) =>
+      filter(
+        transform(col("ss"), (b, bi) =>
+          when(bi > ai, struct(a.as("sa"), b.as("sb")))),
+        p => p.isNotNull)))
+    setCnt
+      .select(col("cnt"), explode(pairsOfSet).as("p"))
+      .groupBy(col("p.sa").as("src_a"), col("p.sb").as("src_b"))
+      .agg(sum("cnt").as("n_shared"))
       .join(per.select(col("source").as("src_a"), col("n_grams").as("ga")), "src_a")
       .join(per.select(col("source").as("src_b"), col("n_grams").as("gb")), "src_b")
       .withColumn("jaccard",
@@ -1207,6 +1285,13 @@ object DedupQueries {
     // once per action, not ~5x (r17, the d04/h12 lesson; guide §2.4).
     val g = TextQueries.wordGramRows(d, ContainGram, Seq(col("doc_id"))).distinct()
       .cache()
+    // Eager fill (r18, the d04 probe lesson): the five consumers are
+    // INDEPENDENT subtrees of one action DAG, so they launch
+    // concurrently and each recomputes tokenize + distinct before the
+    // first registers its cache blocks — measured ~4× redundant
+    // tokenize CPU (the bulk of d14's 32 CPU-s at sf0.1). One tiny
+    // count materializes the cache before the consumers race it.
+    g.count()
     val per = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val banded = g.join(
       g.groupBy("gram").agg(count(lit(1)).as("df"))
