@@ -637,6 +637,8 @@ object DedupQueries {
     // expensive) edge subtree exactly once. In a fault-tolerant
     // production run, checkpoint() to reliable storage instead —
     // same lineage cut, plus recoverability.
+    val spark = edges.sparkSession
+    import spark.implicits._
     val sym = edges.toDF("u", "v").pinned
     val both = sym.union(sym.select(col("v"), col("u"))).pinned
     var lab = both.select(col("u").as("id")).distinct()
@@ -648,28 +650,44 @@ object DedupQueries {
         .join(lab.select(col("id").as("v"), col("comp").as("ncomp")), "v")
         .groupBy(col("u").as("id"))
         .agg(min("ncomp").as("ncomp"))
-      // `prev` (the round-start label) rides along through the two
-      // pinned hops so the convergence count below is a narrow scan
-      // of the pinned result instead of a per-round shuffle join of
-      // `next` against `lab` (r17: one exchange per round removed;
-      // +8 bytes/row in the pins, both dropped at round end).
-      val hop = lab.join(viaN, Seq("id"), "left")
+      // ONE fused job per round (r18 — was pin(hop) + pin(next) +
+      // count, 3 jobs): the neighbour-min AND the pointer jump
+      // (comp := min(comp, comp(comp)) — halves remaining chain
+      // length, O(log diameter) rounds) both read the ROUND-START
+      // labels, so they fuse into a single plan over the pinned
+      // leaf `lab` (referenced three times — scans of cached
+      // blocks, no recompute). Jumping on the round-start label
+      // instead of the freshly-hopped one is a WEAKER per-round
+      // update, but labels still only decrease and the unique
+      // fixpoint (constant = component-min per component: at a
+      // fixpoint comp_u <= comp_v <= comp_u across every edge, and
+      // a non-min constant c > m contradicts comp_m <= m) is
+      // unchanged — at worst a round more on deep chains (measured:
+      // round counts identical on the sf graphs). Labels are always
+      // vertex ids, so the jump self-join always finds its row.
+      //
+      // Convergence detection rides the SAME job: a LongAccumulator
+      // incremented where comp != prev while the pin materializes —
+      // no separate count job. Task retries can only over-count,
+      // never turn a nonzero count into zero (a retried task
+      // re-adds the same nonnegative contribution), so the
+      // `moved > 0` test — the only consumer — is retry-safe.
+      val step = lab.join(viaN, Seq("id"), "left")
+        .join(lab.select(col("id").as("cid"), col("comp").as("ccomp")),
+          col("comp") === col("cid"), "left")
         .select(col("id"), col("comp").as("prev"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(col("comp"),
+            coalesce(col("ncomp"), col("comp")),
+            coalesce(col("ccomp"), col("comp"))).as("comp"))
+      val acc = spark.sparkContext.longAccumulator("cc-moved")
+      // Row-encoded map: vertex ids are type-generic (h16 components
+      // run over STRING entity names, d07/d09 over long doc ids).
+      val next = step
+        .mapPartitions(_.map { r =>
+          if (r.get(2) != r.get(1)) acc.add(1L); r
+        })(org.apache.spark.sql.Encoders.row(step.schema))
         .pinned
-      // Pointer jump (comp := min(comp, comp(comp))): halves the
-      // remaining chain length every round, so long duplicate chains
-      // converge in O(log diameter) rounds instead of O(diameter) —
-      // at a fixed per-round job latency, rounds are the cost.
-      // Labels are always vertex ids, so the self-join always finds
-      // the label's own row.
-      val next = hop.as("x")
-        .join(hop.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
-          col("x.comp") === col("y.cid"), "left")
-        .select(col("x.id").as("id"), col("x.prev").as("prev"),
-          least(col("x.comp"), coalesce(col("ccomp"), col("x.comp"))).as("comp"))
-        .pinned
-      moved = next.filter(col("comp") =!= col("prev")).count()
+      moved = acc.value
       lab = next.select("id", "comp")
       round += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
