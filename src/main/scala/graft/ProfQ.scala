@@ -23,7 +23,14 @@ object ProfQ {
     spark.sparkContext.setLogLevel("WARN")
 
     val cpuByStage = new ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+    val jobOfStage = new ConcurrentHashMap[Int, String]()
     val listener = new SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse("")
+        js.stageIds.foreach(s => jobOfStage.put(s, s"j${js.jobId} $desc"))
+      }
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
         if (te.taskMetrics != null)
           cpuByStage.computeIfAbsent(te.stageId,
@@ -35,8 +42,9 @@ object ProfQ {
           yield (c - s) / 1e3).getOrElse(-1.0)
         val cpu = Option(cpuByStage.get(i.stageId))
           .map(_.get / 1e9).getOrElse(0.0)
+        val job = Option(jobOfStage.get(i.stageId)).getOrElse("")
         System.err.println(f"[stage] id=${i.stageId}%-4d tasks=${i.numTasks}%-4d " +
-          f"wall=$wall%6.2fs cpu=$cpu%6.2fs  ${i.name.linesIterator.next()}")
+          f"wall=$wall%6.2fs cpu=$cpu%6.2fs  [$job] ${i.name.linesIterator.next()}")
       }
     }
 

@@ -585,10 +585,15 @@ object DedupQueries {
   def d06EmbedNeardupAnn(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions._
     val planes = VectorQueries.lshPlanes(AnnTables * AnnBits, 64, seed = 77L)
-    val e = Tables.embeddings(spark, dir)
+    val e = graft.plans.Par.ensureParallelism(Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("nv", normNative(col("v")))
+      .withColumn("nv", normNative(col("v"))))
       .cache()
+    // Eager fill + conditional parallelize (r18, the d05/d14
+    // lessons): the four consumers below race the lazy cache inside
+    // one action, and a one-split scan ran the decode+norm+hash map
+    // serially (the two measured ~1 s single-task stages of d06).
+    e.count()
     // Narrow (vec_id, cell) rows for blocking; vector payloads
     // re-attach afterwards via the tiny candidate-pair join (same
     // shape as d04 — nothing O(corpus) broadcasts).
@@ -1376,8 +1381,14 @@ object DedupQueries {
       .withColumn("nv", normNative(col("v")))
     def cellsOf(df: DataFrame) = df.select(col("vec_id"),
       explode(VectorQueries.cellStructs(planes, AnnTables, AnnBits)(col("v"))).as("cell"))
-    val tr = prep(train)
-    val ev = prep(evalEmb)
+    // Conditional parallelize + eagerly-filled caches (r18, the
+    // d06/d14 lessons): each side is consumed twice (cell hashing +
+    // payload re-attach) by independent subtrees of one action, and
+    // a one-split scan ran the decode+norm+hash map serially (the
+    // measured ~1 s single-task stage of t27).
+    val tr = graft.plans.Par.ensureParallelism(prep(train)).cache()
+    val ev = graft.plans.Par.ensureParallelism(prep(evalEmb)).cache()
+    tr.count(); ev.count()
     val cand = cellsOf(tr).select(col("vec_id"), col("cell"))
       .join(cellsOf(ev).select(col("vec_id").as("eval_id"), col("cell")), "cell")
       .select(col("vec_id"), col("eval_id"))

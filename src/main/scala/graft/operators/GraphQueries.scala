@@ -300,6 +300,15 @@ object GraphQueries {
         .agg(min("path").as("path"))
         .select(col("entity"), lit(h).as("hops"), col("path"))
         .cache()
+      // Eager fill (r18, the d14 lesson): the two consumers of each
+      // round's frontier/visited are independent subtrees of the one
+      // final action, so they race the lazy cache and recompute the
+      // expansion join concurrently (measured: 773 tasks for ~3
+      // CPU-s at sf0.1). One tiny count per round serializes each
+      // fill; rounds are few (PathHops) and frontiers k-hop-ball
+      // sized, so the extra jobs are cheap beside the duplicated
+      // expansion subtrees they remove.
+      frontier.count()
       visited = visited.union(frontier).cache()
     }
     visited.orderBy("hops", "entity")

@@ -656,4 +656,21 @@ class GraftApiSpec extends SparkSpec {
     val all = g.closestFactsDiverse(db2, "q", k = 9).collect().map(_.getLong(1))
     assert(all.toSeq == Seq(2L, 3L, 1L, 4L, 5L), all.mkString(","))
   }
+
+  test("resolveEntities cache hygiene: only the returned frame stays cached (r18, VERDICT r17 #6)") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val entities = Seq(
+      ("albert einstein", "father of relativity"),
+      ("einstein", "the relativity physicist"),
+      ("gravity", "a force")).toDF("entity", "description")
+    val out = api.resolveEntities(entities)
+    // the embedding cache inside the call must have been released;
+    // the eagerly-materialized result is the ONE retained entry
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "the returned frame itself is cached by contract")
+    out.unpersist(blocking = true)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "after releasing the returned frame no internal cache may remain")
+  }
 }
